@@ -1,0 +1,86 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is fully executed via a count-collapsing action that still
+materializes every output row (``df.toPandas`` would add transfer cost;
+``count`` alone could let Spark skip projections — we use
+``df.foreach(noop)``-equivalent ``write.format('noop')``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # headline analytics
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "events_daily_rollup",
+    "events_user_topk",
+    "events_sessionize",
+    "asof_join_events_orders",
+    # LLM-data ops
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard_pairs",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "text_quality_score",
+    "text_lang_id",
+    "doc_fingerprint",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from thundercats_spark.queries import all_queries
+    from thundercats_spark.session import get_spark
+
+    spark = get_spark("thundercats-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # warm the JVM + parquet footers with the flagship query
+    registry["q1_pricing_summary"].spark_fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in registry:
+            continue
+        t0 = time.time()
+        df = registry[name].spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

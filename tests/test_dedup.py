@@ -1,0 +1,88 @@
+"""Dedup operator semantics on synthetic docs with known duplicates,
+plus LSH-vs-exact recall checks on the driver's documents table."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from thundercats_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    other = "completely different text about spark queries and shuffle partitions here"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, "  " + base.upper() + " "),  # normalized dup of 1
+        (4, near),  # near dup of 1
+        (5, other),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(docs):
+    out = dedup.dedup_exact(docs, "text", "doc_id")
+    kept = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    # 1,2,3 collapse (lower+trim normalize); 4 and 5 survive alone
+    assert kept == {1: 3, 4: 1, 5: 1}
+
+
+def test_dedup_exact_no_normalize(docs):
+    out = dedup.dedup_exact(docs, "text", "doc_id", normalize=False)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4, 5]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    out = df.select(dedup.word_shingles(F.col("t"), 3).alias("sh")).first()["sh"]
+    assert sorted(out) == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical
+    assert (1, 4) in got and (2, 4) in got  # near-dup
+    assert not any(5 in p for p in got)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 4) in got
+
+
+def test_dedup_minhash_survivors(docs):
+    out = dedup.dedup_minhash(docs, "text", "doc_id", threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in ids and 5 in ids and 2 not in ids and 4 not in ids
+
+
+def test_simhash_deterministic_and_near(docs):
+    h = docs.select("doc_id", dedup.simhash(F.col("text")).alias("h")).collect()
+    hs = {r["doc_id"]: r["h"] for r in h}
+    assert hs[1] == hs[2]  # identical text → identical hash
+    assert all(v >= 0 for v in hs.values())  # 60-bit, no sign wrap
+
+
+def test_simhash_pairs(docs):
+    pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_minhash_recall_vs_exact_on_documents(spark, sf_dir):
+    """On the driver's documents table, banded MinHash (16x4) must
+    recover most true Jaccard>=0.5 pairs and verify exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    approx = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    truth = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    found = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    assert found <= truth  # verification step guarantees precision 1.0
+    if truth:
+        recall = len(found & truth) / len(truth)
+        assert recall >= 0.8, f"recall {recall} over {len(truth)} pairs"

@@ -1,0 +1,103 @@
+"""IO round-trips (mirrors reference AllTest.scala "Basic IO")."""
+
+import pyspark.sql.functions as F
+
+from thundercats_spark.physical.io import NoPartition, PartitionCol, Read, Screen, Write
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    path = str(tmp_path / "t.csv")
+    assert not Write.csv(df, path, delimiter=";").is_failing
+    back = Read.csv(spark, path, delimiter=";").get
+    assert {(r["a"], r["b"]) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_csv_missing_file_fails(spark):
+    mf = Read.csv(spark, "/nonexistent/nope.csv")
+    # Spark reads lazily; force the failure through the monad.
+    out = mf >> (lambda df: df.count())
+    assert out.is_failing
+    assert out.get_error() is not None
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], "a int, b string")
+    path = str(tmp_path / "t.parquet")
+    assert not Write.parquet(df, path, partition=PartitionCol("b")).is_failing
+    back = Read.parquet(spark, path).get
+    assert back.count() == 3
+    # partition pruning works: filter on partition col reads one dir
+    pruned = back.where(F.col("b") == "x")
+    assert pruned.count() == 2
+
+
+def test_parquet_overwrite(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "a int")
+    path = str(tmp_path / "o.parquet")
+    Write.parquet(df, path).get
+    assert Write.parquet(df, path).is_failing  # errorifexists
+    assert not Write.parquet(df, path, overwrite=True).is_failing
+
+
+def test_json_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    jp, op = str(tmp_path / "t.json"), str(tmp_path / "t.orc")
+    Write.json(df, jp).get
+    Write.orc(df, op).get
+    assert Read.json(spark, jp).get.count() == 1
+    assert Read.orc(spark, op).get.count() == 1
+
+
+def test_single_file_write(spark, tmp_path):
+    import glob
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "a int").repartition(8)
+    path = str(tmp_path / "single.csv")
+    Write.csv(df, path, single_file=True).get
+    assert len(glob.glob(f"{path}/part-*")) == 1
+
+
+def test_kafka_plan_fails_gracefully(spark):
+    # No broker in the container: reading must fail inside the monad,
+    # not raise.
+    out = Read.kafka(spark, "topic", "localhost", 9092) >> (lambda df: df.count())
+    assert out.is_failing
+
+
+def test_screen_show(spark, capsys):
+    df = spark.createDataFrame([(1, ["a", "b"])], "a int, arr array<string>")
+    assert not Screen.show_df(df, title="T", hide_complex=True).is_failing
+    out = capsys.readouterr().out
+    assert "T" in out and "<array<string>>" in out
+
+
+def test_screen_schema(spark, capsys):
+    df = spark.createDataFrame([(1,)], "a int")
+    Screen.show_schema(df).get
+    assert "a: integer" in capsys.readouterr().out
+
+
+def test_read_write_monadic_pipeline(spark, tmp_path):
+    from thundercats_spark.functional.maybe import pipeline
+
+    path = str(tmp_path / "pipe.parquet")
+    df = spark.createDataFrame([(1, 2.0), (2, 4.0)], "k int, v double")
+    out = pipeline(
+        df,
+        lambda d: Write.parquet(d, path),
+        lambda _: Read.parquet(spark, path),
+        lambda d: d.agg(F.sum("v").alias("s")).collect()[0]["s"],
+    )
+    assert out.get == 6.0
+
+
+def test_no_partition_default_keeps_parallelism(spark, tmp_path):
+    # Unlike the reference (coalesce(1) default), writers keep natural
+    # parallelism unless single_file=True.
+    import glob
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "a int").repartition(4)
+    path = str(tmp_path / "par.parquet")
+    Write.parquet(df, path, partition=NoPartition()).get
+    assert len(glob.glob(f"{path}/part-*")) > 1

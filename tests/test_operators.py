@@ -1,0 +1,82 @@
+"""Custom operators: as-of join + sessionize semantics on literal data."""
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from thundercats_spark.operators.asof import asof_join
+from thundercats_spark.operators.sessionize import sessionize
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_basic(spark):
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:05"), "t1"), (1, _ts("2024-01-01 10:00:20"), "t2"),
+         (2, _ts("2024-01-01 10:00:10"), "t3")],
+        "sym int, t timestamp, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 100.0), (1, _ts("2024-01-01 10:00:10"), 101.0),
+         (2, _ts("2024-01-01 10:00:30"), 200.0)],
+        "sym int, qt timestamp, px double",
+    )
+    out = asof_join(trades, quotes, "sym", "sym", "t", "qt").collect()
+    got = {r["trade"]: r["px"] for r in out}
+    # t1 at 10:00:05 → quote 10:00:00; t2 at 10:00:20 → quote 10:00:10;
+    # t3 has no quote at/before 10:00:10 → dropped
+    assert got == {"t1": 100.0, "t2": 101.0}
+
+
+def test_asof_equal_ts_included(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 10:00:10"), "x")], "k int, t timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts("2024-01-01 10:00:10"), 5.0)], "k int, rt timestamp, v double")
+    out = asof_join(left, right, "k", "k", "t", "rt").collect()
+    assert len(out) == 1 and out[0]["v"] == 5.0
+
+
+def test_asof_keep_unmatched(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 09:00:00"), "early")], "k int, t timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"), 5.0)], "k int, rt timestamp, v double")
+    assert asof_join(left, right, "k", "k", "t", "rt").count() == 0
+    kept = asof_join(left, right, "k", "k", "t", "rt", keep_unmatched=True).collect()
+    assert len(kept) == 1 and kept[0]["v"] is None
+
+
+def test_asof_single_shuffle(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 10:00:05"), "a")], "k int, t timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"), 1.0)], "k int, rt timestamp, v double")
+    plan = asof_join(left, right, "k", "k", "t", "rt")._jdf.queryExecution().executedPlan().toString()
+    # union formulation: no join operator at all, exactly one window exchange
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00")),
+            (1, _ts("2024-01-01 10:10:00")),   # same session (10 min gap)
+            (1, _ts("2024-01-01 11:00:00")),   # new session (50 min gap)
+            (2, _ts("2024-01-01 10:00:00")),
+        ],
+        "user_id int, ts timestamp",
+    )
+    out = sessionize(ev, gap_minutes=30).collect()
+    got = {(r["user_id"], r["ts"].isoformat()): r["session_id"] for r in out}
+    assert got[(1, "2024-01-01T10:00:00")] == 1
+    assert got[(1, "2024-01-01T10:10:00")] == 1
+    assert got[(1, "2024-01-01T11:00:00")] == 2
+    assert got[(2, "2024-01-01T10:00:00")] == 1
+
+
+def test_sessionize_gap_boundary_inclusive(spark):
+    # exactly 30:00.000000 gap stays in-session (<=)
+    ev = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00")), (1, _ts("2024-01-01 10:30:00"))],
+        "user_id int, ts timestamp",
+    )
+    out = sessionize(ev, gap_minutes=30).select(F.max("session_id").alias("m")).first()
+    assert out["m"] == 1

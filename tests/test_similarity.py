@@ -1,0 +1,78 @@
+"""Similarity-search operators: exactness of brute force, recall of LSH."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from thundercats_spark.functions import vectors as V
+from thundercats_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0], [2.0, 4.0, 4.0])], "a array<double>, b array<double>")
+    row = df.select(
+        V.dot(F.col("a"), F.col("b")).alias("dot"),
+        V.norm(F.col("a")).alias("na"),
+        V.cosine(F.col("a"), F.col("b")).alias("cos"),
+        V.euclidean(F.col("a"), F.col("b")).alias("eu"),
+    ).first()
+    assert row["dot"] == 18.0
+    assert row["na"] == 3.0
+    assert abs(row["cos"] - 1.0) < 1e-12
+    assert abs(row["eu"] - 3.0) < 1e-12
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], "a array<double>")
+    out = df.select(V.l2_normalize(F.col("a")).alias("n")).first()["n"]
+    assert abs(math.hypot(*out) - 1.0) < 1e-12
+
+
+def test_bruteforce_topk_exact(emb):
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.ann_topk_bruteforce(emb, qv, k=5).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0 and abs(out[0]["cos"] - 1.0) < 1e-5
+    cosines = [r["cos"] for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_topk_recall(emb):
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in similarity.ann_topk_bruteforce(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.ann_topk_lsh(emb, qv, k=10).collect()]
+    # the query vector itself must always be recalled from its own bucket
+    assert 0 in approx
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.3, f"LSH top-10 overlap {overlap}"
+
+
+def test_cosine_pairs_lsh_subset_of_bruteforce(emb):
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_bruteforce(emb, threshold=0.45).collect()
+    }
+    # threshold 0.45 is far from 1 → short signatures + many tables
+    # (collision prob (1-θ/π)^b per table; b=4, 12 tables → ~0.9 recall)
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_lsh(
+            emb, threshold=0.45, n_planes=4, n_tables=12
+        ).collect()
+    }
+    assert lsh <= brute  # cosine verification → precision 1.0
+    if brute:
+        assert len(lsh) / len(brute) >= 0.5, f"pair recall {len(lsh)}/{len(brute)}"
+
+
+def test_hyperplane_signature_deterministic(emb):
+    sig = similarity.hyperplane_signature(F.col("embedding"), 64, 8, seed=7)
+    a = emb.select(sig.alias("s")).collect()
+    b = emb.select(sig.alias("s")).collect()
+    assert [r["s"] for r in a] == [r["s"] for r in b]

@@ -1,0 +1,61 @@
+"""Text-analysis column functions (pure JVM expressions)."""
+
+import pyspark.sql.functions as F
+
+from thundercats_spark.functions import text_analysis as T
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "t string").select(col.alias("o")).first()["o"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", T.token_count(F.col("t"))) == 3
+    assert _one(spark, "  ", T.token_count(F.col("t"))) == 0
+    assert _one(spark, "one", T.token_count(F.col("t"))) == 1
+
+
+def test_bpe_estimate_monotone(spark):
+    short = _one(spark, "hi", T.bpe_token_estimate(F.col("t")))
+    long = _one(spark, "internationalization considerations", T.bpe_token_estimate(F.col("t")))
+    assert long > short >= 1
+
+
+def test_stopword_ratio(spark):
+    assert _one(spark, "the cat", T.stopword_ratio(F.col("t"))) == 0.5
+    assert _one(spark, "", T.stopword_ratio(F.col("t"))) == 0.0
+
+
+def test_punct_alpha_ratio(spark):
+    assert _one(spark, "ab!!", T.punct_ratio(F.col("t"))) == 0.5
+    assert _one(spark, "ab12", T.alpha_ratio(F.col("t"))) == 0.5
+
+
+def test_quality_score_bounds(spark):
+    for text in ["", "the a of and", "x" * 1000, "!!!???"]:
+        q = _one(spark, text, T.quality_score(F.col("t")))
+        assert 0.0 <= q <= 1.0, (text, q)
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat sat of the mat", T.lang_id(F.col("t"))) == "en"
+    assert _one(spark, "der hund ist nicht da und", T.lang_id(F.col("t"))) == "de"
+    assert _one(spark, "el perro es la casa que", T.lang_id(F.col("t"))) == "es"
+    assert _one(spark, "le chien est dans les pour", T.lang_id(F.col("t"))) == "fr"
+    assert _one(spark, "这是中文文本", T.lang_id(F.col("t"))) == "zh"
+    assert _one(spark, "zzz qqq www", T.lang_id(F.col("t"))) == "und"
+
+
+def test_fingerprints(spark):
+    a = _one(spark, "hello world", T.doc_fingerprint(F.col("t")))
+    b = _one(spark, "  HELLO WORLD ", T.doc_fingerprint(F.col("t")))
+    c = _one(spark, "hello worlds", T.doc_fingerprint(F.col("t")))
+    assert a == b != c
+
+
+def test_fingerprint_poly_matches_python(spark):
+    text = "spark"
+    expected = 0
+    for ch in text:
+        expected = (expected * 31 + ord(ch)) % 2147483647
+    assert _one(spark, text, T.doc_fingerprint_poly(F.col("t"))) == expected

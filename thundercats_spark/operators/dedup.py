@@ -1,0 +1,308 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Four families, all shuffle-disciplined:
+
+- **exact**: xxhash64 fingerprint → groupBy hash → keep min-id. One
+  shuffle on an 8-byte key regardless of document size.
+- **MinHash + LSH**: shingles → k permutation-hashes → banded bucket
+  keys → candidates are pairs sharing a bucket → exact-Jaccard verify.
+  Never materializes the O(n²) pair space; bucket sizes bound the
+  candidate count. All signature math is built-in higher-order
+  functions (JVM codegen), not Python.
+- **SimHash**: 64-bit weighted-majority token hash; near-dup candidates
+  share one of four 16-bit bands; verify by Hamming distance
+  (``bit_count(xor)``).
+- **n-gram Jaccard**: word n-gram inverted index → shared-shingle pairs
+  → exact Jaccard from intersection counts. Exact (no hashing), used as
+  the verification oracle for the sketch-based families.
+
+Embedding near-dup (cosine) lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic permutation-hash parameters (seeded LCG over a Mersenne
+# prime) — fixed across runs so results are reproducible. 31-bit prime:
+# base hashes are first reduced mod P so a*h+b stays < 2^62 (no ANSI
+# long overflow).
+_P = 2147483647  # 2^31 - 1
+
+
+def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rnd = __import__("random").Random(seed)
+    return [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+
+
+# --------------------------------------------------------------------------
+# shingling
+# --------------------------------------------------------------------------
+
+
+def word_shingles(text, n: int = 3):
+    """Distinct word n-gram shingle array (Column expression)."""
+    toks = F.split(F.trim(text), r"\s+")
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )
+
+
+def char_shingles(text, n: int = 5):
+    t = F.trim(text)
+    k = F.length(t) - (n - 1)
+    return F.when(k <= 0, F.array(t)).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(t, i, n))
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one row (min id) per distinct normalized text. Returns the
+    surviving rows with ``n_copies``. Single shuffle on the 64-bit
+    fingerprint; document bytes never shuffle (semi-join by id)."""
+    key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    fp = F.xxhash64(key).alias("__fp")
+    keep = (
+        df.select(F.col(id_col), fp)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+    return df.join(keep, id_col, "inner")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature(shingles, num_hashes: int = 64, seed: int = 42):
+    """Array of ``num_hashes`` min-permutation-hash values. One pass over
+    the shingle array per hash fn, all inside the JVM."""
+    params = _perm_params(num_hashes, seed)
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    cols = [
+        F.array_min(
+            F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P)))
+        )
+        for a, b in params
+    ]
+    return F.array(*cols)
+
+
+def lsh_band_keys(signature, bands: int = 16):
+    """Hash each band of the signature to a bucket key array."""
+    num_hashes = None  # length derived lazily from slice arithmetic
+    _ = num_hashes
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            b,
+            F.array_join(
+                F.slice(
+                    signature,
+                    b * (F.size(signature) / bands).cast("int") + 1,
+                    (F.size(signature) / bands).cast("int"),
+                ),
+                ",",
+            ),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Plan shape: project→(explode bands)→shuffle on bucket→self-join→
+    distinct pairs→verify with exact Jaccard via the shingle arrays.
+    With b bands of r rows, P(candidate) = 1-(1-j^r)^b — at the default
+    (16 bands × 4 rows) the S-curve midpoint sits near j≈0.5."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    sig = sh.select(
+        "id", "sh", minhash_signature(F.col("sh"), num_hashes, seed).alias("sig")
+    )
+    buckets = sig.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), bands)).alias("bucket")
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def dedup_minhash(df, text_col="text", id_col="doc_id", **kw) -> DataFrame:
+    """Drop every doc that near-duplicates a smaller-id doc (greedy
+    min-id survivor rule — standard practice for LSH dedup; exact
+    transitive closure would need iterative connected components)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+SIMHASH_BITS = 60  # 4 LSH bands × 15 bits; fits a signed long safely
+
+
+def simhash(text, bits: int = SIMHASH_BITS):
+    """SimHash of whitespace tokens: per-bit majority vote of token
+    xxhash64 bits, computed as one aggregate over a counter array —
+    single expression, no shuffle. 60 bits (not 64) so the MSB-first
+    reassembly fold never overflows a signed long under ANSI mode."""
+    toks = F.split(F.trim(text), r"\s+")
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.getbit(F.xxhash64(t), i),
+            ),
+            lambda a, bit: a + 2 * bit - 1,
+        ),
+    )
+    # Sign bits, folded MSB-first: h = h*2 + bit.
+    sign_bits = F.transform(
+        counters, lambda c: F.when(c > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(
+        F.reverse(sign_bits),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc * 2 + bit,
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 15-bit
+    bands (any pair within Hamming ≤3 of the 60 bits must agree on ≥1
+    band by pigeonhole), verified with bit_count(xor)."""
+    h = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    bands = h.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("sh"), b * 15)
+                    .bitwiseAND(F.lit(0x7FFF))
+                    .alias("key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted index — no sketching)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shared-shingle inverted index.
+    |A∩B| falls out of the index join (shingles are distinct per doc),
+    so no array comparison is ever done pairwise; cost is bounded by
+    shingle-posting-list sizes, not n²."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    posting = sh.select("id", F.explode("sh").alias("shingle"))
+    inter = (
+        posting.alias("a")
+        .join(posting.alias("b"), "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``ann_topk_bruteforce``: exact top-k cosine against a literal query
+  vector. One scan, no shuffle (TakeOrdered for the top-k). The
+  correctness baseline.
+- ``ann_topk_lsh``: random-hyperplane LSH — embeddings hash to sign
+  buckets; search probes the query's bucket plus 1-bit-flip neighbors
+  (multiprobe) and reranks exactly. At 100 TB the probe touches only
+  matching buckets (partition-prunable when bucketed/partitioned by
+  signature).
+- ``cosine_pairs_bruteforce``: all near-pairs ≥ threshold, exact (block
+  nested loop). Oracle for the LSH variants; quadratic by nature.
+- ``cosine_pairs_lsh``: scalable near-pair candidates via shared
+  hyperplane buckets, cosine-verified.
+
+Hyperplanes are deterministic (seeded) so results reproduce.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from thundercats_spark.functions.vectors import cosine as vcos
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _lit_vec(v: list[float]):
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def hyperplane_signature(vec, dim: int, n_planes: int = 16, seed: int = 7):
+    """Integer bucket id from sign bits of <v, plane_i>."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec, _lit_vec(p), lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def ann_topk_bruteforce(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine. ``orderBy().limit(k)`` → TakeOrdered (per-
+    partition heap + driver merge), no global sort shuffle."""
+    cos = vcos(F.col(vec_col), _lit_vec(query_vec))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        df.select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 7,
+    multiprobe_bits: int = 2,
+) -> DataFrame:
+    """Approximate top-k: prune to the query's LSH bucket (+ neighbors
+    within ``multiprobe_bits`` bit flips), then exact-rerank. The filter
+    is a literal IN-list over a precomputable signature column —
+    partition-prunable when data is written bucketed by signature."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            qsig |= 1 << i
+    probe = {qsig}
+    if multiprobe_bits >= 1:
+        probe |= {qsig ^ (1 << i) for i in range(n_planes)}
+    if multiprobe_bits >= 2:
+        probe |= {
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
+    bucketed = df.withColumn("__sig", sig).where(F.col("__sig").isin(*probe))
+    return ann_topk_bruteforce(bucketed, query_vec, k, vec_col, id_col).select(
+        id_col, "cos"
+    )
+
+
+def cosine_pairs_bruteforce(
+    df: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """All pairs with cosine >= threshold — exact. O(n²) compare (block
+    nested loop join); keep for oracle verification and small dims; the
+    scale path is ``cosine_pairs_lsh``."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = vcos(F.col("va"), F.col("vb"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Near-pair candidates = pairs sharing a bucket in ANY of
+    ``n_tables`` independent hyperplane tables (OR-construction boosts
+    recall), cosine-verified. Shuffles on (table, signature) — never
+    materializes n² pairs."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    tables = [
+        hyperplane_signature(F.col(vec_col), dim, n_planes, seed=7 + 1000 * t)
+        for t in range(n_tables)
+    ]
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), s.alias("sig"))
+                for t, s in enumerate(tables)
+            ])
+        ).alias("b"),
+    ).select("id", "v", F.col("b.t").alias("t"), F.col("b.sig").alias("sig"))
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["t", "sig"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = vcos(F.col("va"), F.col("vb"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return cand.select("id_a", "id_b", cos.alias("cos")).where(F.col("cos") >= threshold)

@@ -1,0 +1,458 @@
+"""Physical IO — readers, writers, screen.
+
+Re-expression of reference physical/IO.scala (Read/Write/Screen/
+ColumnEncoder) on the PySpark DataFrameReader/Writer API. Every public
+op returns ``MayFail[DataFrame]`` so pipelines compose exactly like the
+reference's for-comprehensions; the underscore-free plain functions are
+the monadic surface, ``*_df`` suffixed ones return bare DataFrames.
+
+Scale notes:
+- Readers never ``inferSchema`` parquet (self-describing); CSV infer is
+  opt-in like the reference but schema-pass-through is preferred at
+  100 TB (one extra full scan otherwise).
+- Writers default to ``NoPartition`` → the REFERENCE coalesces to 1 file
+  (IO.scala:191) which is a driver-killer at scale; we instead keep the
+  natural parallelism and expose ``single_file=True`` for the tiny-file
+  convenience case only.
+- Kafka/Mongo/DynamoDB connectors: the container has no brokers and no
+  connector jars, so these build the plan lazily and are import-safe;
+  they raise a clear error only when actually started. Semantics (Avro
+  key/value encode/decode, offsets, checkpoints) mirror IO.scala.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thundercats_spark.functional.maybe import MayFail
+
+# --------------------------------------------------------------------------
+# Column encoders (reference IO.scala:16 ColumnEncoder.{None,Avro})
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NoEncoder:
+    pass
+
+
+@dataclass(frozen=True)
+class AvroEncoder:
+    """Avro-encode/decode the kafka key+value (needs spark-avro pkg)."""
+
+    schema: str
+
+
+ColumnEncoder = NoEncoder | AvroEncoder
+
+
+# --------------------------------------------------------------------------
+# Partition spec for writers (reference IO.scala:183)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NoPartition:
+    pass
+
+
+@dataclass(frozen=True)
+class PartitionCol:
+    cols: tuple[str, ...]
+
+    def __init__(self, *cols: str):
+        object.__setattr__(self, "cols", tuple(cols))
+
+
+Partition = NoPartition | PartitionCol
+
+
+class Read:
+    """Batch + streaming readers."""
+
+    # -- bare-DataFrame impls ------------------------------------------------
+    @staticmethod
+    def csv_df(
+        spark: SparkSession,
+        path: str,
+        with_header: bool = True,
+        delimiter: str = ",",
+        schema: str | None = None,
+    ) -> DataFrame:
+        r = (
+            spark.read.option("header", str(with_header).lower())
+            .option("delimiter", delimiter)
+        )
+        # Schema pass-through beats inferSchema (extra full scan) at scale.
+        if schema is not None:
+            r = r.schema(schema)
+        else:
+            r = r.option("inferSchema", "true")
+        return r.csv(path)
+
+    @staticmethod
+    def parquet_df(spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.parquet(path)
+
+    @staticmethod
+    def json_df(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.json(path)
+
+    @staticmethod
+    def orc_df(spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.orc(path)
+
+    # -- monadic surface -----------------------------------------------------
+    @staticmethod
+    def csv(spark, path, with_header=True, delimiter=",", schema=None) -> MayFail[DataFrame]:
+        return MayFail.of(lambda: Read.csv_df(spark, path, with_header, delimiter, schema))
+
+    @staticmethod
+    def parquet(spark, path) -> MayFail[DataFrame]:
+        return MayFail.of(lambda: Read.parquet_df(spark, path))
+
+    @staticmethod
+    def json(spark, path, schema=None) -> MayFail[DataFrame]:
+        return MayFail.of(lambda: Read.json_df(spark, path, schema))
+
+    @staticmethod
+    def orc(spark, path) -> MayFail[DataFrame]:
+        return MayFail.of(lambda: Read.orc_df(spark, path))
+
+    # -- kafka (reference IO.scala:116-166): lazy plan; no broker locally ----
+    @staticmethod
+    def _kafka_decode(df: DataFrame, col_encoder: ColumnEncoder) -> DataFrame:
+        df = df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+        if isinstance(col_encoder, AvroEncoder):
+            from pyspark.sql.avro.functions import from_avro
+
+            df = df.select(
+                from_avro(F.col("key"), col_encoder.schema).alias("key"),
+                from_avro(F.col("value"), col_encoder.schema).alias("value"),
+            )
+        return df
+
+    @staticmethod
+    def kafka(
+        spark: SparkSession,
+        topic: str,
+        server_addr: str,
+        port: int = 9092,
+        col_encoder: ColumnEncoder = NoEncoder(),
+    ) -> MayFail[DataFrame]:
+        def build():
+            df = (
+                spark.read.format("kafka")
+                .option("kafka.bootstrap.servers", f"{server_addr}:{port}")
+                .option("subscribe", topic)
+                .load()
+            )
+            return Read._kafka_decode(df, col_encoder)
+
+        return MayFail.of(build)
+
+    @staticmethod
+    def kafka_stream(
+        spark: SparkSession,
+        topic: str,
+        server_addr: str,
+        port: int = 9092,
+        offset: str | None = None,
+        col_encoder: ColumnEncoder = NoEncoder(),
+    ) -> MayFail[DataFrame]:
+        def build():
+            df = (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", f"{server_addr}:{port}")
+                .option("subscribe", topic)
+                .option("startingOffsets", offset or "earliest")
+                .load()
+            )
+            return Read._kafka_decode(df, col_encoder)
+
+        return MayFail.of(build)
+
+    # -- generic connector gateway (reference mongo/dynamo re-expressed) -----
+    @staticmethod
+    def format(
+        spark: SparkSession, fmt: str, options: dict[str, str], schema: str | None = None
+    ) -> MayFail[DataFrame]:
+        """Generic DataSourceV2 gateway. ``Read.mongo``/``Read.dynamo`` in
+        the reference are just format+options (IO.scala:168-178); any
+        connector on the classpath works the same way here."""
+
+        def build():
+            r = spark.read.format(fmt)
+            for k, v in options.items():
+                r = r.option(k, v)
+            if schema is not None:
+                r = r.schema(schema)
+            return r.load()
+
+        return MayFail.of(build)
+
+    @staticmethod
+    def mongo(spark, server_addr: str, db: str, collection: str) -> MayFail[DataFrame]:
+        return Read.format(
+            spark,
+            "mongodb",
+            {"connection.uri": f"mongodb://{server_addr}", "database": db, "collection": collection},
+        )
+
+    @staticmethod
+    def dynamo(spark, region: str, server_addr: str, table: str) -> MayFail[DataFrame]:
+        return Read.format(
+            spark, "dynamodb", {"region": region, "endpoint": server_addr, "tableName": table}
+        )
+
+
+class Write:
+    """Batch + streaming writers. Return the input df for chaining."""
+
+    @staticmethod
+    def _prep(df: DataFrame, partition: Partition, overwrite: bool, single_file: bool):
+        if single_file:
+            # reference NoPartition semantics (IO.scala:191): one output file.
+            w = df.coalesce(1).write
+        elif isinstance(partition, PartitionCol):
+            w = df.write.partitionBy(*partition.cols)
+        else:
+            w = df.write
+        return w.mode("overwrite" if overwrite else "errorifexists")
+
+    @staticmethod
+    def csv(
+        df: DataFrame,
+        path: str,
+        partition: Partition = NoPartition(),
+        delimiter: str = ",",
+        overwrite: bool = False,
+        single_file: bool = False,
+    ) -> MayFail[DataFrame]:
+        def run():
+            (
+                Write._prep(df, partition, overwrite, single_file)
+                .option("header", "true")
+                .option("delimiter", delimiter)
+                .csv(path)
+            )
+            return df
+
+        return MayFail.of(run)
+
+    @staticmethod
+    def parquet(
+        df: DataFrame,
+        path: str,
+        partition: Partition = NoPartition(),
+        overwrite: bool = False,
+        single_file: bool = False,
+    ) -> MayFail[DataFrame]:
+        def run():
+            Write._prep(df, partition, overwrite, single_file).parquet(path)
+            return df
+
+        return MayFail.of(run)
+
+    @staticmethod
+    def json(
+        df: DataFrame,
+        path: str,
+        partition: Partition = NoPartition(),
+        overwrite: bool = False,
+        single_file: bool = False,
+    ) -> MayFail[DataFrame]:
+        def run():
+            Write._prep(df, partition, overwrite, single_file).json(path)
+            return df
+
+        return MayFail.of(run)
+
+    @staticmethod
+    def orc(
+        df: DataFrame,
+        path: str,
+        partition: Partition = NoPartition(),
+        overwrite: bool = False,
+        single_file: bool = False,
+    ) -> MayFail[DataFrame]:
+        def run():
+            Write._prep(df, partition, overwrite, single_file).orc(path)
+            return df
+
+        return MayFail.of(run)
+
+    # -- kafka batch/stream (reference IO.scala:229-287) ----------------------
+    @staticmethod
+    def _kafka_encode(df: DataFrame, col_encoder: ColumnEncoder) -> DataFrame:
+        if isinstance(col_encoder, AvroEncoder):
+            from pyspark.sql.avro.functions import to_avro
+
+            return df.select(
+                to_avro(F.col("key")).alias("key"), to_avro(F.col("value")).alias("value")
+            )
+        return df
+
+    @staticmethod
+    def kafka(
+        df: DataFrame,
+        topic: str,
+        server_addr: str,
+        port: int = 9092,
+        col_encoder: ColumnEncoder = NoEncoder(),
+    ) -> MayFail[DataFrame]:
+        def run():
+            (
+                Write._kafka_encode(df, col_encoder)
+                .write.format("kafka")
+                .option("kafka.bootstrap.servers", f"{server_addr}:{port}")
+                .option("topic", topic)
+                .save()
+            )
+            return df
+
+        return MayFail.of(run)
+
+    @staticmethod
+    def kafka_stream(
+        df: DataFrame,
+        topic: str,
+        server_addr: str,
+        port: int = 9092,
+        checkpoint_location: str = "./chk",
+        termination_timeout: int | None = None,
+    ) -> MayFail[DataFrame]:
+        def run():
+            q = (
+                df.writeStream.format("kafka")
+                .option("kafka.bootstrap.servers", f"{server_addr}:{port}")
+                .option("topic", topic)
+                .option("checkpointLocation", checkpoint_location)
+                .outputMode("append")
+                .start()
+            )
+            if termination_timeout is None:
+                q.awaitTermination()
+            else:
+                q.awaitTermination(termination_timeout)
+            return df
+
+        return MayFail.of(run)
+
+    @staticmethod
+    def stream_to_file(
+        df: DataFrame,
+        file_type: str,
+        path: str,
+        partition: Partition = NoPartition(),
+        checkpoint_location: str = "./chk",
+        timeout: int | None = None,
+    ) -> MayFail[DataFrame]:
+        """Streaming file sink (reference IO.scala:289-322). Unlike the
+        reference (first partition col only), Spark's file sink accepts
+        the full partitionBy list."""
+
+        def run():
+            assert file_type in {"parquet", "csv", "orc", "json"}
+            w = (
+                df.writeStream.format(file_type)
+                .outputMode("append")
+                .option("path", path)
+                .option("checkpointLocation", checkpoint_location)
+            )
+            if isinstance(partition, PartitionCol):
+                w = w.partitionBy(*partition.cols)
+            q = w.start()
+            if timeout is None:
+                q.awaitTermination()
+            else:
+                q.awaitTermination(timeout)
+            return df
+
+        return MayFail.of(run)
+
+    @staticmethod
+    def format(
+        df: DataFrame, fmt: str, options: dict[str, str], mode: str = "append"
+    ) -> MayFail[DataFrame]:
+        def run():
+            w = df.write.format(fmt).mode(mode)
+            for k, v in options.items():
+                w = w.option(k, v)
+            w.save()
+            return df
+
+        return MayFail.of(run)
+
+    @staticmethod
+    def mongo(df, server_addr: str, db: str, collection: str) -> MayFail[DataFrame]:
+        return Write.format(
+            df,
+            "mongodb",
+            {"connection.uri": f"mongodb://{server_addr}", "database": db, "collection": collection},
+        )
+
+
+class Screen:
+    """Console inspection (reference IO.scala:30-85)."""
+
+    @staticmethod
+    def _simplify(df: DataFrame) -> DataFrame:
+        """Disguise complex (array/struct/binary) cols for readable show."""
+        from pyspark.sql.types import ArrayType, BinaryType, StructType
+
+        for f_ in df.schema.fields:
+            if isinstance(f_.dataType, ArrayType):
+                df = df.withColumn(f_.name, F.lit(f"<array<{f_.dataType.elementType.simpleString()}>>"))
+            elif isinstance(f_.dataType, StructType):
+                df = df.withColumn(f_.name, F.lit("<struct>"))
+            elif isinstance(f_.dataType, BinaryType):
+                df = df.withColumn(f_.name, F.lit("<binary>"))
+        return df
+
+    @staticmethod
+    def show_df(
+        df: DataFrame,
+        title: str | None = None,
+        num_rows: int = 5,
+        truncate: bool = True,
+        hide_complex: bool = False,
+    ) -> MayFail[DataFrame]:
+        def run():
+            if title:
+                print(title)
+            (Screen._simplify(df) if hide_complex else df).show(num_rows, truncate)
+            return df
+
+        return MayFail.of(run)
+
+    @staticmethod
+    def show_df_stream(df: DataFrame, title: str | None = None, timeout_ms: int = 50) -> MayFail[DataFrame]:
+        def run():
+            if title:
+                print(title)
+            q = df.writeStream.outputMode("append").format("console").start()
+            q.awaitTermination(timeout_ms / 1000.0)
+            q.stop()
+            return df
+
+        return MayFail.of(run)
+
+    @staticmethod
+    def show_schema(df: DataFrame) -> MayFail[DataFrame]:
+        def run():
+            df.printSchema()
+            return df
+
+        return MayFail.of(run)
+
+
+def schema_map(df: DataFrame) -> dict[str, str]:
+    """Column → simple type-name map (reference Util.scala:26)."""
+    return {f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}

@@ -1,0 +1,251 @@
+"""LLM-training-data pipeline queries (SURVEY.md §2.3) over the
+``documents`` and ``embeddings`` tables — dedup, similarity search, and
+text analysis, each with a DuckDB oracle where SQL can express it.
+
+Cross-engine exactness notes:
+- Jaccard = int/int division → bit-identical, no rounding needed.
+- Cosine = 64-element fold; error ≈ 1e-13 ≪ round(6) granularity.
+- Quality/ratio scores: per-row rational arithmetic, round(6).
+- MinHash/SimHash signatures use xxhash64 (Spark-specific) → those are
+  rows-only checks; their CORRECTNESS oracle is the exact n-gram
+  Jaccard / brute-force cosine queries, cross-checked in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thundercats_spark.functions import text_analysis as T
+from thundercats_spark.operators import dedup, similarity
+from thundercats_spark.queries import load, register
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+DEDUP_EXACT_SQL = """
+WITH g AS (
+  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY lower(TRIM(text))
+)
+SELECT doc_id, n_copies FROM g
+"""
+
+
+@register("dedup_exact", DEDUP_EXACT_SQL)
+def dedup_exact_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return dedup.dedup_exact(d, "text", "doc_id").select("doc_id", "n_copies")
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup pairs (inverted index)
+# --------------------------------------------------------------------------
+
+NGRAM_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+       (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+"""
+
+
+@register("ngram_jaccard_pairs", NGRAM_JACCARD_SQL)
+def ngram_jaccard_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs — rows-only (xxhash64 not in DuckDB);
+# recall vs the exact query is pytest-verified.
+# --------------------------------------------------------------------------
+
+
+@register("dedup_minhash_lsh", None)
+def dedup_minhash_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register("dedup_simhash", None)
+def dedup_simhash_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return dedup.simhash_pairs(d, "text", "doc_id", max_hamming=3).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup pairs + ANN top-k
+# --------------------------------------------------------------------------
+
+EMB_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(
+         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                     (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))
+          * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))),
+         6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(
+         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                     (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))
+          * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))),
+         6) >= 0.45
+"""
+
+
+@register("dedup_embedding_cosine", EMB_PAIRS_SQL)
+def dedup_embedding_cosine_q(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.cosine_pairs_bruteforce(e, threshold=0.45)
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(
+         list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                     (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))
+          * sqrt(list_reduce(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))),
+         6) AS cos
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cos DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("ann_bruteforce_topk", ANN_TOPK_SQL)
+def ann_topk_q(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.ann_topk_bruteforce(
+        e.where(F.col("vec_id") != 0), qv, k=10
+    )
+
+
+@register("ann_lsh_topk", None)
+def ann_lsh_topk_q(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.ann_topk_lsh(e.where(F.col("vec_id") != 0), qv, k=10)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_measured
+FROM documents
+"""
+
+
+@register("text_token_stats", TOKEN_STATS_SQL)
+def text_token_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+# quality = 0.4*len_sat + 0.3*(1-punct_ratio) + 0.3*stopword_ratio, round 6
+QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(TRIM(text), '\s+') AS toks,
+         length(text) AS n
+  FROM documents
+)
+SELECT doc_id,
+  ROUND(
+    0.4 * (LEAST(n, 500) / 500.0)
+  + 0.3 * (1.0 - CASE WHEN n > 0
+        THEN (n - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / n
+        ELSE 0.0 END)
+  + 0.3 * (CASE WHEN len(toks) > 0
+        THEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) / len(toks)
+        ELSE 0.0 END),
+  6) AS quality
+FROM t
+"""
+
+
+@register("text_quality_score", QUALITY_SQL)
+def text_quality_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+LANG_ID_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(text), '\s+') AS toks,
+         regexp_matches(text, '[一-鿿]') AS has_cjk
+  FROM documents
+), s AS (
+  SELECT doc_id, has_cjk,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))   AS s_en,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit'))) AS s_de,
+    len(list_filter(toks, x -> x IN ('el','la','los','las','de','que','y','es','en','un')))     AS s_es,
+    len(list_filter(toks, x -> x IN ('le','la','les','des','et','est','une','dans','que','pour'))) AS s_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN has_cjk THEN 'zh'
+       WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+       WHEN s_fr > 0 THEN 'fr'
+       ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+@register("text_lang_id", LANG_ID_SQL)
+def text_lang_id_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+# Polynomial rolling fingerprint — engine-portable recurrence
+# h = (h*31 + codepoint) mod (2^31-1); DuckDB replays it exactly.
+FINGERPRINT_SQL = """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(text) + 1),
+                     i -> CAST(unicode(text[i]) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % 2147483647
+  ) AS fingerprint
+FROM documents
+"""
+
+
+@register("doc_fingerprint", FINGERPRINT_SQL)
+def doc_fingerprint_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id", T.doc_fingerprint_poly(F.col("text")).alias("fingerprint")
+    )
