@@ -1,0 +1,321 @@
+"""ML layer tests — mirrors reference AllTest.scala groups: feature
+engineering, regression/classification modeling, model selection,
+clustering, cross-validation, feature selection, dim reduction."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from thundercats_spark.ml import preset
+from thundercats_spark.ml.compare import (
+    BestNFeaturesSelector,
+    FeatureAssemblyGenerator,
+    ModelCompare,
+    RegressionFeatureCompare,
+    Significance90p,
+    ZScoreFeatureSelector,
+    pca_stage,
+)
+from thundercats_spark.ml.design import DummyModelDesign, SupervisedModelDesign, UnsupervisedModelDesign
+from thundercats_spark.ml.estimators import (
+    ColumnRename,
+    DebugStep,
+    Scaler,
+    StringEncoder,
+    ZStandardScaler,
+)
+from thundercats_spark.ml.feature import AssemblyFeature, Feature
+from thundercats_spark.ml.measure import (
+    AUC,
+    MAE,
+    MPE,
+    RMSE,
+    FMeasure,
+    PearsonCorr,
+    Precision,
+    Recall,
+    SSE,
+    ZScore,
+)
+from thundercats_spark.ml.validation import CrossValidation, SplitValidation
+
+
+@pytest.fixture(scope="module")
+def reg_df(spark):
+    # z = 2v + 1 with mild noise; i is an unrelated index column
+    rows = [(float(i), 2.0 * i + 1.0 + (0.01 * (i % 3 - 1)), float(i % 5)) for i in range(100)]
+    return spark.createDataFrame(rows, "v double, z double, noise double")
+
+
+@pytest.fixture(scope="module")
+def clf_df(spark):
+    rows = [(float(i), float(100 - i), 1.0 if i >= 50 else 0.0) for i in range(100)]
+    return spark.createDataFrame(rows, "x double, xr double, label double")
+
+
+# -- feature engineering (estimators) ----------------------------------------
+
+
+def test_scaler_normalise(spark):
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,)], "v double")
+    out = Scaler(inputCol="v", outputCol="s").transform(df)
+    vals = [r["s"] for r in out.orderBy("v").collect()]
+    assert vals == [0.0, 0.5, 1.0]
+
+
+def test_scaler_log(spark):
+    df = spark.createDataFrame([(1.0,), (10.0,), (100.0,)], "v double")
+    out = Scaler(inputCol="v", outputCol="s", normalise=False, logScale=True).transform(df)
+    vals = [r["s"] for r in out.orderBy("v").collect()]
+    assert vals == [0.0, 1.0, 2.0]
+
+
+def test_scaler_log_then_normalise(spark):
+    df = spark.createDataFrame([(1.0,), (10.0,), (100.0,)], "v double")
+    out = Scaler(inputCol="v", outputCol="s", normalise=True, logScale=True).transform(df)
+    assert [r["s"] for r in out.orderBy("v").collect()] == [0.0, 0.5, 1.0]
+
+
+def test_standard_scaler(spark):
+    df = spark.createDataFrame([(2.0,), (4.0,), (6.0,)], "v double")
+    out = ZStandardScaler(inputCol="v", outputCol="s").transform(df)
+    vals = [r["s"] for r in out.orderBy("v").collect()]
+    assert abs(sum(vals)) < 1e-9
+    sd = math.sqrt(sum(v * v for v in vals) / len(vals))
+    assert abs(sd - 1.0) < 1e-9
+
+
+def test_string_encoder_murmur(spark):
+    df = spark.createDataFrame([("hello world",), ("hello world",), ("bye",)], "t string")
+    out = StringEncoder(inputCol="t", outputCol="enc").transform(df).collect()
+    assert out[0]["enc"] == out[1]["enc"]
+    assert len(out[0]["enc"]) == 2 and len(out[2]["enc"]) == 1
+    assert all(isinstance(x, float) for x in out[0]["enc"])
+
+
+def test_column_rename_stage(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    assert ColumnRename(inputCol="a", outputCol="b").transform(df).columns == ["b"]
+
+
+def test_debug_step_passthrough(spark, capsys):
+    df = spark.createDataFrame([(1,)], "a int")
+    out = DebugStep().transform(df)
+    assert out.count() == 1
+    assert "a: integer" in capsys.readouterr().out
+
+
+# -- regression modeling -------------------------------------------------------
+
+
+def test_linear_reg_rmse_mae(reg_df):
+    feat = AssemblyFeature(["v"], "features")
+    design = SupervisedModelDesign(
+        output_col="pred", label_col="z",
+        estimator=preset.linear_reg(Feature("features"), "z", "pred"),
+    )
+    specimen = design.to_specimen(feat, reg_df)
+    rmse = specimen.score(reg_df, RMSE).get
+    mae = specimen.score(reg_df, MAE).get
+    mpe = specimen.score(reg_df, MPE).get
+    assert rmse < 0.1 and mae < 0.1 and mpe < 0.05
+
+
+def test_dummy_design_pearson(reg_df):
+    # DummySpecimen: column 'v' used directly as prediction vs label z
+    design = DummyModelDesign(label_col="z")
+    specimen = design.to_specimen(Feature("v"), reg_df)
+    corr = specimen.score(reg_df, PearsonCorr).get
+    assert corr > 0.999
+
+
+def test_feature_compare_best_of(reg_df):
+    design = DummyModelDesign(label_col="z")
+    score, best, specimen = (
+        RegressionFeatureCompare(PearsonCorr)
+        .best_of(design, [Feature("v"), Feature("noise")], reg_df)
+        .get
+    )
+    assert best.col_name() == "v" and score > 0.99
+    assert specimen is not None
+
+
+def test_zscore_vector(reg_df):
+    feat = AssemblyFeature(["v", "noise"], "features")
+    design = SupervisedModelDesign(
+        output_col="pred", label_col="z",
+        estimator=preset.linear_reg(Feature("features"), "z", "pred"),
+    )
+    zs = design.to_specimen(feat, reg_df).score_vector(reg_df, ZScore).get
+    assert len(zs) == 2
+    assert abs(zs[0]) > abs(zs[1])  # v is significant, noise is not
+
+
+# -- classification modeling ----------------------------------------------------
+
+
+def test_logistic_auc(clf_df):
+    feat = AssemblyFeature(["x"], "features")
+    design = SupervisedModelDesign(
+        output_col="pred", label_col="label",
+        estimator=preset.logistic_reg(Feature("features"), "label", "pred"),
+    )
+    specimen = design.to_specimen(feat, clf_df)
+    auc = specimen.score(clf_df, AUC).get
+    assert auc > 0.99
+
+
+def test_threshold_maps(clf_df):
+    feat = AssemblyFeature(["x"], "features")
+    design = SupervisedModelDesign(
+        output_col="pred", label_col="label",
+        estimator=preset.logistic_reg(Feature("features"), "label", "pred"),
+    )
+    specimen = design.to_specimen(feat, clf_df)
+    prec = specimen.threshold_scores(clf_df, Precision).get
+    rec = specimen.threshold_scores(clf_df, Recall).get
+    f1 = specimen.threshold_scores(clf_df, FMeasure).get
+    assert len(prec) > 10 and set(prec) == set(rec) == set(f1)
+    best_t = max(prec, key=lambda t: (prec[t], t))
+    assert prec[best_t] == 1.0
+    # recall at the lowest threshold is 1 (everything predicted positive)
+    assert rec[min(rec)] == 1.0
+    # % raises for threshold-only measures (reference semantics)
+    assert specimen.score(clf_df, Precision).is_failing
+
+
+def test_svm_runs(clf_df):
+    feat = AssemblyFeature(["x"], "features")
+    design = SupervisedModelDesign(
+        output_col="pred", label_col="label",
+        estimator=preset.svm(Feature("features"), "label", "pred", max_iters=50),
+    )
+    specimen = design.to_specimen(feat, clf_df)
+    auc = specimen.score(clf_df, AUC).get
+    assert auc > 0.95
+
+
+def test_model_compare(clf_df):
+    feat = AssemblyFeature(["x"], "features")
+    designs = [
+        SupervisedModelDesign(
+            output_col="pred", label_col="label",
+            estimator=preset.logistic_reg(Feature("features"), "label", "pred"),
+        ),
+        SupervisedModelDesign(
+            output_col="pred", label_col="label",
+            estimator=preset.decision_tree(Feature("features"), "label", "pred"),
+        ),
+    ]
+    score, best = ModelCompare(AUC).best_of(designs, feat, clf_df).get
+    assert score > 0.9
+
+
+# -- clustering ------------------------------------------------------------------
+
+
+def test_kmeans_sse(spark):
+    import random
+
+    rnd = random.Random(1)
+    rows = [(rnd.gauss(c * 10.0, 0.5), rnd.gauss(c * 10.0, 0.5)) for c in (0, 1, 2) for _ in range(30)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    feat = AssemblyFeature(["x", "y"], "features")
+    sse_scores = {}
+    for k in (2, 3):
+        design = UnsupervisedModelDesign(
+            output_col="cluster", estimator=preset.kmeans(Feature("features"), k, "cluster")
+        )
+        specimen = design.to_specimen(feat, df)
+        sse_scores[k] = specimen.score(df, SSE).get
+    assert sse_scores[3] < sse_scores[2]  # true k wins
+
+
+def test_gmm_runs(spark):
+    df = spark.createDataFrame(
+        [(float(i % 10),) for i in range(50)], "x double"
+    )
+    feat = AssemblyFeature(["x"], "features")
+    design = UnsupervisedModelDesign(
+        output_col="cluster", estimator=preset.gmm(Feature("features"), 2, "cluster")
+    )
+    out = design.to_specimen(feat, df).transform(df)
+    assert set(out.select("cluster").distinct().toPandas()["cluster"]) <= {0, 1}
+
+
+# -- validation -------------------------------------------------------------------
+
+
+def test_split_validation(reg_df):
+    feat = AssemblyFeature(["v"], "features")
+    design = SupervisedModelDesign(
+        output_col="pred", label_col="z",
+        estimator=preset.linear_reg(Feature("features"), "z", "pred"),
+    )
+    score = SplitValidation(MPE, train_ratio=0.65).run(reg_df, design, feat).get
+    assert score < 0.05
+
+
+def test_split_validation_bad_ratio(reg_df):
+    feat = AssemblyFeature(["v"], "features")
+    design = DummyModelDesign("z")
+    assert SplitValidation(MPE, train_ratio=1.5).run(reg_df, design, feat).is_failing
+
+
+def test_cross_validation(reg_df):
+    feat = AssemblyFeature(["v"], "features")
+    design = SupervisedModelDesign(
+        output_col="pred", label_col="z",
+        estimator=preset.linear_reg(Feature("features"), "z", "pred"),
+    )
+    score = CrossValidation(MPE, n_folds=3).run(reg_df, design, feat).get
+    assert score < 0.1
+
+
+# -- feature selection / combinations ----------------------------------------------
+
+
+def test_gen_combinations(reg_df):
+    gen = FeatureAssemblyGenerator(1, 2, ignore_cols=["z"])
+    combos = gen.gen_combinations(reg_df)
+    # v, noise, v+noise
+    assert len(combos) == 3
+
+
+def test_zscore_selector(reg_df):
+    feat = AssemblyFeature(["v", "noise"], "features")
+    design = SupervisedModelDesign(
+        output_col="pred", label_col="z",
+        estimator=preset.linear_reg(Feature("features"), "z", "pred"),
+    )
+    kept = (
+        ZScoreFeatureSelector(Significance90p)
+        .select_subset(reg_df, design, feat, ZScore)
+        .get
+    )
+    assert [c for _, c in kept] == ["v"]
+
+
+def test_best_n_selector(reg_df):
+    design = DummyModelDesign("z")
+    ranked = (
+        BestNFeaturesSelector(1, PearsonCorr)
+        .select_subset(reg_df, design, [Feature("v"), Feature("noise")])
+        .get
+    )
+    assert len(ranked) == 1 and ranked[0][1].col_name() == "v"
+
+
+# -- dimensionality reduction --------------------------------------------------------
+
+
+def test_pca_post_step(reg_df):
+    feat = AssemblyFeature(["v", "noise"], "features")
+    est = preset.linear_reg(Feature("pca_features"), "z", "pred")
+    pipe = feat.to_pipeline(est, post_step=pca_stage(1, "features", "pca_features"))
+    model = pipe.fit(reg_df)
+    out = model.transform(reg_df)
+    assert "pca_features" in out.columns and "pred" in out.columns
+    first = out.select("pca_features").first()[0]
+    assert len(first) == 1

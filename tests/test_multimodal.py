@@ -1,0 +1,61 @@
+"""Multimodal binary-column plumbing: schema, mapInPandas batching,
+dedup — with the documented decoder stub (imaging libs absent here)."""
+
+import pyspark.sql.functions as F
+
+from thundercats_spark.multimodal.binary import (
+    decode_image_features,
+    dedup_exact_media,
+    make_synthetic_media,
+    payload_stats,
+    sample_frames,
+)
+
+
+def test_media_schema(spark):
+    df = make_synthetic_media(spark, 8)
+    assert df.schema["payload"].dataType.simpleString() == "binary"
+    assert df.schema["meta"].dataType.simpleString().startswith("struct<width:int")
+
+
+def test_payload_stats_jvm_only(spark):
+    df = make_synthetic_media(spark, 8)
+    out = payload_stats(df)
+    rows = out.collect()
+    assert all(r["n_bytes"] == 512 for r in rows)  # 64-byte sha512 × 8
+    # no Python execution operator in the plan: pure column expressions
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not any(op in plan for op in ("ArrowEval", "BatchEval", "MapInPandas", "FlatMapGroupsInPandas"))
+
+
+def test_decode_image_features(spark):
+    df = make_synthetic_media(spark, 16)
+    out = decode_image_features(df).collect()
+    assert len(out) == 16
+    first = out[0]
+    assert first["mode"] == "STUB"  # stubbed decoder in this container
+    assert len(first["feature"]) == 32
+    assert all(0.0 <= x <= 1.0 for x in first["feature"])
+    # deterministic across runs
+    again = decode_image_features(make_synthetic_media(spark, 16)).collect()
+    assert [r["feature"] for r in again] == [r["feature"] for r in out]
+
+
+def test_sample_frames(spark):
+    df = make_synthetic_media(spark, 4, media_type="video")
+    out = sample_frames(df, every_n=8, max_frames=3).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == list(range(len(v))) for v in by_media.values())
+    assert all(len(v) <= 3 for v in by_media.values())
+
+
+def test_dedup_exact_media(spark):
+    a = make_synthetic_media(spark, 6)
+    dup = a.withColumn("media_id", F.col("media_id") + 100)  # same payloads
+    out = dedup_exact_media(a.unionByName(dup))
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(r["n_copies"] == 2 for r in rows)
+    assert {r["media_id"] for r in rows} == set(range(6))  # min-id survives

@@ -1,0 +1,109 @@
+"""Structured Streaming: windowed agg + watermark, streaming dedup,
+stateful sessionization — driven with file/rate sources into memory
+sinks (reference AllTest streaming cases need Kafka; we use the
+built-in sources, the operator logic is source-agnostic)."""
+
+import time
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+import pytest
+
+from thundercats_spark.streaming.windows import (
+    dedup_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+    windowed_agg,
+)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, "user_id long, ts timestamp, value double").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _file_stream(spark, path):
+    return (
+        spark.readStream.schema("user_id long, ts timestamp, value double").parquet(path)
+    )
+
+
+def test_windowed_agg_with_watermark(spark, tmp_path):
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + timedelta(minutes=10), 2.0),
+        (1, base + timedelta(hours=1, minutes=5), 4.0),
+        (2, base + timedelta(minutes=30), 8.0),
+    ]
+    path = str(tmp_path / "ev")
+    _write_events(spark, path, rows)
+    out = windowed_agg(
+        _file_stream(spark, path),
+        ts_col="ts",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")],
+        window="1 hour",
+        watermark="10 minutes",
+    )
+    run_stream_to_memory(out.select("user_id", "window.start", "n", "total"),
+                         "win_agg", mode="append")
+    # append mode emits nothing until watermark passes max event time;
+    # with a static file source the final watermark still holds back
+    # the last window — use complete-mode run for assertion instead.
+    out2 = windowed_agg(
+        _file_stream(spark, path),
+        ts_col="ts",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")],
+        window="1 hour",
+        watermark="10 minutes",
+    )
+    run_stream_to_memory(out2.select("user_id", F.col("window.start").alias("ws"), "n", "total"),
+                         "win_agg_c", mode="complete")
+    got = {
+        (r["user_id"], r["ws"].isoformat(), r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM win_agg_c").collect()
+    }
+    assert (1, "2024-01-01T10:00:00", 2, 3.0) in got
+    assert (1, "2024-01-01T11:00:00", 1, 4.0) in got
+    assert (2, "2024-01-01T10:00:00", 1, 8.0) in got
+
+
+def test_dedup_stream(spark, tmp_path):
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(1, base, 1.0), (1, base, 1.0), (2, base, 2.0)]
+    path = str(tmp_path / "dup")
+    _write_events(spark, path, rows)
+    out = dedup_stream(_file_stream(spark, path), keys=["user_id"], ts_col="ts")
+    run_stream_to_memory(out, "dedup_s")
+    assert spark.sql("SELECT count(*) c FROM dedup_s").first()["c"] == 2
+
+
+def test_sessionize_stream_emits_on_timeout(spark, tmp_path):
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    path = str(tmp_path / "sess")
+    _write_events(spark, path, [(1, base, 1.0), (1, base + timedelta(minutes=5), 2.0)])
+    # 2s idle gap so the processing-time timeout fires during the test
+    out = sessionize_stream(_file_stream(spark, path), gap_ms=2000)
+    q = out.writeStream.format("memory").queryName("sess_s").outputMode("append").start()
+    try:
+        # poll: after the idle gap the state times out and the closed
+        # session row is emitted (processAllAvailable never idles with
+        # ProcessingTimeTimeout — state-cleanup batches keep firing)
+        rows = []
+        for _ in range(60):
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            rows = spark.sql("SELECT * FROM sess_s").collect()
+            if rows:
+                break
+            time.sleep(1)
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["user_id"] == 1 and r["n_events"] == 2 and r["total_value"] == 3.0
+        assert r["session_start"] == base
+        assert r["session_end"] == base + timedelta(minutes=5)
+    finally:
+        q.stop()

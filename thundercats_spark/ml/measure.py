@@ -1,0 +1,323 @@
+"""Model measures (reference evaluation/Measure.scala + MeasureVector).
+
+All measures are DataFrame-native aggregations — the reference drops to
+``DoubleRDDFunctions``/``BinaryClassificationMetrics`` RDDs; here every
+formula is a declarative agg (partial aggregation, codegen) and the
+threshold curves are window cumulative sums, which is exactly how the
+mllib implementation computes them internally anyway.
+
+Regression: RMSE, MAE, MPE, PearsonCorr.
+Classification: AUC, AUCPrecisionRecall (scalar);
+Precision/Recall/FMeasure (threshold → score maps, reference ``%%``).
+Clustering: SSE. Vector: ZScore (per-feature significance).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from thundercats_spark.functional.maybe import MayFail
+
+
+class Measure:
+    """Scalar measure; ``is_better(a, b)`` — True if a beats b."""
+
+    name: str = "measure"
+
+    def score(self, df: DataFrame, specimen) -> MayFail[float]:
+        raise NotImplementedError
+
+    def is_better(self, a: float, b: float) -> bool:
+        return a > b
+
+
+class RegressionMeasure(Measure):
+    pass
+
+
+class ClassificationMeasure(Measure):
+    """Binary-classification measures over a score column.
+
+    The score is the positive-class probability (or raw margin): we
+    take ``probability[1]`` when the specimen's pipeline produced one,
+    else the raw prediction column."""
+
+    @staticmethod
+    def scored(df: DataFrame, specimen) -> DataFrame:
+        raw = f"{specimen.output_col}_raw"
+        if "probability" in df.columns:
+            score = vector_to_array(F.col("probability")).getItem(1)
+        elif raw in df.columns:
+            score = vector_to_array(F.col(raw)).getItem(1)
+        elif "rawPrediction" in df.columns:
+            score = vector_to_array(F.col("rawPrediction")).getItem(1)
+        else:
+            score = F.col(specimen.output_col).cast("double")
+        return df.select(
+            score.alias("__score"), F.col(specimen.label_col).cast("double").alias("__label")
+        )
+
+    @staticmethod
+    def _curve(df: DataFrame, specimen) -> DataFrame:
+        """Per-distinct-threshold cumulative TP/FP (global ordered
+        window — inherently a sorted scan, same as mllib's sortByKey;
+        for huge curves downsample scores to quantile bins first)."""
+        scored = ClassificationMeasure.scored(df, specimen)
+        npos_nneg = scored.agg(
+            F.sum("__label").alias("P"), F.count(F.lit(1)).alias("N")
+        ).first()
+        per_t = scored.groupBy("__score").agg(
+            F.sum("__label").alias("tp_here"), F.count(F.lit(1)).alias("n_here")
+        )
+        w = Window.orderBy(F.desc("__score")).rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            per_t.select(
+                F.col("__score").alias("threshold"),
+                F.sum("tp_here").over(w).alias("TP"),
+                F.sum("n_here").over(w).alias("PP"),
+            )
+            .withColumn("P", F.lit(float(npos_nneg["P"])))
+        )
+
+    def threshold_scores(self, df: DataFrame, specimen) -> MayFail[dict[float, float]]:
+        raise NotImplementedError
+
+
+class _RMSE(RegressionMeasure, ClassificationMeasure):
+    name = "RMSE"
+
+    def score(self, df, specimen):
+        def run():
+            err = F.col(specimen.output_col) - F.col(specimen.label_col)
+            return math.sqrt(df.agg(F.avg(err * err).alias("m")).first()["m"])
+
+        return MayFail.of(run)
+
+    def is_better(self, a, b):
+        return a < b
+
+
+class _MAE(RegressionMeasure, ClassificationMeasure):
+    name = "MAE"
+
+    def score(self, df, specimen):
+        def run():
+            err = F.abs(F.col(specimen.output_col) - F.col(specimen.label_col))
+            return df.agg(F.avg(err).alias("m")).first()["m"]
+
+        return MayFail.of(run)
+
+    def is_better(self, a, b):
+        return a < b
+
+
+class _MPE(RegressionMeasure, ClassificationMeasure):
+    name = "MPE"
+
+    def score(self, df, specimen):
+        def run():
+            err = F.abs(F.col(specimen.output_col) - F.col(specimen.label_col)) / F.col(
+                specimen.label_col
+            )
+            return df.agg(F.avg(err).alias("m")).first()["m"]
+
+        return MayFail.of(run)
+
+    def is_better(self, a, b):
+        return a < b
+
+
+class _PearsonCorr(RegressionMeasure):
+    name = "PearsonCorr"
+
+    def score(self, df, specimen):
+        return MayFail.of(
+            lambda: df.agg(
+                F.corr(
+                    F.col(specimen.output_col).cast("double"),
+                    F.col(specimen.label_col).cast("double"),
+                ).alias("c")
+            ).first()["c"]
+        )
+
+
+class _AUC(ClassificationMeasure):
+    name = "AUC"
+
+    def score(self, df, specimen):
+        def run():
+            # Trapezoidal area under (FPR, TPR), threshold-descending —
+            # the standard construction, as one window pass.
+            curve = ClassificationMeasure._curve(df, specimen)
+            n_row = curve.agg(F.max("PP").alias("N"), F.max("P").alias("P")).first()
+            n, p = float(n_row["N"]), float(n_row["P"])
+            neg = n - p
+            pts = curve.select(
+                (F.col("TP") / p).alias("tpr"),
+                ((F.col("PP") - F.col("TP")) / neg).alias("fpr"),
+            )
+            w = Window.orderBy("fpr", "tpr")
+            seg = pts.select(
+                ((F.col("fpr") - F.lag("fpr", 1, 0.0).over(w))
+                 * (F.col("tpr") + F.lag("tpr", 1, 0.0).over(w)) / 2.0).alias("a")
+            )
+            return seg.agg(F.sum("a").alias("s")).first()["s"]
+
+        return MayFail.of(run)
+
+
+class _AUCPR(ClassificationMeasure):
+    name = "AUCPrecisionRecall"
+
+    def score(self, df, specimen):
+        def run():
+            curve = ClassificationMeasure._curve(df, specimen)
+            pts = curve.select(
+                (F.col("TP") / F.col("P")).alias("recall"),
+                (F.col("TP") / F.col("PP")).alias("precision"),
+            )
+            # mllib prepends (0, p(first)) — trapezoid over recall.
+            w = Window.orderBy("recall")
+            seg = pts.select(
+                ((F.col("recall") - F.lag("recall", 1, 0.0).over(w))
+                 * (F.col("precision") + F.lag("precision", 1, F.col("precision")).over(w)) / 2.0
+                 ).alias("a")
+            )
+            return seg.agg(F.sum("a").alias("s")).first()["s"]
+
+        return MayFail.of(run)
+
+
+class _ThresholdMeasure(ClassificationMeasure):
+    """Threshold-map-only measures (reference: % raises, %% returns map)."""
+
+    def score(self, df, specimen):
+        return MayFail.of(lambda: (_ for _ in ()).throw(
+            NotImplementedError(f"{self.name} only provides threshold_scores (reference %%)")
+        ))
+
+    def _metric(self, curve: DataFrame):
+        raise NotImplementedError
+
+    def threshold_scores(self, df, specimen):
+        def run():
+            curve = ClassificationMeasure._curve(df, specimen)
+            out = curve.select("threshold", self._metric(curve).alias("v")).collect()
+            return {r["threshold"]: r["v"] for r in out}
+
+        return MayFail.of(run)
+
+
+class _Precision(_ThresholdMeasure):
+    name = "Precision"
+
+    def _metric(self, curve):
+        return F.col("TP") / F.col("PP")
+
+
+class _Recall(_ThresholdMeasure):
+    name = "Recall"
+
+    def _metric(self, curve):
+        return F.col("TP") / F.col("P")
+
+
+class _FMeasure(_ThresholdMeasure):
+    name = "FMeasure"
+
+    def _metric(self, curve):
+        p = F.col("TP") / F.col("PP")
+        r = F.col("TP") / F.col("P")
+        return F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+
+
+class ClusterMeasure(Measure):
+    pass
+
+
+class _SSE(ClusterMeasure):
+    """Sum of squared distance to each cluster's mean vector
+    (reference Measure.scala SSE) — Summarizer.mean per cluster,
+    broadcast-joined back, one pass."""
+
+    name = "SSE"
+
+    def score(self, df, specimen):
+        def run():
+            from pyspark.ml.stat import Summarizer
+
+            feat = specimen.feature.col_name()
+            pred = specimen.output_col
+            means = (
+                df.groupBy(F.col(pred).alias("__c"))
+                .agg(Summarizer.mean(F.col(feat)).alias("__mv"))
+                .select("__c", vector_to_array(F.col("__mv")).alias("__mean"))
+            )
+            arr = df.select(
+                F.col(pred).alias("__c"), vector_to_array(F.col(feat)).alias("__v")
+            )
+            joined = arr.join(F.broadcast(means), "__c")
+            sq = F.aggregate(
+                F.zip_with(F.col("__v"), F.col("__mean"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return joined.agg(F.sum(sq).alias("s")).first()["s"]
+
+        return MayFail.of(run)
+
+    def is_better(self, a, b):
+        return a < b
+
+
+class MeasureVector:
+    def score(self, df: DataFrame, specimen) -> MayFail[list[float]]:
+        raise NotImplementedError
+
+
+class _ZScore(MeasureVector):
+    """Per-coefficient z-scores of a fitted linear regression
+    (reference MeasureVector.scala): z_j = β_j·sqrt(Σx_j²)/σ with
+    σ² = Σ(y-ŷ)²/(N-M-1)."""
+
+    def score(self, df, specimen):
+        def run():
+            from pyspark.ml.regression import LinearRegressionModel
+
+            from thundercats_spark.ml.specimen import fitted_estimator
+
+            lr = fitted_estimator(specimen.model)
+            assert isinstance(lr, LinearRegressionModel), type(lr)
+            betas = list(lr.coefficients)
+            cols = specimen.feature.as_list()
+            n = df.count()
+            m = float(len(cols))
+            # df arrives already transformed (score_vector contract)
+            sq = (F.col(specimen.label_col) - F.col(specimen.output_col)) ** 2
+            sigma2 = df.agg(F.sum(sq).alias("s")).first()["s"] / (n - m - 1)
+            sigma = math.sqrt(sigma2)
+            sums = df.agg(
+                *[F.sum(F.col(c).cast("double") ** 2).alias(c) for c in cols]
+            ).first()
+            return [
+                beta * math.sqrt(sums[c]) / sigma for beta, c in zip(betas, cols)
+            ]
+
+        return MayFail.of(run)
+
+
+RMSE = _RMSE()
+MAE = _MAE()
+MPE = _MPE()
+PearsonCorr = _PearsonCorr()
+AUC = _AUC()
+AUCPrecisionRecall = _AUCPR()
+Precision = _Precision()
+Recall = _Recall()
+FMeasure = _FMeasure()
+SSE = _SSE()
+ZScore = _ZScore()

@@ -1,0 +1,3 @@
+from thundercats_spark.streaming import windows
+
+__all__ = ["windows"]

@@ -1,0 +1,121 @@
+"""Structured Streaming operators (SURVEY.md §2.5).
+
+Re-expresses the reference's streaming surface (kafkaStream →
+transform → kafka/file sink, reference IO.scala:116/229/289) with the
+state-bounded patterns a 100 TB/day stream needs: watermarks cap state,
+window aggregations pre-aggregate before any sink, and sessionization
+uses applyInPandasWithState with timeouts so idle keys get evicted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_agg(
+    stream: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    aggs: Sequence,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling/sliding window aggregation with a watermark.
+
+    The watermark bounds both late data and state size; without it a
+    streaming agg's state grows forever. Emits one row per
+    (window, keys) in append mode once the watermark passes."""
+    w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("window"), *keys)
+        .agg(*aggs)
+    )
+
+
+def dedup_stream(stream: DataFrame, keys: Sequence[str], ts_col: str, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: dropDuplicates within the watermark
+    horizon — state is bounded by the watermark, the only way
+    streaming dedup survives at scale."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+_SESSION_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events long, total_value double"
+_STATE_SCHEMA = "start long, end long, n long, total double"
+
+
+def _session_fn_with_gap(gap_ms: int):
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        return _session_fn(key, pdfs, state, gap_ms)
+
+    return fn
+
+
+def _session_fn(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState, gap_ms: int = 30 * 60 * 1000
+) -> Iterable[pd.DataFrame]:
+    """Accumulate per-user session state; emit when the processing-time
+    timeout fires (user idle past the gap)."""
+    if state.hasTimedOut:
+        start, end, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(end, unit="us")],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+        return
+
+    start, end, n, total = state.get if state.exists else (None, None, 0, 0.0)
+    for pdf in pdfs:
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        vals = pdf["value"].tolist()
+        for t, v in zip(ts_us, vals):
+            start = t if start is None else min(start, t)
+            end = t if end is None else max(end, t)
+            n += 1
+            total += float(v)
+    state.update((start, end, n, total))
+    state.setTimeoutDuration(gap_ms)  # idle gap → emit
+    # nothing to emit while the session is open
+
+
+def sessionize_stream(stream: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Custom stateful streaming sessionization over (user_id, ts,
+    value) via applyInPandasWithState. Processing-time timeout = the
+    idle gap; state per live user only.
+
+    NOTE: with ProcessingTimeTimeout the query keeps triggering
+    state-cleanup batches — ``processAllAvailable`` never idles; poll
+    the sink instead."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn_with_gap(gap_ms),
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(out: DataFrame, name: str, timeout_s: float = 20.0, mode: str = "append"):
+    """Drive a streaming DataFrame into an in-memory table until idle
+    (test/debug harness; mirrors reference Screen.showDFStream)."""
+    q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return q
