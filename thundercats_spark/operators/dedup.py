@@ -24,6 +24,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Small inputs often arrive as ONE parquet file → one partition →
+    zero parallelism for expression-heavy per-row work (shingling,
+    signatures, char folds). Repartition up to the cluster's default
+    parallelism; a shuffle of the raw rows is far cheaper than running
+    the heavy expressions single-threaded. No-op when the input is
+    already wide (the 100 TB case — thousands of input splits)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
 # Deterministic permutation-hash parameters (seeded LCG over a Mersenne
 # prime) — fixed across runs so results are reproducible. 31-bit prime:
 # base hashes are first reduced mod P so a*h+b stays < 2^62 (no ANSI
@@ -82,7 +95,7 @@ def dedup_exact(
     key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
     fp = F.xxhash64(key).alias("__fp")
     keep = (
-        df.select(F.col(id_col), fp)
+        ensure_parallelism(df).select(F.col(id_col), fp)
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .select(id_col, "n_copies")
@@ -95,14 +108,22 @@ def dedup_exact(
 # --------------------------------------------------------------------------
 
 
-def minhash_signature(shingles, num_hashes: int = 64, seed: int = 42):
-    """Array of ``num_hashes`` min-permutation-hash values. One pass over
-    the shingle array per hash fn, all inside the JVM."""
+def shingle_hashes(shingles):
+    """Integer base hashes of a shingle array (compute ONCE — string
+    hashing dominates; the k permutations then run over ints)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+
+def minhash_signature(shingle_hash_col, num_hashes: int = 64, seed: int = 42):
+    """Array of ``num_hashes`` min-permutation-hash values over
+    pre-hashed shingles (see ``shingle_hashes``). One int-array pass per
+    hash fn, all inside the JVM."""
     params = _perm_params(num_hashes, seed)
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
     cols = [
         F.array_min(
-            F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P)))
+            F.transform(
+                shingle_hash_col, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
+            )
         )
         for a, b in params
     ]
@@ -145,12 +166,14 @@ def minhash_lsh_pairs(
     distinct pairs→verify with exact Jaccard via the shingle arrays.
     With b bands of r rows, P(candidate) = 1-(1-j^r)^b — at the default
     (16 bands × 4 rows) the S-curve midpoint sits near j≈0.5."""
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        F.array_distinct(
+            shingle_hashes(word_shingles(F.col(text_col), shingle_n))
+        ).alias("hs"),
     )
     sig = sh.select(
-        "id", "sh", minhash_signature(F.col("sh"), num_hashes, seed).alias("sig")
+        "id", "hs", minhash_signature(F.col("hs"), num_hashes, seed).alias("sig")
     )
     buckets = sig.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), bands)).alias("bucket")
@@ -162,16 +185,18 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Verify on the hashed shingle sets — int-array intersection, and
+    # only 8-byte-per-shingle arrays shuffle (never the text).
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     verified = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
             F.col("inter")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+            / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -201,15 +226,17 @@ def simhash(text, bits: int = SIMHASH_BITS):
     xxhash64 bits, computed as one aggregate over a counter array —
     single expression, no shuffle. 60 bits (not 64) so the MSB-first
     reassembly fold never overflows a signed long under ANSI mode."""
-    toks = F.split(F.trim(text), r"\s+")
+    # hash each token ONCE; the per-bit fan-out then reads the long
+    # (otherwise the string hash would be recomputed per bit)
+    tok_hashes = F.transform(F.split(F.trim(text), r"\s+"), lambda t: F.xxhash64(t))
     counters = F.aggregate(
-        toks,
+        tok_hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.getbit(F.xxhash64(t), i),
+                lambda i: F.getbit(h, i),
             ),
             lambda a, bit: a + 2 * bit - 1,
         ),
@@ -234,7 +261,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: candidates share one of four 15-bit
     bands (any pair within Hamming ≤3 of the 60 bits must agree on ≥1
     band by pigeonhole), verified with bit_count(xor)."""
-    h = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    h = ensure_parallelism(df).select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
     bands = h.select(
         "id",
         "sh",
@@ -281,28 +308,48 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via shared-shingle inverted index.
-    |A∩B| falls out of the index join (shingles are distinct per doc),
-    so no array comparison is ever done pairwise; cost is bounded by
-    shingle-posting-list sizes, not n²."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    """EXACT Jaccard-similar pairs via a prefix-filtered inverted index
+    (the PPJoin bound): order each doc's shingle set by a global total
+    order (the 64-bit shingle hash) and index only the first
+    |A| - ceil(t*|A|) + 1 elements — any pair with J >= t must share a
+    prefix element, so candidates from the prefix index are a superset
+    and the exact verify keeps precision AND recall at 1.0. On skewed
+    shingle vocabularies this cuts posting lists by ~(1-t) per doc and,
+    more importantly, drops the hottest (most frequent) shingles out of
+    most prefixes, taming the posting-list^2 blowup the naive inverted
+    index suffers."""
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        # 64-bit hashes: sorted = the global total order for prefixes;
+        # intersection cardinality == string intersection cardinality
+        # (collisions ~2^-64); keep distinct-set semantics.
+        F.array_sort(
+            F.array_distinct(
+                F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+            )
+        ).alias("hs"),
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    posting = sh.select("id", F.explode("sh").alias("shingle"))
-    inter = (
+    prefix_len = (F.size("hs") - F.ceil(F.size("hs") * threshold) + 1).cast("int")
+    posting = sh.select(
+        "id", F.explode(F.slice("hs", 1, prefix_len)).alias("shingle")
+    )
+    cand = (
         posting.alias("a")
         .join(posting.alias("b"), "shingle")
         .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = sh.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     return (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

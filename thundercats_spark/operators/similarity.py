@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from thundercats_spark.functions.vectors import cosine as vcos
+from thundercats_spark.operators.dedup import ensure_parallelism
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
@@ -122,6 +123,7 @@ def cosine_pairs_bruteforce(
     """All pairs with cosine >= threshold — exact. O(n²) compare (block
     nested loop join); keep for oracle verification and small dims; the
     scale path is ``cosine_pairs_lsh``."""
+    df = ensure_parallelism(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = vcos(F.col("va"), F.col("vb"))
@@ -153,6 +155,7 @@ def cosine_pairs_lsh(
         hyperplane_signature(F.col(vec_col), dim, n_planes, seed=7 + 1000 * t)
         for t in range(n_tables)
     ]
+    df = ensure_parallelism(df)
     sigs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
