@@ -1,0 +1,348 @@
+"""Second wave of analytic queries (SURVEY.md §2.2 extension): more
+TPC-H shapes (Q4/Q6/Q12/Q14/Q18 adaptations) plus the analytic-pattern
+coverage a full engine needs — semi/anti joins, rollup hierarchies,
+running windows, explode/word-count, statistical aggregates, string
+distance. Same exactness discipline as tpch.py (decimal sums → double,
+string dates, round(6) for genuinely floating measures)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from thundercats_spark.physical.ops import Join
+from thundercats_spark.queries import load, register
+from thundercats_spark.queries.tpch import _avg_exact, _day_str, _dec, _sum_exact
+
+# --------------------------------------------------------------------------
+# Q6 — forecast revenue change (pure scan+filter+agg; pushdown showcase)
+# --------------------------------------------------------------------------
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", Q6_SQL)
+def q6_forecast_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_sum_exact(_dec("l_extendedprice") * _dec("l_discount")).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 adaptation — order priority count with EXISTS (left-semi join)
+# --------------------------------------------------------------------------
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_priority_semi", Q4_SQL)
+def q4_priority_semi(spark, sf_dir):
+    t = load(spark, sf_dir, "orders", "lineitem")
+    ords = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    big = t["lineitem"].where(F.col("l_quantity") > 48).select("l_orderkey")
+    semi = Join.semi(ords, big, F.col("o_orderkey") == F.col("l_orderkey")).get
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti join — customers with no orders in a window
+# --------------------------------------------------------------------------
+
+ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+)
+"""
+
+
+@register("customers_no_recent_orders", ANTI_SQL)
+def customers_no_recent_orders(spark, sf_dir):
+    t = load(spark, sf_dir, "customer", "orders")
+    recent = t["orders"].where(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    anti = Join.anti(t["customer"], recent, F.col("c_custkey") == F.col("o_custkey")).get
+    return anti.select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# Q14 adaptation — promo revenue share (conditional agg over a join)
+# --------------------------------------------------------------------------
+
+Q14_SQL = """
+SELECT
+  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+"""
+
+
+@register("q14_promo_share", Q14_SQL)
+def q14_promo_share(spark, sf_dir):
+    t = load(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = t["part"].select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            _sum_exact(promo).alias("promo_revenue"),
+            _sum_exact(rev).alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 adaptation — large-volume orders (HAVING + broadcast top-k)
+# --------------------------------------------------------------------------
+
+Q18_SQL = """
+SELECT c_name, o_orderkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, o_orderkey
+HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 50
+"""
+
+
+@register("q18_large_orders", Q18_SQL)
+def q18_large_orders(spark, sf_dir):
+    t = load(spark, sf_dir, "customer", "orders", "lineitem")
+    # aggregate lineitem FIRST (biggest table shrinks before any join)
+    per_order = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 150)
+    )
+    ords = t["orders"].select("o_orderkey", "o_custkey")
+    cust = t["customer"].select("c_custkey", "c_name")
+    return (
+        per_order.join(ords, per_order.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey", F.col("qty_dec").cast("double").alias("total_qty")
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP hierarchy — day × event_type with subtotals
+# --------------------------------------------------------------------------
+
+ROLLUP_SQL = """
+SELECT
+  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP(day, event_type)
+ORDER BY day NULLS FIRST, event_type NULLS FIRST
+"""
+
+
+@register("events_rollup_hierarchy", ROLLUP_SQL)
+def events_rollup_hierarchy(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")["events"]
+    return (
+        ev.select(
+            _day_str(F.date_trunc("day", "ts")).alias("day"),
+            "event_type",
+            F.col("value"),
+        )
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_exact(_dec("value")).alias("total_value"),
+        )
+        .orderBy(F.asc_nulls_first("day"), F.asc_nulls_first("event_type"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Running window — cumulative customer spend over time
+# --------------------------------------------------------------------------
+
+RUNNING_SQL = """
+SELECT o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
+FROM orders
+ORDER BY o_custkey, o_date, o_orderkey
+"""
+
+
+@register("customer_running_total", RUNNING_SQL)
+def customer_running_total(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        _day_str("o_orderdate").alias("o_date"),
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("cum_spend"),
+    ).orderBy("o_custkey", "o_date", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Explode / word frequencies over documents
+# --------------------------------------------------------------------------
+
+WORDFREQ_SQL = r"""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(TRIM(text), '\s+')) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 30
+"""
+
+
+@register("doc_word_frequencies", WORDFREQ_SQL)
+def doc_word_frequencies(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(30)
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates — stddev + interpolated median per segment
+# --------------------------------------------------------------------------
+
+STATS_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       ROUND(stddev_samp(c_acctbal), 6) AS sd_bal,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 6) AS median_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("customer_balance_stats", STATS_SQL)
+def customer_balance_stats(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")["customer"]
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_bal"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("median_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# String distance — levenshtein against a probe name (exact int)
+# --------------------------------------------------------------------------
+
+LEV_SQL = """
+SELECT s_suppkey, s_name, levenshtein(s_name, 'Supplier#1') AS dist
+FROM supplier
+ORDER BY dist, s_suppkey
+"""
+
+
+@register("supplier_name_distance", LEV_SQL)
+def supplier_name_distance(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")["supplier"]
+    return s.select(
+        "s_suppkey", "s_name", F.levenshtein(F.col("s_name"), F.lit("Supplier#1")).alias("dist")
+    ).orderBy("dist", "s_suppkey")
+
+
+# --------------------------------------------------------------------------
+# Q12 adaptation — priority classes per return flag over a date window
+# --------------------------------------------------------------------------
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q12_priority_classes", Q12_SQL)
+def q12_priority_classes(spark, sf_dir):
+    t = load(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    ords = t["orders"].select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+        .orderBy("l_returnflag")
+    )
