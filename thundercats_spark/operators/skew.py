@@ -1,0 +1,74 @@
+"""Skew mitigation — salting for hot keys.
+
+AQE's skew-join handling (on in session.py) fixes most cases at
+runtime by splitting oversized partitions; these operators are the
+explicit, deterministic fallback for the pathological ones: a power-law
+key (one user = 10% of events) where even a split partition's single
+key stays hot, or an aggregation whose single group overwhelms one
+task. No randomness — salt is derived by hashing a discriminator
+column, so results are reproducible and re-runs hit identical plans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count: bool = True,
+    salt_on: str | Column | None = None,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys: partial-aggregate on
+    (keys, salt) — spreading each hot key over ``buckets`` tasks — then
+    merge on keys. Only algebraic aggregates (sum/count here) compose
+    across the two stages; that's exactly why the helper restricts
+    itself to them."""
+    salt_src = F.col(salt_on) if isinstance(salt_on, str) else (
+        salt_on if salt_on is not None else F.monotonically_increasing_id()
+    )
+    salted = df.withColumn(_SALT, F.pmod(F.xxhash64(salt_src), F.lit(buckets)))
+    partial = salted.groupBy(*keys, _SALT).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
+    )
+    final_aggs = []
+    if count:
+        final_aggs.append(F.sum("__n").alias("n"))
+    final_aggs.extend(F.sum(f"__s_{c}").alias(f"sum_{c}") for c in sum_cols)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    buckets: int = 16,
+    salt_on: str | Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big side gets a deterministic salt in
+    [0, buckets); the small side is replicated ``buckets`` times (one
+    copy per salt value) so each (key, salt) shard joins locally. Use
+    when one join key dominates and the small side is too large to
+    broadcast outright but fine to replicate ``buckets`` ways."""
+    assert how in {"inner", "left", "left_semi", "left_anti"}, (
+        "salted_join replicates the right side; right/full joins would duplicate it"
+    )
+    salt_src = F.col(salt_on) if isinstance(salt_on, str) else (
+        salt_on if salt_on is not None else F.monotonically_increasing_id()
+    )
+    big_s = big.withColumn(_SALT, F.pmod(F.xxhash64(salt_src), F.lit(buckets)))
+    small_s = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"))
+    )
+    out = big_s.join(small_s, [*on, _SALT], how)
+    return out.drop(_SALT)

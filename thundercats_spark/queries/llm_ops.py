@@ -249,3 +249,52 @@ def doc_fingerprint_q(spark, sf_dir):
     return d.select(
         "doc_id", T.doc_fingerprint_poly(F.col("text")).alias("fingerprint")
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end training-data pipeline: quality filter → language bucket →
+# exact dedup → per-source rollup. The composition showcase — every
+# stage is a pure column expression or a single-shuffle operator, so the
+# whole pipeline is scan → filter (pushable) → one hash shuffle → agg.
+# --------------------------------------------------------------------------
+
+PIPELINE_SQL = r"""
+WITH q AS (
+  SELECT doc_id, source, text,
+    0.4 * (LEAST(length(text), 500) / 500.0)
+  + 0.3 * (1.0 - CASE WHEN length(text) > 0
+        THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text)
+        ELSE 0.0 END)
+  + 0.3 * (CASE WHEN len(regexp_split_to_array(TRIM(text), '\s+')) > 0
+        THEN len(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','that','it','for')))
+             / len(regexp_split_to_array(TRIM(text), '\s+'))
+        ELSE 0.0 END) AS quality
+  FROM documents
+), filtered AS (
+  SELECT * FROM q WHERE quality >= 0.5
+), dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY lower(TRIM(text))
+)
+SELECT f.source, COUNT(*) AS n_docs, ROUND(AVG(f.quality), 6) AS avg_quality
+FROM filtered f JOIN dedup d ON f.doc_id = d.doc_id
+GROUP BY f.source
+ORDER BY f.source
+"""
+
+
+@register("llm_clean_pipeline", PIPELINE_SQL)
+def llm_clean_pipeline(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    scored = d.select(
+        "doc_id", "source", "text", T.quality_score(F.col("text")).alias("quality")
+    ).where(F.col("quality") >= 0.5)
+    survivors = dedup.dedup_exact(scored, "text", "doc_id")
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
