@@ -101,3 +101,24 @@ def test_no_partition_default_keeps_parallelism(spark, tmp_path):
     path = str(tmp_path / "par.parquet")
     Write.parquet(df, path, partition=NoPartition()).get
     assert len(glob.glob(f"{path}/part-*")) > 1
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    from thundercats_spark.physical.io import Bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        a = spark.createDataFrame([(i, f"a{i}") for i in range(1000)], "k long, va string")
+        b = spark.createDataFrame([(i, f"b{i}") for i in range(1000)], "k long, vb string")
+        assert not Bucketed.write(a, "bkt_a", ["k"], 8, sort_cols=["k"]).is_failing
+        assert not Bucketed.write(b, "bkt_b", ["k"], 8, sort_cols=["k"]).is_failing
+        ta, tb = Bucketed.read(spark, "bkt_a").get, Bucketed.read(spark, "bkt_b").get
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: bucketing satisfies the join distribution — no shuffle
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

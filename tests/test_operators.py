@@ -80,3 +80,39 @@ def test_sessionize_gap_boundary_inclusive(spark):
     )
     out = sessionize(ev, gap_minutes=30).select(F.max("session_id").alias("m")).first()
     assert out["m"] == 1
+
+
+def test_connected_components_chain(spark):
+    from thundercats_spark.operators.components import connected_components
+
+    # chain 1-2-3-4 plus isolated pair 10-11: transitivity needs >1 hop
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_deep_chain(spark):
+    from thundercats_spark.operators.components import connected_components
+
+    n = 20  # diameter 20 → exercises checkpointing + multiple rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(out.values()) == {0}
+
+
+def test_dedup_groups_transitive(spark):
+    from thundercats_spark.operators.components import dedup_groups
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in range(6)], "doc_id long, text string"
+    )
+    # 0~1, 1~2 (transitive trio); 4~5; 3 alone
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    out = dedup_groups(docs, pairs).collect()
+    kept = {r["doc_id"]: r["group_size"] for r in out}
+    # greedy min-id would also keep 2 here; the trio proves transitivity
+    assert kept == {0: 3, 3: 1, 4: 2}

@@ -1,0 +1,85 @@
+"""Connected components over a pair-edge DataFrame — the exact
+transitive closure for dedup grouping (the greedy min-id rule in
+operators/dedup.py is its one-pass approximation).
+
+Algorithm: alternating min-label propagation. Each iteration joins the
+current labels to the edge list and takes the min label over each
+node's neighborhood (including itself), until no label changes. This is
+the standard DataFrame formulation (large-star/small-star's simple
+cousin); convergence is O(graph diameter) iterations — near-dup
+clusters are small and dense, so it converges in a handful of rounds.
+
+Scale notes: each iteration is one shuffle (groupBy node). Lineage is
+cut by localCheckpoint every ``checkpoint_every`` iterations so the
+plan doesn't grow unboundedly (the classic iterative-Spark trap). Early
+exit via a cheap count of changed labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """→ (id, component) where component = min node id in the
+    component. Nodes = every id appearing in ``edges``."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for i in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.b == labels.id)
+            .select(F.col("a").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-transitive dedup: collapse every connected component of
+    near-duplicate ``pairs`` to its min-id representative. Rows not in
+    any pair survive untouched. Adds ``group_id``/``group_size``."""
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed("id", id_col)
+    sized = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    comp = comp.join(sized, "component")
+    labeled = df.join(comp, id_col, "left").select(
+        df["*"],
+        F.coalesce(F.col("component"), F.col(id_col)).alias("group_id"),
+        F.coalesce(F.col("group_size"), F.lit(1)).alias("group_size"),
+    )
+    return labeled.where(F.col(id_col) == F.col("group_id"))

@@ -226,30 +226,22 @@ def simhash(text, bits: int = SIMHASH_BITS):
     xxhash64 bits, computed as one aggregate over a counter array —
     single expression, no shuffle. 60 bits (not 64) so the MSB-first
     reassembly fold never overflows a signed long under ANSI mode."""
-    # hash each token ONCE; the per-bit fan-out then reads the long
-    # (otherwise the string hash would be recomputed per bit)
+    # hash each token ONCE; per-bit majority is then popcount-style:
+    # counter_i > 0  ⇔  2*Σ getbit(h,i) > n_tokens. Each bit is an
+    # independent int fold — no per-token array allocation (the
+    # zip_with formulation allocated a 60-wide array per token).
     tok_hashes = F.transform(F.split(F.trim(text), r"\s+"), lambda t: F.xxhash64(t))
-    counters = F.aggregate(
-        tok_hashes,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.getbit(h, i),
-            ),
-            lambda a, bit: a + 2 * bit - 1,
-        ),
-    )
-    # Sign bits, folded MSB-first: h = h*2 + bit.
-    sign_bits = F.transform(
-        counters, lambda c: F.when(c > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-    )
-    return F.aggregate(
-        F.reverse(sign_bits),
-        F.lit(0).cast("long"),
-        lambda acc, bit: acc * 2 + bit,
-    )
+    n_tok = F.size(tok_hashes)
+    def bit_adder(i: int):
+        return lambda acc, h: acc + F.getbit(h, F.lit(i))
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        ones = F.aggregate(tok_hashes, F.lit(0).cast("long"), bit_adder(i))
+        out = out + F.when(2 * ones > n_tok, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
 
 
 def simhash_pairs(

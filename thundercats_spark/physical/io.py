@@ -456,3 +456,33 @@ class Screen:
 def schema_map(df: DataFrame) -> dict[str, str]:
     """Column → simple type-name map (reference Util.scala:26)."""
     return {f_.name: f_.dataType.simpleString() for f_ in df.schema.fields}
+
+
+class Bucketed:
+    """Bucketed-table layout (Hive-style bucketing) — the co-located
+    join/agg strategy at scale: both sides pre-hashed into the same
+    bucket count on the join key mean the join plans with ZERO
+    exchanges. Requires saveAsTable (bucket metadata lives in the
+    catalog, not the parquet files)."""
+
+    @staticmethod
+    def write(
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        num_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+        overwrite: bool = True,
+    ) -> MayFail[DataFrame]:
+        def run():
+            w = df.write.bucketBy(num_buckets, *bucket_cols)
+            if sort_cols:
+                w = w.sortBy(*sort_cols)
+            w.format("parquet").mode("overwrite" if overwrite else "errorifexists").saveAsTable(table)
+            return df
+
+        return MayFail.of(run)
+
+    @staticmethod
+    def read(spark: SparkSession, table: str) -> MayFail[DataFrame]:
+        return MayFail.of(lambda: spark.table(table))

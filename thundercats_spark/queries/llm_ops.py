@@ -298,3 +298,44 @@ def llm_clean_pipeline(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact transitive dedup groups: connected components over the exact
+# Jaccard pair graph (iterative min-label propagation — the
+# non-SQL-expressible op made verifiable via a recursive-CTE oracle).
+# --------------------------------------------------------------------------
+
+COMPONENTS_SQL = r"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(id, comp) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, w.comp FROM edges e JOIN walk w ON e.b = w.id
+)
+SELECT id, MIN(comp) AS component FROM walk GROUP BY id ORDER BY id
+"""
+
+
+@register("dedup_connected_groups", COMPONENTS_SQL)
+def dedup_connected_groups(spark, sf_dir):
+    from thundercats_spark.operators.components import connected_components
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return connected_components(pairs).orderBy("id")
