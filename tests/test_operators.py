@@ -116,3 +116,27 @@ def test_dedup_groups_transitive(spark):
     kept = {r["doc_id"]: r["group_size"] for r in out}
     # greedy min-id would also keep 2 here; the trio proves transitivity
     assert kept == {0: 3, 3: 1, 4: 2}
+
+
+def test_resample_ffill(spark):
+    from thundercats_spark.operators.resample import resample_ffill
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:15:00"), 1.0),
+            (1, _ts("2024-01-01 13:45:00"), 5.0),
+            (2, _ts("2024-01-01 10:30:00"), 9.0),
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    out = resample_ffill(ev, "user_id", "ts", "value", step="1 hour")
+    got = {(r["user_id"], r["grid_ts"].isoformat()): r["value"] for r in out.collect()}
+    # user 1: grid 10:00..13:00; 10:00 precedes the first obs → null
+    assert got[(1, "2024-01-01T10:00:00")] is None
+    assert got[(1, "2024-01-01T11:00:00")] == 1.0
+    assert got[(1, "2024-01-01T12:00:00")] == 1.0
+    assert got[(1, "2024-01-01T13:00:00")] == 1.0
+    assert (1, "2024-01-01T14:00:00") not in got  # grid ends at trunc(max)
+    # user 2's only grid point (10:00) precedes its first obs (10:30):
+    # as-of semantics → unfilled
+    assert got[(2, "2024-01-01T10:00:00")] is None

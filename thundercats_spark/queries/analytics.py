@@ -346,3 +346,43 @@ def q12_priority_classes(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series resample + forward fill (operators/resample.py)
+# --------------------------------------------------------------------------
+
+RESAMPLE_SQL = """
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts FROM bounds
+), unioned AS (
+  SELECT user_id, ts AS u_ts, value AS v, 0 AS is_grid FROM events
+  UNION ALL
+  SELECT user_id, gts, NULL, 1 FROM grid
+), filled AS (
+  SELECT user_id, u_ts, is_grid,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY u_ts, is_grid
+           ROWS UNBOUNDED PRECEDING) AS value
+  FROM unioned
+)
+SELECT user_id, strftime(u_ts, '%Y-%m-%d %H:%M:%S') AS grid_ts, value
+FROM filled WHERE is_grid = 1
+ORDER BY user_id, grid_ts
+"""
+
+
+@register("events_resample_ffill", RESAMPLE_SQL)
+def events_resample_ffill(spark, sf_dir):
+    from thundercats_spark.operators.resample import resample_ffill
+
+    ev = load(spark, sf_dir, "events")["events"]
+    out = resample_ffill(ev, "user_id", "ts", "value", step="1 hour", align="hour")
+    return out.select(
+        "user_id",
+        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        "value",
+    ).orderBy("user_id", "grid_ts")
