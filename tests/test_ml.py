@@ -319,3 +319,26 @@ def test_pca_post_step(reg_df):
     assert "pca_features" in out.columns and "pred" in out.columns
     first = out.select("pca_features").first()[0]
     assert len(first) == 1
+
+
+def test_features_generators(spark):
+    from thundercats_spark.ml.features_gen import (
+        encode_strings,
+        scale_numbers,
+        standardise_numbers,
+        vectorise,
+    )
+
+    df = spark.createDataFrame(
+        [("a b", 1.0, 2), ("c", 4.0, 5)], "s string, d double, i int"
+    )
+    enc = encode_strings(df, suffix="_enc").fit(df).transform(df)
+    assert "s_enc" in enc.columns
+    std = standardise_numbers(df, suffix="_std").fit(df).transform(df)
+    assert "d_std" in std.columns and "i_std" not in std.columns  # doubles only
+    sc = scale_numbers(df, suffix="_sc").fit(df).transform(df)
+    vals = sorted(r["d_sc"] for r in sc.collect())
+    assert vals == [0.0, 1.0]
+    va = vectorise(df, ignore_columns=["s"])
+    out = va.transform(df)
+    assert len(out.first()["features"]) == 2  # d + i, name-sorted
