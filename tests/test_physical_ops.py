@@ -144,3 +144,10 @@ def test_bind_operator(people):
 
     out = (Pipe(people) >> (lambda df: df.filter(F.col("id") > 1)) >> (lambda df: df.count())).done
     assert out.get == 3
+
+
+def test_reduce_rdd_arbitrary_fn(people):
+    from thundercats_spark.physical.ops import reduce_rdd
+
+    out = reduce_rdd(people.where(F.col("v").isNotNull()), "v", lambda a, b: a * b).get
+    assert out == 10.0 * 20.0 * 40.0

@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis): operator invariants checked
+against naive in-Python models on randomized small inputs."""
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def event_rows(draw):
+    n = draw(st.integers(2, 25))
+    rows = []
+    for i in range(n):
+        user = draw(st.integers(1, 3))
+        offset_min = draw(st.integers(0, 600))
+        rows.append((user, datetime(2024, 1, 1) + timedelta(minutes=offset_min), i))
+    return rows
+
+
+@given(event_rows())
+@settings(**SETTINGS)
+def test_sessionize_matches_naive(spark, rows):
+    from thundercats_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in sessionize(df, gap_minutes=30, order_cols=["event_id"]).collect()
+    }
+    # naive model
+    by_user = {}
+    for u, ts, eid in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_user.setdefault(u, []).append((ts, eid))
+    for u, evs in by_user.items():
+        sess = 0
+        prev = None
+        for ts, eid in evs:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                sess += 1
+            prev = ts
+            assert got[(u, eid)] == sess, (u, eid, rows)
+
+
+@given(event_rows(), event_rows())
+@settings(**SETTINGS)
+def test_asof_matches_naive(spark, left_rows, right_rows):
+    from thundercats_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(left_rows, "k int, t timestamp, lid int")
+    right = spark.createDataFrame(
+        [(u, ts, float(i)) for u, ts, i in right_rows], "k int, rt timestamp, v double"
+    )
+    out = asof_join(left, right, "k", "k", "t", "rt", keep_unmatched=True)
+    got = {r["lid"]: r["v"] for r in out.collect()}
+    for k, t, lid in left_rows:
+        cands = [(ts, i) for (u, ts, i) in right_rows if u == k and ts <= t]
+        expect = float(max(cands)[1]) if cands else None
+        assert got[lid] == expect, (k, t, lid)
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_dedup_exact_partition_property(spark, texts):
+    """Survivors+copies partition the input: Σ n_copies == n_rows, and
+    every survivor is the min id of its normalized-text class."""
+    from thundercats_spark.operators.dedup import dedup_exact
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_exact(df, "text", "doc_id").collect()
+    assert sum(r["n_copies"] for r in out) == len(texts)
+    classes = {}
+    for i, t in rows:
+        classes.setdefault(t.lower().strip(), []).append(i)
+    expect_survivors = {min(v) for v in classes.values()}
+    assert {r["doc_id"] for r in out} == expect_survivors
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_cosine_matches_python(spark, vecs):
+    import math
+
+    from thundercats_spark.functions.vectors import cosine
+
+    # skip zero vectors (cosine undefined)
+    vecs = [v for v in vecs if math.sqrt(sum(x * x for x in v)) > 1e-6]
+    if len(vecs) < 2:
+        return
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+    )
+    q = vecs[0]
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    got = {r["id"]: r["c"] for r in df.select("id", cosine(F.col("v"), qcol).alias("c")).collect()}
+    for i, v in enumerate(vecs):
+        dot = sum(a * b for a, b in zip(v, q))
+        expect = dot / (
+            math.sqrt(sum(a * a for a in v)) * math.sqrt(sum(b * b for b in q))
+        )
+        assert abs(got[i] - expect) < 1e-9

@@ -269,3 +269,11 @@ class Transform:
     @staticmethod
     def rename(df: DataFrame, mapping: dict[str, str]) -> MayFail[DataFrame]:
         return MayFail.of(lambda: df.withColumnsRenamed(mapping))
+
+
+def reduce_rdd(df: DataFrame, column: str, f: Callable):
+    """Escape hatch with exact reference semantics (Op.scala:164
+    ``Agg.on``): arbitrary Python binary reducer over one column via
+    RDD tree-reduce. Slow path — prefer ``Agg.reduce`` (declarative,
+    codegen) whenever the reducer is a named aggregate."""
+    return MayFail.of(lambda: df.select(column).rdd.map(lambda r: r[0]).treeReduce(f))
