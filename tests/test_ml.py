@@ -342,3 +342,39 @@ def test_features_generators(spark):
     va = vectorise(df, ignore_columns=["s"])
     out = va.transform(df)
     assert len(out.first()["features"]) == 2  # d + i, name-sorted
+
+
+def test_pipe_helpers(spark, tmp_path, reg_df):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from thundercats_spark.ml import pipe as P
+
+    va = VectorAssembler(inputCols=["v"], outputCol="features")
+    lr = LinearRegression(featuresCol="features", labelCol="z", predictionCol="pred")
+    pl = Pipeline(stages=[va, lr])
+
+    # estimator extraction / transformer-only split (reference Pipe test)
+    est_only = P.estimator(pl).get
+    assert len(est_only.getStages()) == 1
+    trans_only = P.without_estimator(pl).get
+    assert [type(s) for s in trans_only.getStages()] == [VectorAssembler]
+
+    # add / prepend / join
+    assert len(P.add(pl, lr).get.getStages()) == 3
+    assert len(P.prepend(pl, va).get.getStages()) == 3
+    assert len(P.join(pl, pl).get.getStages()) == 2
+
+    # rewire label col (set_* on the final stage)
+    rewired = P.set_label_col(pl, "noise").get
+    assert rewired.getStages()[-1].getLabelCol() == "noise"
+    assert pl.getStages()[-1].getLabelCol() == "z"  # original untouched
+
+    # save/load round trip of a fitted model + fitted_estimator unwrap
+    model = pl.fit(reg_df)
+    path = str(tmp_path / "pipe_model")
+    P.save(path, model).get
+    back = P.load(path).get
+    fe = P.fitted_estimator(back).get
+    assert type(fe).__name__ == "LinearRegressionModel"
