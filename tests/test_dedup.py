@@ -86,3 +86,22 @@ def test_minhash_recall_vs_exact_on_documents(spark, sf_dir):
     if truth:
         recall = len(found & truth) / len(truth)
         assert recall >= 0.8, f"recall {recall} over {len(truth)} pairs"
+
+
+def test_fast_kernels_match_expression_versions(spark, sf_dir):
+    """Arrow kernels must be bit-identical to the pure-JVM expressions."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    # simhash
+    slow = {r["doc_id"]: r["h"] for r in docs.select("doc_id", dedup.simhash(F.col("text")).alias("h")).collect()}
+    fast = {r["doc_id"]: r["sh"] for r in dedup.simhash_fast(docs.select("doc_id", "text"), "text").collect()}
+    assert slow == fast
+    # minhash
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(dedup.shingle_hashes(dedup.word_shingles(F.col("text"), 3))).alias("hs"),
+    )
+    slow_sig = {r["id"]: list(r["s"]) for r in sh.select("id", dedup.minhash_signature(F.col("hs"), 64).alias("s")).collect()}
+    fast_sig = {r["id"]: list(r["sig"]) for r in dedup.minhash_signature_fast(sh, "hs", 64).collect()}
+    assert slow_sig == fast_sig

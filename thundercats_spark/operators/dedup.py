@@ -21,8 +21,11 @@ Embedding near-dup (cosine) lives in operators/similarity.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -172,9 +175,7 @@ def minhash_lsh_pairs(
             shingle_hashes(word_shingles(F.col(text_col), shingle_n))
         ).alias("hs"),
     )
-    sig = sh.select(
-        "id", "hs", minhash_signature(F.col("hs"), num_hashes, seed).alias("sig")
-    )
+    sig = minhash_signature_fast(sh, "hs", num_hashes, seed)
     buckets = sig.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), bands)).alias("bucket")
     )
@@ -253,7 +254,9 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: candidates share one of four 15-bit
     bands (any pair within Hamming ≤3 of the 60 bits must agree on ≥1
     band by pigeonhole), verified with bit_count(xor)."""
-    h = ensure_parallelism(df).select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    h = simhash_fast(
+        ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(text_col)), text_col
+    ).select("id", "sh")
     bands = h.select(
         "id",
         "sh",
@@ -345,3 +348,66 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# Arrow-vectorized signature kernels
+#
+# The pure-expression signatures above are correct and JVM-only, but at
+# k=64 permutations (or 60 bits) the generated code exceeds what
+# whole-stage codegen handles well and evaluation goes interpreted.
+# These kernels keep the HASHING in the JVM (xxhash64 — deterministic,
+# identical values) and move only the dense integer math (k×|shingles|
+# multiply-mod-min / bit-majority) into numpy over Arrow batches, where
+# it vectorizes. Results are bit-identical to the expression versions
+# (tested), so callers can switch freely; the *_pairs operators default
+# to the vectorized path.
+# --------------------------------------------------------------------------
+
+
+def _minhash_np_udf(num_hashes: int, seed: int):
+    params = np.array(_perm_params(num_hashes, seed), dtype=np.int64)
+    a = params[:, 0][None, :]  # (1, k)
+    b = params[:, 1][None, :]
+
+    @pandas_udf("array<long>")
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for row in hs:
+            h = np.asarray(row, dtype=np.int64)[:, None]  # (n, 1), already < 2^31
+            m = (a * h + b) % _P  # (n, k) int64 — no overflow: < 2^62
+            out.append(m.min(axis=0))
+        return pd.Series(out)
+
+    return sig
+
+
+def _simhash_np_udf(bits: int):
+    shifts = np.arange(bits, dtype=np.uint64)[None, :]
+    weights = (1 << np.arange(bits, dtype=np.uint64)).astype(np.uint64)
+
+    @pandas_udf("long")
+    def sig(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        for k, row in enumerate(hs):
+            h = np.asarray(row, dtype=np.int64).astype(np.uint64)[:, None]  # (n,1)
+            ones = ((h >> shifts) & 1).sum(axis=0)  # (bits,)
+            maj = (2 * ones > len(row)).astype(np.uint64)
+            out[k] = int((maj * weights).sum())
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_signature_fast(df: DataFrame, hs_col: str, num_hashes: int = 64, seed: int = 42):
+    """df + ``sig`` column from pre-hashed shingles (Arrow kernel)."""
+    return df.withColumn("sig", _minhash_np_udf(num_hashes, seed)(F.col(hs_col)))
+
+
+def simhash_fast(df: DataFrame, text_col: str, bits: int = SIMHASH_BITS):
+    """df + ``sh`` column: xxhash64 tokens in the JVM, bit-majority in
+    numpy. Identical values to ``simhash`` (same hashes, same rule)."""
+    tok_hashes = F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t))
+    return df.withColumn("__th", tok_hashes).withColumn(
+        "sh", _simhash_np_udf(bits)(F.col("__th"))
+    ).drop("__th")
