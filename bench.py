@@ -40,6 +40,12 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_lang_id",
     "doc_fingerprint",
+    # wave 2/3
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "events_resample_ffill",
+    "llm_clean_pipeline",
+    "dedup_connected_groups",
 ]
 
 

@@ -34,11 +34,16 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize ONCE: the edge list feeds every iteration and every
+        # convergence check — without this the upstream plan (often an
+        # expensive pair-mining job) re-executes per iteration.
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
     )
     for i in range(max_iter):
         neigh = (
@@ -51,8 +56,11 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+        # checkpoint every round: the convergence check + next iteration
+        # both consume new_labels, and the iteration plan would otherwise
+        # deepen geometrically. (checkpoint_every kept for API compat.)
+        _ = checkpoint_every
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
