@@ -386,3 +386,168 @@ def events_resample_ffill(spark, sf_dir):
         F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
         "value",
     ).orderBy("user_id", "grid_ts")
+
+
+# --------------------------------------------------------------------------
+# Q15 adaptation — top supplier(s) by revenue in a window (CTE + max)
+# --------------------------------------------------------------------------
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", Q15_SQL)
+def q15_top_supplier(spark, sf_dir):
+    t = load(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _sum_exact(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    # rank-over-empty-partition keeps it one pass (vs scalar-subquery rescan)
+    w = Window.orderBy(F.desc("total_revenue"))
+    top = rev.withColumn("__r", F.rank().over(w)).where(F.col("__r") == 1).drop("__r")
+    return (
+        t["supplier"]
+        .join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape — per-part argmin: the cheapest supplier of each part
+# --------------------------------------------------------------------------
+
+Q2_SQL = """
+SELECT l_partkey, l_suppkey, min_avg_price FROM (
+  SELECT l_partkey, l_suppkey,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS min_avg_price,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), l_suppkey
+         ) AS rn
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+) WHERE rn = 1
+ORDER BY l_partkey
+"""
+
+
+@register("q2_cheapest_supplier", Q2_SQL)
+def q2_cheapest_supplier(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(_avg_exact("l_extendedprice"), 6).alias("min_avg_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("min_avg_price", "l_suppkey")
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "min_avg_price")
+        .orderBy("l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT over yearly active customers
+# --------------------------------------------------------------------------
+
+SETOPS_SQL = """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+     y97 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+               AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+SELECT 'retained' AS cohort, o_custkey FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+UNION ALL
+SELECT 'churned' AS cohort, o_custkey FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+"""
+
+
+@register("customer_cohorts_setops", SETOPS_SQL)
+def customer_cohorts_setops(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+
+    def active(y0, y1):
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(f"{y0}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = active(1996, 1997), active(1997, 1998)
+    retained = y96.intersect(y97).select(F.lit("retained").alias("cohort"), "o_custkey")
+    churned = y96.exceptAll(y97).select(F.lit("churned").alias("cohort"), "o_custkey")
+    return retained.unionByName(churned)
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery through the SQL surface (spark.sql) —
+# orders priced above their customer segment's average
+# --------------------------------------------------------------------------
+
+CORRELATED_SQL = """
+WITH seg_avg AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS seg_mean
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT o_orderkey, c_mktsegment
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN seg_avg USING (c_mktsegment)
+WHERE o_totalprice > 2 * seg_mean
+ORDER BY o_orderkey
+"""
+
+
+@register("orders_above_segment_avg", CORRELATED_SQL)
+def orders_above_segment_avg(spark, sf_dir):
+    # exercise the engine's raw-SQL surface: register views, run SQL —
+    # Catalyst plans the same broadcast + single-shuffle shape.
+    t = load(spark, sf_dir, "orders", "customer")
+    t["orders"].createOrReplaceTempView("v_orders")
+    t["customer"].createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH seg_avg AS (
+          SELECT c_mktsegment,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS seg_mean
+          FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment
+        )
+        SELECT o_orderkey, c_mktsegment
+        FROM v_orders
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN seg_avg USING (c_mktsegment)
+        WHERE o_totalprice > 2 * seg_mean
+        ORDER BY o_orderkey
+        """
+    )
