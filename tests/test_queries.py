@@ -28,3 +28,28 @@ def test_entry_contract(spark):
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_registry_names_are_wellformed():
+    import re
+
+    for name in QUERIES:
+        assert re.fullmatch(r"[a-z0-9_]+", name), name
+
+
+def test_oracle_sql_mentions_known_tables_only():
+    # every oracle must reference only the driver's pre-registered views
+    import re
+
+    known = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    for name, q in QUERIES.items():
+        if not q.oracle:
+            continue
+        froms = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", q.oracle, re.I))
+        unknown = {f.lower() for f in froms} - known - {"walk"}  # CTE names
+        # allow CTE names defined in the same statement
+        ctes = {m.lower() for m in re.findall(r"(\w+)\s+AS\s*\(", q.oracle, re.I)}
+        assert unknown <= ctes, (name, unknown - ctes)
