@@ -107,3 +107,37 @@ def test_sessionize_stream_emits_on_timeout(spark, tmp_path):
         assert r["session_end"] == base + timedelta(minutes=5)
     finally:
         q.stop()
+
+
+def test_stream_stream_join(spark, tmp_path):
+    from thundercats_spark.streaming.windows import stream_stream_join
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    lpath, rpath = str(tmp_path / "l"), str(tmp_path / "r")
+    # left: purchases; right: clicks that should precede them
+    spark.createDataFrame(
+        [(1, base + timedelta(minutes=30), 100.0)],
+        "user_id long, pts timestamp, amount double",
+    ).write.mode("overwrite").parquet(lpath)
+    spark.createDataFrame(
+        [
+            (1, base + timedelta(minutes=10), 1.0),   # within 1h before -> match
+            (1, base + timedelta(minutes=40), 2.0),   # AFTER purchase -> no match
+            (2, base + timedelta(minutes=10), 3.0),   # other user -> no match
+        ],
+        "user_id long, cts timestamp, click_id double",
+    ).write.mode("overwrite").parquet(rpath)
+
+    lstream = spark.readStream.schema("user_id long, pts timestamp, amount double").parquet(lpath)
+    rstream = (
+        spark.readStream.schema("user_id long, cts timestamp, click_id double")
+        .parquet(rpath)
+        .withColumnRenamed("user_id", "r_user_id")
+    )
+    joined = stream_stream_join(
+        lstream, rstream.withColumnRenamed("r_user_id", "user_id"), "user_id", "pts", "cts"
+    ).select(lstream["user_id"], "amount", "click_id")
+    run_stream_to_memory(joined, "ss_join")
+    rows = spark.sql("SELECT * FROM ss_join").collect()
+    assert len(rows) == 1
+    assert rows[0]["click_id"] == 1.0

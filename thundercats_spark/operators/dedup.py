@@ -411,3 +411,42 @@ def simhash_fast(df: DataFrame, text_col: str, bits: int = SIMHASH_BITS):
     return df.withColumn("__th", tok_hashes).withColumn(
         "sh", _simhash_np_udf(bits)(F.col("__th"))
     ).drop("__th")
+
+
+# --------------------------------------------------------------------------
+# Corpus-statistics scoring (quality signal beyond per-row heuristics):
+# bigram log-probability of each document under the corpus's own
+# empirical bigram distribution. Distributed: explode bigrams → count →
+# broadcast-join counts back → per-doc mean log prob. Low scores flag
+# outlier/garbled documents; high scores flag boilerplate.
+# --------------------------------------------------------------------------
+
+
+def corpus_bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (id_col, n_bigrams, avg_logprob) with
+    P(bigram) = count(bigram) / total_bigrams over the whole corpus."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
+    )
+    counts = exploded.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    scored = (
+        exploded.join(F.broadcast(counts), "bg")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 6).alias("avg_logprob"),
+        )
+    )
+    return scored

@@ -339,3 +339,33 @@ def dedup_connected_groups(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
     pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
     return connected_components(pairs).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# Corpus-statistics quality: per-doc mean bigram log-probability
+# --------------------------------------------------------------------------
+
+BIGRAM_LP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents
+), bg AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+  FROM toks
+  WHERE len(t) >= 2
+), counts AS (
+  SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg
+), total AS (
+  SELECT SUM(c) AS t FROM counts
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln(c * 1.0 / t)), 6) AS avg_logprob
+FROM bg b JOIN counts USING (bg), total
+GROUP BY b.doc_id
+"""
+
+
+@register("doc_bigram_logprob", BIGRAM_LP_SQL)
+def doc_bigram_logprob(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return dedup.corpus_bigram_logprob(d, "text", "doc_id")

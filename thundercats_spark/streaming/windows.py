@@ -119,3 +119,27 @@ def run_stream_to_memory(out: DataFrame, name: str, timeout_s: float = 20.0, mod
     finally:
         q.stop()
     return q
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time bound: right events
+    within [left_ts - within, left_ts]. Watermarks on BOTH sides are
+    mandatory — they let Spark evict join state; without the time bound
+    the state would grow forever."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= F.expr(f"{left_ts} - INTERVAL {within}"))
+        & (rw[right_ts] <= lw[left_ts])
+    )
+    return lw.join(rw, cond, how)
