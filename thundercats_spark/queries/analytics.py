@@ -551,3 +551,98 @@ def orders_above_segment_avg(spark, sf_dir):
         ORDER BY o_orderkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q7 adaptation — shipping volume between nation pairs by year
+# --------------------------------------------------------------------------
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_nation_volume", Q7_SQL)
+def q7_nation_volume(spark, sf_dir):
+    t = load(spark, sf_dir, "lineitem", "orders", "supplier", "customer", "nation")
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sup = t["supplier"].join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = t["customer"].join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk")).select(
+        "c_custkey", "cust_nation"
+    )
+    ords = t["orders"].select("o_orderkey", "o_custkey")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_sum_exact(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 adaptation — profit by part-type and nation per year
+# --------------------------------------------------------------------------
+
+Q9_SQL = """
+SELECT n_name, o_year, p_type,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+CROSS JOIN LATERAL (SELECT year(o_orderdate) AS o_year) y
+GROUP BY n_name, o_year, p_type
+ORDER BY n_name, o_year DESC, p_type
+"""
+
+
+@register("q9_product_profit", Q9_SQL)
+def q9_product_profit(spark, sf_dir):
+    t = load(spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation")
+    li = t["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    ords = t["orders"].select("o_orderkey", "o_orderdate")
+    part = t["part"].select("p_partkey", "p_type")
+    sup = t["supplier"].join(
+        F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"), "p_type")
+        .agg(_sum_exact(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("profit"))
+        .orderBy(F.asc("n_name"), F.desc("o_year"), F.asc("p_type"))
+    )
