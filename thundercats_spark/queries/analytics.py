@@ -614,14 +614,13 @@ def q7_nation_volume(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 Q9_SQL = """
-SELECT n_name, o_year, p_type,
+SELECT n_name, year(o_orderdate) AS o_year, p_type,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS profit
 FROM lineitem
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN part     ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
-CROSS JOIN LATERAL (SELECT year(o_orderdate) AS o_year) y
 GROUP BY n_name, o_year, p_type
 ORDER BY n_name, o_year DESC, p_type
 """
