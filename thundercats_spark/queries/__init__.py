@@ -52,6 +52,13 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect populates the registry.
-    from thundercats_spark.queries import analytics, llm_ops, relational, tpch, tpch2  # noqa: F401
+    from thundercats_spark.queries import (  # noqa: F401
+        analytics,
+        analytics2,
+        llm_ops,
+        relational,
+        tpch,
+        tpch2,
+    )
 
     return dict(_REGISTRY)

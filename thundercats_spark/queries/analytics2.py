@@ -1,0 +1,302 @@
+"""Fifth query wave: analytic surface widening — corpus TF-IDF, event
+range (interval) joins, CUBE grouping sets, PIVOT, ntile quantile
+bucketing, and lag-window gap analysis. Every query keeps the
+cross-engine exactness discipline (decimal money sums → double,
+integer-µs time compares, ROUND(6) on genuinely-float scores,
+tie-broken deterministic rankings).
+
+Reference parity: these compose the same Group/Join/Window primitives
+the reference exposes (physical/Op.scala:30-150); TF-IDF extends the
+text-analysis family mandated for LLM-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from thundercats_spark.queries import load, register
+from thundercats_spark.queries.tpch import _dec, _sum_exact
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document. Tokenization = literal single-space
+# split (the corpus is pre-normalized); tf and df are exact integers;
+# the only float is ln(N/df), rounded to 6dp before ranking so the
+# row_number tie-break (term asc) is engine-stable.
+# Scale: two shuffles (doc-term tf, term df) + one broadcast of the
+# term→df map back onto the tf relation; no cross join, no collect.
+# --------------------------------------------------------------------------
+
+TFIDF_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM words WHERE term <> '' GROUP BY doc_id, term
+),
+docfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+) t
+WHERE rk <= 3
+ORDER BY doc_id, tfidf DESC, term
+"""
+
+
+@register("doc_tfidf_top_terms", TFIDF_SQL)
+def doc_tfidf_top_terms(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")["documents"]
+    n_docs = docs.count()  # scalar; one job over footer-only row counts
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
+# --------------------------------------------------------------------------
+# Event range join: for every click, purchases by the same user within
+# the following 5 minutes. Equi-join on user_id with an integer-µs
+# band predicate in the join condition (events are TIMESTAMP(NANOS);
+# all compares in µs per the load() contract). LEFT join keeps
+# zero-conversion clicks. Scale: shuffles only on user_id; the band
+# filter runs inside the join; at extreme scale the same shape
+# bucket-joins on (user_id, time_bucket).
+# --------------------------------------------------------------------------
+
+RANGE_JOIN_SQL = """
+SELECT a.event_id,
+       COUNT(b.t1) AS n_purchases,
+       CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(12,2))), CAST(0 AS DECIMAL(12,2))) AS DOUBLE)
+         AS purchase_value
+FROM (SELECT event_id, user_id, epoch_us(ts) AS t0 FROM events WHERE event_type = 'click') a
+LEFT JOIN (SELECT user_id, epoch_us(ts) AS t1, value FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND b.t1 >= a.t0 AND b.t1 < a.t0 + 300000000
+GROUP BY a.event_id
+ORDER BY a.event_id
+"""
+
+
+@register("events_range_join", RANGE_JOIN_SQL)
+def events_range_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")["events"]
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t0")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.unix_micros("ts").alias("t1"), "value"
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("t1") >= F.col("t0"))
+        & (F.col("t1") < F.col("t0") + 300_000_000),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(
+            F.count("t1").alias("n_purchases"),
+            F.coalesce(F.sum(_dec("value")), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE over (status, priority): all four grouping sets in one pass.
+# GROUPING() flags disambiguate "real NULL" from "subtotal"; keys are
+# coalesced to 'ALL' so the output is null-free and sortable.
+# --------------------------------------------------------------------------
+
+CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER)   AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, status, priority
+"""
+
+
+@register("orders_cube_summary", CUBE_SQL)
+def orders_cube_summary(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _sum_exact(_dec("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("g_status", "g_priority", "status", "priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# PIVOT: order revenue by year × priority, priorities widened to
+# columns. Spark's pivot with an explicit value list (no extra
+# distinct-values job — required at scale); oracle mirrors with
+# conditional aggregation.
+# --------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+PIVOT_SQL = """
+SELECT year(o_orderdate) AS o_year,
+""" + ",\n".join(
+    f"""       CAST(SUM(CASE WHEN o_orderpriority = '{p}'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "{p}" """
+    for p in _PRIORITIES
+) + """
+FROM orders
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("orders_pivot_by_priority", PIVOT_SQL)
+def orders_pivot_by_priority(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        o.select(
+            F.year("o_orderdate").alias("o_year"),
+            "o_orderpriority",
+            _dec("o_totalprice").alias("price"),
+        )
+        .groupBy("o_year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.sum("price").cast("double"))
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# ntile quartiles: account-balance quartile profile per market segment.
+# The ntile ORDER BY carries the primary key so bucket edges are
+# deterministic under ties.
+# --------------------------------------------------------------------------
+
+QUARTILE_SQL = """
+SELECT c_mktsegment, quartile,
+       COUNT(*) AS n_customers,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+) t
+GROUP BY c_mktsegment, quartile
+ORDER BY c_mktsegment, quartile
+"""
+
+
+@register("customer_balance_quartiles", QUARTILE_SQL)
+def customer_balance_quartiles(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_mktsegment", "c_acctbal", "c_custkey")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+            _sum_exact(_dec("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Order cadence: per-customer gaps between consecutive orders via a lag
+# window (deterministic order: date then key), aggregated to integer
+# day statistics. The avg surfaces as exact-sum/count.
+# --------------------------------------------------------------------------
+
+GAPS_SQL = """
+SELECT o_custkey,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+       CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS avg_gap_days
+FROM (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+) t
+WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@register("customer_order_gaps", GAPS_SQL)
+def customer_order_gaps(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn(
+            "gap_days", F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_days").cast("bigint").alias("total_gap_days"),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+            (F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias("avg_gap_days"),
+        )
+        .orderBy("o_custkey")
+    )
