@@ -76,3 +76,41 @@ def test_hyperplane_signature_deterministic(emb):
     a = emb.select(sig.alias("s")).collect()
     b = emb.select(sig.alias("s")).collect()
     assert [r["s"] for r in a] == [r["s"] for r in b]
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(emb):
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    exact = [(r["vec_id"], r["cos"]) for r in similarity.ann_topk_bruteforce(emb, qv, k=10).collect()]
+    cents = similarity.ivf_train(emb, n_clusters=8, iters=3)
+    full = [
+        (r["vec_id"], r["cos"])
+        for r in similarity.ann_topk_ivf(
+            emb, qv, k=10, n_clusters=8, nprobe=8, centroids=cents
+        ).collect()
+    ]
+    assert full == exact  # nprobe = n_clusters degrades to exact search
+
+
+def test_ivf_recall_and_determinism(emb):
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    exact = [r["vec_id"] for r in similarity.ann_topk_bruteforce(emb, qv, k=10).collect()]
+    cents = similarity.ivf_train(emb, n_clusters=8, iters=3)
+    cents2 = similarity.ivf_train(emb, n_clusters=8, iters=3)
+    assert cents == cents2  # deterministic init + Lloyd
+    approx = [
+        r["vec_id"]
+        for r in similarity.ann_topk_ivf(
+            emb, qv, k=10, n_clusters=8, nprobe=3, centroids=cents
+        ).collect()
+    ]
+    # the query's own cell is always probed → its exact neighbors inside
+    # that cell are found; labeled clusters make recall non-trivial
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, recall
+
+
+def test_ivf_assign_covers_all_clusters(emb):
+    cents = similarity.ivf_train(emb, n_clusters=4, iters=3)
+    counts = similarity.ivf_assign(emb, cents).groupBy("__cluster").count().collect()
+    assert sum(r["count"] for r in counts) == emb.count()
+    assert {r["__cluster"] for r in counts} <= set(range(4))

@@ -20,6 +20,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -111,6 +114,107 @@ def ann_topk_lsh(
     return ann_topk_bruteforce(bucketed, query_vec, k, vec_col, id_col).select(
         id_col, "cos"
     )
+
+
+def ivf_train(
+    df: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: Lloyd's k-means with deterministic
+    init (the ``n_clusters`` rows with smallest ``xxhash64(id, seed)`` —
+    a seeded pseudo-random sample that reproduces across runs).
+
+    Each iteration is one distributed pass: assign (Arrow kernel,
+    argmax dot against the centroid matrix) + groupBy-mean re-center.
+    Only the (n_clusters × dim) centroid matrix ever reaches the
+    driver — the index build streams at any scale.
+    """
+    df = ensure_parallelism(df)
+    init = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h", id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = np.array([list(r[vec_col]) for r in init], dtype=np.float64)
+    centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids.tolist(), vec_col)
+        agg = (
+            assigned.groupBy("__cluster")
+            .agg(
+                F.array(*[
+                    F.sum(F.col(vec_col).getItem(i).cast("double"))
+                    for i in range(centroids.shape[1])
+                ]).alias("vsum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        for r in agg:
+            mean = np.array(r["vsum"], dtype=np.float64) / r["n"]
+            nrm = np.linalg.norm(mean)
+            if nrm > 1e-12:
+                new[r["__cluster"]] = mean / nrm
+        if np.allclose(new, centroids):
+            break
+        centroids = new
+    return centroids.tolist()
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``__cluster`` = argmax cosine(v, centroid). Vectorized Arrow
+    kernel: one matmul per batch against the (small) centroid matrix
+    captured in the UDF closure — no shuffle, no per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array(centroids, dtype=np.float64)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        m = np.stack(v.apply(lambda x: np.asarray(x, dtype=np.float64)))
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cmat.T, axis=1).astype("int32"))
+
+    return df.withColumn("__cluster", nearest(F.col(vec_col)))
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
+    query, exact-rerank inside those cells. With a persisted assignment
+    (write partitioned/bucketed by ``__cluster``) the probe is a
+    partition-pruned scan of nprobe/n_clusters of the data; ``nprobe =
+    n_clusters`` degrades gracefully to exact search."""
+    if centroids is None:
+        centroids = ivf_train(df, n_clusters, vec_col, id_col, seed=seed)
+    cmat = np.array(centroids, dtype=np.float64)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probe = [int(i) for i in np.argsort(-(cmat @ q))[:nprobe]]
+
+    cells = ivf_assign(df, centroids, vec_col).where(F.col("__cluster").isin(probe))
+    return ann_topk_bruteforce(cells, query_vec, k, vec_col, id_col).select(id_col, "cos")
 
 
 def cosine_pairs_bruteforce(

@@ -146,6 +146,17 @@ def ann_lsh_topk_q(spark, sf_dir):
     return similarity.ann_topk_lsh(e.where(F.col("vec_id") != 0), qv, k=10)
 
 
+@register("ann_ivf_topk", None)
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF coarse-quantizer ANN: Lloyd-trained centroids, nprobe-cell
+    probe, exact rerank (rows-only check; recall is pytest-gated)."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.ann_topk_ivf(
+        e.where(F.col("vec_id") != 0), qv, k=10, n_clusters=8, nprobe=3
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
