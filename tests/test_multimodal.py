@@ -59,3 +59,28 @@ def test_dedup_exact_media(spark):
     assert len(rows) == 6
     assert all(r["n_copies"] == 2 for r in rows)
     assert {r["media_id"] for r in rows} == set(range(6))  # min-id survives
+
+
+def test_read_media_dir_binaryfile_source(spark, tmp_path):
+    from thundercats_spark.multimodal.binary import decode_image_features, read_media_dir
+
+    payloads = {}
+    for i in range(3):
+        p = tmp_path / f"img_{i}.png"
+        data = bytes([i]) * 100
+        p.write_bytes(data)
+        payloads[f"img_{i}.png"] = data
+    (tmp_path / "notes.txt").write_bytes(b"skip me")
+
+    df = read_media_dir(spark, str(tmp_path), glob="*.png")
+    rows = df.collect()
+    assert len(rows) == 3  # glob filter excludes the txt file
+    by_name = {r["source_path"].rsplit("/", 1)[-1]: r for r in rows}
+    for name, data in payloads.items():
+        assert bytes(by_name[name]["payload"]) == data
+        assert by_name[name]["meta"]["codec"] == "png"
+        assert by_name[name]["n_bytes"] == len(data)
+    assert len({r["media_id"] for r in rows}) == 3
+
+    feats = decode_image_features(df).collect()  # downstream contract holds
+    assert len(feats) == 3 and all(len(f["feature"]) == 32 for f in feats)

@@ -136,6 +136,38 @@ def repartition_for_payload(df: DataFrame, target_mb: int = 64, avg_row_mb: floa
     return df.repartition(max(1, rows // per_part))
 
 
+def read_media_dir(
+    spark,
+    path: str,
+    glob: str | None = None,
+    media_type: str = "image",
+) -> DataFrame:
+    """Ingest a directory of media files with Spark's ``binaryFile``
+    source — the distributed on-ramp from object storage into the
+    MEDIA_SCHEMA contract. The source parallelizes over files, prunes
+    on ``pathGlobFilter``, and exposes path/length/modificationTime
+    without reading payloads (footer-only listing); payload bytes load
+    lazily per task. ``media_id`` is the path hash (stable across
+    re-ingestion); original path is kept for lineage."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    return df.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1).alias("codec"),
+        ).alias("meta"),
+        F.col("path").alias("source_path"),
+        F.col("length").alias("n_bytes"),
+    )
+
+
 def make_synthetic_media(spark, n: int = 32, media_type: str = "image") -> DataFrame:
     """Deterministic synthetic media table for tests (payload = seeded
     bytes; metadata filled in)."""
