@@ -141,3 +141,33 @@ def test_stream_stream_join(spark, tmp_path):
     rows = spark.sql("SELECT * FROM ss_join").collect()
     assert len(rows) == 1
     assert rows[0]["click_id"] == 1.0
+
+
+def test_stream_upsert_parquet_idempotent_by_key(spark, tmp_path):
+    import json
+
+    from thundercats_spark.streaming.windows import stream_upsert_parquet
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "user_id long, v long"
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"user_id": u, "v": 1}) for u in (1, 2, 2))
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = stream_upsert_parquet(stream, sink, keys=["user_id"], checkpoint=ckpt)
+    try:
+        q.processAllAvailable()
+        # second file re-delivers key 2 and introduces key 3
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps({"user_id": u, "v": 2}) for u in (2, 3))
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r["user_id"] for r in rows) == [1, 2, 3]  # no dupes
+    by_key = {r["user_id"]: r["v"] for r in rows}
+    assert by_key[2] == 1  # first write wins; replay didn't overwrite

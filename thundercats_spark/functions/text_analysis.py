@@ -135,3 +135,38 @@ def doc_fingerprint_poly(text: Column, mod: int = 2147483647, base: int = 31) ->
         F.lit(0).cast("long"),
         lambda acc, c: (acc * base + c.cast("long")) % F.lit(mod).cast("long"),
     )
+
+
+def distinct_word_ratio(text: Column) -> Column:
+    """|unique words| / |words| — low values flag template/spam docs.
+    Pure JVM expression (array_distinct over the token array)."""
+    toks = tokens(text)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Positional word n-grams as strings (1-indexed element_at over the
+    token array; sequence bounds keep it in-range)."""
+    toks = tokens(text)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def duplicate_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-gram occurrences that are repeats of an
+    earlier occurrence — the Gopher-style repetition signal. 0 for
+    diverse text, →1 for looping/template text. JVM-only: dedups the
+    n-gram array and compares sizes (no shuffle, no UDF)."""
+    grams = word_ngrams(text, n)
+    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+        (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
+        / F.size(grams)
+    )

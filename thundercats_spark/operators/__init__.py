@@ -1,5 +1,10 @@
 from thundercats_spark.operators.asof import asof_join
 from thundercats_spark.operators.components import connected_components, dedup_groups
+from thundercats_spark.operators.curation import (
+    rebalance_fractions,
+    rebalance_to_mix,
+    source_mix,
+)
 from thundercats_spark.operators.dedup import (
     corpus_bigram_logprob,
     dedup_exact,
@@ -40,4 +45,7 @@ __all__ = [
     "cosine_pairs_lsh",
     "salted_agg",
     "salted_join",
+    "source_mix",
+    "rebalance_fractions",
+    "rebalance_to_mix",
 ]

@@ -380,3 +380,52 @@ GROUP BY b.doc_id
 def doc_bigram_logprob(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
     return dedup.corpus_bigram_logprob(d, "text", "doc_id")
+
+
+REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS bg
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN len(w) = 0 THEN 0.0
+            ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS distinct_word_ratio,
+       CASE WHEN len(bg) = 0 THEN 0.0
+            ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END
+         AS dup_bigram_fraction
+FROM grams
+ORDER BY doc_id
+"""
+
+
+@register("doc_repetition_score", REPETITION_SQL)
+def doc_repetition_score(spark, sf_dir):
+    """Gopher-style repetition/diversity signals, JVM-expression-only —
+    runs at scan speed with no shuffle (extends the quality family of
+    reference preprocess/Text.scala)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        T.distinct_word_ratio(F.col("text")).alias("distinct_word_ratio"),
+        T.duplicate_ngram_fraction(F.col("text"), 2).alias("dup_bigram_fraction"),
+    ).orderBy("doc_id")
+
+
+SOURCE_MIX_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS fraction
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@register("doc_source_mix", SOURCE_MIX_SQL)
+def doc_source_mix(spark, sf_dir):
+    from thundercats_spark.operators.curation import source_mix
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return source_mix(d, "source")

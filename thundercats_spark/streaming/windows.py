@@ -143,3 +143,35 @@ def stream_stream_join(
         & (rw[right_ts] <= lw[left_ts])
     )
     return lw.join(rw, cond, how)
+
+
+def stream_upsert_parquet(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    checkpoint: str | None = None,
+):
+    """Idempotent key-based parquet sink via ``foreachBatch``: each
+    micro-batch dedups within itself, anti-joins against keys already
+    in the sink, and appends only new keys — so replayed batches
+    (at-least-once upstream) can't double-write. Returns the started
+    StreamingQuery.
+
+    Scale: the anti-join reads only the key columns of the sink
+    (column-pruned parquet scan); at very large sinks partition the
+    sink by a key prefix or date so the anti-join prunes partitions."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        b = batch.dropDuplicates(list(keys))
+        spark = batch.sparkSession
+        try:
+            existing = spark.read.parquet(path).select(*keys)
+            b = b.join(existing, list(keys), "left_anti")
+        except Exception:  # noqa: BLE001 - first batch: sink doesn't exist yet
+            pass
+        b.write.mode("append").parquet(path)
+
+    w = stream.writeStream.foreachBatch(upsert).outputMode("update")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
