@@ -1,0 +1,103 @@
+"""Example app — end-to-end LLM training-corpus curation over the
+driver's ``documents`` table, composing the engine's curation family:
+
+  1. quality gate      — length/punct/stopword score + repetition
+                         signals, all JVM expressions (scan-speed)
+  2. language bucket   — n-gram/stopword language id
+  3. exact dedup       — hash-groupBy, keeps min doc_id per text
+  4. near dedup        — MinHash-LSH candidate pairs → connected
+                         components → one survivor per duplicate group
+  5. source rebalance  — seeded sampleBy toward a uniform source mix
+  6. fingerprint+stats — stable ids and corpus accounting
+
+Every stage stays declarative (no collect in the data path), so the
+same code runs at 100 TB: filters fuse into the parquet scan, dedup
+shuffles only 64-bit keys, and rebalancing samples in the scan stage.
+
+Run: python examples/llm_corpus_curation.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import pyspark.sql.functions as F
+
+from thundercats_spark.functions import text_analysis as T
+from thundercats_spark.operators import (
+    dedup_groups,
+    minhash_lsh_pairs,
+    rebalance_to_mix,
+    source_mix,
+)
+from thundercats_spark.operators.dedup import dedup_exact
+from thundercats_spark.session import get_spark
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("llm-corpus-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1-2) quality + repetition + language, one projection — no shuffle.
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.distinct_word_ratio(F.col("text")).alias("diversity"),
+        T.duplicate_ngram_fraction(F.col("text"), 2).alias("repetition"),
+        T.lang_id(F.col("text")).alias("lang"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+    kept = scored.where(
+        (F.col("quality") >= 0.3)
+        & (F.col("repetition") <= 0.98)
+        & (F.col("n_tokens") >= 8)
+    )
+    n1 = kept.count()
+
+    # 3) exact dedup (content hash; survivor = min doc_id).
+    exact = dedup_exact(kept, "text", "doc_id")
+    n2 = exact.count()
+
+    # 4) near dedup: LSH candidates → transitive groups → survivors.
+    pairs = minhash_lsh_pairs(exact, "text", "doc_id", threshold=0.5)
+    groups = dedup_groups(exact.select("doc_id"), pairs, "doc_id")
+    survivors = exact.join(
+        groups.where(F.col("doc_id") == F.col("group_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n3 = survivors.count()
+
+    # 5) rebalance sources toward uniform.
+    sources = [r["source"] for r in survivors.select("source").distinct().collect()]
+    balanced = rebalance_to_mix(
+        survivors, {s: 1.0 / len(sources) for s in sources}, seed=13
+    )
+    n4 = balanced.count()
+
+    # 6) stable fingerprints + final accounting.
+    final = balanced.select(
+        "doc_id", "source", "lang", "n_tokens",
+        T.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    print(f"corpus:    {n0} docs")
+    print(f"quality:   {n1} kept ({n0 - n1} filtered)")
+    print(f"exact-dup: {n2} kept ({n1 - n2} removed)")
+    print(f"near-dup:  {n3} kept ({n2 - n3} removed)")
+    print(f"rebalance: {n4} kept ({n3 - n4} sampled out)")
+    print("final mix:")
+    for r in source_mix(final, "source").collect()[:8]:
+        print(f"  {r['source']}: {r['n_docs']} ({r['fraction']:.3f})")
+    final.orderBy("doc_id").show(5, truncate=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -122,3 +122,17 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_upsert_parquet_idempotent(spark, tmp_path):
+    from thundercats_spark.physical.io import Write
+
+    sink = str(tmp_path / "upsert")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b2")], "k int, v string")
+    assert not Write.upsert_parquet(b1, sink, ["k"]).is_failing
+    # replay b1 plus a new key — replayed keys must not double-write
+    b2 = spark.createDataFrame([(2, "b3"), (3, "c")], "k int, v string")
+    assert not Write.upsert_parquet(b2, sink, ["k"]).is_failing
+    assert not Write.upsert_parquet(b2, sink, ["k"]).is_failing  # full rerun
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r["k"] for r in rows) == [1, 2, 3]

@@ -378,6 +378,29 @@ class Write:
         return MayFail.of(run)
 
     @staticmethod
+    def upsert_parquet(
+        df: DataFrame, path: str, keys: list[str]
+    ) -> MayFail[DataFrame]:
+        """Key-based idempotent parquet append: dedup the incoming frame
+        on ``keys``, anti-join against keys already in the sink, append
+        only new keys. Batch twin of streaming
+        ``stream_upsert_parquet`` — re-running the same load can't
+        double-write. The anti-join scans only the sink's key columns
+        (column pruning); partition the sink to prune further at scale."""
+
+        def run():
+            b = df.dropDuplicates(keys)
+            try:
+                existing = df.sparkSession.read.parquet(path).select(*keys)
+                b = b.join(existing, keys, "left_anti")
+            except Exception:  # noqa: BLE001 - sink doesn't exist yet
+                pass
+            b.write.mode("append").parquet(path)
+            return df
+
+        return MayFail.of(run)
+
+    @staticmethod
     def format(
         df: DataFrame, fmt: str, options: dict[str, str], mode: str = "append"
     ) -> MayFail[DataFrame]:
