@@ -300,3 +300,104 @@ def customer_order_gaps(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion: users progressing view → click → purchase in strict
+# time order (first-touch per stage). Three min-aggs chained by
+# time-threshold joins — each stage shuffles once on user_id, then the
+# three counts meet in 1-row cross joins. All compares in integer µs.
+# --------------------------------------------------------------------------
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel
+"""
+
+
+@register("events_funnel_conversion", FUNNEL_SQL)
+def events_funnel_conversion(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")["events"]
+    t = F.unix_micros("ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(t).alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", t.alias("tc"))
+        .join(v, "user_id")
+        .where(F.col("tc") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("tc").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", t.alias("tp"))
+        .join(c, "user_id")
+        .where(F.col("tp") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
+    )
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-seen week, activity counted
+# per week offset. Weeks via date_trunc (Monday-aligned in both
+# engines); offsets are exact day-diffs / 7 between week starts.
+# --------------------------------------------------------------------------
+
+RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS w0 FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+)
+SELECT strftime(f.w0, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.w0, a.w) / 7 AS BIGINT) AS week_offset,
+       COUNT(*) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register("events_retention_cohorts", RETENTION_SQL)
+def events_retention_cohorts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")["events"]
+    wk = F.date_trunc("week", F.col("ts"))
+    f = ev.groupBy("user_id").agg(F.min(wk).alias("w0"))
+    a = ev.select("user_id", wk.alias("w")).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("w0")) / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
