@@ -1,0 +1,77 @@
+"""Physical-plan regression gates: the scale posture (broadcasts land,
+filters push down, nothing goes cartesian, Python stays out of the hot
+path) must survive refactors. Plans are built, never executed."""
+
+import re
+
+import pytest
+
+from thundercats_spark.queries import all_queries
+
+# queries whose plan BUILD executes jobs (ivf trains centroids) or that
+# are intentionally quadratic brute-force oracles
+SKIP = {"ann_ivf_topk", "dedup_embedding_cosine"}
+# 1-row scalar-broadcast cross joins legitimately plan as BNLJ
+SCALAR_BNLJ_OK = {
+    "q11_important_parts",
+    "q22_idle_customers",
+    "doc_bigram_logprob",
+    "events_funnel_conversion",  # three 1-row stage counts
+    "doc_source_mix",  # 1-row corpus total
+}
+# Arrow-kernel operators are allowed (designed) Python-boundary nodes
+PY_EVAL_OK = {"dedup_minhash_lsh", "dedup_simhash"}
+
+
+def _plan(spark, name, sf_dir):
+    q = all_queries()[name]
+    df = q.spark_fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return {
+        name: _plan(spark, name, sf_dir)
+        for name in all_queries()
+        if name not in SKIP
+    }
+
+
+def test_no_cartesian_products(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, bad
+
+
+def test_nested_loop_only_for_scalar_broadcasts(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in SCALAR_BNLJ_OK
+    ]
+    assert not bad, bad
+
+
+def test_python_stays_out_of_hot_path(plans):
+    markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+    bad = [
+        n
+        for n, p in plans.items()
+        if any(m in p for m in markers) and n not in PY_EVAL_OK
+    ]
+    assert not bad, bad
+
+
+def test_dimension_joins_broadcast(plans):
+    # the multi-dim TPC-H shapes must plan broadcast joins for dims
+    for name in ("q5_local_supplier", "q7_nation_volume", "q8_market_share",
+                 "q9_product_profit", "q3_shipping_priority"):
+        assert "BroadcastHashJoin" in plans[name], name
+
+
+def test_filters_reach_parquet_scans(plans):
+    # selective scans must show pushed filters
+    for name in ("q1_pricing_summary", "q6_forecast_revenue",
+                 "q19_disjunctive_revenue", "q14_promo_share"):
+        assert re.search(r"PushedFilters: \[[^\]]", plans[name]), name
