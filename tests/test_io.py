@@ -136,3 +136,23 @@ def test_upsert_parquet_idempotent(spark, tmp_path):
     assert not Write.upsert_parquet(b2, sink, ["k"]).is_failing  # full rerun
     rows = spark.read.parquet(sink).collect()
     assert sorted(r["k"] for r in rows) == [1, 2, 3]
+
+
+def test_read_text_corpus_lines_and_wholefile(spark, tmp_path):
+    from thundercats_spark.physical.io import Read
+
+    (tmp_path / "a.txt").write_text("hello world\nsecond line\n")
+    (tmp_path / "b.txt").write_text("other doc\n")
+
+    lines = Read.text_corpus(spark, str(tmp_path) + "/*.txt")
+    assert not lines.is_failing
+    rows = lines.get.collect()
+    assert len(rows) == 3
+    assert {r["text"] for r in rows} == {"hello world", "second line", "other doc"}
+    assert all(r["source_path"].endswith(".txt") for r in rows)
+    assert len({r["doc_id"] for r in rows}) == 3  # content-addressed ids
+
+    whole = Read.text_corpus(spark, str(tmp_path) + "/*.txt", whole_file=True).get
+    wrows = whole.collect()
+    assert len(wrows) == 2  # one row per file
+    assert any("hello world\nsecond line" in r["text"] for r in wrows)

@@ -125,6 +125,29 @@ class Read:
     def orc(spark, path) -> MayFail[DataFrame]:
         return MayFail.of(lambda: Read.orc_df(spark, path))
 
+    @staticmethod
+    def text_corpus_df(
+        spark: SparkSession, path: str, whole_file: bool = False
+    ) -> DataFrame:
+        """Raw-text corpus on-ramp: one row per line (or per file with
+        ``whole_file``) as ``(doc_id, text, source_path)``. ``doc_id``
+        is content-addressed (xxhash64 of path + text) — stable across
+        re-ingestion and dedup-friendly (identical lines in one file
+        collapse under exact dedup by construction). Parallelizes over
+        files/splits like any file source."""
+        # NB: must be the keyword form — the `wholetext` reader OPTION is
+        # silently ignored by the text source.
+        df = spark.read.text(path, wholetext=whole_file)
+        return df.select(
+            F.xxhash64(F.input_file_name(), F.col("value")).alias("doc_id"),
+            F.col("value").alias("text"),
+            F.input_file_name().alias("source_path"),
+        )
+
+    @staticmethod
+    def text_corpus(spark, path, whole_file=False) -> MayFail[DataFrame]:
+        return MayFail.of(lambda: Read.text_corpus_df(spark, path, whole_file))
+
     # -- kafka (reference IO.scala:116-166): lazy plan; no broker locally ----
     @staticmethod
     def _kafka_decode(df: DataFrame, col_encoder: ColumnEncoder) -> DataFrame:

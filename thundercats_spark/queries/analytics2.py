@@ -401,3 +401,103 @@ def events_retention_cohorts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact interpolated percentiles per group (Spark `percentile`, DuckDB
+# `quantile_cont` — same linear interpolation; round(6) absorbs the
+# last-ulp float divergence). The scale path for approximate needs is
+# functions/profiling's sketch quantiles; this is the exact oracle.
+# --------------------------------------------------------------------------
+
+PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6)  AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6)  AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("orders_value_percentiles", PERCENTILES_SQL)
+def orders_value_percentiles(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# percent_rank / cume_dist: exact rational window ranks ((r-1)/(n-1)
+# and r/n int ratios — bit-identical across engines, no rounding).
+# --------------------------------------------------------------------------
+
+RANK_DIST_SQL = """
+SELECT c_custkey,
+       percent_rank() OVER w AS pr,
+       cume_dist()    OVER w AS cd
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@register("customer_balance_rank_dist", RANK_DIST_SQL)
+def customer_balance_rank_dist(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")["customer"]
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            "c_custkey",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlation / covariance per segment (single-pass co-moments; round(6)
+# absorbs accumulation-order float noise between engines).
+# --------------------------------------------------------------------------
+
+CORR_SQL = """
+SELECT c_mktsegment,
+       ROUND(corr(o_totalprice, c_acctbal), 6)       AS price_balance_corr,
+       ROUND(covar_samp(o_totalprice, c_acctbal), 6) AS price_balance_covar,
+       COUNT(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("orders_balance_correlation", CORR_SQL)
+def orders_balance_correlation(spark, sf_dir):
+    t = load(spark, sf_dir, "orders", "customer")
+    return (
+        t["orders"].select("o_custkey", "o_totalprice")
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_acctbal", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.corr("o_totalprice", "c_acctbal"), 6).alias("price_balance_corr"),
+            F.round(F.covar_samp("o_totalprice", "c_acctbal"), 6).alias("price_balance_covar"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
