@@ -15,6 +15,7 @@ from thundercats_spark.operators.dedup import (
     simhash,
     simhash_pairs,
 )
+from thundercats_spark.operators.incremental import Incremental, read_incremental
 from thundercats_spark.operators.resample import resample_ffill
 from thundercats_spark.operators.sessionize import sessionize
 from thundercats_spark.operators.similarity import (
@@ -46,6 +47,8 @@ __all__ = [
     "salted_agg",
     "salted_join",
     "source_mix",
+    "Incremental",
+    "read_incremental",
     "rebalance_fractions",
     "rebalance_to_mix",
 ]

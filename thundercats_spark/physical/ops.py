@@ -61,6 +61,13 @@ class Join:
         return MayFail.of(lambda: Join._join_df(df1, df2, on, "left_anti"))
 
     @staticmethod
+    def cross(df1, df2) -> MayFail[DataFrame]:
+        """Explicit cartesian product. Legitimate only when one side is
+        tiny (scalar/config frames) — broadcast it so the plan is a
+        BroadcastNestedLoopJoin, never a shuffled CartesianProduct."""
+        return MayFail.of(lambda: df1.crossJoin(df2))
+
+    @staticmethod
     def broadcast_df(
         df_big: DataFrame,
         df_tiny: DataFrame,
