@@ -10,6 +10,7 @@ from thundercats_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash,
     ensure_parallelism,
+    latest_by_key,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -34,6 +35,7 @@ __all__ = [
     "dedup_groups",
     "dedup_exact",
     "dedup_minhash",
+    "latest_by_key",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash",

@@ -21,6 +21,8 @@ Embedding near-dup (cosine) lives in operators/similarity.py.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -450,3 +452,23 @@ def corpus_bigram_logprob(
         )
     )
     return scored
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Keep each key's newest record — the snapshot-compaction dedup for
+    slowly-changing / append-only tables. One shuffle (window over the
+    key); ``order_cols`` should end with a tiebreaker (e.g. a unique id)
+    for determinism. At scale prefer this over groupBy+join-back: the
+    window sorts within partitions only."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -501,3 +501,40 @@ def orders_balance_correlation(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Latest order per customer (snapshot compaction / SCD current-view):
+# row_number window, deterministic tiebreak on the key.
+# --------------------------------------------------------------------------
+
+LATEST_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+  ) AS rn
+  FROM orders
+) t
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+@register("orders_latest_per_customer", LATEST_SQL)
+def orders_latest_per_customer(spark, sf_dir):
+    from thundercats_spark.operators.dedup import latest_by_key
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        latest_by_key(o, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.col("o_totalprice").cast("double"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -14,29 +14,12 @@ exchange counts far above the number of logical joins+aggs.
 
 from __future__ import annotations
 
-import re
 import sys
 
 sys.path.insert(0, ".")
 
 
-def audit(plan: str) -> dict:
-    return {
-        "bhj": plan.count("BroadcastHashJoin"),
-        "smj": plan.count("SortMergeJoin"),
-        "shj": plan.count("ShuffledHashJoin"),
-        "bnlj": plan.count("BroadcastNestedLoopJoin"),
-        "cartesian": plan.count("CartesianProduct"),
-        "exchanges": len(re.findall(r"\bExchange\b", plan)),
-        "scans": plan.count("Scan parquet"),
-        "pushed_scans": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
-        # Python-boundary operators: rows leave the JVM here. Should be 0
-        # except for Arrow-kernel operators (minhash/simhash/ivf/multimodal).
-        "py_eval": sum(
-            plan.count(t)
-            for t in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
-        ),
-    }
+from thundercats_spark.plans import audit_df  # noqa: E402
 
 
 def main() -> None:
@@ -52,7 +35,6 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
 
     from thundercats_spark.queries import all_queries
 
@@ -64,9 +46,7 @@ def main() -> None:
         if only and name not in only:
             continue
         try:
-            df = q.spark_fn(spark, sf_dir)
-            qe = df._jdf.queryExecution()
-            a = audit(qe.explainString(mode))
+            a = audit_df(q.spark_fn(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001 - audit must cover all queries
             print(f"{name:34s} ERROR {type(exc).__name__}: {exc}")
             continue
