@@ -156,3 +156,18 @@ def test_read_text_corpus_lines_and_wholefile(spark, tmp_path):
     wrows = whole.collect()
     assert len(wrows) == 2  # one row per file
     assert any("hello world\nsecond line" in r["text"] for r in wrows)
+
+
+def test_compact_delete_purges_keys(spark, tmp_path):
+    from thundercats_spark.physical.io import Write
+
+    path = str(tmp_path / "data")
+    spark.createDataFrame(
+        [(i, f"u{i}") for i in range(10)], "id int, name string"
+    ).write.parquet(path)
+    doomed = spark.createDataFrame([(3,), (7,), (99,)], "id int")
+    out = Write.compact_delete(spark, path, doomed, ["id"])
+    assert not out.is_failing
+    survivors = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert survivors == [0, 1, 2, 4, 5, 6, 8, 9]
+    assert sorted(r["id"] for r in out.get.collect()) == survivors

@@ -72,3 +72,28 @@ def test_single_agg_job(spark):
     )
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after - before <= 3  # one agg pass (AQE splits it into sub-jobs)
+
+
+def test_quality_properties_hypothesis(spark):
+    """Property: validate() verdicts agree with direct recomputation on
+    arbitrary small frames."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rowss = st.lists(
+        st.tuples(st.integers(0, 5), st.one_of(st.none(), st.floats(0, 100))),
+        min_size=1,
+        max_size=12,
+    )
+
+    @given(rowss)
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    def run(rows):
+        df = spark.createDataFrame(rows, "k int, v double")
+        out = validate(df, expect_unique(["k"]), expect_non_null(["v"]))
+        ks = [r[0] for r in rows]
+        vs = [r[1] for r in rows]
+        should_fail = len(ks) != len(set(ks)) or any(v is None for v in vs)
+        assert out.is_failing == should_fail
+
+    run()

@@ -22,6 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -420,6 +421,37 @@ class Write:
                 pass
             b.write.mode("append").parquet(path)
             return df
+
+        return MayFail.of(run)
+
+    @staticmethod
+    def compact_delete(
+        spark: SparkSession, path: str, delete_keys: DataFrame, keys: list[str]
+    ) -> MayFail[DataFrame]:
+        """Targeted deletion (retention purge / right-to-be-forgotten):
+        rewrite the dataset at ``path`` without rows whose key appears
+        in ``delete_keys``, via a broadcast anti join into a sibling
+        directory, then swap. Returns the surviving frame. The delete
+        set is usually tiny → broadcast; survivors stream through
+        without a shuffle. The swap is directory-level (single mover);
+        on object stores prefer writing a new versioned prefix."""
+
+        def run():
+            import shutil
+
+            from pyspark.sql.functions import broadcast
+
+            survivors = spark.read.parquet(path).join(
+                broadcast(delete_keys.select(*keys).distinct()), keys, "left_anti"
+            )
+            tmp = path.rstrip("/") + ".compact"
+            survivors.write.mode("overwrite").parquet(tmp)
+            old = path.rstrip("/") + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(path, old)
+            os.replace(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+            return spark.read.parquet(path)
 
         return MayFail.of(run)
 
