@@ -171,3 +171,41 @@ def test_stream_upsert_parquet_idempotent_by_key(spark, tmp_path):
     assert sorted(r["user_id"] for r in rows) == [1, 2, 3]  # no dupes
     by_key = {r["user_id"]: r["v"] for r in rows}
     assert by_key[2] == 1  # first write wins; replay didn't overwrite
+
+
+def test_sessionize_stream_event_time(spark, tmp_path):
+    from thundercats_spark.streaming.windows import sessionize_stream_event_time
+
+    path = str(tmp_path / "ev")
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    _write_events(
+        spark,
+        path,
+        [(1, t0, 1.0), (1, t0 + timedelta(seconds=2), 2.0)],
+    )
+    out = sessionize_stream_event_time(
+        _file_stream(spark, path), gap_ms=5_000, watermark="1 second"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_et")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a much-later event advances the watermark past user 1's gap
+        spark.createDataFrame(
+            [(2, t0 + timedelta(seconds=120), 9.0)],
+            "user_id long, ts timestamp, value double",
+        ).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        q.processAllAvailable()  # one more microbatch for timeout processing
+        rows = spark.sql("SELECT * FROM sess_et").collect()
+    finally:
+        q.stop()
+    sessions = {r["user_id"]: r for r in rows}
+    assert 1 in sessions  # user 1's session closed by the watermark
+    s = sessions[1]
+    assert s["n_events"] == 2 and abs(s["total_value"] - 3.0) < 1e-9
+    assert (s["session_end"] - s["session_start"]).total_seconds() == 2.0

@@ -110,6 +110,61 @@ def sessionize_stream(stream: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFr
     )
 
 
+def _session_fn_event_time(gap_ms: int):
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, end, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        start, end, n, total = state.get if state.exists else (None, None, 0, 0.0)
+        for pdf in pdfs:
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            vals = pdf["value"].tolist()
+            for t, v in zip(ts_us, vals):
+                start = t if start is None else min(start, t)
+                end = t if end is None else max(end, t)
+                n += 1
+                total += float(v)
+        state.update((start, end, n, total))
+        # close when the WATERMARK (not the wall clock) passes the gap
+        # beyond the session's last event — deterministic in event time.
+        state.setTimeoutTimestamp(end // 1000 + gap_ms)
+
+    return fn
+
+
+def sessionize_stream_event_time(
+    stream: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Event-time sessionization: like ``sessionize_stream`` but the
+    idle gap is measured against the stream's watermark, so results are
+    deterministic under replay/backfill regardless of processing speed
+    — the variant to use for historical reprocessing. State is bounded
+    by (live users × gap) and reclaimed as the watermark advances."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn_event_time(gap_ms),
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(out: DataFrame, name: str, timeout_s: float = 20.0, mode: str = "append"):
     """Drive a streaming DataFrame into an in-memory table until idle
     (test/debug harness; mirrors reference Screen.showDFStream)."""
