@@ -84,3 +84,32 @@ def test_read_media_dir_binaryfile_source(spark, tmp_path):
 
     feats = decode_image_features(df).collect()  # downstream contract holds
     assert len(feats) == 3 and all(len(f["feature"]) == 32 for f in feats)
+
+
+def test_resize_images_contract(spark):
+    from thundercats_spark.multimodal.binary import make_synthetic_media, resize_images
+
+    df = make_synthetic_media(spark, n=6)
+    out = resize_images(df, width=8, height=4).collect()
+    assert len(out) == 6
+    for r in out:
+        assert len(bytes(r["payload"])) <= 8 * 4  # bounded by pixel budget
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+        assert r["meta"]["codec"] == "stub"  # passthrough metadata kept
+
+
+def test_decode_audio_features_contract(spark):
+    from thundercats_spark.multimodal.binary import (
+        decode_audio_features,
+        make_synthetic_media,
+    )
+
+    df = make_synthetic_media(spark, n=4, media_type="audio")
+    out = decode_audio_features(df, window_ms=10).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["duration_ms"] >= 1
+        assert r["n_windows"] == len(r["feature"]) >= 1
+    # deterministic across runs
+    again = decode_audio_features(df, window_ms=10).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]

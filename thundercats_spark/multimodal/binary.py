@@ -176,3 +176,63 @@ def make_synthetic_media(spark, n: int = 32, media_type: str = "image") -> DataF
         payload = hashlib.sha512(struct.pack("<q", i)).digest() * 8  # 512 bytes
         rows.append((i, media_type, bytearray(payload), (64, 48, 1000, "stub")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id long, payload binary, meta struct<width:int, height:int, duration_ms:int, codec:string>"
+AUDIO_FEATURES_SCHEMA = "media_id long, duration_ms int, n_windows int, feature array<float>"
+
+
+def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) -> DataFrame:
+    """payload → resized payload with updated meta dims, one mapInPandas
+    pass. STUB resample (deterministic byte decimation to the target
+    pixel budget); the PIL branch in ``_decoder`` swaps in real
+    resampling with no contract change. Payload size is bounded by the
+    target dims, so downstream shuffles shrink accordingly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        budget = max(1, width * height)
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                data = bytes(payload)
+                # STUB: decimate/repeat bytes to the pixel budget. Real
+                # builds decode + Image.resize((width, height)) here.
+                step = max(1, len(data) // budget)
+                out = data[::step][:budget]
+                codec = meta["codec"] if meta is not None else None
+                rows.append((mid, out, (width, height, meta["duration_ms"] if meta is not None else None, codec)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return df.select("media_id", "payload", "meta").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def decode_audio_features(df: DataFrame, window_ms: int = 1000, batch_size: int = 64) -> DataFrame:
+    """Audio payload → (duration, windowed feature vector). STUB
+    decoder: duration estimated from byte length at a nominal bitrate
+    and an energy-profile-like vector from windowed byte sums — a real
+    build decodes PCM (torchaudio/ffmpeg) and emits MFCC/log-mel per
+    window through the identical contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bytes_per_ms = 16  # STUB nominal 128 kbit/s
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                duration_ms = max(1, len(data) // bytes_per_ms)
+                n_windows = max(1, duration_ms // window_ms)
+                chunk = max(1, len(data) // n_windows)
+                feat = [
+                    float(np.frombuffer(data[i * chunk : (i + 1) * chunk], dtype=np.uint8).sum())
+                    for i in range(n_windows)
+                ]
+                rows.append((mid, duration_ms, n_windows, feat))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "duration_ms", "n_windows", "feature"]
+            )
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
