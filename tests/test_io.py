@@ -138,6 +138,35 @@ def test_upsert_parquet_idempotent(spark, tmp_path):
     assert sorted(r["k"] for r in rows) == [1, 2, 3]
 
 
+def test_upsert_parquet_unreadable_sink_raises(spark, tmp_path):
+    """A sink that exists but can't be read must FAIL the upsert, not
+    silently skip the anti-join (which would double-append on retry)."""
+    from thundercats_spark.physical.io import Write
+
+    sink = tmp_path / "upsert_bad"
+    sink.mkdir()
+    (sink / "part-00000.parquet").write_bytes(b"this is not parquet")
+    b = spark.createDataFrame([(1, "a")], "k int, v string")
+    out = Write.upsert_parquet(b, str(sink), ["k"])
+    assert out.is_failing
+    # nothing was appended alongside the corrupt file
+    assert sorted(p.name for p in sink.iterdir()) == ["part-00000.parquet"]
+
+
+def test_compact_delete_validates_before_dropping_backup(spark, tmp_path):
+    """After a successful compact the .old backup and .compact temp are
+    both gone and the data at path is the validated survivor set."""
+    from thundercats_spark.physical.io import Write
+
+    path = str(tmp_path / "cd")
+    spark.createDataFrame([(i,) for i in range(6)], "id int").write.parquet(path)
+    doomed = spark.createDataFrame([(0,), (5,)], "id int")
+    assert not Write.compact_delete(spark, path, doomed, ["id"]).is_failing
+    assert not (tmp_path / "cd.old").exists()
+    assert not (tmp_path / "cd.compact").exists()
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == [1, 2, 3, 4]
+
+
 def test_read_text_corpus_lines_and_wholefile(spark, tmp_path):
     from thundercats_spark.physical.io import Read
 

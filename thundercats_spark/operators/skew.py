@@ -19,6 +19,21 @@ from pyspark.sql import functions as F
 _SALT = "__salt"
 
 
+def _salt_col(df: DataFrame, salt_on: str | Column | None, buckets: int) -> Column:
+    """Deterministic salt in [0, buckets). Defaults to a hash of the full
+    row content, which is stable across runs, partition layouts, and
+    cluster sizes (unlike monotonically_increasing_id). Full duplicates
+    land in the same bucket — acceptable: identical rows carry no
+    discriminating signal to spread on."""
+    if isinstance(salt_on, str):
+        src = [F.col(salt_on)]
+    elif salt_on is not None:
+        src = [salt_on]
+    else:
+        src = [F.col(c) for c in df.columns]
+    return F.pmod(F.xxhash64(*src), F.lit(buckets))
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -32,10 +47,7 @@ def salted_agg(
     merge on keys. Only algebraic aggregates (sum/count here) compose
     across the two stages; that's exactly why the helper restricts
     itself to them."""
-    salt_src = F.col(salt_on) if isinstance(salt_on, str) else (
-        salt_on if salt_on is not None else F.monotonically_increasing_id()
-    )
-    salted = df.withColumn(_SALT, F.pmod(F.xxhash64(salt_src), F.lit(buckets)))
+    salted = df.withColumn(_SALT, _salt_col(df, salt_on, buckets))
     partial = salted.groupBy(*keys, _SALT).agg(
         F.count(F.lit(1)).alias("__n"),
         *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
@@ -63,10 +75,7 @@ def salted_join(
     assert how in {"inner", "left", "left_semi", "left_anti"}, (
         "salted_join replicates the right side; right/full joins would duplicate it"
     )
-    salt_src = F.col(salt_on) if isinstance(salt_on, str) else (
-        salt_on if salt_on is not None else F.monotonically_increasing_id()
-    )
-    big_s = big.withColumn(_SALT, F.pmod(F.xxhash64(salt_src), F.lit(buckets)))
+    big_s = big.withColumn(_SALT, _salt_col(big, salt_on, buckets))
     small_s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"))
     )

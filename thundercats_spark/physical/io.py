@@ -30,6 +30,32 @@ from pyspark.sql import functions as F
 
 from thundercats_spark.functional.maybe import MayFail
 
+
+def _is_path_not_found(e: Exception) -> bool:
+    """True only for a missing-path read failure. Spark 4 raises
+    AnalysisException with errorClass PATH_NOT_FOUND; older builds say
+    'Path does not exist'. Everything else (corrupt footer, permission
+    denied, transient FS errors) is NOT a missing sink."""
+    from pyspark.errors import AnalysisException
+
+    if not isinstance(e, AnalysisException):
+        return False
+    get_cls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", lambda: None)
+    cls = get_cls()
+    if cls is not None:
+        return "PATH_NOT_FOUND" in cls
+    return "Path does not exist" in str(e)
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem of ``path`` (works
+    for local paths, HDFS, and object stores alike)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 # --------------------------------------------------------------------------
 # Column encoders (reference IO.scala:16 ColumnEncoder.{None,Avro})
 # --------------------------------------------------------------------------
@@ -402,6 +428,10 @@ class Write:
         return MayFail.of(run)
 
     @staticmethod
+    def _sink_missing(spark: SparkSession, path: str) -> bool:
+        return not _path_exists(spark, path)
+
+    @staticmethod
     def upsert_parquet(
         df: DataFrame, path: str, keys: list[str]
     ) -> MayFail[DataFrame]:
@@ -417,8 +447,13 @@ class Write:
             try:
                 existing = df.sparkSession.read.parquet(path).select(*keys)
                 b = b.join(existing, keys, "left_anti")
-            except Exception:  # noqa: BLE001 - sink doesn't exist yet
-                pass
+            except Exception as e:
+                # Only a missing sink may skip the anti-join (first write).
+                # Any other read failure (corrupt footer, permissions, FS
+                # hiccup) must raise: silently appending would double-write
+                # keys — the exact bug this operator exists to prevent.
+                if not _is_path_not_found(e):
+                    raise
             b.write.mode("append").parquet(path)
             return df
 
@@ -433,8 +468,16 @@ class Write:
         in ``delete_keys``, via a broadcast anti join into a sibling
         directory, then swap. Returns the surviving frame. The delete
         set is usually tiny → broadcast; survivors stream through
-        without a shuffle. The swap is directory-level (single mover);
-        on object stores prefer writing a new versioned prefix."""
+        without a shuffle.
+
+        Durability: the ``.old`` backup is kept until the swapped-in
+        data has been re-read and validated, then removed. The two
+        ``os.replace`` calls are each atomic but the pair is not — a
+        crash between them leaves no dataset at ``path`` with the
+        original intact at ``<path>.old`` (recovery: rename it back).
+        ``os.replace`` requires source and destination on the same
+        filesystem (EXDEV otherwise); on object stores, write a new
+        versioned prefix and repoint a manifest instead of renaming."""
 
         def run():
             import shutil
@@ -450,8 +493,17 @@ class Write:
             shutil.rmtree(old, ignore_errors=True)
             os.replace(path, old)
             os.replace(tmp, path)
+            # Validate the swapped-in dataset (footer/schema read) BEFORE
+            # dropping the backup; restore the original if it is unreadable.
+            try:
+                out = spark.read.parquet(path)
+                out.schema  # noqa: B018 - forces footer read
+            except Exception:
+                shutil.rmtree(path, ignore_errors=True)
+                os.replace(old, path)
+                raise
             shutil.rmtree(old, ignore_errors=True)
-            return spark.read.parquet(path)
+            return out
 
         return MayFail.of(run)
 

@@ -222,8 +222,14 @@ def stream_upsert_parquet(
         try:
             existing = spark.read.parquet(path).select(*keys)
             b = b.join(existing, list(keys), "left_anti")
-        except Exception:  # noqa: BLE001 - first batch: sink doesn't exist yet
-            pass
+        except Exception as e:
+            # Only a missing sink (first batch) may skip the anti-join;
+            # any other read failure must fail the batch, or a replay
+            # would double-append — the bug this sink exists to prevent.
+            from thundercats_spark.physical.io import _is_path_not_found
+
+            if not _is_path_not_found(e):
+                raise
         b.write.mode("append").parquet(path)
 
     w = stream.writeStream.foreachBatch(upsert).outputMode("update")
