@@ -185,6 +185,43 @@ def test_threshold_maps(clf_df):
     assert specimen.score(clf_df, Precision).is_failing
 
 
+def test_aucpr_pinned_fixture(spark):
+    """AUCPR on a hand-computed 5-point curve (mllib semantics: trapezoid
+    over threshold-descending PR points with a prepended (0, p_first)).
+
+    scores/labels: (.9,1) (.8,0) (.7,1) (.6,1) (.5,0) → P=3
+    t=.9: TP=1 PP=1 → (r=1/3, p=1);   t=.8: TP=1 PP=2 → (1/3, 1/2)
+    t=.7: TP=2 PP=3 → (2/3, 2/3);     t=.6: TP=3 PP=4 → (1, 3/4)
+    t=.5: TP=3 PP=5 → (1, 3/5)
+    area = 1/3·1 + 0 + 1/3·(2/3+1/2)/2 + 1/3·(3/4+2/3)/2 + 0 = 55/72
+    """
+    from types import SimpleNamespace
+
+    from thundercats_spark.ml.measure import AUCPrecisionRecall
+
+    df = spark.createDataFrame(
+        [(0.9, 1.0), (0.8, 0.0), (0.7, 1.0), (0.6, 1.0), (0.5, 0.0)],
+        "pred double, label double",
+    )
+    spec = SimpleNamespace(output_col="pred", label_col="label")
+    out = AUCPrecisionRecall.score(df, spec)
+    assert not out.is_failing, out.get_error()
+    assert out.get == pytest.approx(55 / 72)
+
+
+def test_aucpr_separable(clf_df):
+    from thundercats_spark.ml.measure import AUCPrecisionRecall
+
+    feat = AssemblyFeature(["x"], "features")
+    design = SupervisedModelDesign(
+        output_col="pred", label_col="label",
+        estimator=preset.logistic_reg(Feature("features"), "label", "pred"),
+    )
+    specimen = design.to_specimen(feat, clf_df)
+    aucpr = specimen.score(clf_df, AUCPrecisionRecall).get
+    assert aucpr > 0.99
+
+
 def test_svm_runs(clf_df):
     feat = AssemblyFeature(["x"], "features")
     design = SupervisedModelDesign(

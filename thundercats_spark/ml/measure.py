@@ -177,14 +177,21 @@ class _AUCPR(ClassificationMeasure):
         def run():
             curve = ClassificationMeasure._curve(df, specimen)
             pts = curve.select(
+                "threshold",
                 (F.col("TP") / F.col("P")).alias("recall"),
                 (F.col("TP") / F.col("PP")).alias("precision"),
             )
-            # mllib prepends (0, p(first)) — trapezoid over recall.
-            w = Window.orderBy("recall")
+            # mllib prepends (0, p_first) — trapezoid over the curve in
+            # threshold-descending order (recall is non-decreasing along
+            # it; ordering by recall alone is ambiguous under ties). lag()
+            # only takes a literal default, so the first row's "previous
+            # precision" (its own precision, per the prepended point) is
+            # expressed as coalesce over a null-default lag.
+            w = Window.orderBy(F.desc("threshold"))
+            prev_p = F.coalesce(F.lag("precision", 1).over(w), F.col("precision"))
             seg = pts.select(
                 ((F.col("recall") - F.lag("recall", 1, 0.0).over(w))
-                 * (F.col("precision") + F.lag("precision", 1, F.col("precision")).over(w)) / 2.0
+                 * (F.col("precision") + prev_p) / 2.0
                  ).alias("a")
             )
             return seg.agg(F.sum("a").alias("s")).first()["s"]
