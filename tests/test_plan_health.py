@@ -70,6 +70,18 @@ def test_dimension_joins_broadcast(plans):
         assert "BroadcastHashJoin" in plans[name], name
 
 
+def test_bigram_counts_join_not_hinted_broadcast(spark, sf_dir):
+    """The bigram-counts side grows with the corpus — it must never carry
+    a broadcast hint (AQE may still broadcast at runtime when it actually
+    fits). Only the 1-row corpus total is allowed the hint."""
+    q = all_queries()["doc_bigram_logprob"]
+    df = q.spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    inner_joins = [ln for ln in plan.splitlines() if "Join Inner" in ln]
+    assert inner_joins and all("broadcast" not in ln for ln in inner_joins), inner_joins
+    assert plan.count("strategy=broadcast") == 1  # the scalar total only
+
+
 def test_filters_reach_parquet_scans(plans):
     # selective scans must show pushed filters
     for name in ("q1_pricing_summary", "q6_forecast_revenue",

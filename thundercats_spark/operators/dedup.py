@@ -419,7 +419,7 @@ def simhash_fast(df: DataFrame, text_col: str, bits: int = SIMHASH_BITS):
 # Corpus-statistics scoring (quality signal beyond per-row heuristics):
 # bigram log-probability of each document under the corpus's own
 # empirical bigram distribution. Distributed: explode bigrams → count →
-# broadcast-join counts back → per-doc mean log prob. Low scores flag
+# shuffle-join counts back → per-doc mean log prob. Low scores flag
 # outlier/garbled documents; high scores flag boilerplate.
 # --------------------------------------------------------------------------
 
@@ -442,8 +442,13 @@ def corpus_bigram_logprob(
     )
     counts = exploded.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("t"))
+    # The bigram vocabulary grows ~linearly with corpus size, so counts
+    # must NOT be broadcast (billions of rows at 100 TB → driver OOM).
+    # Leave it a shuffle hash join on `bg`; AQE demotes to broadcast at
+    # runtime when the counts side actually fits. The 1-row `total`
+    # crossJoin stays an explicit broadcast.
     scored = (
-        exploded.join(F.broadcast(counts), "bg")
+        exploded.join(counts, "bg")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
