@@ -109,6 +109,47 @@ def test_ivf_recall_and_determinism(emb):
     assert recall >= 0.5, recall
 
 
+def test_ann_indexed_prunes_partitions_and_matches_ivf(emb, tmp_path_factory):
+    """The persisted-index probe must (a) return exactly what the
+    per-query ivf path returns with the same centroids, and (b) plan a
+    partition-pruned scan — the __cluster filter shows up as a
+    PartitionFilter and only nprobe partitions are read."""
+    spark = emb.sparkSession
+    idx = str(tmp_path_factory.mktemp("annidx") / "emb_idx")
+    cents = similarity.ann_index_build(emb, idx, n_clusters=8)
+    assert similarity.ann_index_centroids(spark, idx) == cents
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    indexed = similarity.ann_topk_indexed(spark, idx, qv, k=10, nprobe=3)
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cluster" in plan.split("PartitionFilters", 1)[1][:200], plan
+    # only the probed clusters are scanned
+    scanned = spark.read.parquet(idx).where(F.col("__cluster").isin(
+        *_probed(cents, qv, 3))).count()
+    full = spark.read.parquet(idx).count()
+    assert scanned < full
+
+    via_ivf = [
+        (r["vec_id"], r["cos"])
+        for r in similarity.ann_topk_ivf(
+            emb, qv, k=10, n_clusters=8, nprobe=3, centroids=cents
+        ).collect()
+    ]
+    via_index = [(r["vec_id"], r["cos"]) for r in indexed.collect()]
+    assert via_index == via_ivf
+
+
+def _probed(cents, qv, nprobe):
+    import numpy as np
+
+    cmat = np.array(cents, dtype=np.float64)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(qv, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    return [int(i) for i in np.argsort(-(cmat @ q))[:nprobe]]
+
+
 def test_ivf_assign_covers_all_clusters(emb):
     cents = similarity.ivf_train(emb, n_clusters=4, iters=3)
     counts = similarity.ivf_assign(emb, cents).groupBy("__cluster").count().collect()

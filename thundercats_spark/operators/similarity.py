@@ -201,10 +201,12 @@ def ann_topk_ivf(
     seed: int = 7,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
-    query, exact-rerank inside those cells. With a persisted assignment
-    (write partitioned/bucketed by ``__cluster``) the probe is a
-    partition-pruned scan of nprobe/n_clusters of the data; ``nprobe =
-    n_clusters`` degrades gracefully to exact search."""
+    query, exact-rerank inside those cells. This variant recomputes the
+    assignment per query (fine for one-shot jobs); for repeated queries
+    build the persisted index once with ``ann_index_build`` and probe
+    with ``ann_topk_indexed`` — a partition-pruned scan of
+    nprobe/n_clusters of the data. ``nprobe = n_clusters`` degrades
+    gracefully to exact search."""
     if centroids is None:
         centroids = ivf_train(df, n_clusters, vec_col, id_col, seed=seed)
     cmat = np.array(centroids, dtype=np.float64)
@@ -214,6 +216,72 @@ def ann_topk_ivf(
     probe = [int(i) for i in np.argsort(-(cmat @ q))[:nprobe]]
 
     cells = ivf_assign(df, centroids, vec_col).where(F.col("__cluster").isin(probe))
+    return ann_topk_bruteforce(cells, query_vec, k, vec_col, id_col).select(id_col, "cos")
+
+
+def ann_index_build(
+    df: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Build the persisted IVF index: assign every vector to its nearest
+    centroid and write parquet PARTITIONED BY ``__cluster``, plus the
+    centroid matrix at ``<path>_centroids``. Queries then probe via
+    ``ann_topk_indexed`` with a partition-pruned scan — only
+    nprobe/n_clusters of the data is ever read, instead of recomputing
+    assignments over the full table per query. Build is one distributed
+    pass (Arrow argmax kernel, no shuffle besides the write)."""
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = ivf_train(df, n_clusters, vec_col, id_col, seed=seed)
+    assigned = ivf_assign(df, centroids, vec_col)
+    assigned.write.mode("overwrite").partitionBy("__cluster").parquet(path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+    return centroids
+
+
+def ann_index_centroids(spark, path: str) -> list[list[float]]:
+    rows = (
+        spark.read.parquet(path.rstrip("/") + "_centroids")
+        .orderBy("cluster")
+        .collect()
+    )
+    return [list(r["centroid"]) for r in rows]
+
+
+def ann_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF index (see
+    ``ann_index_build``): pick the ``nprobe`` centroids nearest the query
+    on the driver (tiny matrix), then scan ONLY those ``__cluster=``
+    partitions — the filter is on the partition column, so the parquet
+    source prunes at planning time (PartitionFilters in explain) — and
+    exact-rerank. Same results as ``ann_topk_ivf`` with the same
+    centroids; the scan cost drops from O(table) to O(probed cells)."""
+    if centroids is None:
+        centroids = ann_index_centroids(spark, path)
+    cmat = np.array(centroids, dtype=np.float64)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probe = [int(i) for i in np.argsort(-(cmat @ q))[:nprobe]]
+
+    cells = spark.read.parquet(path).where(F.col("__cluster").isin(probe))
     return ann_topk_bruteforce(cells, query_vec, k, vec_col, id_col).select(id_col, "cos")
 
 

@@ -157,6 +157,26 @@ def ann_ivf_topk_q(spark, sf_dir):
     )
 
 
+@register("ann_indexed_topk", ANN_TOPK_SQL)
+def ann_indexed_topk_q(spark, sf_dir):
+    """Persisted-IVF-index ANN: build the __cluster-partitioned index
+    once, probe it with a partition-pruned scan. Probing all cells makes
+    it exact, so the brute-force oracle applies; the pruning plan
+    (PartitionFilters, nprobe < n_clusters) is pytest-gated in
+    tests/test_similarity.py."""
+    import tempfile
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    idx = tempfile.mkdtemp(prefix="tc_ann_idx_") + "/idx"
+    cents = similarity.ann_index_build(
+        e.where(F.col("vec_id") != 0), idx, n_clusters=8
+    )
+    return similarity.ann_topk_indexed(
+        spark, idx, qv, k=10, nprobe=8, centroids=cents
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
