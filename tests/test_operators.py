@@ -104,6 +104,24 @@ def test_connected_components_converges_deep_chain(spark):
     assert set(out.values()) == {0}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable=True cuts lineage via fault-tolerant checkpoint() files
+    in the checkpoint dir (restartable long dedup runs), same answer."""
+    from thundercats_spark.operators.components import connected_components
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, reliable=True).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    ckpts = list((tmp_path / "ckpt").rglob("*"))
+    assert ckpts, "reliable mode must write checkpoint files"
+
+
 def test_dedup_groups_transitive(spark):
     from thundercats_spark.operators.components import dedup_groups
 

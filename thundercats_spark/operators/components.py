@@ -10,9 +10,18 @@ cousin); convergence is O(graph diameter) iterations — near-dup
 clusters are small and dense, so it converges in a handful of rounds.
 
 Scale notes: each iteration is one shuffle (groupBy node). Lineage is
-cut by localCheckpoint every ``checkpoint_every`` iterations so the
-plan doesn't grow unboundedly (the classic iterative-Spark trap). Early
-exit via a cheap count of changed labels.
+cut by checkpointing every iteration so the plan doesn't grow
+unboundedly (the classic iterative-Spark trap). Early exit via a cheap
+count of changed labels. Two checkpoint modes:
+
+- ``reliable=False`` (default): ``localCheckpoint`` — executor
+  memory/disk, fastest, but pinned to live executors and lost on
+  failure. Right for minutes-long jobs.
+- ``reliable=True``: ``checkpoint()`` to the SparkContext checkpoint
+  dir (set one with ``spark.sparkContext.setCheckpointDir`` — HDFS/S3
+  on a cluster), which survives executor loss; hours-long 100 TB dedup
+  runs should use this so a lost executor doesn't restart the whole
+  iteration chain.
 """
 
 from __future__ import annotations
@@ -21,29 +30,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cut_lineage(df: DataFrame, reliable: bool) -> DataFrame:
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
     checkpoint_every: int = 3,
+    reliable: bool = False,
 ) -> DataFrame:
     """→ (id, component) where component = min node id in the
-    component. Nodes = every id appearing in ``edges``."""
-    sym = (
+    component. Nodes = every id appearing in ``edges``. Set
+    ``reliable=True`` for fault-tolerant checkpoints (requires
+    ``setCheckpointDir``); see module docstring."""
+    sym = _cut_lineage(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        .distinct(),
         # materialize ONCE: the edge list feeds every iteration and every
         # convergence check — without this the upstream plan (often an
         # expensive pair-mining job) re-executes per iteration.
-        .localCheckpoint(eager=True)
+        reliable,
     )
-    labels = (
+    labels = _cut_lineage(
         sym.select(F.col("a").alias("id"))
         .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("id")),
+        reliable,
     )
     for i in range(max_iter):
         neigh = (
@@ -60,7 +78,7 @@ def connected_components(
         # both consume new_labels, and the iteration plan would otherwise
         # deepen geometrically. (checkpoint_every kept for API compat.)
         _ = checkpoint_every
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _cut_lineage(new_labels, reliable)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -78,11 +96,13 @@ def dedup_groups(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    reliable: bool = False,
 ) -> DataFrame:
     """Exact-transitive dedup: collapse every connected component of
     near-duplicate ``pairs`` to its min-id representative. Rows not in
     any pair survive untouched. Adds ``group_id``/``group_size``."""
-    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed("id", id_col)
+    comp = connected_components(pairs, "id_a", "id_b", reliable=reliable)
+    comp = comp.withColumnRenamed("id", id_col)
     sized = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
     comp = comp.join(sized, "component")
     labeled = df.join(comp, id_col, "left").select(
