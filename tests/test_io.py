@@ -65,6 +65,34 @@ def test_kafka_plan_fails_gracefully(spark):
     assert out.is_failing
 
 
+def test_write_dynamo_fails_inside_monad(spark):
+    # No dynamodb connector jar in the container: the named writer must
+    # build and fail inside the monad (plan parity with Read.dynamo).
+    from thundercats_spark.physical.io import Write
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    out = Write.dynamo(df, "us-east-1", "localhost:8000", "tbl")
+    assert out.is_failing
+    assert "dynamodb" in (out.get_error() or "")
+
+
+def test_kafka_stream_encoder_and_wait_timeout_gated(spark, tmp_path):
+    # No broker: the writer must honor col_encoder + wait_timeout in the
+    # plan it builds, then fail inside the monad at start().
+    from thundercats_spark.physical.io import AvroEncoder, Write
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("CAST(value AS STRING) AS key", "CAST(value AS STRING) AS value")
+    )
+    out = Write.kafka_stream(
+        stream, "topic", "localhost", 9092,
+        wait_timeout=250, col_encoder=AvroEncoder('{"type":"string"}'),
+        checkpoint_location=str(tmp_path / "chk"), termination_timeout=1,
+    )
+    assert out.is_failing  # no broker / no avro pkg — error stays in the monad
+
+
 def test_screen_show(spark, capsys):
     df = spark.createDataFrame([(1, ["a", "b"])], "a int, arr array<string>")
     assert not Screen.show_df(df, title="T", hide_complex=True).is_failing

@@ -375,13 +375,21 @@ class Write:
         topic: str,
         server_addr: str,
         port: int = 9092,
+        wait_timeout: int | None = None,
+        col_encoder: ColumnEncoder = NoEncoder(),
         checkpoint_location: str = "./chk",
         termination_timeout: int | None = None,
     ) -> MayFail[DataFrame]:
+        """Streaming kafka sink (reference IO.scala:229-247): optional
+        Avro key/value encoding and ``kafka.fetch.max.wait.ms`` —
+        reference defaults the latter to 30 ms when unset."""
+
         def run():
             q = (
-                df.writeStream.format("kafka")
+                Write._kafka_encode(df, col_encoder)
+                .writeStream.format("kafka")
                 .option("kafka.bootstrap.servers", f"{server_addr}:{port}")
+                .option("kafka.fetch.max.wait.ms", str(wait_timeout if wait_timeout is not None else 30))
                 .option("topic", topic)
                 .option("checkpointLocation", checkpoint_location)
                 .outputMode("append")
@@ -526,6 +534,16 @@ class Write:
             df,
             "mongodb",
             {"connection.uri": f"mongodb://{server_addr}", "database": db, "collection": collection},
+        )
+
+    @staticmethod
+    def dynamo(df, region: str, server_addr: str, table: str) -> MayFail[DataFrame]:
+        """Named DynamoDB writer — twin of ``Read.dynamo``. The reference
+        declares the symbol but leaves it unimplemented (IO.scala:336
+        ``???``); here it goes through the generic connector gateway, so
+        any dynamodb DataSourceV2 on the classpath works."""
+        return Write.format(
+            df, "dynamodb", {"region": region, "endpoint": server_addr, "tableName": table}
         )
 
 
