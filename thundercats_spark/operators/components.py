@@ -64,15 +64,23 @@ def connected_components(
         reliable,
     )
     for i in range(max_iter):
-        neigh = (
-            sym.join(labels, sym.b == labels.id)
-            .select(F.col("a").alias("id"), F.col("component"))
+        neigh = sym.join(labels, sym.b == labels.id).select(
+            F.col("a").alias("id"),
+            F.col("component"),
+            F.lit(None).cast(labels.schema["component"].dataType).alias("__old"),
         )
+        # Carry each node's previous label through the same groupBy
+        # (exactly one self row per id → max(__old) recovers it), so the
+        # convergence probe below is a filter over the checkpointed
+        # result — no extra join, no extra shuffle.
         new_labels = (
-            labels.select("id", "component")
+            labels.select("id", "component", F.col("component").alias("__old"))
             .unionByName(neigh)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("__old").alias("__old"),
+            )
         )
         # checkpoint every round: the convergence check + next iteration
         # both consume new_labels, and the iteration plan would otherwise
@@ -80,13 +88,9 @@ def connected_components(
         _ = checkpoint_every
         new_labels = _cut_lineage(new_labels, reliable)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("component") != F.col("__old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     return labels

@@ -93,10 +93,14 @@ def dedup_exact(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = True,
+    ids_only: bool = False,
 ) -> DataFrame:
     """Keep one row (min id) per distinct normalized text. Returns the
     surviving rows with ``n_copies``. Single shuffle on the 64-bit
-    fingerprint; document bytes never shuffle (semi-join by id)."""
+    fingerprint; document bytes never shuffle (semi-join by id).
+    ``ids_only=True`` skips the join-back and returns just
+    ``(id_col, n_copies)`` — one shuffle total, no second scan; use it
+    when downstream only needs the surviving keys."""
     key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
     fp = F.xxhash64(key).alias("__fp")
     keep = (
@@ -105,6 +109,8 @@ def dedup_exact(
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .select(id_col, "n_copies")
     )
+    if ids_only:
+        return keep
     return df.join(keep, id_col, "inner")
 
 
@@ -328,12 +334,24 @@ def ngram_jaccard_pairs(
     )
     prefix_len = (F.size("hs") - F.ceil(F.size("hs") * threshold) + 1).cast("int")
     posting = sh.select(
-        "id", F.explode(F.slice("hs", 1, prefix_len)).alias("shingle")
+        "id",
+        F.size("hs").alias("sz"),
+        F.explode(F.slice("hs", 1, prefix_len)).alias("shingle"),
     )
+    # Length filter inside the posting join — exact-safe (J >= t ⇒
+    # I >= t(|A|+|B|)/(1+t) ⇒ min(|A|,|B|) >= t·max(|A|,|B|)), prunes
+    # mismatched-size pairs before the dedupe shuffle and the
+    # set-intersection verify for the cost of one comparison per match.
+    # (The PPJoin positional filter was measured too: its per-pair
+    # groupBy bound cost more than the extra ~0.3% of candidates it
+    # removed on top of the length filter — not worth it.)
+    pa, pb = posting.alias("a"), posting.alias("b")
     cand = (
-        posting.alias("a")
-        .join(posting.alias("b"), "shingle")
-        .where(F.col("a.id") < F.col("b.id"))
+        pa.join(pb, "shingle")
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.least("a.sz", "b.sz") >= threshold * F.greatest("a.sz", "b.sz"))
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

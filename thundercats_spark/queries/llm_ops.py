@@ -35,7 +35,9 @@ SELECT doc_id, n_copies FROM g
 @register("dedup_exact", DEDUP_EXACT_SQL)
 def dedup_exact_q(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
-    return dedup.dedup_exact(d, "text", "doc_id").select("doc_id", "n_copies")
+    # ids_only: the query projects just (doc_id, n_copies), so skip the
+    # join-back — one shuffle, one scan.
+    return dedup.dedup_exact(d, "text", "doc_id", ids_only=True)
 
 
 # --------------------------------------------------------------------------
