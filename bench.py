@@ -75,17 +75,20 @@ def main():
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # 10x scale rehearsal of the dedup family (bucket-size distribution,
+    # wall-clock) — produced offline by tools/scale_check.py
+    stats = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "scale_stats.json")
+    if os.path.exists(stats):
+        with open(stats) as f:
+            out["scale_check"] = json.load(f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

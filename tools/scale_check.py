@@ -1,0 +1,147 @@
+"""Scale rehearsal for the dedup family (VERDICT r01 #8).
+
+No sf1 testdata exists in the container, so this builds a 10x
+near-duplicate-realistic replica of sf0.1 documents under .scale/
+(gitignored): replica 0 is verbatim, replicas 1..9 append a replica
+token to ~each doc (still J >= 0.5 near-dups of the original), ids are
+offset. Then it measures what actually breaks sketch dedup at scale:
+LSH bucket-size distribution (the candidate blowup is sum over buckets
+of |b|^2) and wall-clock for the full pair pipelines + connected
+components.
+
+Writes tools-local ``scale_stats.json`` which bench.py inlines into its
+JSON line (key ``scale_check``) so the round's BENCH artifact records
+the scale posture without re-running this per bench invocation.
+
+Usage: python tools/scale_check.py [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from thundercats_spark.operators import dedup  # noqa: E402
+from thundercats_spark.operators.components import connected_components  # noqa: E402
+from thundercats_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALE_DIR = os.path.join(REPO, ".scale")
+
+
+def build_replica(spark, sf_dir: str, replicas: int) -> str:
+    path = os.path.join(SCALE_DIR, f"documents_x{replicas}.parquet")
+    if os.path.exists(path):
+        return path
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+    r = spark.range(replicas).withColumnRenamed("id", "rep")
+    big = (
+        d.crossJoin(F.broadcast(r))
+        .select(
+            (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+    )
+    big.write.mode("overwrite").parquet(path)
+    return path
+
+
+def bucket_stats(df) -> dict:
+    """size distribution of a (.., bucket) frame grouped on bucket."""
+    sizes = df.groupBy("bucket").count()
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("count").alias("max"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        F.avg("count").alias("mean"),
+        F.sum(F.col("count") * F.col("count")).alias("sum_sq"),
+    ).first()
+    return {
+        "n_buckets": row["n_buckets"],
+        "max_bucket": int(row["max"]),
+        "p99_bucket": int(row["p99"]),
+        "mean_bucket": round(float(row["mean"]), 2),
+        "candidate_pairs_bound": int(row["sum_sq"]),  # sum |b|^2 upper bound
+    }
+
+
+def main():
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = build_replica(spark, sf_dir, replicas)
+    d = spark.read.parquet(path)
+    n_docs = d.count()
+    out = {"replicas": replicas, "n_docs": n_docs, "source_sf_dir": sf_dir}
+
+    # MinHash LSH: bucket distribution of the banded signature
+    sh = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            dedup.shingle_hashes(dedup.word_shingles(F.col("text"), 3))
+        ).alias("hs"),
+    )
+    sig = dedup.minhash_signature_fast(sh, "hs", 64, 42)
+    buckets = sig.select(
+        "id", F.explode(dedup.lsh_band_keys(F.col("sig"), 16)).alias("bucket")
+    )
+    out["minhash_buckets"] = bucket_stats(buckets)
+
+    # SimHash: band-key distribution
+    h = dedup.simhash_fast(d.select(F.col("doc_id").alias("id"), "text"), "text")
+    sim_buckets = h.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    ":",
+                    F.lit(b),
+                    F.shiftright(F.col("sh"), b * 15).bitwiseAND(F.lit(0x7FFF)),
+                )
+                for b in range(4)
+            ])
+        ).alias("bucket"),
+    )
+    out["simhash_buckets"] = bucket_stats(sim_buckets)
+
+    # wall-clock of the full pipelines at 10x
+    for name, fn in [
+        ("dedup_exact", lambda: dedup.dedup_exact(d, ids_only=True)),
+        ("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(d, threshold=0.5)),
+        ("dedup_simhash", lambda: dedup.simhash_pairs(d, max_hamming=3)),
+        ("ngram_jaccard_pairs", lambda: dedup.ngram_jaccard_pairs(d, threshold=0.5)),
+    ]:
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        out[f"secs_{name}"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.5)
+    cc = connected_components(pairs)
+    n_groups = cc.select("component").distinct().count()
+    out["secs_connected_components"] = round(time.time() - t0, 3)
+    out["n_components"] = n_groups
+
+    dest = os.path.join(REPO, "tools", "scale_stats.json")
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
