@@ -11,13 +11,14 @@ from thundercats_spark.queries import all_queries
 # queries whose plan BUILD executes jobs (ivf trains centroids) or that
 # are intentionally quadratic brute-force oracles
 SKIP = {"ann_ivf_topk", "ann_indexed_topk", "dedup_embedding_cosine"}
-# 1-row scalar-broadcast cross joins legitimately plan as BNLJ
+# tiny-broadcast cross joins legitimately plan as BNLJ
 SCALAR_BNLJ_OK = {
     "q11_important_parts",
     "q22_idle_customers",
     "doc_bigram_logprob",
     "events_funnel_conversion",  # three 1-row stage counts
     "doc_source_mix",  # 1-row corpus total
+    "ann_batch_topk",  # broadcast query-vector table (a handful of rows)
 }
 # Arrow-kernel operators are allowed (designed) Python-boundary nodes
 PY_EVAL_OK = {"dedup_minhash_lsh", "dedup_simhash"}

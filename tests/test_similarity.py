@@ -155,3 +155,19 @@ def test_ivf_assign_covers_all_clusters(emb):
     counts = similarity.ivf_assign(emb, cents).groupBy("__cluster").count().collect()
     assert sum(r["count"] for r in counts) == emb.count()
     assert {r["__cluster"] for r in counts} <= set(range(4))
+
+
+def test_ann_batch_topk_matches_per_query_bruteforce(emb):
+    qs = emb.where(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    data = emb.where(F.col("vec_id") > 2)
+    batch = similarity.ann_batch_topk(data, qs, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    for qid in [0, 1, 2]:
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        exact = similarity.ann_topk_bruteforce(data, qv, k=5).collect()
+        expect = [(i + 1, r["vec_id"], r["cos"]) for i, r in enumerate(exact)]
+        assert sorted(got[qid]) == expect, qid

@@ -59,3 +59,14 @@ def test_fingerprint_poly_matches_python(spark):
     for ch in text:
         expected = (expected * 31 + ord(ch)) % 2147483647
     assert _one(spark, text, T.doc_fingerprint_poly(F.col("t"))) == expected
+
+
+def test_pii_counts_and_scrub(spark):
+    text = "mail me at foo.bar+1@example.com or see https://ex.io/x?q=1 call +1 (555) 123-4567 ok"
+    counts = {k: _one(spark, text, c) for k, c in T.pii_counts(F.col("t")).items()}
+    assert counts == {"email": 1, "url": 1, "phone": 1}
+    clean = _one(spark, text, T.pii_scrub(F.col("t")))
+    assert "<EMAIL>" in clean and "<URL>" in clean and "<PHONE>" in clean
+    assert "example.com" not in clean and "555" not in clean
+    # clean text is a fixpoint: scrubbing again changes nothing
+    assert _one(spark, clean, T.pii_scrub(F.col("t"))) == clean

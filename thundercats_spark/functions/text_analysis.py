@@ -137,6 +137,30 @@ def doc_fingerprint_poly(text: Column, mod: int = 2147483647, base: int = 31) ->
     )
 
 
+# PII patterns — deliberately simple ASCII classes so the SAME pattern
+# string runs identically under Spark's Java regex and DuckDB's RE2
+# (the oracle); real deployments would swap in stricter validators.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (JVM regexp_count, scan-stage)."""
+    return {k: F.regexp_count(text, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def pii_scrub(text: Column) -> Column:
+    """Replace every PII match with ``<KIND>`` placeholders. Chained
+    global regexp_replace — one projection, no shuffle, no Python."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
 def distinct_word_ratio(text: Column) -> Column:
     """|unique words| / |words| — low values flag template/spam docs.
     Pure JVM expression (array_distinct over the token array)."""

@@ -1,4 +1,5 @@
-"""Corpus curation operators: source-mix measurement and rebalancing.
+"""Corpus curation operators: source-mix measurement and rebalancing,
+benchmark decontamination, deterministic splits, and quality funnels.
 
 Training-data pipelines control the proportion each source (crawl,
 books, code, ...) contributes to the final corpus. ``source_mix``
@@ -6,12 +7,23 @@ measures the current mix (one partial-agg pass); ``rebalance_to_mix``
 computes per-source Bernoulli sampling fractions that hit a target mix
 and applies them with ``DataFrame.sampleBy`` — deterministic under a
 seed, no shuffle (sampling happens in the scan stage), any scale.
+
+``decontaminate`` removes/flags training docs that share word n-grams
+with an evaluation benchmark (test-set contamination — standard
+pretraining hygiene). ``corpus_split`` is the deterministic
+hash-bucketed train/val/test assignment (stable across runs, engines,
+and cluster sizes — no randomness, no shuffle). ``quality_funnel``
+reports how many docs survive each successive quality gate.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from thundercats_spark.functions.text_analysis import word_ngrams
 
 
 def source_mix(df: DataFrame, source_col: str = "source") -> DataFrame:
@@ -43,6 +55,108 @@ def rebalance_fractions(
     return {
         s: min(1.0, (t[s] * n_max) / counts[s]) for s in t if s in counts and counts[s]
     }
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+    mode: str = "flag",
+) -> DataFrame:
+    """Benchmark decontamination: count, per training doc, the distinct
+    word ``n``-grams it shares with ``benchmark``; docs with
+    ``n_contaminated >= min_hits`` are flagged (``mode='flag'``) or
+    dropped (``mode='filter'``).
+
+    Scale shape: both sides explode to DISTINCT hashed n-grams (8-byte
+    keys — the text never shuffles), join on the hash, count per doc.
+    The benchmark side is an eval set — tiny next to a 100 TB corpus —
+    so AQE broadcasts it; the corpus side streams through the scan
+    stage. One shuffle (the per-doc count)."""
+    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    doc_grams = df.select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("__g"))
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(bench_grams, "__gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__gh").alias("n_contaminated"))
+    )
+    out = df.join(hits, id_col, "left").withColumn(
+        "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0))
+    )
+    if mode == "filter":
+        return out.where(F.col("n_contaminated") < min_hits).drop("n_contaminated")
+    return out.withColumn("contaminated", F.col("n_contaminated") >= min_hits)
+
+
+def split_bucket(key: Column, salt: str = "split", buckets: int = 10000) -> Column:
+    """Deterministic bucket in [0, buckets): first 6 hex digits of
+    md5(key || salt) → int. Engine-portable (DuckDB computes the same
+    md5 hex), stable across runs/partitioning — the property a
+    train/test split must have so no example ever migrates between
+    splits when data is re-ingested."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % buckets).cast("int")
+
+
+def corpus_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to one of ``weights``'
+    keys (e.g. train/val/test) by deterministic hash bucketing of
+    ``key_col``. Zero shuffle — the assignment is a scan-stage
+    expression; proportions are exact in expectation and drift-free."""
+    total = sum(weights.values())
+    buckets = 10000
+    b = split_bucket(F.col(key_col), salt, buckets)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = b < int(acc * buckets)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def quality_funnel(
+    df: DataFrame, gates: Sequence[tuple[str, Column]]
+) -> DataFrame:
+    """Survival counts through successive quality gates: row i reports
+    how many docs pass gates[0..i]. One aggregate pass — each gate is a
+    conditional count, no per-gate scan, no shuffle beyond the final
+    1-row reduce. → (stage_idx, stage, n_pass)."""
+    aggs = []
+    cum = None
+    for i, (name, cond) in enumerate(gates):
+        cum = cond if cum is None else (cum & cond)
+        aggs.append(
+            F.sum(F.when(cum, 1).otherwise(0)).cast("long").alias(f"__g{i}")
+        )
+    row = df.agg(*aggs)
+    stages = F.array(*[
+        F.struct(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(f"__g{i}").alias("n_pass"),
+        )
+        for i, (name, _) in enumerate(gates)
+    ])
+    return row.select(F.explode(stages).alias("s")).select("s.*")
 
 
 def rebalance_to_mix(

@@ -285,6 +285,42 @@ def ann_topk_indexed(
     return ann_topk_bruteforce(cells, query_vec, k, vec_col, id_col).select(id_col, "cos")
 
 
+def ann_batch_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k for a BATCH of query vectors in one job:
+    broadcast-join the (small) query table against the data, score
+    cosine in the scan stage, keep k per query with a window.
+    → (q_id, vec_id, cos, rank).
+
+    Scale shape: the only shuffle is (q_id, vec_id, cos) triples — ~20
+    bytes/row — partitioned by query id; AQE's skew split handles hot
+    queries. For query batches too large to broadcast, pre-bucket both
+    sides with the IVF index (``ann_index_build``) and join per cell."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(q_id_col).alias("__qid"), F.col(vec_col).alias("__qv"))
+    cos = vcos(F.col(vec_col), F.col("__qv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = data.join(F.broadcast(q)).select(
+        F.col("__qid").alias(q_id_col),
+        F.col(id_col),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def cosine_pairs_bruteforce(
     df: DataFrame,
     threshold: float = 0.45,

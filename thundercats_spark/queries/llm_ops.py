@@ -451,3 +451,191 @@ def doc_source_mix(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")["documents"]
     return source_mix(d, "source")
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: training docs sharing word 8-grams with an
+# eval set (here: source 'src0' stands in as the benchmark).
+# --------------------------------------------------------------------------
+
+DECONTAMINATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t)-6)]) AS gs
+  FROM toks WHERE len(t) >= 8
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE source = 'src0'
+), hits AS (
+  SELECT c.doc_id, CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE source <> 'src0') c
+  JOIN bench USING (g) GROUP BY c.doc_id
+)
+SELECT d.doc_id, COALESCE(h.n, 0) AS n_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.source <> 'src0'
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_decontaminate", DECONTAMINATE_SQL)
+def doc_decontaminate_q(spark, sf_dir):
+    from thundercats_spark.operators.curation import decontaminate
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    bench = d.where(F.col("source") == "src0")
+    corpus = d.where(F.col("source") != "src0")
+    out = decontaminate(corpus, bench, "text", "doc_id", n=8)
+    return out.select(
+        "doc_id", F.col("n_contaminated").cast("long").alias("n_contaminated")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified corpus split (train/val/test by md5 bucket)
+# --------------------------------------------------------------------------
+
+SPLIT_SQL = """
+WITH b AS (
+  SELECT source,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 6))::BIGINT % 10000 AS bk
+  FROM documents
+)
+SELECT CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split,
+       source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b GROUP BY 1, 2 ORDER BY split, source
+"""
+
+
+@register("corpus_split_stratified", SPLIT_SQL)
+def corpus_split_q(spark, sf_dir):
+    from thundercats_spark.operators.curation import corpus_split
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    out = corpus_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
+    return (
+        out.groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: per-kind match counts + scrubbed length (the patterns
+# are engine-portable; real data would swap in stricter validators)
+# --------------------------------------------------------------------------
+
+PII_SQL = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phone,
+  length(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        'https?://[^\s]+', '<URL>', 'g'),
+      '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')
+  ) AS clean_len
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("doc_pii_scrub", PII_SQL)
+def doc_pii_scrub_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    counts = T.pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["url"].cast("long").alias("n_url"),
+        counts["phone"].cast("long").alias("n_phone"),
+        F.length(T.pii_scrub(F.col("text"))).alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Batch ANN: exact top-k for a set of query vectors in one job
+# --------------------------------------------------------------------------
+
+ANN_BATCH_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id <= 4),
+d AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 4),
+scored AS (
+  SELECT q.q_id, d.vec_id,
+    ROUND(
+      list_reduce(list_transform(list_zip(d.embedding, q.qv),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                  (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(d.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))
+       * sqrt(list_reduce(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))),
+      6) AS cos
+  FROM d CROSS JOIN q
+)
+SELECT q_id, vec_id, cos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+@register("ann_batch_topk", ANN_BATCH_SQL)
+def ann_batch_topk_q(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    qs = e.where(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    data = e.where(F.col("vec_id") > 4)
+    out = similarity.ann_batch_topk(data, qs, k=5, q_id_col="q_id")
+    return out.select(
+        "q_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank")
+    ).orderBy("q_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Quality-gate funnel: survivors of each successive gate, one pass
+# --------------------------------------------------------------------------
+
+FUNNEL_SQL = r"""
+WITH t AS (
+  SELECT length(text) AS n, regexp_split_to_array(TRIM(text), '\s+') AS w FROM documents
+), g AS (
+  SELECT n, w,
+         CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS bg
+  FROM t
+), flags AS (
+  SELECT (n >= 100) AS g0,
+         (len(w) >= 20) AS g1,
+         (CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END >= 0.5) AS g2,
+         (CASE WHEN len(bg) = 0 THEN 0.0 ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END <= 0.2) AS g3
+  FROM g
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN g0 THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+         CAST(SUM(CASE WHEN g0 AND g1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+         CAST(SUM(CASE WHEN g0 AND g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+         CAST(SUM(CASE WHEN g0 AND g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS p3
+  FROM flags
+)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'min_chars' AS stage, p0 AS n_pass FROM agg
+UNION ALL SELECT 1, 'min_tokens', p1 FROM agg
+UNION ALL SELECT 2, 'distinct_words', p2 FROM agg
+UNION ALL SELECT 3, 'low_repetition', p3 FROM agg
+ORDER BY stage_idx
+"""
+
+
+@register("doc_quality_funnel", FUNNEL_SQL)
+def doc_quality_funnel_q(spark, sf_dir):
+    from thundercats_spark.operators.curation import quality_funnel
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    gates = [
+        ("min_chars", F.length("text") >= 100),
+        ("min_tokens", T.token_count(F.col("text")) >= 20),
+        ("distinct_words", T.distinct_word_ratio(F.col("text")) >= 0.5),
+        ("low_repetition", T.duplicate_ngram_fraction(F.col("text"), 2) <= 0.2),
+    ]
+    return quality_funnel(d, gates).orderBy("stage_idx")
