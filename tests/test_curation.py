@@ -106,3 +106,58 @@ def test_quality_funnel_monotone(docs):
     assert ns[0] == docs.where(F.length("text") > 0).count()
     assert ns[2] == 0
     assert [r["stage"] for r in rows] == ["nonempty", "min_chars", "impossible"]
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from thundercats_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(50 + i % 37))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    packed = pack_sequences(docs, budget=256, n_groups=4)
+    rows = packed.select("doc_id", "pack_group", "pack_seq", "n_tokens").collect()
+    assert len(rows) == 200  # every doc assigned
+    # within each group, pack_seq starts at 0 and is contiguous
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    for g, rs in by_group.items():
+        seqs = sorted({r["pack_seq"] for r in rs})
+        assert seqs == list(range(len(seqs))), g
+        # every pack except the group's last holds >= budget tokens of
+        # coverage: the NEXT pack exists only once cum tokens crossed it
+        rs_sorted = sorted(rs, key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs_sorted:
+            assert r["pack_seq"] == cum // 256
+            cum += r["n_tokens"]
+    # deterministic under physical repartitioning
+    again = {
+        (r["doc_id"], r["pack_group"], r["pack_seq"])
+        for r in pack_sequences(docs.repartition(13), budget=256, n_groups=4)
+        .select("doc_id", "pack_group", "pack_seq")
+        .collect()
+    }
+    assert again == {(r["doc_id"], r["pack_group"], r["pack_seq"]) for r in rows}
+
+
+def test_remove_boilerplate_lines(spark):
+    from thundercats_spark.operators.curation import (
+        boilerplate_lines,
+        remove_boilerplate_lines,
+    )
+
+    header = "COMMON HEADER"
+    docs = spark.createDataFrame(
+        [(i, f"{header}\nbody text {i}\nunique line {i * 7}") for i in range(20)]
+        + [(99, "all original\ncontent here")],
+        "doc_id long, text string",
+    )
+    boiler = boilerplate_lines(docs, min_docs=10).collect()
+    assert len(boiler) == 1 and boiler[0]["n_docs"] == 20
+    out = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(docs, min_docs=10).collect()}
+    assert len(out) == 21
+    assert out[0] == "body text 0\nunique line 0"  # header gone, order kept
+    assert out[99] == "all original\ncontent here"  # untouched
+    assert all(header not in t for t in out.values())

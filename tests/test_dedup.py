@@ -105,3 +105,27 @@ def test_fast_kernels_match_expression_versions(spark, sf_dir):
     slow_sig = {r["id"]: list(r["s"]) for r in sh.select("id", dedup.minhash_signature(F.col("hs"), 64).alias("s")).collect()}
     fast_sig = {r["id"]: list(r["sig"]) for r in dedup.minhash_signature_fast(sh, "hs", 64).collect()}
     assert slow_sig == fast_sig
+
+
+def test_dedup_keep_best_policy(spark):
+    from thundercats_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup text", 0.2),
+            (2, "DUP TEXT  ", 0.9),  # normalized duplicate, best score
+            (3, "dup text", 0.9),  # ties with 2 -> keep min id 2
+            (4, "solo", 0.5),
+        ],
+        "doc_id long, text string, sc double",
+    )
+    import pyspark.sql.functions as F
+
+    out = {r["doc_id"]: r for r in dedup_keep_best(docs, F.col("sc"), ids_only=True).collect()}
+    assert set(out) == {2, 4}
+    assert out[2]["n_copies"] == 3 and out[2]["best_score"] == 0.9
+    assert out[4]["n_copies"] == 1
+    # full-row mode returns the surviving original rows
+    full = dedup_keep_best(docs, F.col("sc"))
+    assert {r["doc_id"] for r in full.collect()} == {2, 4}
+    assert "text" in full.columns

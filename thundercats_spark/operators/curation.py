@@ -175,3 +175,125 @@ def rebalance_to_mix(
     }
     fractions = rebalance_fractions(counts, target)
     return df.sampleBy(source_col, fractions, seed=seed)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: Column | None = None,
+    n_groups: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each doc to a
+    fixed-token-budget training sequence (the GPT-style "concatenate
+    the corpus, slice every ``budget`` tokens" policy — a doc belongs
+    to the pack where its start offset lands). Adds
+    ``(n_tokens, pack_group, pack_seq)``; the pack key is the pair.
+
+    Scale shape: docs are hash-bucketed into ``n_groups`` independent
+    streams (deterministic md5 bucket — same property as
+    ``corpus_split``), so the running-total window is per-group, not a
+    single global sort: one shuffle, parallelism = ``n_groups``. Size
+    ``n_groups`` ~ executor count; packing quality is unaffected since
+    every group produces full packs except its last."""
+    from pyspark.sql import Window
+
+    toks = (token_col if token_col is not None else _token_count(F.col(text_col)))
+    base = df.withColumn("n_tokens", toks.cast("long")).withColumn(
+        "pack_group", split_bucket(F.col(id_col), salt, n_groups)
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.withColumn(
+        "pack_seq", F.floor(start / F.lit(float(budget))).cast("long")
+    )
+
+
+def _token_count(text: Column) -> Column:
+    from thundercats_spark.functions.text_analysis import token_count
+
+    return token_count(text)
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Lines that occur in >= ``min_docs`` DISTINCT docs (headers,
+    footers, nav chrome — CCNet-style boilerplate). Returns
+    ``(__lh, n_docs, line)`` keyed by the 64-bit line hash.
+
+    Scale shape: explode → (doc, line-hash) pairs, distinct, count per
+    hash. Only 8-byte hashes shuffle for the count (one representative
+    line string rides along via ``any_value`` for reporting)."""
+    line = F.explode(F.split(F.col(text_col), F.lit(sep))).alias("__line")
+    norm = F.lower(F.trim(F.col("__line")))
+    pairs = (
+        df.select(F.col(id_col), line)
+        .where(F.length(F.trim(F.col("__line"))) > 0)
+        .select(
+            F.col(id_col),
+            F.xxhash64(norm).alias("__lh"),
+            F.col("__line").alias("line"),
+        )
+    )
+    return (
+        pairs.groupBy("__lh")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.any_value("line").alias("line"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Strip lines shared by >= ``min_docs`` docs from every doc and
+    reassemble the text in original line order. Docs reduced to nothing
+    survive with empty text (filter downstream if unwanted).
+
+    Scale shape: the boilerplate set is tiny (high-frequency lines
+    only) → broadcast anti-join at the line level; reassembly is one
+    shuffle of the surviving lines grouped by doc id, ordered by the
+    original line position (array_sort on (pos, line) structs — no
+    per-group sort memory beyond the doc itself)."""
+    boiler = boilerplate_lines(df, text_col, id_col, min_docs, sep).select("__lh")
+    pos_line = F.posexplode(F.split(F.col(text_col), F.lit(sep)))
+    lines = df.select(F.col(id_col), pos_line).select(
+        id_col,
+        "pos",
+        F.col("col").alias("__line"),
+        F.xxhash64(F.lower(F.trim(F.col("col")))).alias("__lh"),
+    )
+    kept = lines.join(F.broadcast(boiler), "__lh", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+    )
+    others = [c for c in df.columns if c != text_col]
+    return df.select(*others).join(rebuilt, id_col, "left").withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )

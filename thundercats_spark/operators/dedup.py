@@ -114,6 +114,43 @@ def dedup_exact(
     return df.join(keep, id_col, "inner")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    score,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    ids_only: bool = False,
+) -> DataFrame:
+    """Exact dedup with a retention POLICY: per duplicate cluster keep
+    the highest-``score`` row (ties → min id) instead of blindly the
+    min id — e.g. retain the best-quality or longest copy. ``score`` is
+    any Column over the input row. Same scale shape as ``dedup_exact``:
+    one shuffle on the 64-bit fingerprint; only (id, fp, score) ever
+    shuffles, never the text."""
+    key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    fp = F.xxhash64(key).alias("__fp")
+    scored = ensure_parallelism(df).select(
+        F.col(id_col), fp, score.alias("__score")
+    )
+    # struct ordering: score first, then -id so ties pick the min id
+    pick = F.struct(
+        F.col("__score").alias("s"), (-F.col(id_col)).alias("nid")
+    )
+    keep = (
+        scored.groupBy("__fp")
+        .agg(
+            F.max_by(F.col(id_col), pick).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("__score").alias("best_score"),
+        )
+        .select(id_col, "n_copies", "best_score")
+    )
+    if ids_only:
+        return keep
+    return df.join(keep, id_col, "inner")
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -639,3 +639,78 @@ def doc_quality_funnel_q(spark, sf_dir):
         ("low_repetition", T.duplicate_ngram_fraction(F.col("text"), 2) <= 0.2),
     ]
     return quality_funnel(d, gates).orderBy("stage_idx")
+
+
+# --------------------------------------------------------------------------
+# Dedup with a retention policy: keep the most word-diverse copy per
+# duplicate cluster (ties -> min doc_id) instead of blindly the min id
+# --------------------------------------------------------------------------
+
+KEEP_BEST_SQL = r"""
+WITH s AS (
+  SELECT doc_id, lower(TRIM(text)) AS k,
+         len(list_distinct(regexp_split_to_array(TRIM(text), '\s+'))) * 1.0 /
+         len(regexp_split_to_array(TRIM(text), '\s+')) AS sc
+  FROM documents
+), r AS (
+  SELECT doc_id, sc,
+         COUNT(*) OVER (PARTITION BY k) AS n_copies,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY sc DESC, doc_id) AS rn
+  FROM s
+)
+SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies, ROUND(sc, 6) AS best_score
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@register("dedup_keep_best", KEEP_BEST_SQL)
+def dedup_keep_best_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    out = dedup.dedup_keep_best(
+        d, T.distinct_word_ratio(F.col("text")), "text", "doc_id", ids_only=True
+    )
+    return out.select(
+        "doc_id",
+        "n_copies",
+        F.round("best_score", 6).alias("best_score"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk docs into 2048-token training
+# sequences, 64 parallel hash-bucketed streams; per-pack fill summary
+# --------------------------------------------------------------------------
+
+PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 6))::BIGINT % 64 AS g,
+         len(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+  FROM documents
+), c AS (
+  SELECT g, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY g ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT CAST(g AS INTEGER) AS pack_group,
+       CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS pack_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1, 2 ORDER BY pack_group, pack_seq
+"""
+
+
+@register("corpus_pack_sequences", PACK_SQL)
+def corpus_pack_sequences_q(spark, sf_dir):
+    from thundercats_spark.operators.curation import pack_sequences
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    packed = pack_sequences(d, budget=2048, n_groups=64)
+    return (
+        packed.groupBy("pack_group", "pack_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("pack_group", "pack_seq")
+    )
