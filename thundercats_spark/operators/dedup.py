@@ -103,8 +103,12 @@ def dedup_exact(
     when downstream only needs the surviving keys."""
     key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
     fp = F.xxhash64(key).alias("__fp")
+    # project to (id, fp) BEFORE any redistribution: the fingerprint is
+    # one hash per row (cheap even single-threaded on a narrow input),
+    # and the groupBy shuffle below already spreads the reduce — an
+    # up-front repartition would shuffle the full document bytes.
     keep = (
-        ensure_parallelism(df).select(F.col(id_col), fp)
+        df.select(F.col(id_col), fp)
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .select(id_col, "n_copies")
@@ -130,9 +134,10 @@ def dedup_keep_best(
     shuffles, never the text."""
     key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
     fp = F.xxhash64(key).alias("__fp")
-    scored = ensure_parallelism(df).select(
-        F.col(id_col), fp, score.alias("__score")
-    )
+    # as in dedup_exact: project before shuffling so text stays in the
+    # scan stage (repartition upstream if the score expr is heavy and
+    # the input arrives as a single split)
+    scored = df.select(F.col(id_col), fp, score.alias("__score"))
     # struct ordering: score first, then -id so ties pick the min id
     pick = F.struct(
         F.col("__score").alias("s"), (-F.col(id_col)).alias("nid")
