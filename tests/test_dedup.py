@@ -129,3 +129,29 @@ def test_dedup_keep_best_policy(spark):
     full = dedup_keep_best(docs, F.col("sc"))
     assert {r["doc_id"] for r in full.collect()} == {2, 4}
     assert "text" in full.columns
+
+
+def test_dedup_incremental_across_batches(spark, tmp_path):
+    from thundercats_spark.operators.dedup import dedup_incremental
+
+    idx = str(tmp_path / "fp_index")
+    b1 = spark.createDataFrame(
+        [(1, "first doc"), (2, "second doc"), (3, "first doc")],
+        "doc_id long, text string",
+    )
+    out1 = dedup_incremental(b1, idx)
+    assert sorted(r["doc_id"] for r in out1.collect()) == [1, 2]
+    # batch 2: one repeat of history, one internal dup, one new
+    b2 = spark.createDataFrame(
+        [(10, "second doc"), (11, "new doc"), (12, "NEW DOC")],
+        "doc_id long, text string",
+    )
+    out2 = dedup_incremental(b2, idx)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [11]
+    # replaying the same batch is a no-op against the committed index
+    out2_replay = dedup_incremental(b2, idx)
+    assert out2_replay.count() == 0
+    # dry-run leaves the index untouched
+    b3 = spark.createDataFrame([(20, "dry")], "doc_id long, text string")
+    assert dedup_incremental(b3, idx, commit=False).count() == 1
+    assert dedup_incremental(b3, idx, commit=False).count() == 1  # still fresh

@@ -542,3 +542,52 @@ def latest_by_key(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# --------------------------------------------------------------------------
+# incremental exact dedup against a persisted fingerprint index
+# --------------------------------------------------------------------------
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    commit: bool = True,
+) -> DataFrame:
+    """Dedupe a NEW batch against everything ever seen: drop rows whose
+    fingerprint is already in the persisted index at ``index_path``
+    (or duplicated within the batch — min id survives), then append the
+    survivors' fingerprints to the index. The production shape for
+    rolling corpus ingestion — each increment deduplicates against the
+    full history WITHOUT rescanning it (the index holds only 8-byte
+    fingerprints, not text).
+
+    ``commit=False`` skips the index append (dry-run / caller manages
+    the commit after its own write succeeds). The append is
+    ``Write.upsert_parquet``-idempotent: replaying a crashed batch
+    cannot double-insert fingerprints. Returns the surviving rows of
+    ``new_df`` (text rejoins by id — text itself never shuffles).
+    """
+    key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    fp = F.xxhash64(key).alias("__fp")
+    batch = new_df.select(F.col(id_col), fp)
+    # within-batch: min id per fingerprint
+    batch_keep = batch.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    spark = new_df.sparkSession
+    try:
+        seen = spark.read.parquet(index_path).select("__fp")
+        fresh = batch_keep.join(seen, "__fp", "left_anti")
+    except Exception as e:
+        from thundercats_spark.physical.io import _is_path_not_found
+
+        if not _is_path_not_found(e):
+            raise
+        fresh = batch_keep
+    if commit:
+        from thundercats_spark.physical.io import Write
+
+        Write.upsert_parquet(fresh.select("__fp"), index_path, ["__fp"]).get
+    return new_df.join(fresh.select(id_col), id_col, "inner")

@@ -137,6 +137,31 @@ def main():
     out["secs_connected_components"] = round(time.time() - t0, 3)
     out["n_components"] = n_groups
 
+    # round-2 curation family at 10x
+    from thundercats_spark.functions.text_analysis import distinct_word_ratio
+    from thundercats_spark.operators.curation import decontaminate, pack_sequences
+
+    bench_docs = d.where(F.col("source") == "src0")
+    corpus = d.where(F.col("source") != "src0")
+    for name, fn in [
+        (
+            "decontaminate",
+            lambda: decontaminate(corpus, bench_docs, n=8, mode="flag").select(
+                "doc_id", "n_contaminated"
+            ),
+        ),
+        ("pack_sequences", lambda: pack_sequences(d, budget=2048, n_groups=64)),
+        (
+            "dedup_keep_best",
+            lambda: dedup.dedup_keep_best(
+                d, distinct_word_ratio(F.col("text")), ids_only=True
+            ),
+        ),
+    ]:
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        out[f"secs_{name}"] = round(time.time() - t0, 3)
+
     dest = os.path.join(REPO, "tools", "scale_stats.json")
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)
