@@ -155,3 +155,22 @@ def test_dedup_incremental_across_batches(spark, tmp_path):
     b3 = spark.createDataFrame([(20, "dry")], "doc_id long, text string")
     assert dedup_incremental(b3, idx, commit=False).count() == 1
     assert dedup_incremental(b3, idx, commit=False).count() == 1  # still fresh
+
+
+def test_simhash_bucket_cap_trades_hot_clusters_only(spark):
+    from thundercats_spark.operators.dedup import simhash_pairs
+
+    hot = [(i, "identical hot cluster document body repeated verbatim") for i in range(100)]
+    cool = [
+        (200, "a completely different pair of documents about spark physical plans"),
+        (201, "a completely different pair of documents about spark physical plans"),
+    ]
+    df = spark.createDataFrame(hot + cool, "doc_id long, text string")
+    uncapped = simhash_pairs(df, max_hamming=3)
+    up = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert (200, 201) in up
+    assert sum(1 for a, b in up if a < 100 and b < 100) == 100 * 99 // 2
+    capped = simhash_pairs(df, max_hamming=3, max_bucket_size=50)
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (200, 201) in cp  # cool pair survives the cap
+    assert not any(a < 100 and b < 100 for a, b in cp)  # hot buckets skipped

@@ -300,10 +300,21 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of four 15-bit
     bands (any pair within Hamming ≤3 of the 60 bits must agree on ≥1
-    band by pigeonhole), verified with bit_count(xor)."""
+    band by pigeonhole), verified with bit_count(xor).
+
+    ``max_bucket_size`` (off by default, exact) drops band buckets
+    holding more than that many docs before the self-join — the
+    standard guard against low-entropy hot bands, whose |b|² candidate
+    enumeration dominates at scale (measured 10x sf0.1: one hot band
+    reaches |b|≈5400 and the total bound is ~122M pairs). Recall trade:
+    a true pair is missed only if EVERY band the two docs agree on is
+    hot; near-identical docs agree on ~all 4 bands, so they survive
+    unless all their buckets blow the cap. Pick the cap so
+    buckets² × buckets stays shuffle-sized (10³–10⁴ typical)."""
     h = simhash_fast(
         ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(text_col)), text_col
     ).select("id", "sh")
@@ -322,6 +333,15 @@ def simhash_pairs(
             ])
         ).alias("bk"),
     ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        cool = (
+            bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket_size)
+            .select("band", "key")
+        )
+        # bucket list is tiny (≤ n_bands × 2^15 keys) → broadcast join
+        bands = bands.join(F.broadcast(cool), ["band", "key"])
     # Verify BEFORE the distinct: both signatures are already in the
     # joined row, so the Hamming check is a free per-row bit_count at
     # the join output — the dedupe shuffle then sees only true

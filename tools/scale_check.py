@@ -124,6 +124,10 @@ def main():
         ("dedup_exact", lambda: dedup.dedup_exact(d, ids_only=True)),
         ("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(d, threshold=0.5)),
         ("dedup_simhash", lambda: dedup.simhash_pairs(d, max_hamming=3)),
+        (
+            "dedup_simhash_capped",  # hot-band guard at ~p99 bucket size
+            lambda: dedup.simhash_pairs(d, max_hamming=3, max_bucket_size=300),
+        ),
         ("ngram_jaccard_pairs", lambda: dedup.ngram_jaccard_pairs(d, threshold=0.5)),
     ]:
         t0 = time.time()
