@@ -1,13 +1,22 @@
 from thundercats_spark.operators.asof import asof_join
 from thundercats_spark.operators.components import connected_components, dedup_groups
 from thundercats_spark.operators.curation import (
+    boilerplate_lines,
+    corpus_split,
+    decontaminate,
+    pack_sequences,
+    quality_funnel,
     rebalance_fractions,
     rebalance_to_mix,
+    remove_boilerplate_lines,
     source_mix,
+    split_bucket,
 )
 from thundercats_spark.operators.dedup import (
     corpus_bigram_logprob,
     dedup_exact,
+    dedup_incremental,
+    dedup_keep_best,
     dedup_minhash,
     ensure_parallelism,
     latest_by_key,
@@ -20,6 +29,7 @@ from thundercats_spark.operators.incremental import Incremental, read_incrementa
 from thundercats_spark.operators.resample import resample_ffill
 from thundercats_spark.operators.sessionize import sessionize
 from thundercats_spark.operators.similarity import (
+    ann_batch_topk,
     ann_topk_bruteforce,
     ann_topk_lsh,
     cosine_pairs_bruteforce,
@@ -34,6 +44,8 @@ __all__ = [
     "connected_components",
     "dedup_groups",
     "dedup_exact",
+    "dedup_incremental",
+    "dedup_keep_best",
     "dedup_minhash",
     "latest_by_key",
     "minhash_lsh_pairs",
@@ -42,6 +54,7 @@ __all__ = [
     "simhash_pairs",
     "corpus_bigram_logprob",
     "ensure_parallelism",
+    "ann_batch_topk",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "cosine_pairs_bruteforce",
@@ -53,4 +66,11 @@ __all__ = [
     "read_incremental",
     "rebalance_fractions",
     "rebalance_to_mix",
+    "boilerplate_lines",
+    "corpus_split",
+    "decontaminate",
+    "pack_sequences",
+    "quality_funnel",
+    "remove_boilerplate_lines",
+    "split_bucket",
 ]
