@@ -161,3 +161,16 @@ def test_remove_boilerplate_lines(spark):
     assert out[0] == "body text 0\nunique line 0"  # header gone, order kept
     assert out[99] == "all original\ncontent here"  # untouched
     assert all(header not in t for t in out.values())
+
+
+def test_epoch_shuffle_deterministic_permutations(spark):
+    from thundercats_spark.operators.curation import epoch_shuffle
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    e1 = [r["doc_id"] for r in epoch_shuffle(df, 1, n_partitions=4).collect()]
+    e1b = [r["doc_id"] for r in epoch_shuffle(df.repartition(9), 1, n_partitions=4).collect()]
+    e2 = [r["doc_id"] for r in epoch_shuffle(df, 2, n_partitions=4).collect()]
+    assert sorted(e1) == list(range(500))  # a permutation
+    assert e1 == e1b  # reproducible regardless of input layout
+    assert e1 != e2  # epochs differ
+    assert e1 != list(range(500))  # actually shuffled

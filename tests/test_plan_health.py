@@ -10,7 +10,7 @@ from thundercats_spark.queries import all_queries
 
 # queries whose plan BUILD executes jobs (ivf trains centroids) or that
 # are intentionally quadratic brute-force oracles
-SKIP = {"ann_ivf_topk", "ann_indexed_topk", "dedup_embedding_cosine"}
+SKIP = {"ann_ivf_topk", "ann_indexed_topk", "dedup_embedding_cosine", "dedup_semantic"}
 # tiny-broadcast cross joins legitimately plan as BNLJ
 SCALAR_BNLJ_OK = {
     "q11_important_parts",

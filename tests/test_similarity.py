@@ -171,3 +171,42 @@ def test_ann_batch_topk_matches_per_query_bruteforce(emb):
         exact = similarity.ann_topk_bruteforce(data, qv, k=5).collect()
         expect = [(i + 1, r["vec_id"], r["cos"]) for i, r in enumerate(exact)]
         assert sorted(got[qid]) == expect, qid
+
+
+def test_semantic_dedup_single_cell_is_exact(emb):
+    from thundercats_spark.operators.components import connected_components
+    from thundercats_spark.operators.similarity import (
+        cosine_pairs_bruteforce,
+        semantic_dedup,
+    )
+
+    t = 0.45
+    # expected survivors from the exact pair rule
+    pairs = cosine_pairs_bruteforce(emb, threshold=t)
+    comp = connected_components(pairs)
+    dropped = {r["id"] for r in comp.collect() if r["id"] != r["component"]}
+    all_ids = {r["vec_id"] for r in emb.collect()}
+    expected = all_ids - dropped
+    got = {r["vec_id"] for r in semantic_dedup(emb, threshold=t, n_clusters=1).collect()}
+    assert got == expected
+    assert len(got) < len(all_ids)  # something was actually deduped
+
+
+def test_semantic_dedup_clustered_recall(emb, spark):
+    import pyspark.sql.functions as F
+
+    from thundercats_spark.operators.similarity import semantic_dedup
+
+    # plant exact duplicate vectors (ids +1000): they always land in
+    # the SAME cell, so clustering must drop every planted copy
+    dups = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    planted = emb.union(dups)
+    survivors = {
+        r["vec_id"]
+        for r in semantic_dedup(planted, threshold=0.999, n_clusters=4).collect()
+    }
+    assert all(1000 + i not in survivors for i in range(20))  # copies dropped
+    assert all(i in survivors for i in range(20))  # min-id originals kept
+    assert len(survivors) == emb.count()

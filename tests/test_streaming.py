@@ -209,3 +209,29 @@ def test_sessionize_stream_event_time(spark, tmp_path):
     s = sessions[1]
     assert s["n_events"] == 2 and abs(s["total_value"] - 3.0) < 1e-9
     assert (s["session_end"] - s["session_start"]).total_seconds() == 2.0
+
+
+def test_stream_dedup_corpus_full_history(spark, tmp_path):
+    from thundercats_spark.streaming.windows import stream_dedup_corpus
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    chk = str(tmp_path / "chk")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    docs([(1, "alpha"), (2, "beta"), (3, "alpha")]).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_dedup_corpus(stream, out, idx, checkpoint=chk)
+    q.processAllAvailable()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2]
+    # second micro-batch: history repeat + new doc
+    docs([(10, "beta"), (11, "gamma")]).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 11]
+    # index holds exactly the three distinct fingerprints
+    assert spark.read.parquet(idx).distinct().count() == 3

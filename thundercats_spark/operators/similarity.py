@@ -19,6 +19,7 @@ Hyperplanes are deterministic (seeded) so results reproduce.
 from __future__ import annotations
 
 import random
+from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
@@ -390,3 +391,66 @@ def cosine_pairs_lsh(
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     return cand.select("id_a", "id_b", cos.alias("cos")).where(F.col("cos") >= threshold)
+
+
+def cosine_pairs_clustered(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Cosine pairs WITHIN coarse k-means cells: assign each vector to
+    its nearest centroid, self-join per cell, verify cosine. The
+    SemDeDup candidate rule — semantic near-dups land in the same cell,
+    and the pair space shrinks from n² to Σ|cell|². Misses only pairs
+    straddling a cell boundary (raise n_clusters recall by probing
+    fewer, bigger cells; see ``cosine_pairs_lsh`` for the
+    OR-construction alternative)."""
+    assigned = ivf_assign(df, centroids, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "__cluster"
+    )
+    cos = vcos(F.col("x.v"), F.col("y.v"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        assigned.alias("x")
+        .join(assigned.alias("y"), "__cluster")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings with
+    the IVF coarse quantizer, mine cosine>=threshold pairs within each
+    cell, connect them into duplicate groups, keep the min-id row per
+    group. Returns surviving rows of ``df``.
+
+    Scale shape: k-means touches only (k x dim) on the driver; the
+    pair space is cell-bounded (never n²); connected components works
+    on id pairs only. ``n_clusters=1`` degrades to the exact
+    brute-force pair rule (useful as its own oracle in tests)."""
+    from thundercats_spark.operators.components import connected_components
+
+    cents = ivf_train(df, n_clusters, vec_col, id_col, iters=iters, seed=seed)
+    pairs = cosine_pairs_clustered(df, cents, threshold, vec_col, id_col)
+    comp = connected_components(pairs)  # (id, component)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

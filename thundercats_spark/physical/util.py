@@ -1,0 +1,73 @@
+"""DataFrame utility helpers — parity with the reference's
+physical/Util.scala ``Implicits``/``Debugger`` (Util.scala:22-100,
+108-116), re-expressed declaratively: the reference computes the
+square sums with RDD maps (Util.scala:42-57); here they are single
+aggregate expressions, so Catalyst fuses them into the scan and the
+whole reduce is one partial-agg pass (no Python, no RDD)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from thundercats_spark.functional.maybe import MayFail
+
+
+def bind(df: DataFrame, f) -> MayFail[DataFrame]:
+    """``df >> f`` of the reference (Util.scala:31): lift a DataFrame
+    transform into MayFail."""
+    return MayFail.of(lambda: f(df))
+
+
+def sum_of_sqr_diff(df: DataFrame, col_a: str, col_b: str) -> float:
+    """Σ (a-b)² over the frame (Util.scala:42) — one agg pass."""
+    d = F.col(col_a).cast("double") - F.col(col_b).cast("double")
+    row = df.agg(F.sum(d * d).alias("s")).first()
+    return float(row["s"] or 0.0)
+
+
+def sum_of_sqr(df: DataFrame, col_name: str) -> float:
+    """Σ x² of a numeric column (Util.scala:51) — one agg pass."""
+    x = F.col(col_name).cast("double")
+    row = df.agg(F.sum(x * x).alias("s")).first()
+    return float(row["s"] or 0.0)
+
+
+class Debugger:
+    """Pipeline/model structure printers (Util.scala:64-93)."""
+
+    @staticmethod
+    def pipeline_to_string(pipeline, prev: str = "") -> str:
+        from pyspark.ml import Pipeline
+
+        out = prev
+        for stage in pipeline.getStages():
+            if isinstance(stage, Pipeline):
+                out = Debugger.pipeline_to_string(stage, out)
+            else:
+                out += f" => {type(stage).__name__}"
+        return out
+
+    @staticmethod
+    def model_to_string(model, prev: str = "") -> str:
+        from pyspark.ml import PipelineModel
+
+        out = prev
+        for trans in model.stages:
+            if isinstance(trans, PipelineModel):
+                out = Debugger.model_to_string(trans, out)
+            else:
+                out += f" => {type(trans).__name__}"
+        return out
+
+    @staticmethod
+    def print_pipeline(pipeline) -> None:
+        for part in Debugger.pipeline_to_string(pipeline).split(" => "):
+            if part:
+                print(f"... {part}")
+
+    @staticmethod
+    def print_model(model) -> None:
+        for part in Debugger.model_to_string(model).split(" => "):
+            if part:
+                print(f"... {part}")

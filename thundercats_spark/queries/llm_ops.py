@@ -714,3 +714,17 @@ def corpus_pack_sequences_q(spark, sf_dir):
         )
         .orderBy("pack_group", "pack_seq")
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup — rows-only (k-means quantizer is not
+# SQL-expressible); exactness vs the brute-force pair rule is pinned in
+# tests/test_similarity.py (n_clusters=1 == brute; planted-dup recall).
+# --------------------------------------------------------------------------
+
+
+@register("dedup_semantic", None)
+def dedup_semantic_q(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    out = similarity.semantic_dedup(e, threshold=0.45, n_clusters=8)
+    return out.select("vec_id").orderBy("vec_id")

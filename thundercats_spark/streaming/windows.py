@@ -236,3 +236,41 @@ def stream_upsert_parquet(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def stream_dedup_corpus(
+    stream: DataFrame,
+    out_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: str | None = None,
+):
+    """Streaming corpus ingestion with FULL-HISTORY exact dedup: each
+    micro-batch drops docs whose text fingerprint was ever ingested
+    (``dedup_incremental`` against the persisted index), survivors
+    append to ``out_path``. Complements ``dedup_stream``, whose state
+    only spans the watermark — here the dedup horizon is unbounded and
+    the state is an 8-byte-per-doc parquet index, not executor memory.
+
+    Replay safety: BOTH writes are idempotent upserts — docs by
+    ``id_col``, fingerprints by hash — so a crash between them just
+    re-converges on replay (at-least-once upstream → effective
+    exactly-once in the sink). Returns the started StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from thundercats_spark.operators.dedup import dedup_incremental
+    from thundercats_spark.physical.io import Write
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        fresh = dedup_incremental(
+            batch, index_path, text_col=text_col, id_col=id_col, commit=False
+        ).localCheckpoint()  # freeze survivors: both writes below reuse them
+        Write.upsert_parquet(fresh, out_path, [id_col]).get
+        fp = F.xxhash64(F.lower(F.trim(F.col(text_col)))).alias("__fp")
+        Write.upsert_parquet(fresh.select(fp), index_path, ["__fp"]).get
+
+    w = stream.writeStream.foreachBatch(ingest).outputMode("update")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
