@@ -174,3 +174,14 @@ def test_epoch_shuffle_deterministic_permutations(spark):
     assert e1 == e1b  # reproducible regardless of input layout
     assert e1 != e2  # epochs differ
     assert e1 != list(range(500))  # actually shuffled
+
+
+def test_calibrate_threshold_keeps_requested_fraction(spark):
+    from thundercats_spark.operators.curation import calibrate_threshold
+
+    df = spark.range(10000).select((F.col("id") % 1000).cast("double").alias("sc"))
+    cut = calibrate_threshold(df, F.col("sc"), keep_frac=0.3)
+    kept = df.where(F.col("sc") >= cut).count() / 10000
+    assert 0.28 <= kept <= 0.32
+    # degenerate fractions clamp sanely
+    assert calibrate_threshold(df, F.col("sc"), 1.0) == 0.0

@@ -321,3 +321,22 @@ def epoch_shuffle(
     else:
         out = out.repartitionByRange("__shuffle_key")
     return out.sortWithinPartitions("__shuffle_key").drop("__shuffle_key")
+
+
+def calibrate_threshold(
+    df: DataFrame,
+    score: Column,
+    keep_frac: float,
+    relative_error: float = 0.001,
+) -> float:
+    """Score cutoff that keeps the TOP ``keep_frac`` of rows by
+    ``score`` — e.g. "keep the best 60% of the corpus by quality".
+    Uses Spark's Greenwald-Khanna approximate quantile (single pass,
+    driver gets one number); ``relative_error`` trades accuracy for
+    memory exactly as ``approxQuantile`` does. Filter with
+    ``df.where(score >= cutoff)`` afterwards."""
+    q = max(0.0, min(1.0, 1.0 - keep_frac))
+    out = df.select(score.cast("double").alias("__s")).approxQuantile(
+        "__s", [q], relative_error
+    )
+    return float(out[0])
