@@ -174,3 +174,24 @@ def test_simhash_bucket_cap_trades_hot_clusters_only(spark):
     cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (200, 201) in cp  # cool pair survives the cap
     assert not any(a < 100 and b < 100 for a, b in cp)  # hot buckets skipped
+
+
+def test_minhash_oph_recall_and_determinism(spark, sf_dir):
+    """One-permutation hashing: same banding/verify, O(n) signatures.
+    Precision stays exact (verify step); recall must hold up."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    oph = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5, method="oph")
+    truth = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    found = {(r["id_a"], r["id_b"]) for r in oph.collect()}
+    assert found <= truth
+    if truth:
+        recall = len(found & truth) / len(truth)
+        assert recall >= 0.8, f"recall {recall} over {len(truth)} pairs"
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs.repartition(11), "text", "doc_id", threshold=0.5, method="oph"
+        ).collect()
+    }
+    assert again == found  # deterministic under repartitioning

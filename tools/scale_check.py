@@ -123,6 +123,10 @@ def main():
     for name, fn in [
         ("dedup_exact", lambda: dedup.dedup_exact(d, ids_only=True)),
         ("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(d, threshold=0.5)),
+        (
+            "dedup_minhash_oph",  # one-permutation-hashing signature kernel
+            lambda: dedup.minhash_lsh_pairs(d, threshold=0.5, method="oph"),
+        ),
         ("dedup_simhash", lambda: dedup.simhash_pairs(d, max_hamming=3)),
         (
             "dedup_simhash_capped",  # hot-band guard at ~p99 bucket size
