@@ -185,3 +185,17 @@ def test_calibrate_threshold_keeps_requested_fraction(spark):
     assert 0.28 <= kept <= 0.32
     # degenerate fractions clamp sanely
     assert calibrate_threshold(df, F.col("sc"), 1.0) == 0.0
+
+
+def test_temperature_mix():
+    from thundercats_spark.operators.curation import temperature_mix
+
+    counts = {"big": 9000, "small": 1000}
+    nat = temperature_mix(counts, 1.0)
+    assert nat["big"] == pytest.approx(0.9) and nat["small"] == pytest.approx(0.1)
+    warm = temperature_mix(counts, 3.0)
+    assert 0.1 < warm["small"] < 0.5  # upweighted but not dominant
+    hot = temperature_mix(counts, 1000.0)
+    assert abs(hot["small"] - 0.5) < 0.01  # T->inf approaches uniform
+    with pytest.raises(ValueError):
+        temperature_mix(counts, 0)

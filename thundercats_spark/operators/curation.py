@@ -57,6 +57,20 @@ def rebalance_fractions(
     }
 
 
+def temperature_mix(counts: dict[str, int], temperature: float = 1.0) -> dict[str, float]:
+    """Target mix from observed counts with temperature smoothing
+    (the multilingual-pretraining alpha-sampling rule): p_s ∝
+    c_s^(1/T). T=1 keeps natural proportions; T→∞ approaches uniform —
+    upweighting small sources without hand-set targets. Feed the result
+    to ``rebalance_to_mix``/``rebalance_fractions``. Driver math over
+    the tiny per-source count map."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    w = {s: c ** (1.0 / temperature) for s, c in counts.items() if c > 0}
+    z = sum(w.values())
+    return {s: v / z for s, v in w.items()}
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,
