@@ -82,6 +82,19 @@ def connected_components(
                 F.max("__old").alias("__old"),
             )
         )
+        # Pointer-halving (label-of-label): follow each node's label to
+        # that NODE's label. Labels only decrease and every label is a
+        # node id, so this contracts chains geometrically — convergence
+        # becomes O(log diameter) rounds instead of O(diameter), which
+        # is what makes long duplicate CHAINS (A~B~C~...) safe: plain
+        # min-propagation moves one hop per round and silently returns
+        # wrong labels once max_iter is hit.
+        hop = new_labels.select(
+            F.col("id").alias("component"), F.col("component").alias("__c2")
+        )
+        new_labels = new_labels.join(hop, "component").select(
+            "id", F.col("__c2").alias("component"), "__old"
+        )
         # checkpoint every round: the convergence check + next iteration
         # both consume new_labels, and the iteration plan would otherwise
         # deepen geometrically. (checkpoint_every kept for API compat.)
@@ -93,6 +106,11 @@ def connected_components(
         labels = new_labels.select("id", "component")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "raise max_iter (graph diameter exceeds 2^max_iter)"
+        )
     return labels
 
 
