@@ -281,11 +281,14 @@ def remove_boilerplate_lines(
     reassemble the text in original line order. Docs reduced to nothing
     survive with empty text (filter downstream if unwanted).
 
-    Scale shape: the boilerplate set is tiny (high-frequency lines
-    only) → broadcast anti-join at the line level; reassembly is one
-    shuffle of the surviving lines grouped by doc id, ordered by the
-    original line position (array_sort on (pos, line) structs — no
-    per-group sort memory beyond the doc itself)."""
+    Scale shape: anti-join at the line level on 8-byte hashes — AQE
+    broadcasts the boilerplate side when it fits and falls back to a
+    shuffle join when a low ``min_docs`` makes it huge (no forced
+    broadcast: at corpus scale the set of lines shared by >=10 docs is
+    unbounded); reassembly is one shuffle of the surviving lines
+    grouped by doc id, ordered by the original line position
+    (array_sort on (pos, line) structs — no per-group sort memory
+    beyond the doc itself)."""
     boiler = boilerplate_lines(df, text_col, id_col, min_docs, sep).select("__lh")
     pos_line = F.posexplode(F.split(F.col(text_col), F.lit(sep)))
     lines = df.select(F.col(id_col), pos_line).select(
@@ -294,7 +297,7 @@ def remove_boilerplate_lines(
         F.col("col").alias("__line"),
         F.xxhash64(F.lower(F.trim(F.col("col")))).alias("__lh"),
     )
-    kept = lines.join(F.broadcast(boiler), "__lh", "left_anti")
+    kept = lines.join(boiler, "__lh", "left_anti")
     rebuilt = (
         kept.groupBy(id_col)
         .agg(

@@ -3,9 +3,13 @@
 Four families, all shuffle-disciplined:
 
 - **exact**: xxhash64 fingerprint → groupBy hash → keep min-id. One
-  shuffle on an 8-byte key regardless of document size.
-- **MinHash + LSH**: shingles → k permutation-hashes → banded bucket
-  keys → candidates are pairs sharing a bucket → exact-Jaccard verify.
+  shuffle on an 8-byte key regardless of document size. Variants:
+  keep-best retention policy (``dedup_keep_best``) and rolling
+  ingestion against a persisted fingerprint index
+  (``dedup_incremental``).
+- **MinHash + LSH**: shingles → k permutation-hashes (or O(n)/doc
+  one-permutation hashing, ``method='oph'``) → banded bucket keys →
+  candidates are pairs sharing a bucket → exact-Jaccard verify.
   Never materializes the O(n²) pair space; bucket sizes bound the
   candidate count. All signature math is built-in higher-order
   functions (JVM codegen), not Python.
