@@ -728,3 +728,15 @@ def dedup_semantic_q(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     out = similarity.semantic_dedup(e, threshold=0.45, n_clusters=8)
     return out.select("vec_id").orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# MinHash via one-permutation hashing — rows-only (xxhash64 sketch);
+# recall vs exact Jaccard pinned in tests/test_dedup.py.
+# --------------------------------------------------------------------------
+
+
+@register("dedup_minhash_oph", None)
+def dedup_minhash_oph_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5, method="oph")
