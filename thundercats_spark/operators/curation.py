@@ -321,17 +321,22 @@ def epoch_shuffle(
     epoch: int,
     key_col: str = "doc_id",
     n_partitions: int | None = None,
+    key: Column | None = None,
 ) -> DataFrame:
     """Deterministic training-order shuffle for one epoch: orders rows
     by ``xxhash64(key, epoch)`` — a different but reproducible
     permutation per epoch, identical across runs and cluster sizes
     (same property as ``corpus_split``; no RNG state to manage).
+    ``key`` overrides the shuffle key expression (e.g. an md5-derived
+    key when the permutation must be reproducible outside Spark).
 
     Scale shape: NOT a global sort — rows are range-partitioned on the
     hash then sorted within partitions, so each output partition is an
     independent sorted run and reading partitions in order yields the
     full permutation. One shuffle."""
-    h = F.xxhash64(F.col(key_col), F.lit(epoch)).alias("__shuffle_key")
+    h = (key if key is not None else F.xxhash64(F.col(key_col), F.lit(epoch))).alias(
+        "__shuffle_key"
+    )
     out = df.withColumn("__shuffle_key", h)
     if n_partitions is not None:
         out = out.repartitionByRange(n_partitions, "__shuffle_key")

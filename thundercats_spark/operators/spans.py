@@ -1,0 +1,159 @@
+"""Exact repeated-span detection: cross-document substring duplication.
+
+The curation signal behind "exact substring deduplication" in modern
+pretraining pipelines (Lee et al. 2022, "Deduplicating Training Data
+Makes Language Models Better"; used by RefinedWeb/SlimPajama): find
+word-level spans of length L that occur in >= ``min_docs`` distinct
+documents, and score each document by the fraction of its spans that
+are corpus-duplicated. Unlike MinHash (whole-doc near-dup), this
+catches boilerplate/licence blocks/templated fragments embedded in
+otherwise-distinct documents.
+
+Scale shape (the reason this is two-phase):
+
+1. **Hash stream** — every (doc, position) span is reduced to an
+   8-byte ``xxhash64`` inside a SQL higher-order function, so the
+   exploded stream that shuffles is ``(id, long)`` — span text never
+   leaves the scan stage. O(words) rows, O(1) bytes each.
+2. **Survivor re-aggregation** — only hashes seen in >= ``min_docs``
+   docs come back for an exact, text-keyed recount. The second
+   shuffle carries text for *duplicated* spans only (a small fraction
+   of the corpus), and re-grouping by the span text makes the final
+   counts exact even under (astronomically unlikely) hash collisions.
+
+A reference-free extension: the reference engine has no substring-level
+dedup; this extends its dedup family (see operators/dedup.py) with the
+span-level member a 100 TB training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from thundercats_spark.operators.dedup import ensure_parallelism
+
+
+def _words(text_col: str):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def span_hash_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """(id, span_h) for every word-level span of length ``span_words``
+    (stride 1). Spans are hashed to 64 bits inside the projection —
+    the output stream is fixed-width and cheap to shuffle. Documents
+    shorter than ``span_words`` words contribute no rows."""
+    hashes = F.expr(
+        f"transform(sequence(1, size(__w) - {span_words} + 1), "
+        f"i -> xxhash64(array_join(slice(__w, i, {span_words}), ' ')))"
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), _words(text_col).alias("__w"))
+        .where(F.size("__w") >= span_words)
+        .select("id", F.explode(hashes).alias("span_h"))
+    )
+
+
+def _span_text_stream(
+    df: DataFrame, text_col: str, id_col: str, span_words: int
+) -> DataFrame:
+    """(id, span, span_h) — the text-carrying twin of
+    ``span_hash_stream``; only ever joined against a survivor set."""
+    spans = F.expr(
+        f"transform(sequence(1, size(__w) - {span_words} + 1), "
+        f"i -> array_join(slice(__w, i, {span_words}), ' '))"
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), _words(text_col).alias("__w"))
+        .where(F.size("__w") >= span_words)
+        .select("id", F.explode(spans).alias("span"))
+        .withColumn("span_h", F.xxhash64("span"))
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+    min_docs: int = 2,
+    top_k: int | None = 100,
+) -> DataFrame:
+    """Spans of ``span_words`` words appearing in >= ``min_docs``
+    distinct documents: (span, n_docs, n_occ), most-duplicated first
+    (ties broken by span text for a total order).
+
+    Phase 1 finds candidate hashes with a fixed-width shuffle; phase 2
+    recounts the survivors keyed by the actual text, so results are
+    exact — a hash collision can only add a candidate, never corrupt a
+    count."""
+    hashes = span_hash_stream(df, text_col, id_col, span_words)
+    dup_h = (
+        hashes.groupBy("span_h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("span_h")
+    )
+    # Survivor set is data-dependent and unbounded at corpus scale:
+    # no broadcast hint — AQE promotes to BHJ when it actually fits.
+    survivors = _span_text_stream(df, text_col, id_col, span_words).join(
+        dup_h, "span_h", "leftsemi"
+    )
+    out = (
+        survivors.groupBy("span")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("span"))
+    )
+    return out.limit(top_k) if top_k is not None else out
+
+
+def span_dup_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span ratio: (doc_id, n_spans, n_dup,
+    dup_frac) where ``n_dup`` counts span positions whose span occurs
+    in >= ``min_docs`` distinct documents. The standard "how much of
+    this page is boilerplate someone else also has" gate — filter with
+    ``dup_frac >= cutoff`` or feed ``calibrate_threshold``.
+
+    Entirely hash-keyed (both the per-doc stream and the duplicate set
+    are 8-byte columns); exactness rests on xxhash64 over the span
+    text, where a collision is ~2^-64 per span pair. Documents shorter
+    than ``span_words`` words have no spans and are omitted."""
+    hashes = span_hash_stream(df, text_col, id_col, span_words)
+    dup_h = (
+        hashes.groupBy("span_h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("span_h", F.lit(1).alias("__dup"))
+    )
+    return (
+        hashes.join(dup_h, "span_h", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("long").alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_spans")).alias("dup_frac"),
+        )
+        .orderBy(id_col)
+    )

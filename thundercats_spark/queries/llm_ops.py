@@ -740,3 +740,93 @@ def dedup_semantic_q(spark, sf_dir):
 def dedup_minhash_oph_q(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
     return dedup.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5, method="oph")
+
+
+# --------------------------------------------------------------------------
+# Exact repeated-span detection (substring-level duplication):
+# cross-doc duplicated word spans + per-doc duplicated-span ratio.
+# Spark plan is hash-first (operators/spans.py); the oracle re-derives
+# the same spans from text in SQL, so the comparison is exact.
+# --------------------------------------------------------------------------
+
+REPEATED_SPANS_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), spans AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 9), ' ') AS span
+  FROM words, UNNEST(generate_series(1, len(w) - 9)) AS t(i)
+  WHERE len(w) >= 10
+)
+SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, span LIMIT 100
+"""
+
+
+@register("doc_repeated_spans", REPEATED_SPANS_SQL)
+def doc_repeated_spans_q(spark, sf_dir):
+    from thundercats_spark.operators.spans import repeated_spans
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return repeated_spans(d, "text", "doc_id", span_words=10, min_docs=2, top_k=100)
+
+
+SPAN_DUP_FRACTION_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), spans AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 9), ' ') AS span
+  FROM words, UNNEST(generate_series(1, len(w) - 9)) AS t(i)
+  WHERE len(w) >= 10
+), dup AS (
+  SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+FROM spans s LEFT JOIN dup d USING (span)
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+
+@register("doc_span_dup_fraction", SPAN_DUP_FRACTION_SQL)
+def doc_span_dup_fraction_q(spark, sf_dir):
+    from thundercats_spark.operators.spans import span_dup_fraction
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return span_dup_fraction(d, "text", "doc_id", span_words=10, min_docs=2)
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle, oracle-checkable via an md5 key (the
+# operator's default key is xxhash64 — Spark-only; md5 exists in both
+# engines, exercising the same repartitionByRange + in-partition sort
+# path with a cross-engine-computable permutation).
+# --------------------------------------------------------------------------
+
+SHUFFLE_ORDER_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR || ':7'), doc_id) AS BIGINT)
+         AS shuffle_pos
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("corpus_shuffle_order", SHUFFLE_ORDER_SQL)
+def corpus_shuffle_order_q(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from thundercats_spark.operators.curation import epoch_shuffle
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7")))
+    shuffled = epoch_shuffle(d, epoch=7, key=key, n_partitions=8)
+    # Global position for the oracle check: single-partition window is
+    # the check's cost, not the operator's (training readers consume
+    # the partition-ordered output directly).
+    w = Window.orderBy(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7"))), "doc_id")
+    return (
+        shuffled.withColumn("shuffle_pos", F.row_number().over(w).cast("long"))
+        .orderBy("doc_id")
+    )
