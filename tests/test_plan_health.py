@@ -21,7 +21,7 @@ SCALAR_BNLJ_OK = {
     "ann_batch_topk",  # broadcast query-vector table (a handful of rows)
 }
 # Arrow-kernel operators are allowed (designed) Python-boundary nodes
-PY_EVAL_OK = {"dedup_minhash_lsh", "dedup_simhash"}
+PY_EVAL_OK = {"dedup_minhash_lsh", "dedup_minhash_oph", "dedup_simhash"}
 
 
 def _plan(spark, name, sf_dir):

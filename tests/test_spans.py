@@ -91,3 +91,22 @@ def test_epoch_shuffle_key_override(spark):
     a = [r["doc_id"] for r in epoch_shuffle(df, 0, key=key, n_partitions=4).collect()]
     b = [r["doc_id"] for r in epoch_shuffle(df.repartition(7), 0, key=key, n_partitions=4).collect()]
     assert a == b and a != sorted(a)
+
+
+def test_remove_repeated_spans_exact(spark):
+    from thundercats_spark.operators.spans import remove_repeated_spans
+
+    out = remove_repeated_spans(_corpus(spark), span_words=10, min_docs=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # canonical occurrence is doc 1 (smallest (doc, pos)) → untouched
+    assert rows[1]["clean_text"] == f"alpha {BLOCK} beta"
+    assert rows[1]["n_removed"] == 0
+    # doc 2 loses the block (positions 3..12), keeps its prefix
+    assert rows[2]["clean_text"] == "gamma delta"
+    assert rows[2]["n_removed"] == 10
+    # doc 3 loses both occurrences, keeping only the middle word
+    assert rows[3]["clean_text"] == "epsilon"
+    assert rows[3]["n_removed"] == 20
+    # unique and too-short docs pass through whole
+    assert rows[4]["n_removed"] == 0 and rows[5]["n_removed"] == 0
+    assert rows[5]["clean_text"] == "too short to have spans"

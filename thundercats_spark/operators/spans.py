@@ -157,3 +157,99 @@ def span_dup_fraction(
         )
         .orderBy(id_col)
     )
+
+
+def span_occurrence_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """(id, pos, span_h) — like ``span_hash_stream`` but keeping the
+    1-based start position of each span, for occurrence-level ops."""
+    hashes = F.expr(
+        f"transform(sequence(1, size(__w) - {span_words} + 1), "
+        f"i -> xxhash64(array_join(slice(__w, i, {span_words}), ' ')))"
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), _words(text_col).alias("__w"))
+        .where(F.size("__w") >= span_words)
+        .select("id", F.posexplode(hashes).alias("pos0", "span_h"))
+        .select("id", (F.col("pos0") + 1).alias("pos"), "span_h")
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022): for every span
+    duplicated across >= ``min_docs`` documents, keep ONE canonical
+    occurrence (the lexicographically smallest (doc, position)) and cut
+    the words covered by every other occurrence. Returns one row per
+    document: (id, clean_text, n_removed) — overlapping removals are
+    unioned at the position level, and a fully-duplicated document
+    comes back as the empty string, ready for a length gate.
+
+    Whitespace is normalized (words are re-joined with single spaces),
+    matching the tokenizer used for detection.
+
+    Scale shape: detection and removal planning run entirely on
+    ``(id, pos, span_h)`` triples — fixed-width, shuffle-cheap. Text
+    shuffles exactly once, in the final per-document rebuild (inherent:
+    the operator rewrites documents). Covered positions are exploded
+    per removal (O(span_words) ints each); for very long spans an
+    interval-merge would be cheaper, at these L values explode wins."""
+    occ = span_occurrence_stream(df, text_col, id_col, span_words)
+    dup = (
+        occ.groupBy("span_h")
+        .agg(
+            F.count_distinct("id").alias("nd"),
+            F.min(F.struct("id", "pos")).alias("canon"),
+        )
+        .where(F.col("nd") >= min_docs)
+        .select("span_h", "canon")
+    )
+    removals = (
+        occ.join(dup, "span_h")
+        .where(
+            (F.col("id") != F.col("canon.id")) | (F.col("pos") != F.col("canon.pos"))
+        )
+        .select("id", "pos")
+    )
+    covered = removals.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(span_words - 1))
+        ).alias("p"),
+    ).distinct()
+    tok = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), F.posexplode(_words(text_col)).alias("p0", "word"))
+        .select("id", (F.col("p0") + 1).alias("p"), "word")
+    )
+    marked = tok.join(covered.withColumn("__c", F.lit(1)), ["id", "p"], "left")
+    # collect_list drops the null structs (covered positions), so one
+    # grouped pass yields both the rebuilt text and the removal count.
+    return (
+        marked.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__c").isNull(), F.struct("p", "word"))
+                        )
+                    ),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.col("__c")).cast("long").alias("n_removed"),
+        )
+        .orderBy(id_col)
+    )

@@ -830,3 +830,40 @@ def corpus_shuffle_order_q(spark, sf_dir):
         shuffled.withColumn("shuffle_pos", F.row_number().over(w).cast("long"))
         .orderBy("doc_id")
     )
+
+
+REMOVE_SPANS_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, i AS p, w[i] AS word
+  FROM words, UNNEST(generate_series(1, len(w))) AS t(i)
+), occ AS (
+  SELECT doc_id, i AS pos, array_to_string(list_slice(w, i, i + 9), ' ') AS span
+  FROM words, UNNEST(generate_series(1, len(w) - 9)) AS t(i)
+  WHERE len(w) >= 10
+), dupspan AS (
+  SELECT span FROM occ GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+), docc AS (
+  SELECT o.doc_id, o.pos,
+         ROW_NUMBER() OVER (PARTITION BY o.span ORDER BY o.doc_id, o.pos) AS rn
+  FROM occ o JOIN dupspan USING (span)
+), covered AS (
+  SELECT DISTINCT doc_id, pos + i AS p
+  FROM docc, UNNEST(generate_series(0, 9)) AS t(i) WHERE rn > 1
+)
+SELECT t.doc_id,
+       COALESCE(string_agg(CASE WHEN c.p IS NULL THEN t.word END, ' ' ORDER BY t.p), '')
+         AS clean_text,
+       CAST(COUNT(c.p) AS BIGINT) AS n_removed
+FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+@register("doc_remove_repeated_spans", REMOVE_SPANS_SQL)
+def doc_remove_repeated_spans_q(spark, sf_dir):
+    from thundercats_spark.operators.spans import remove_repeated_spans
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return remove_repeated_spans(d, "text", "doc_id", span_words=10, min_docs=2)
