@@ -170,6 +170,33 @@ def main():
         fn().write.format("noop").mode("overwrite").save()
         out[f"secs_{name}"] = round(time.time() - t0, 3)
 
+    # substring-dedup (span) family at 10x: the replica corpus is
+    # span-heavy by construction (replicas share every 10-gram with
+    # their original), so this is a worst-case duplication profile.
+    from thundercats_spark.operators.spans import (
+        remove_repeated_spans,
+        repeated_spans,
+        span_dup_fraction,
+        span_hash_stream,
+    )
+
+    occ = span_hash_stream(d, "text", "doc_id", 10)
+    dupset = (
+        occ.groupBy("span_h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= 2)
+    )
+    out["span_stream_rows"] = occ.count()
+    out["span_dup_hashes"] = dupset.count()
+    for name, fn in [
+        ("repeated_spans", lambda: repeated_spans(d, top_k=100)),
+        ("span_dup_fraction", lambda: span_dup_fraction(d)),
+        ("remove_repeated_spans", lambda: remove_repeated_spans(d)),
+    ]:
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        out[f"secs_{name}"] = round(time.time() - t0, 3)
+
     dest = os.path.join(REPO, "tools", "scale_stats.json")
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)
