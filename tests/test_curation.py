@@ -199,3 +199,22 @@ def test_temperature_mix():
     assert abs(hot["small"] - 0.5) < 0.01  # T->inf approaches uniform
     with pytest.raises(ValueError):
         temperature_mix(counts, 0)
+
+
+def test_sample_per_group_exact_counts(spark):
+    from thundercats_spark.operators.curation import sample_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "small") for i in range(55)], ["doc_id", "source"]
+    )
+    out = sample_per_group(df, k=10, group_col="source", key_col="doc_id")
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # exactly k from the big group, the whole small group (5 < k)
+    assert counts == {"big": 10, "small": 5}
+    # deterministic under repartitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_per_group(df.repartition(7), 10, "source", "doc_id").collect()
+    )
+    assert a == b

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from thundercats_spark.functions.text_analysis import word_ngrams
@@ -189,6 +189,32 @@ def rebalance_to_mix(
     }
     fractions = rebalance_fractions(counts, target)
     return df.sampleBy(source_col, fractions, seed=seed)
+
+
+def sample_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACTLY min(k, group size) rows per group, chosen by a
+    deterministic hash order — "k examples per domain" with no RNG
+    state, stable across runs, engines, and cluster sizes (md5 keys
+    are engine-portable, like ``corpus_split``). Bernoulli sampling
+    (``sampleBy``) can't promise exact counts; this can.
+
+    Plan: one shuffle on ``group_col`` for the per-group rank window.
+    Skew note: a giant group funnels through one task — for k small
+    and groups huge, pre-thin with a Bernoulli pass at a few times the
+    expected fraction, then rank exactly (two scans, no hot task)."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(group_col).orderBy(h, key_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
 def pack_sequences(

@@ -867,3 +867,29 @@ def doc_remove_repeated_spans_q(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")["documents"]
     return remove_repeated_spans(d, "text", "doc_id", span_words=10, min_docs=2)
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group sampling: exactly k docs per source, md5-keyed
+# so the selection is reproducible in any engine.
+# --------------------------------------------------------------------------
+
+SAMPLE_PER_GROUP_SQL = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR || ':sample'), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20 ORDER BY source, doc_id
+"""
+
+
+@register("corpus_sample_per_source", SAMPLE_PER_GROUP_SQL)
+def corpus_sample_per_source_q(spark, sf_dir):
+    from thundercats_spark.operators.curation import sample_per_group
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    out = sample_per_group(d, k=20, group_col="source", key_col="doc_id")
+    return out.select("source", "doc_id").orderBy("source", "doc_id")
