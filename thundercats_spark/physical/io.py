@@ -552,17 +552,20 @@ class Screen:
 
     @staticmethod
     def _simplify(df: DataFrame) -> DataFrame:
-        """Disguise complex (array/struct/binary) cols for readable show."""
+        """Disguise complex (array/struct/binary) cols for readable show
+        (single select — one analysis pass regardless of column count)."""
         from pyspark.sql.types import ArrayType, BinaryType, StructType
 
-        for f_ in df.schema.fields:
+        def disguise(f_):
             if isinstance(f_.dataType, ArrayType):
-                df = df.withColumn(f_.name, F.lit(f"<array<{f_.dataType.elementType.simpleString()}>>"))
-            elif isinstance(f_.dataType, StructType):
-                df = df.withColumn(f_.name, F.lit("<struct>"))
-            elif isinstance(f_.dataType, BinaryType):
-                df = df.withColumn(f_.name, F.lit("<binary>"))
-        return df
+                return F.lit(f"<array<{f_.dataType.elementType.simpleString()}>>").alias(f_.name)
+            if isinstance(f_.dataType, StructType):
+                return F.lit("<struct>").alias(f_.name)
+            if isinstance(f_.dataType, BinaryType):
+                return F.lit("<binary>").alias(f_.name)
+            return F.col(f_.name)
+
+        return df.select(*[disguise(f_) for f_ in df.schema.fields])
 
     @staticmethod
     def show_df(
