@@ -59,6 +59,47 @@ def build_replica(spark, sf_dir: str, replicas: int) -> str:
     return path
 
 
+def build_tpch_replica(spark, sf_dir: str, replicas: int) -> str:
+    """A 10x fact-table replica of the TPC-H-ish tables (sf1-equivalent
+    facts when sf_dir=sf0.1): orders/lineitem replicated with offset
+    order keys (each replica joins within itself — same join fan-out
+    per key as the original), events replicated with offset event ids,
+    dims copied verbatim (same dim cardinality → broadcast stays the
+    right plan, fact:dim ratio grows 10x as it would at sf1)."""
+    out_dir = os.path.join(SCALE_DIR, f"sf_x{replicas}")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    r = spark.range(replicas).withColumnRenamed("id", "rep")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_ok = o.agg(F.max("o_orderkey")).first()[0] + 1
+    o.crossJoin(F.broadcast(r)).select(
+        (F.col("o_orderkey") + F.col("rep") * n_ok).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    ).repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.crossJoin(F.broadcast(r)).select(
+        (F.col("l_orderkey") + F.col("rep") * n_ok).alias("l_orderkey"),
+        "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    ).repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    from thundercats_spark.queries import load as load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    n_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    ev.crossJoin(F.broadcast(r)).select(
+        (F.col("event_id") + F.col("rep") * n_ev).alias("event_id"),
+        "ts", "user_id", "event_type", "value", "props",
+    ).repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    open(marker, "w").close()
+    return out_dir
+
+
 def bucket_stats(df) -> dict:
     """size distribution of a (.., bucket) frame grouped on bucket."""
     sizes = df.groupBy("bucket").count()
@@ -196,6 +237,23 @@ def main():
         t0 = time.time()
         fn().write.format("noop").mode("overwrite").save()
         out[f"secs_{name}"] = round(time.time() - t0, 3)
+
+    # relational headline shapes at 10x facts (sf1-equivalent when the
+    # source is sf0.1): same registered queries, replica dir as sf_dir.
+    from thundercats_spark.queries import all_queries
+
+    tpch_dir = build_tpch_replica(spark, sf_dir, replicas)
+    qs = all_queries()
+    rel = {}
+    for name in (
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+        "q9_product_profit", "q18_large_orders", "events_daily_rollup",
+        "asof_join_events_orders", "events_sessionize",
+    ):
+        t0 = time.time()
+        qs[name].spark_fn(spark, tpch_dir).write.format("noop").mode("overwrite").save()
+        rel[name] = round(time.time() - t0, 3)
+    out["relational_x10_secs"] = rel
 
     dest = os.path.join(REPO, "tools", "scale_stats.json")
     with open(dest, "w") as f:
