@@ -218,3 +218,36 @@ def test_sample_per_group_exact_counts(spark):
         for r in sample_per_group(df.repartition(7), 10, "source", "doc_id").collect()
     )
     assert a == b
+
+
+def test_leakage_safe_split_groups_cotravel(spark):
+    from thundercats_spark.operators.curation import (
+        corpus_split,
+        corpus_split_leakage_safe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    # dup graph: {0,1,2} chained, {10,11}, everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["id_a", "id_b"]
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = corpus_split_leakage_safe(docs, pairs, w, "doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 40
+    # connected docs share rep AND split
+    assert {by_id[i]["group_rep"] for i in (0, 1, 2)} == {0}
+    assert len({by_id[i]["split"] for i in (0, 1, 2)}) == 1
+    assert by_id[10]["group_rep"] == by_id[11]["group_rep"] == 10
+    assert by_id[10]["split"] == by_id[11]["split"]
+    # singletons: rep is own id, and the split equals the per-row hash
+    # split (same bucket rule) — leakage-safety changes nothing for them
+    plain = {r["doc_id"]: r["split"] for r in corpus_split(docs, w, "doc_id").collect()}
+    for i in range(3, 10):
+        assert by_id[i]["group_rep"] == i
+        assert by_id[i]["split"] == plain[i]
+    # deterministic across recomputation
+    out2 = corpus_split_leakage_safe(docs, pairs, w, "doc_id").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -132,9 +132,18 @@ def corpus_split(
     keys (e.g. train/val/test) by deterministic hash bucketing of
     ``key_col``. Zero shuffle — the assignment is a scan-stage
     expression; proportions are exact in expectation and drift-free."""
+    return df.withColumn("split", _split_assign(F.col(key_col), weights, salt))
+
+
+def _split_assign(
+    key: Column, weights: dict[str, float], salt: str, buckets: int = 10000
+) -> Column:
+    """The split-name expression for a hash-bucketed assignment of
+    ``key`` — shared by ``corpus_split`` (bucket the row key) and
+    ``corpus_split_leakage_safe`` (bucket the dedup-group
+    representative)."""
     total = sum(weights.values())
-    buckets = 10000
-    b = split_bucket(F.col(key_col), salt, buckets)
+    b = split_bucket(key, salt, buckets)
     expr = None
     acc = 0.0
     items = list(weights.items())
@@ -143,8 +152,41 @@ def corpus_split(
         cond = b < int(acc * buckets)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
-    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
-    return df.withColumn("split", expr)
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def corpus_split_leakage_safe(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Group-aware train/val/test split: any two documents connected in
+    ``dup_pairs`` (near-duplicate edges ``id_a``/``id_b``, e.g. from
+    ``ngram_jaccard_pairs`` or ``minhash_lsh_pairs``) always land in
+    the SAME split, so no test document has a near-duplicate in train
+    — the leakage a per-row hash split cannot prevent.
+
+    Adds ``group_rep`` (the group's min key; the doc's own key for
+    singletons) and ``split`` = hash bucket of ``group_rep``.
+
+    Scale: ``connected_components`` runs only over the dup graph
+    (O(dup docs), a tiny fraction of the corpus); the label table
+    joins back on ``key_col`` — two slim long columns, so AQE
+    broadcasts it when it fits and the corpus itself never shuffles
+    in that case. No forced broadcast: a pathologically duplicated
+    corpus falls back to a shuffle join instead of an OOM.
+    (Reference has no counterpart; standard pretraining hygiene —
+    split by dedup cluster, not by document.)"""
+    from thundercats_spark.operators.components import connected_components
+
+    labels = connected_components(dup_pairs).withColumnRenamed("id", key_col)
+    labeled = df.join(labels, key_col, "left")
+    rep = F.coalesce(F.col("component"), F.col(key_col))
+    return labeled.withColumn("group_rep", rep).drop("component").withColumn(
+        "split", _split_assign(F.col("group_rep"), weights, salt)
+    )
 
 
 def quality_funnel(

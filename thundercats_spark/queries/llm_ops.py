@@ -522,6 +522,66 @@ def corpus_split_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Leakage-safe split: near-duplicate groups co-travel — no test doc has
+# a near-dup in train. Oracle = the recursive-CTE component labeling
+# (as COMPONENTS_SQL) + the same md5 bucket rule on the group rep.
+# --------------------------------------------------------------------------
+
+SPLIT_LEAKAGE_SQL = r"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(id, comp) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, w.comp FROM edges e JOIN walk w ON e.b = w.id
+),
+comp AS (
+  SELECT id, MIN(comp) AS component FROM walk GROUP BY id
+),
+rep AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_rep
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+b AS (
+  SELECT doc_id, group_rep,
+         ('0x' || substring(md5(CAST(group_rep AS VARCHAR) || 'split'), 1, 6))::BIGINT % 10000 AS bk
+  FROM rep
+)
+SELECT doc_id, CAST(group_rep AS BIGINT) AS group_rep,
+       CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
+@register("corpus_split_leakage_safe", SPLIT_LEAKAGE_SQL)
+def corpus_split_leakage_safe_q(spark, sf_dir):
+    from thundercats_spark.operators.curation import corpus_split_leakage_safe
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    out = corpus_split_leakage_safe(
+        d, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+    )
+    return out.select(
+        "doc_id", F.col("group_rep").cast("long").alias("group_rep"), "split"
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # PII scrubbing: per-kind match counts + scrubbed length (the patterns
 # are engine-portable; real data would swap in stricter validators)
 # --------------------------------------------------------------------------
