@@ -251,3 +251,28 @@ def test_leakage_safe_split_groups_cotravel(spark):
     # deterministic across recomputation
     out2 = corpus_split_leakage_safe(docs, pairs, w, "doc_id").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_decontaminate_fuzzy_flag_and_filter(spark):
+    from thundercats_spark.operators.curation import decontaminate_fuzzy
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of bench
+            (3, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    flagged = decontaminate_fuzzy(corpus, bench, threshold=0.5).collect()
+    by_id = {r["doc_id"]: r for r in flagged}
+    assert by_id[1]["contaminated"] and by_id[1]["max_jaccard"] == 1.0
+    assert by_id[2]["contaminated"] and 0.5 <= by_id[2]["max_jaccard"] < 1.0
+    assert not by_id[3]["contaminated"] and by_id[3]["n_bench_matches"] == 0
+    kept = decontaminate_fuzzy(corpus, bench, threshold=0.5, mode="filter")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+    assert "n_bench_matches" not in kept.columns

@@ -195,3 +195,40 @@ def test_minhash_oph_recall_and_determinism(spark, sf_dir):
         ).collect()
     }
     assert again == found  # deterministic under repartitioning
+
+
+def test_ngram_jaccard_join_cross_frame_exact(spark, docs):
+    # R-S join vs the self-join ground truth: joining docs against
+    # itself must yield every self-pair plus both orientations of every
+    # ngram_jaccard_pairs pair — the prefix scheme loses nothing R-S.
+    self_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5).collect()
+    }
+    rs = dedup.ngram_jaccard_join(docs, docs, "text", "doc_id", 3, 0.5)
+    got = {(r["id_a"], r["id_b"]) for r in rs.collect()}
+    ids = {r["doc_id"] for r in docs.collect()}
+    expect = {(i, i) for i in ids} | self_pairs | {(b, a) for a, b in self_pairs}
+    assert got == expect
+    # jaccard of a self-pair is exactly 1.0
+    ones = {r["jaccard"] for r in rs.collect() if r["id_a"] == r["id_b"]}
+    assert ones == {1.0}
+
+
+def test_ngram_jaccard_join_disjoint_frames(spark):
+    a = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy cat"),
+            (101, "completely unrelated words in this different sentence here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_join(a, b, threshold=0.5).collect()
+    }
+    assert got == {(1, 100)}

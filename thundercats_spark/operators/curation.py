@@ -112,6 +112,47 @@ def decontaminate(
     return out.withColumn("contaminated", F.col("n_contaminated") >= min_hits)
 
 
+def decontaminate_fuzzy(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    mode: str = "flag",
+) -> DataFrame:
+    """Near-duplicate benchmark decontamination: flag (or drop)
+    training docs whose n-gram Jaccard similarity to ANY benchmark doc
+    is >= ``threshold`` — catches paraphrased/reformatted test-set
+    copies that exact n-gram overlap (``decontaminate``) misses.
+
+    EXACT (recall 1.0): built on the cross-frame PPJoin
+    (``ngram_jaccard_join``), so a doc is flagged iff a true
+    J >= threshold benchmark match exists — no sketch false negatives
+    in a hygiene gate where misses become eval leakage. Adds
+    ``n_bench_matches`` and ``max_jaccard`` per doc.
+
+    Scale shape: the benchmark prefix index is eval-set-sized (tiny →
+    AQE broadcast); the corpus side shuffles only prefix hash triples;
+    corpus text never moves. One count-per-doc shuffle after the
+    verify."""
+    from thundercats_spark.operators.dedup import ngram_jaccard_join
+
+    pairs = ngram_jaccard_join(df, benchmark, text_col, id_col, n, threshold)
+    hits = pairs.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    out = df.join(hits, id_col, "left").withColumn(
+        "n_bench_matches", F.coalesce(F.col("n_bench_matches"), F.lit(0))
+    )
+    if mode == "filter":
+        return out.where(F.col("n_bench_matches") == 0).drop(
+            "n_bench_matches", "max_jaccard"
+        )
+    return out.withColumn("contaminated", F.col("n_bench_matches") > 0)
+
+
 def split_bucket(key: Column, salt: str = "split", buckets: int = 10000) -> Column:
     """Deterministic bucket in [0, buckets): first 6 hex digits of
     md5(key || salt) → int. Engine-portable (DuckDB computes the same

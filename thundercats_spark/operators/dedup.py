@@ -384,6 +384,30 @@ def simhash_pairs(
 # --------------------------------------------------------------------------
 
 
+def _jaccard_prefix_posting(df, text_col, id_col, n, threshold):
+    """(sh, posting) for the PPJoin prefix scheme: ``sh`` = (id, hs)
+    with hs the hash-sorted distinct shingle set (64-bit xxhash values
+    — sorted order IS the global total order; intersection cardinality
+    equals string intersection cardinality at ~2^-64 collision odds);
+    ``posting`` = the prefix inverted index (id, sz, shingle) holding
+    only the first |A| - ceil(t*|A|) + 1 elements per doc."""
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+            )
+        ).alias("hs"),
+    )
+    prefix_len = (F.size("hs") - F.ceil(F.size("hs") * threshold) + 1).cast("int")
+    posting = sh.select(
+        "id",
+        F.size("hs").alias("sz"),
+        F.explode(F.slice("hs", 1, prefix_len)).alias("shingle"),
+    )
+    return sh, posting
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -405,23 +429,7 @@ def ngram_jaccard_pairs(
     Zipf vocabulary, which the synthetic word-soup corpus lacks, so it
     is intentionally omitted. Any global total order preserves
     exactness."""
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        # 64-bit hashes: sorted = the global total order for prefixes;
-        # intersection cardinality == string intersection cardinality
-        # (collisions ~2^-64); keep distinct-set semantics.
-        F.array_sort(
-            F.array_distinct(
-                F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
-            )
-        ).alias("hs"),
-    )
-    prefix_len = (F.size("hs") - F.ceil(F.size("hs") * threshold) + 1).cast("int")
-    posting = sh.select(
-        "id",
-        F.size("hs").alias("sz"),
-        F.explode(F.slice("hs", 1, prefix_len)).alias("shingle"),
-    )
+    sh, posting = _jaccard_prefix_posting(df, text_col, id_col, n, threshold)
     # Length filter inside the posting join — exact-safe (J >= t ⇒
     # I >= t(|A|+|B|)/(1+t) ⇒ min(|A|,|B|) >= t·max(|A|,|B|)), prunes
     # mismatched-size pairs before the dedupe shuffle and the
@@ -441,6 +449,53 @@ def ngram_jaccard_pairs(
     )
     sa = sh.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_join(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT cross-frame Jaccard similarity join (R-S PPJoin): every
+    pair (id_a ∈ df_a, id_b ∈ df_b) with shingle-set J >= t. Same
+    prefix scheme as ``ngram_jaccard_pairs``: J >= t implies
+    |A∩B| >= max(⌈t|A|⌉, ⌈t|B|⌉), and an overlap of size >= ⌈t|X|⌉
+    must touch X's (|X| - ⌈t|X|⌉ + 1)-prefix under the shared global
+    hash order — prefix-index both frames independently, join the two
+    prefix indexes; candidates are a superset and the exact verify
+    keeps precision AND recall 1.0. The length filter (min >= t·max)
+    is exact-safe by the same bound.
+
+    Scale: each side shuffles only (id, sz, shingle-hash) triples of
+    its PREFIX (~(1-t) of shingles); text never shuffles; verify runs
+    on int arrays. Use for fuzzy benchmark decontamination (df_b = the
+    eval set — typically tiny, so AQE broadcasts its posting list) or
+    catalog-vs-catalog near-dup linkage."""
+    sha, pa = _jaccard_prefix_posting(df_a, text_col, id_col, n, threshold)
+    shb, pb = _jaccard_prefix_posting(df_b, text_col, id_col, n, threshold)
+    cand = (
+        pa.alias("a")
+        .join(pb.alias("b"), "shingle")
+        .where(F.least("a.sz", "b.sz") >= threshold * F.greatest("a.sz", "b.sz"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sha.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    sb = shb.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")

@@ -522,6 +522,44 @@ def corpus_split_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Fuzzy decontamination: near-dup (not just exact-n-gram) benchmark
+# matches, via the EXACT cross-frame PPJoin — oracle = brute-force
+# cross Jaccard in DuckDB.
+# --------------------------------------------------------------------------
+
+DECONTAM_FUZZY_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS shingles
+  FROM (SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents)
+),
+j AS (
+  SELECT c.doc_id,
+         len(list_intersect(c.shingles, b.shingles)) * 1.0 /
+         (len(c.shingles) + len(b.shingles) - len(list_intersect(c.shingles, b.shingles))) AS jac
+  FROM sh c JOIN sh b ON c.source <> 'src0' AND b.source = 'src0'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches, MAX(jac) AS max_jaccard
+FROM j WHERE jac >= 0.5 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("doc_decontaminate_fuzzy", DECONTAM_FUZZY_SQL)
+def doc_decontaminate_fuzzy_q(spark, sf_dir):
+    from thundercats_spark.operators.curation import decontaminate_fuzzy
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    bench = d.where(F.col("source") == "src0")
+    corpus = d.where(F.col("source") != "src0")
+    out = decontaminate_fuzzy(corpus, bench, "text", "doc_id", n=3, threshold=0.5)
+    return (
+        out.where(F.col("contaminated"))
+        .select("doc_id", F.col("n_bench_matches").cast("long").alias("n_bench_matches"), "max_jaccard")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Leakage-safe split: near-duplicate groups co-travel — no test doc has
 # a near-dup in train. Oracle = the recursive-CTE component labeling
 # (as COMPONENTS_SQL) + the same md5 bucket rule on the group rep.
