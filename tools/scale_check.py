@@ -188,7 +188,11 @@ def main():
 
     # round-2 curation family at 10x
     from thundercats_spark.functions.text_analysis import distinct_word_ratio
-    from thundercats_spark.operators.curation import decontaminate, pack_sequences
+    from thundercats_spark.operators.curation import (
+        decontaminate,
+        decontaminate_fuzzy,
+        pack_sequences,
+    )
 
     bench_docs = d.where(F.col("source") == "src0")
     corpus = d.where(F.col("source") != "src0")
@@ -198,6 +202,12 @@ def main():
             lambda: decontaminate(corpus, bench_docs, n=8, mode="flag").select(
                 "doc_id", "n_contaminated"
             ),
+        ),
+        (
+            "decontaminate_fuzzy",
+            lambda: decontaminate_fuzzy(
+                corpus, bench_docs, threshold=0.5, mode="flag"
+            ).select("doc_id", "n_bench_matches"),
         ),
         ("pack_sequences", lambda: pack_sequences(d, budget=2048, n_groups=64)),
         (
