@@ -7,8 +7,12 @@ driver's ``documents`` table, composing the engine's curation family:
   3. exact dedup       — hash-groupBy, keeps min doc_id per text
   4. near dedup        — MinHash-LSH candidate pairs → connected
                          components → one survivor per duplicate group
-  5. source rebalance  — seeded sampleBy toward a uniform source mix
-  6. fingerprint+stats — stable ids and corpus accounting
+  5. decontamination   — drop docs near-duplicating the eval set
+                         (exact cross-frame PPJoin, recall 1.0)
+  6. source rebalance  — seeded sampleBy toward a uniform source mix
+  7. fingerprint+stats — stable ids and corpus accounting
+  8. leakage-safe split— train/val/test where near-dup groups
+                         co-travel (no test doc has a train near-dup)
 
 Every stage stays declarative (no collect in the data path), so the
 same code runs at 100 TB: filters fuse into the parquet scan, dedup
@@ -27,6 +31,8 @@ import pyspark.sql.functions as F
 
 from thundercats_spark.functions import text_analysis as T
 from thundercats_spark.operators import (
+    corpus_split_leakage_safe,
+    decontaminate_fuzzy,
     dedup_groups,
     minhash_lsh_pairs,
     rebalance_to_mix,
@@ -76,27 +82,46 @@ def main():
     )
     n3 = survivors.count()
 
-    # 5) rebalance sources toward uniform.
-    sources = [r["source"] for r in survivors.select("source").distinct().collect()]
-    balanced = rebalance_to_mix(
-        survivors, {s: 1.0 / len(sources) for s in sources}, seed=13
-    )
-    n4 = balanced.count()
+    # 5) benchmark decontamination: treat src0 as the held-out eval
+    # set — drop training docs that near-duplicate it (J >= 0.8).
+    bench = docs.where(F.col("source") == "src0")
+    clean = decontaminate_fuzzy(
+        survivors, bench, threshold=0.8, mode="filter"
+    ).where(F.col("source") != "src0")
+    n4 = clean.count()
 
-    # 6) stable fingerprints + final accounting.
+    # 6) rebalance sources toward uniform.
+    sources = [r["source"] for r in clean.select("source").distinct().collect()]
+    balanced = rebalance_to_mix(
+        clean, {s: 1.0 / len(sources) for s in sources}, seed=13
+    )
+    n5 = balanced.count()
+
+    # 7) stable fingerprints.
     final = balanced.select(
-        "doc_id", "source", "lang", "n_tokens",
+        "doc_id", "text", "source", "lang", "n_tokens",
         T.doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
+
+    # 8) leakage-safe train/val/test: reuse the near-dup pair graph so
+    # a group never straddles splits.
+    split = corpus_split_leakage_safe(
+        final, pairs, {"train": 0.9, "val": 0.05, "test": 0.05}, "doc_id"
+    ).drop("text")
+
     print(f"corpus:    {n0} docs")
     print(f"quality:   {n1} kept ({n0 - n1} filtered)")
     print(f"exact-dup: {n2} kept ({n1 - n2} removed)")
     print(f"near-dup:  {n3} kept ({n2 - n3} removed)")
-    print(f"rebalance: {n4} kept ({n3 - n4} sampled out)")
+    print(f"decontam:  {n4} kept ({n3 - n4} removed)")
+    print(f"rebalance: {n5} kept ({n4 - n5} sampled out)")
     print("final mix:")
-    for r in source_mix(final, "source").collect()[:8]:
+    for r in source_mix(split, "source").collect()[:8]:
         print(f"  {r['source']}: {r['n_docs']} ({r['fraction']:.3f})")
-    final.orderBy("doc_id").show(5, truncate=False)
+    print("split sizes:")
+    for r in split.groupBy("split").count().orderBy("split").collect():
+        print(f"  {r['split']}: {r['count']}")
+    split.orderBy("doc_id").show(5, truncate=False)
 
 
 if __name__ == "__main__":
