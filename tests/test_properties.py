@@ -113,3 +113,54 @@ def test_cosine_matches_python(spark, vecs):
             math.sqrt(sum(a * a for a in v)) * math.sqrt(sum(b * b for b in q))
         )
         assert abs(got[i] - expect) < 1e-9
+
+
+@st.composite
+def word_docs(draw):
+    """Two small doc sets over a tiny vocabulary — dense enough that
+    Jaccard collisions and near-misses both occur."""
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+
+    def mk(ids):
+        docs = []
+        for i in ids:
+            n = draw(st.integers(3, 10))
+            words = [draw(st.sampled_from(vocab)) for _ in range(n)]
+            docs.append((i, " ".join(words)))
+        return docs
+
+    na, nb = draw(st.integers(1, 5)), draw(st.integers(1, 5))
+    return mk(range(na)), mk(range(100, 100 + nb))
+
+
+def _shingles(text, n=3):
+    toks = text.split()
+    if len(toks) < n:
+        return {text}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(word_docs())
+@settings(**SETTINGS)
+def test_ngram_jaccard_join_matches_naive(spark, doc_sets):
+    """R-S PPJoin == brute-force cross Jaccard (recall AND precision
+    1.0): the prefix + length filters must lose nothing."""
+    from thundercats_spark.operators.dedup import ngram_jaccard_join
+
+    a_rows, b_rows = doc_sets
+    a = spark.createDataFrame(a_rows, "doc_id long, text string")
+    b = spark.createDataFrame(b_rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_join(a, b, threshold=0.5).collect()
+    }
+    expect = {}
+    for ia, ta in a_rows:
+        for ib, tb in b_rows:
+            sa, sb = _shingles(ta), _shingles(tb)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5:
+                expect[(ia, ib)] = j
+    assert set(got) == set(expect), (a_rows, b_rows)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-12, (k, v, got[k])
