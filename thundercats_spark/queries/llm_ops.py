@@ -47,13 +47,18 @@ def dedup_exact_q(spark, sf_dir):
 NGRAM_JACCARD_SQL = r"""
 WITH sh AS (
   SELECT doc_id,
-         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS shingles
+         list_transform(
+           list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]),
+           s -> hash(s)
+         ) AS shingles
   FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        len(list_intersect(a.shingles, b.shingles)) * 1.0 /
        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND 2 * least(len(a.shingles), len(b.shingles)) >= greatest(len(a.shingles), len(b.shingles))
 WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
       (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
 """
@@ -343,12 +348,17 @@ COMPONENTS_SQL = r"""
 WITH RECURSIVE
 sh AS (
   SELECT doc_id,
-         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS shingles
+         list_transform(
+           list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]),
+           s -> hash(s)
+         ) AS shingles
   FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents)
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND 2 * least(len(a.shingles), len(b.shingles)) >= greatest(len(a.shingles), len(b.shingles))
   WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
         (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
 ),
@@ -530,14 +540,19 @@ def corpus_split_q(spark, sf_dir):
 DECONTAM_FUZZY_SQL = r"""
 WITH sh AS (
   SELECT doc_id, source,
-         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS shingles
+         list_transform(
+           list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]),
+           s -> hash(s)
+         ) AS shingles
   FROM (SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents)
 ),
 j AS (
   SELECT c.doc_id,
          len(list_intersect(c.shingles, b.shingles)) * 1.0 /
          (len(c.shingles) + len(b.shingles) - len(list_intersect(c.shingles, b.shingles))) AS jac
-  FROM sh c JOIN sh b ON c.source <> 'src0' AND b.source = 'src0'
+  FROM sh c JOIN sh b
+  ON c.source <> 'src0' AND b.source = 'src0'
+ AND 2 * least(len(c.shingles), len(b.shingles)) >= greatest(len(c.shingles), len(b.shingles))
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches, MAX(jac) AS max_jaccard
 FROM j WHERE jac >= 0.5 GROUP BY doc_id ORDER BY doc_id
@@ -569,12 +584,17 @@ SPLIT_LEAKAGE_SQL = r"""
 WITH RECURSIVE
 sh AS (
   SELECT doc_id,
-         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS shingles
+         list_transform(
+           list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]),
+           s -> hash(s)
+         ) AS shingles
   FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents)
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND 2 * least(len(a.shingles), len(b.shingles)) >= greatest(len(a.shingles), len(b.shingles))
   WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
         (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
 ),
