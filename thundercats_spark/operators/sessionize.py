@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from thundercats_spark.physical.util import epoch_us
+
 
 def sessionize(
     df: DataFrame,
@@ -33,7 +35,7 @@ def sessionize(
     gap_us = int(gap_minutes * 60_000_000)  # integer micros: exact compare
     prev_ts = F.lag(ts_col).over(w)
     new_sess = F.when(
-        F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts) <= gap_us, F.lit(0)
+        epoch_us(ts_col) - epoch_us(prev_ts) <= gap_us, F.lit(0)
     ).otherwise(F.lit(1))
     running = Window.partitionBy(user_col).orderBy(ts_col, *order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

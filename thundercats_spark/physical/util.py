@@ -19,6 +19,21 @@ def bind(df: DataFrame, f) -> MayFail[DataFrame]:
     return MayFail.of(lambda: f(df))
 
 
+def epoch_us(col) -> F.Column:
+    """Microseconds since epoch, tolerant of BOTH timestamp flavours.
+
+    Parquet ``timestamp[us]`` without ``isAdjustedToUTC`` is inferred as
+    TIMESTAMP_NTZ by Spark 4 (``spark.sql.parquet.inferTimestampNTZ``
+    defaults true), and ``unix_micros`` rejects NTZ input outright.
+    ``to_timestamp_ltz`` is the identity on TIMESTAMP and converts NTZ
+    using the session timezone, so this expression works on either type
+    and the two agree whenever the session runs UTC (the engine default;
+    differences/comparisons of the result are timezone-invariant
+    regardless). Pure JVM expression — stays in whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(F.to_timestamp_ltz(c))
+
+
 def sum_of_sqr_diff(df: DataFrame, col_a: str, col_b: str) -> float:
     """Σ (a-b)² over the frame (Util.scala:42) — one agg pass."""
     d = F.col(col_a).cast("double") - F.col(col_b).cast("double")

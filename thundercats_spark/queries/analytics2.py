@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from thundercats_spark.physical.util import epoch_us
+
 from thundercats_spark.queries import load, register
 from thundercats_spark.queries.tpch import _dec, _sum_exact
 
@@ -110,10 +112,10 @@ ORDER BY a.event_id
 def events_range_join(spark, sf_dir):
     ev = load(spark, sf_dir, "events")["events"]
     clicks = ev.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("t0")
+        "event_id", "user_id", epoch_us("ts").alias("t0")
     )
     buys = ev.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("b_user"), F.unix_micros("ts").alias("t1"), "value"
+        F.col("user_id").alias("b_user"), epoch_us("ts").alias("t1"), "value"
     )
     joined = clicks.join(
         buys,
@@ -335,7 +337,7 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
 @register("events_funnel_conversion", FUNNEL_SQL)
 def events_funnel_conversion(spark, sf_dir):
     ev = load(spark, sf_dir, "events")["events"]
-    t = F.unix_micros("ts")
+    t = epoch_us("ts")
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
