@@ -65,14 +65,22 @@ def main():
         "overwrite"
     ).save()
 
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        df = registry[name].spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # 1 warmup + median-of-3: single cold runs showed ±2x machine variance
+    # between rounds, useless for regression detection.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in registry:
             continue
-        t0 = time.time()
-        df = registry[name].spark_fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        run_once(name)  # warmup (shuffle files, codegen, broadcast caches)
+        samples = sorted(run_once(name) for _ in range(reps))
+        timings[name] = round(samples[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     out = {

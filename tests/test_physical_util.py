@@ -40,3 +40,10 @@ def test_debugger_strings(spark):
     ]).fit(df)
     ms = Debugger.model_to_string(model)
     assert "VectorAssembler" in ms and "Binarizer" in ms
+
+
+def test_session_timezone_pinned_utc(spark):
+    # epoch_us relies on NTZ->LTZ conversion being the fixed UTC mapping;
+    # get_spark must pin the session timezone so host JVM zones (and their
+    # DST transitions) can never bend time deltas.
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"

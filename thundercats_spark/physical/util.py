@@ -26,10 +26,12 @@ def epoch_us(col) -> F.Column:
     TIMESTAMP_NTZ by Spark 4 (``spark.sql.parquet.inferTimestampNTZ``
     defaults true), and ``unix_micros`` rejects NTZ input outright.
     ``to_timestamp_ltz`` is the identity on TIMESTAMP and converts NTZ
-    using the session timezone, so this expression works on either type
-    and the two agree whenever the session runs UTC (the engine default;
-    differences/comparisons of the result are timezone-invariant
-    regardless). Pure JVM expression — stays in whole-stage codegen."""
+    using the session timezone. Correctness for NTZ input therefore
+    requires a UTC (or at least DST-free) session timezone — near a DST
+    transition in a non-UTC zone the NTZ->LTZ mapping is nonlinear and
+    differences/comparisons would shift by the offset change. ``get_spark``
+    pins ``spark.sql.session.timeZone=UTC`` for exactly this reason.
+    Pure JVM expression — stays in whole-stage codegen."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(F.to_timestamp_ltz(c))
 

@@ -35,6 +35,11 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]
     which Spark's vectorized reader rejects — read it as nanos long
     (legacy flag) and convert to a microsecond timestamp (``div 1000``:
     integer division, no float rounding)."""
+    # The driver calls queries on a BARE session (not get_spark), so pin
+    # the session timezone here as well: epoch_us's NTZ->LTZ conversion
+    # must be the fixed UTC mapping or DST in the host JVM zone would
+    # bend time deltas away from the DuckDB oracle (naive ts = UTC).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for t in tables:
         if t == "events":

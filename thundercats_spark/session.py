@@ -34,6 +34,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Pin the session timezone: NTZ->LTZ conversion (epoch_us) must be
+        # the fixed UTC mapping on any host, or DST transitions in the JVM
+        # zone would bend sessionize gaps / funnel deltas away from oracles
+        # that treat naive timestamps as UTC.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
