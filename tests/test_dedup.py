@@ -166,14 +166,58 @@ def test_simhash_bucket_cap_trades_hot_clusters_only(spark):
         (201, "a completely different pair of documents about spark physical plans"),
     ]
     df = spark.createDataFrame(hot + cool, "doc_id long, text string")
+    # default plan (signature collapse + auto cap): the hot cluster is
+    # ONE distinct signature, so no bucket is hot and the output stays
+    # exact — all 4950 within-group pairs at hamming 0, plus the cool pair
     uncapped = simhash_pairs(df, max_hamming=3)
     up = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
     assert (200, 201) in up
     assert sum(1 for a, b in up if a < 100 and b < 100) == 100 * 99 // 2
-    capped = simhash_pairs(df, max_hamming=3, max_bucket_size=50)
+    assert all(r["hamming"] == 0 for r in uncapped.collect() if r["id_a"] < 100)
+    # fixed cap on the UNCOLLAPSED plan: hot buckets (|b|=100 > 50) are
+    # dropped, the cool bucket (|b|=2) survives — the recall trade the
+    # cap buys when duplicates are NOT collapsed first
+    capped = simhash_pairs(
+        df, max_hamming=3, max_bucket_size=50, collapse_exact=False
+    )
     cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (200, 201) in cp  # cool pair survives the cap
     assert not any(a < 100 and b < 100 for a, b in cp)  # hot buckets skipped
+
+
+def test_pair_miner_collapse_is_output_identical(spark, sf_dir):
+    """The exact-collapse rewrite must be invisible in the output: on a
+    corpus with heavy exact duplication, collapse on == collapse off for
+    all three miners (ids AND measure values)."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    import pyspark.sql.functions as F
+
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = base.unionByName(dup)
+
+    def pairs(df_fn, **kw):
+        return {
+            (r[0], r[1], round(float(r[2]), 9))
+            for r in df_fn(corpus, "text", "doc_id", **kw).collect()
+        }
+
+    on = pairs(dedup.ngram_jaccard_pairs, n=3, threshold=0.5, collapse_exact=True)
+    off = pairs(dedup.ngram_jaccard_pairs, n=3, threshold=0.5, collapse_exact=False)
+    assert on == off and len(on) >= base.count()  # every dup pair present
+    s_on = pairs(dedup.simhash_pairs, max_hamming=3, collapse_exact=True)
+    s_off = pairs(dedup.simhash_pairs, max_hamming=3, collapse_exact=False,
+                  max_bucket_size=None)
+    assert s_on == s_off
+    m_on = pairs(dedup.minhash_lsh_pairs, threshold=0.5, collapse_exact=True)
+    m_off = pairs(dedup.minhash_lsh_pairs, threshold=0.5, collapse_exact=False)
+    assert m_on == m_off
+
+
+def test_simhash_auto_cap_exact_on_small_corpora(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    auto = {tuple(r) for r in dedup.simhash_pairs(docs).collect()}
+    exact = {tuple(r) for r in dedup.simhash_pairs(docs, max_bucket_size=None).collect()}
+    assert auto == exact
 
 
 def test_minhash_oph_recall_and_determinism(spark, sf_dir):

@@ -10,7 +10,8 @@ from thundercats_spark.queries import all_queries
 
 # queries whose plan BUILD executes jobs (ivf trains centroids) or that
 # are intentionally quadratic brute-force oracles
-SKIP = {"ann_ivf_topk", "ann_indexed_topk", "dedup_embedding_cosine", "dedup_semantic"}
+SKIP = {"ann_ivf_topk", "ann_indexed_topk", "ann_lsh_indexed",
+        "dedup_embedding_cosine", "dedup_semantic"}
 # tiny-broadcast cross joins legitimately plan as BNLJ
 SCALAR_BNLJ_OK = {
     "q11_important_parts",
@@ -19,6 +20,7 @@ SCALAR_BNLJ_OK = {
     "events_funnel_conversion",  # three 1-row stage counts
     "doc_source_mix",  # 1-row corpus total
     "ann_batch_topk",  # broadcast query-vector table (a handful of rows)
+    "dedup_simhash",  # 1-row mean-bucket-size stats for the auto hot-band cap
 }
 # Arrow-kernel operators are allowed (designed) Python-boundary nodes
 PY_EVAL_OK = {"dedup_minhash_lsh", "dedup_minhash_oph", "dedup_simhash"}

@@ -161,6 +161,90 @@ def dedup_keep_best(
 
 
 # --------------------------------------------------------------------------
+# exact-collapse before pair mining
+#
+# All three near-dup pair miners (jaccard / minhash / simhash) compare
+# documents through a comparison KEY (the shingle-hash set, or the
+# 60-bit signature) that fully determines the measure: two docs with an
+# identical key have J=1.0 / Hamming=0 with each other and the SAME
+# measure and bucket membership against any third doc. So rows sharing
+# a key can be collapsed to one representative before the quadratic
+# stages (posting self-join, candidate distinct, array verify) and the
+# rep-level pairs expanded back to member-level pairs afterwards —
+# OUTPUT-IDENTICAL, not a heuristic. Duplicate multiplicity (the
+# dominant redundancy in crawled corpora) then costs one map-side-
+# combined groupBy plus an output-bounded explode, instead of
+# multiplying the pair-mining work quadratically.
+# --------------------------------------------------------------------------
+
+
+def _collapse_groups(keyed: DataFrame, key_col: str) -> DataFrame:
+    """(id, key, payload...) → one row per distinct key:
+    (key, rep=min id, members, payload...). Payload columns are
+    determined by the key (identical within a group), so ``any_value``
+    carries them through the single map-side-combined shuffle — at most
+    one payload value per key per map partition ever shuffles."""
+    payload = [c for c in keyed.columns if c not in ("id", key_col)]
+    return keyed.groupBy(key_col).agg(
+        F.min("id").alias("rep"),
+        F.collect_list("id").alias("members"),
+        *[F.any_value(c).alias(c) for c in payload],
+    )
+
+
+def _member_pairs(members):
+    """All unordered pairs within a member array (id_a < id_b) as one
+    array expression — no join, output-bounded."""
+    m = F.array_sort(members)
+    return F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _expand_pairs(
+    rep_pairs: DataFrame, groups: DataFrame, measure: str, within_value
+) -> DataFrame:
+    """Rep-level pairs + collapse groups → member-level pairs.
+
+    Cross-group: every (a ∈ A, b ∈ B) combination inherits the rep
+    pair's measure (the comparison key fully determines it).
+    Within-group: all member pairs at the degenerate measure
+    (``within_value`` = J 1.0 / Hamming 0). Groups are disjoint, so each
+    unordered pair is emitted exactly once; least/greatest restores the
+    id_a < id_b orientation."""
+    g = groups.select("rep", "members")
+    cross = (
+        rep_pairs.join(
+            g.select(F.col("rep").alias("id_a"), F.col("members").alias("__ma")),
+            "id_a",
+        )
+        .join(
+            g.select(F.col("rep").alias("id_b"), F.col("members").alias("__mb")),
+            "id_b",
+        )
+        .select(F.explode("__ma").alias("__x"), "__mb", measure)
+        .select("__x", F.explode("__mb").alias("__y"), measure)
+        .select(
+            F.least("__x", "__y").alias("id_a"),
+            F.greatest("__x", "__y").alias("id_b"),
+            measure,
+        )
+    )
+    within = (
+        groups.where(F.size("members") > 1)
+        .select(F.explode(_member_pairs(F.col("members"))).alias("p"))
+        .select("p.id_a", "p.id_b", within_value.alias(measure))
+    )
+    return cross.unionByName(within)
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
@@ -217,13 +301,21 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     method: str = "perm",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    Plan shape: project→(explode bands)→shuffle on bucket→self-join→
-    distinct pairs→verify with exact Jaccard via the shingle arrays.
+    Plan shape: project→collapse identical shingle sets→(explode bands)
+    →shuffle on bucket→self-join→distinct pairs→verify with exact
+    Jaccard via the shingle arrays→expand collapse groups.
     With b bands of r rows, P(candidate) = 1-(1-j^r)^b — at the default
     (16 bands × 4 rows) the S-curve midpoint sits near j≈0.5.
+
+    ``collapse_exact`` (default on) dedups identical shingle SETS before
+    the signature kernel and pair mining — output-identical (identical
+    sets ⇒ identical signature, buckets, and Jaccard against anyone; see
+    ``_expand_pairs``), and the signature/banding/verify stages then run
+    over distinct sets only. Turn off only to benchmark the raw path.
 
     ``method='oph'`` swaps the k-permutation signature kernel for
     one-permutation hashing (O(n) per doc instead of O(k·n)) — same
@@ -237,6 +329,15 @@ def minhash_lsh_pairs(
             shingle_hashes(word_shingles(F.col(text_col), shingle_n))
         ).alias("hs"),
     )
+    groups = None
+    if collapse_exact:
+        # key on the SORTED set: array_distinct preserves encounter
+        # order, so permuted duplicates still collapse; 64-bit collision
+        # odds are the same ~2^-64 accepted by the verify stage.
+        groups = _collapse_groups(
+            sh.withColumn("__gfp", F.xxhash64(F.array_sort("hs"))), "__gfp"
+        )
+        sh = groups.select(F.col("rep").alias("id"), "hs")
     sig_fn = minhash_signature_oph if method == "oph" else minhash_signature_fast
     sig = sig_fn(sh, "hs", num_hashes, seed)
     buckets = sig.select(
@@ -265,6 +366,8 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if groups is not None:
+        return _expand_pairs(verified, groups, "jaccard", F.lit(1.0))
     return verified
 
 
@@ -308,29 +411,34 @@ def simhash(text, bits: int = SIMHASH_BITS):
     return out
 
 
-def simhash_pairs(
+# auto hot-band cap: keep buckets up to max(floor, factor × mean size).
+# The factor tolerates natural skew; the floor keeps small corpora exact.
+_SIMHASH_CAP_FLOOR = 64
+_SIMHASH_CAP_FACTOR = 20
+
+
+def simhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 3,
-    max_bucket_size: int | None = None,
-) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one of four 15-bit
-    bands (any pair within Hamming ≤3 of the 60 bits must agree on ≥1
-    band by pigeonhole), verified with bit_count(xor).
-
-    ``max_bucket_size`` (off by default, exact) drops band buckets
-    holding more than that many docs before the self-join — the
-    standard guard against low-entropy hot bands, whose |b|² candidate
-    enumeration dominates at scale (measured 10x sf0.1: one hot band
-    reaches |b|≈5400 and the total bound is ~122M pairs). Recall trade:
-    a true pair is missed only if EVERY band the two docs agree on is
-    hot; near-identical docs agree on ~all 4 bands, so they survive
-    unless all their buckets blow the cap. Pick the cap so
-    buckets² × buckets stays shuffle-sized (10³–10⁴ typical)."""
+    max_bucket_size: int | str | None = "auto",
+    collapse_exact: bool = True,
+):
+    """(bands, groups): the exact banded frame ``simhash_pairs`` self-
+    joins on — signatures computed, exact-signature groups collapsed to
+    reps, hot band buckets capped. Exposed separately so the scale
+    rehearsal (tools/scale_check.py) measures the bucket distribution of
+    the REAL mining input, not a reconstruction. ``groups`` is None when
+    ``collapse_exact`` is off."""
     h = simhash_fast(
         ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(text_col)), text_col
     ).select("id", "sh")
+    groups = None
+    if collapse_exact:
+        groups = _collapse_groups(h.withColumn("__sig", F.col("sh")), "__sig").drop(
+            "__sig"
+        )
+        h = groups.select(F.col("rep").alias("id"), "sh")
     bands = h.select(
         "id",
         "sh",
@@ -347,14 +455,60 @@ def simhash_pairs(
         ).alias("bk"),
     ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket_size is not None:
-        cool = (
-            bands.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") <= max_bucket_size)
-            .select("band", "key")
-        )
+        counts = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
+        if max_bucket_size == "auto":
+            # size-aware cap, fully declarative: mean bucket size via a
+            # 1-row agg broadcast back over the counts (no driver action)
+            stats = counts.agg(F.avg("__n").alias("__mean"))
+            cool = (
+                counts.crossJoin(F.broadcast(stats))
+                .where(
+                    F.col("__n")
+                    <= F.greatest(
+                        F.lit(float(_SIMHASH_CAP_FLOOR)),
+                        F.lit(float(_SIMHASH_CAP_FACTOR)) * F.col("__mean"),
+                    )
+                )
+                .select("band", "key")
+            )
+        else:
+            cool = counts.where(F.col("__n") <= max_bucket_size).select("band", "key")
         # bucket list is tiny (≤ n_bands × 2^15 keys) → broadcast join
         bands = bands.join(F.broadcast(cool), ["band", "key"])
+    return bands, groups
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | str | None = "auto",
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 15-bit
+    bands (any pair within Hamming ≤3 of the 60 bits must agree on ≥1
+    band by pigeonhole), verified with bit_count(xor).
+
+    ``collapse_exact`` (default on) groups rows with an IDENTICAL 60-bit
+    signature to one representative before banding — output-identical
+    (equal signatures ⇒ Hamming 0 with each other, equal Hamming and
+    bands against anyone; see ``_expand_pairs``) and it removes exact
+    duplicates — the main source of hot buckets — from the |b|² join.
+
+    ``max_bucket_size`` guards the remaining low-entropy hot bands,
+    whose |b|² candidate enumeration dominates at scale (measured 10x
+    sf0.1: one hot band reaches |b|≈5400 and the total bound is ~122M
+    pairs). Default ``"auto"`` keeps buckets up to
+    max(64, 20 × mean bucket size), computed inside the plan (one agg +
+    1-row broadcast, no driver action) — at 100 TB an unbounded
+    low-entropy band is a job-killer, so the bound must be the default,
+    not an opt-in. Pass an int for a fixed cap or ``None`` for the
+    exact uncapped plan. Recall trade (test-pinned): a true pair is
+    missed only if EVERY band the pair agrees on is hot; near-identical
+    docs agree on ~all 4 bands, so they survive unless all four blow
+    the cap."""
+    bands, groups = simhash_banded(df, text_col, id_col, max_bucket_size, collapse_exact)
     # Verify BEFORE the distinct: both signatures are already in the
     # joined row, so the Hamming check is a free per-row bit_count at
     # the join output — the dedupe shuffle then sees only true
@@ -362,7 +516,7 @@ def simhash_pairs(
     # (Measured at 10x sf0.1: hot 15-bit bands reach |b|≈5400 and the
     # candidate bound is ~122M rows; distinct-first shuffles all of
     # them, verify-first shuffles only the survivors.)
-    return (
+    mined = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "key"])
         .where(F.col("a.id") < F.col("b.id"))
@@ -377,6 +531,9 @@ def simhash_pairs(
         )
         .distinct()
     )
+    if groups is not None:
+        return _expand_pairs(mined, groups, "hamming", F.lit(0))
+    return mined
 
 
 # --------------------------------------------------------------------------
@@ -384,14 +541,12 @@ def simhash_pairs(
 # --------------------------------------------------------------------------
 
 
-def _jaccard_prefix_posting(df, text_col, id_col, n, threshold):
-    """(sh, posting) for the PPJoin prefix scheme: ``sh`` = (id, hs)
-    with hs the hash-sorted distinct shingle set (64-bit xxhash values
-    — sorted order IS the global total order; intersection cardinality
-    equals string intersection cardinality at ~2^-64 collision odds);
-    ``posting`` = the prefix inverted index (id, sz, shingle) holding
-    only the first |A| - ceil(t*|A|) + 1 elements per doc."""
-    sh = ensure_parallelism(df).select(
+def _jaccard_shingle_sets(df, text_col, id_col, n):
+    """(id, hs): the hash-sorted distinct shingle set (64-bit xxhash
+    values — sorted order IS the global total order for prefixes;
+    intersection cardinality equals string intersection cardinality at
+    ~2^-64 collision odds)."""
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.array_sort(
             F.array_distinct(
@@ -399,44 +554,31 @@ def _jaccard_prefix_posting(df, text_col, id_col, n, threshold):
             )
         ).alias("hs"),
     )
+
+
+def _jaccard_posting(sh, threshold):
+    """The prefix inverted index (id, sz, shingle) holding only the
+    first |A| - ceil(t*|A|) + 1 elements per doc."""
     prefix_len = (F.size("hs") - F.ceil(F.size("hs") * threshold) + 1).cast("int")
-    posting = sh.select(
+    return sh.select(
         "id",
         F.size("hs").alias("sz"),
         F.explode(F.slice("hs", 1, prefix_len)).alias("shingle"),
     )
-    return sh, posting
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """EXACT Jaccard-similar pairs via a prefix-filtered inverted index
-    (the PPJoin bound): order each doc's shingle set by a global total
-    order (the 64-bit shingle hash) and index only the first
-    |A| - ceil(t*|A|) + 1 elements — any pair with J >= t must share a
-    prefix element, so candidates from the prefix index are a superset
-    and the exact verify keeps precision AND recall at 1.0. Cuts every
-    posting list by ~(1-t) per doc versus the naive inverted index.
-    The prefix order here is the shingle hash (a random total order);
-    canonical PPJoin frequency-ordering (rare shingles first) was
-    measured on the 10x rehearsal corpus and removed only ~2% more
-    candidates for an extra full corpus pass — its win depends on a
-    Zipf vocabulary, which the synthetic word-soup corpus lacks, so it
-    is intentionally omitted. Any global total order preserves
-    exactness."""
-    sh, posting = _jaccard_prefix_posting(df, text_col, id_col, n, threshold)
-    # Length filter inside the posting join — exact-safe (J >= t ⇒
-    # I >= t(|A|+|B|)/(1+t) ⇒ min(|A|,|B|) >= t·max(|A|,|B|)), prunes
-    # mismatched-size pairs before the dedupe shuffle and the
-    # set-intersection verify for the cost of one comparison per match.
-    # (The PPJoin positional filter was measured too: its per-pair
-    # groupBy bound cost more than the extra ~0.3% of candidates it
-    # removed on top of the length filter — not worth it.)
+def _jaccard_prefix_posting(df, text_col, id_col, n, threshold):
+    """(sh, posting) for the PPJoin prefix scheme."""
+    sh = _jaccard_shingle_sets(df, text_col, id_col, n)
+    return sh, _jaccard_posting(sh, threshold)
+
+
+def _jaccard_mine(sh, posting, threshold):
+    """Candidate mining + exact verify over one frame's prefix index.
+    Length filter inside the posting join is exact-safe (J >= t ⇒
+    I >= t(|A|+|B|)/(1+t) ⇒ min(|A|,|B|) >= t·max(|A|,|B|)); it prunes
+    mismatched-size pairs before the dedupe shuffle and the
+    set-intersection verify for one comparison per match."""
     pa, pb = posting.alias("a"), posting.alias("b")
     cand = (
         pa.join(pb, "shingle")
@@ -460,6 +602,49 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """EXACT Jaccard-similar pairs via a prefix-filtered inverted index
+    (the PPJoin bound): order each doc's shingle set by a global total
+    order (the 64-bit shingle hash) and index only the first
+    |A| - ceil(t*|A|) + 1 elements — any pair with J >= t must share a
+    prefix element, so candidates from the prefix index are a superset
+    and the exact verify keeps precision AND recall at 1.0. Cuts every
+    posting list by ~(1-t) per doc versus the naive inverted index.
+    The prefix order here is the shingle hash (a random total order);
+    canonical PPJoin frequency-ordering (rare shingles first) was
+    measured on the 10x rehearsal corpus and removed only ~2% more
+    candidates for an extra full corpus pass — its win depends on a
+    Zipf vocabulary, which the synthetic word-soup corpus lacks, so it
+    is intentionally omitted. Any global total order preserves
+    exactness. (The PPJoin positional filter was measured too: its
+    per-pair groupBy bound cost more than the extra ~0.3% of candidates
+    it removed on top of the length filter — not worth it.)
+
+    ``collapse_exact`` (default on) collapses identical shingle SETS to
+    one representative before mining and expands afterwards — still
+    EXACT (Jaccard is a function of the sets; see ``_expand_pairs``),
+    and duplicate multiplicity stops multiplying the posting self-join
+    and verify quadratically. The collapse groupBy also means shingling
+    runs once, with every downstream branch reading the reused shuffle
+    instead of re-shingling the corpus."""
+    sh = _jaccard_shingle_sets(df, text_col, id_col, n)
+    if collapse_exact:
+        groups = _collapse_groups(
+            sh.withColumn("__gfp", F.xxhash64("hs")), "__gfp"
+        )
+        rep_sh = groups.select(F.col("rep").alias("id"), "hs")
+        rep_pairs = _jaccard_mine(rep_sh, _jaccard_posting(rep_sh, threshold), threshold)
+        return _expand_pairs(rep_pairs, groups, "jaccard", F.lit(1.0))
+    return _jaccard_mine(sh, _jaccard_posting(sh, threshold), threshold)
 
 
 def ngram_jaccard_join(

@@ -36,7 +36,21 @@ SCALE_DIR = os.path.join(REPO, ".scale")
 
 
 def build_replica(spark, sf_dir: str, replicas: int) -> str:
-    path = os.path.join(SCALE_DIR, f"documents_x{replicas}.parquet")
+    """Duplication-realistic xN corpus (v2). Crawled corpora concentrate
+    duplicate multiplicity on a bounded set of variants (mirrors and
+    re-posts of the same page, plus a few boilerplate-perturbed copies)
+    — they do NOT produce N pairwise-distinct variants per document. So
+    replica r of a doc is: verbatim when r % 3 == 0 (exact-dup
+    multiplicity grows with N — what exact-collapse absorbs), else the
+    doc + variant token v{r % 3} (a bounded set of 2 near-dup variants,
+    each still J >= 0.5 of the original). Distinct docs per original
+    stay ~3 at ANY replica factor, so pair-MINING work should scale
+    ~linearly with N while raw rows (and the emitted pair count) still
+    multiply — the profile that separates a collapse-aware plan from a
+    naive one. (v1 made every replica pairwise-distinct, a worst case
+    no production corpus shows, and its x30 pair blowup measured output
+    inherence rather than plan quality.)"""
+    path = os.path.join(SCALE_DIR, f"documents_x{replicas}_v2.parquet")
     if os.path.exists(path):
         return path
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -46,8 +60,12 @@ def build_replica(spark, sf_dir: str, replicas: int) -> str:
         d.crossJoin(F.broadcast(r))
         .select(
             (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
-            F.when(F.col("rep") == 0, F.col("text"))
-            .otherwise(F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))))
+            F.when(F.col("rep") % 3 == 0, F.col("text"))
+            .otherwise(
+                F.concat_ws(
+                    " ", F.col("text"), F.concat(F.lit("v"), F.col("rep") % 3)
+                )
+            )
             .alias("text"),
             "lang",
             "source",
@@ -130,35 +148,41 @@ def main():
     n_docs = d.count()
     out = {"replicas": replicas, "n_docs": n_docs, "source_sf_dir": sf_dir}
 
-    # MinHash LSH: bucket distribution of the banded signature
+    # MinHash LSH: bucket distribution of the banded signature — both the
+    # raw per-row banding and the EFFECTIVE mining input (identical
+    # shingle sets collapsed to reps, the default plan since r03)
     sh = d.select(
         F.col("doc_id").alias("id"),
         F.array_distinct(
             dedup.shingle_hashes(dedup.word_shingles(F.col("text"), 3))
         ).alias("hs"),
     )
-    sig = dedup.minhash_signature_fast(sh, "hs", 64, 42)
-    buckets = sig.select(
-        "id", F.explode(dedup.lsh_band_keys(F.col("sig"), 16)).alias("bucket")
-    )
-    out["minhash_buckets"] = bucket_stats(buckets)
 
-    # SimHash: band-key distribution
-    h = dedup.simhash_fast(d.select(F.col("doc_id").alias("id"), "text"), "text")
-    sim_buckets = h.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.concat_ws(
-                    ":",
-                    F.lit(b),
-                    F.shiftright(F.col("sh"), b * 15).bitwiseAND(F.lit(0x7FFF)),
-                )
-                for b in range(4)
-            ])
-        ).alias("bucket"),
-    )
-    out["simhash_buckets"] = bucket_stats(sim_buckets)
+    def minhash_buckets(frame):
+        sig = dedup.minhash_signature_fast(frame, "hs", 64, 42)
+        return sig.select(
+            "id", F.explode(dedup.lsh_band_keys(F.col("sig"), 16)).alias("bucket")
+        )
+
+    out["minhash_buckets_raw"] = bucket_stats(minhash_buckets(sh))
+    reps = dedup._collapse_groups(
+        sh.withColumn("__gfp", F.xxhash64(F.array_sort("hs"))), "__gfp"
+    ).select(F.col("rep").alias("id"), "hs")
+    out["minhash_buckets"] = bucket_stats(minhash_buckets(reps))
+
+    # SimHash: band-key distribution of the REAL mining input (collapse +
+    # auto cap — simhash_banded is exactly what simhash_pairs self-joins)
+    # and of the raw uncollapsed banding for comparison
+    def simhash_bucket_stats(max_bucket_size, collapse_exact):
+        bands, _ = dedup.simhash_banded(
+            d, "text", "doc_id", max_bucket_size, collapse_exact
+        )
+        return bucket_stats(
+            bands.select("id", F.concat_ws(":", "band", "key").alias("bucket"))
+        )
+
+    out["simhash_buckets_raw"] = simhash_bucket_stats(None, False)
+    out["simhash_buckets"] = simhash_bucket_stats("auto", True)
 
     # wall-clock of the full pipelines at 10x
     for name, fn in [
@@ -170,10 +194,16 @@ def main():
         ),
         ("dedup_simhash", lambda: dedup.simhash_pairs(d, max_hamming=3)),
         (
-            "dedup_simhash_capped",  # hot-band guard at ~p99 bucket size
-            lambda: dedup.simhash_pairs(d, max_hamming=3, max_bucket_size=300),
+            "dedup_simhash_uncollapsed",  # legacy plan: no collapse, no cap
+            lambda: dedup.simhash_pairs(
+                d, max_hamming=3, max_bucket_size=None, collapse_exact=False
+            ),
         ),
         ("ngram_jaccard_pairs", lambda: dedup.ngram_jaccard_pairs(d, threshold=0.5)),
+        (
+            "ngram_jaccard_uncollapsed",  # legacy plan: mine on raw rows
+            lambda: dedup.ngram_jaccard_pairs(d, threshold=0.5, collapse_exact=False),
+        ),
     ]:
         t0 = time.time()
         fn().write.format("noop").mode("overwrite").save()
@@ -265,7 +295,8 @@ def main():
         rel[name] = round(time.time() - t0, 3)
     out["relational_x10_secs"] = rel
 
-    dest = os.path.join(REPO, "tools", "scale_stats.json")
+    fname = "scale_stats.json" if replicas == 10 else f"scale_stats_x{replicas}.json"
+    dest = os.path.join(REPO, "tools", fname)
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
