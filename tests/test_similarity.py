@@ -210,3 +210,36 @@ def test_semantic_dedup_clustered_recall(emb, spark):
     assert all(1000 + i not in survivors for i in range(20))  # copies dropped
     assert all(i in survivors for i in range(20))  # min-id originals kept
     assert len(survivors) == emb.count()
+
+
+def test_ann_lsh_indexed_prunes_partitions_and_matches_lsh(emb, tmp_path_factory):
+    """The persisted LSH index probe must (a) return exactly what the
+    per-query signature-recompute path returns with the same
+    (n_planes, seed, multiprobe_bits), and (b) plan a partition-pruned
+    scan — the __sig IN-list shows up as a PartitionFilter and only the
+    probed buckets are read."""
+    spark = emb.sparkSession
+    idx = str(tmp_path_factory.mktemp("annlsh") / "emb_lsh_idx")
+    dim = similarity.ann_lsh_index_build(emb, idx, n_planes=8, seed=7)
+    assert dim == len(emb.first()["embedding"])
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    indexed = similarity.ann_topk_lsh_indexed(
+        spark, idx, qv, k=10, n_planes=8, seed=7, multiprobe_bits=2
+    )
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__sig" in plan.split("PartitionFilters", 1)[1][:300], plan
+    # the probe set is a strict subset of buckets → pruned scan is smaller
+    probe = similarity._lsh_probe_set(qv, 8, 7, 2)
+    scanned = spark.read.parquet(idx).where(F.col("__sig").isin(*probe)).count()
+    assert 0 < scanned < emb.count()
+
+    via_lsh = [
+        (r["vec_id"], r["cos"])
+        for r in similarity.ann_topk_lsh(
+            emb, qv, k=10, n_planes=8, seed=7, multiprobe_bits=2
+        ).collect()
+    ]
+    via_index = [(r["vec_id"], r["cos"]) for r in indexed.collect()]
+    assert via_index == via_lsh

@@ -81,22 +81,12 @@ def ann_topk_bruteforce(
     )
 
 
-def ann_topk_lsh(
-    df: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    n_planes: int = 8,
-    seed: int = 7,
-    multiprobe_bits: int = 2,
-) -> DataFrame:
-    """Approximate top-k: prune to the query's LSH bucket (+ neighbors
-    within ``multiprobe_bits`` bit flips), then exact-rerank. The filter
-    is a literal IN-list over a precomputable signature column —
-    partition-prunable when data is written bucketed by signature."""
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes, seed)
+def _lsh_probe_set(
+    query_vec: list[float], n_planes: int, seed: int, multiprobe_bits: int
+) -> set[int]:
+    """Driver-side probe buckets: the query's signature plus all
+    signatures within ``multiprobe_bits`` sign flips (multiprobe)."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
     qsig = 0
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, p)) > 0:
@@ -110,9 +100,81 @@ def ann_topk_lsh(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         }
+    return probe
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 7,
+    multiprobe_bits: int = 2,
+) -> DataFrame:
+    """Approximate top-k: prune to the query's LSH bucket (+ neighbors
+    within ``multiprobe_bits`` bit flips), then exact-rerank. This
+    variant recomputes the signature column over the full table per
+    query (fine for one-shot jobs); for repeated queries persist the
+    signature-partitioned index once with ``ann_lsh_index_build`` and
+    probe with ``ann_topk_lsh_indexed`` — a partition-pruned scan that
+    reads only the probed buckets."""
+    dim = len(query_vec)
+    probe = _lsh_probe_set(query_vec, n_planes, seed, multiprobe_bits)
     sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
     bucketed = df.withColumn("__sig", sig).where(F.col("__sig").isin(*probe))
     return ann_topk_bruteforce(bucketed, query_vec, k, vec_col, id_col).select(
+        id_col, "cos"
+    )
+
+
+def ann_lsh_index_build(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 7,
+) -> int:
+    """Build the persisted hyperplane-LSH index: compute each vector's
+    sign signature once and write parquet PARTITIONED BY ``__sig`` (the
+    LSH twin of the IVF ``ann_index_build``). Queries probe via
+    ``ann_topk_lsh_indexed`` with a partition-pruned scan — only the
+    multiprobe buckets are read, instead of re-signing the full table
+    per query. The hyperplanes are fully determined by (dim, n_planes,
+    seed), so nothing but the data needs persisting; returns ``dim``
+    for the caller's records. One pass, no shuffle besides the write."""
+    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
+    df.withColumn("__sig", sig).write.mode("overwrite").partitionBy("__sig").parquet(
+        path
+    )
+    return dim
+
+
+def ann_topk_lsh_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 7,
+    multiprobe_bits: int = 2,
+) -> DataFrame:
+    """Approximate top-k against a persisted LSH index (see
+    ``ann_lsh_index_build``): compute the probe-bucket set on the driver
+    (pure arithmetic on the seeded hyperplanes), then scan ONLY those
+    ``__sig=`` partitions — the IN-list lands on the partition column,
+    so the parquet source prunes at planning time (PartitionFilters in
+    explain) — and exact-rerank. Same results as ``ann_topk_lsh`` with
+    the same (n_planes, seed, multiprobe_bits); the per-query cost drops
+    from O(table) signature recompute to O(probed buckets) scan."""
+    probe = _lsh_probe_set(query_vec, n_planes, seed, multiprobe_bits)
+    cells = spark.read.parquet(path).where(F.col("__sig").isin(*sorted(probe)))
+    return ann_topk_bruteforce(cells, query_vec, k, vec_col, id_col).select(
         id_col, "cos"
     )
 

@@ -184,6 +184,22 @@ def ann_indexed_topk_q(spark, sf_dir):
     )
 
 
+@register("ann_lsh_indexed", None)
+def ann_lsh_indexed_q(spark, sf_dir):
+    """Persisted-LSH-index ANN: build the __sig-partitioned index once,
+    probe the multiprobe bucket set with a partition-pruned scan
+    (rows-only check — approximate by design; identity with the
+    per-query LSH path and the PartitionFilters plan are pytest-gated in
+    tests/test_similarity.py)."""
+    import tempfile
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    idx = tempfile.mkdtemp(prefix="tc_ann_lsh_idx_") + "/idx"
+    similarity.ann_lsh_index_build(e.where(F.col("vec_id") != 0), idx)
+    return similarity.ann_topk_lsh_indexed(spark, idx, qv, k=10)
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
