@@ -113,3 +113,25 @@ def test_decode_audio_features_contract(spark):
     # deterministic across runs
     again = decode_audio_features(df, window_ms=10).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_repartition_for_payload_uses_listing_bytes(spark):
+    import pyspark.sql.functions as F
+
+    from thundercats_spark.multimodal.binary import repartition_for_payload
+
+    # 10 rows claiming 32 MB each via the binaryFile listing column:
+    # 320 MB / 64 MB target -> exactly 5 partitions, derived from the
+    # n_bytes metadata — payloads (3 bytes here) are never measured.
+    df = spark.range(10).select(
+        F.col("id").alias("media_id"),
+        F.lit(b"abc").alias("payload"),
+        F.lit(32 * 1024 * 1024).alias("n_bytes"),
+    )
+    assert repartition_for_payload(df, target_mb=64).rdd.getNumPartitions() == 5
+    # ceil semantics: 33 MB x 10 = 330 MB -> 6 partitions
+    df2 = df.withColumn("n_bytes", F.lit(33 * 1024 * 1024))
+    assert repartition_for_payload(df2, target_mb=64).rdd.getNumPartitions() == 6
+    # fallback: no listing column -> payload lengths (30 bytes total -> 1)
+    df3 = df.drop("n_bytes")
+    assert repartition_for_payload(df3, target_mb=64).rdd.getNumPartitions() == 1

@@ -128,12 +128,22 @@ def dedup_exact_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     return df.join(keep, id_col, "inner")
 
 
-def repartition_for_payload(df: DataFrame, target_mb: int = 64, avg_row_mb: float = 1.0) -> DataFrame:
-    """Size partitions so each holds ~target_mb of payload before a
-    heavy decode stage."""
-    rows = df.count()
-    per_part = max(1, int(target_mb / max(avg_row_mb, 0.001)))
-    return df.repartition(max(1, rows // per_part))
+def repartition_for_payload(
+    df: DataFrame, target_mb: int = 64, bytes_col: str = "n_bytes"
+) -> DataFrame:
+    """Size partitions so each holds ~``target_mb`` of payload before a
+    heavy decode stage. The partition count comes from the ACTUAL byte
+    sizes the ``binaryFile`` listing already carries (``n_bytes`` from
+    ``read_media_dir``) — a column-pruned metadata sum, so payload bytes
+    are never read and no row count with an assumed average row size is
+    involved. Falls back to ``length(payload)`` when the listing column
+    is absent (one scan of the payload lengths, still no Python)."""
+    size = (
+        F.col(bytes_col) if bytes_col in df.columns else F.length("payload")
+    ).cast("long")
+    total = df.agg(F.sum(size).alias("b")).first()["b"] or 0
+    chunk = target_mb * 1024 * 1024
+    return df.repartition(max(1, -(-int(total) // chunk)))
 
 
 def read_media_dir(
