@@ -235,3 +235,107 @@ def test_stream_dedup_corpus_full_history(spark, tmp_path):
     assert got == [1, 2, 11]
     # index holds exactly the three distinct fingerprints
     assert spark.read.parquet(idx).distinct().count() == 3
+
+
+def test_sessionize_event_time_late_data_past_watermark_dropped(spark, tmp_path):
+    """Out-of-order events arriving AFTER the watermark passed them must
+    not reopen or corrupt an already-closed session: the emitted session
+    is exactly the on-time events, and no phantom second session appears."""
+    from thundercats_spark.streaming.windows import sessionize_stream_event_time
+
+    path = str(tmp_path / "late_ev")
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    # batch 1: user 1's session (2 events) + sentinel advancing the
+    # watermark to t0+119s — far past user 1's gap timeout (t0+7s)
+    _write_events(
+        spark,
+        path,
+        [
+            (1, t0, 1.0),
+            (1, t0 + timedelta(seconds=2), 2.0),
+            (99, t0 + timedelta(seconds=120), 0.5),
+        ],
+    )
+    out = sessionize_stream_event_time(
+        _file_stream(spark, path), gap_ms=5_000, watermark="1 second"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE user-1 event at t0+1s — 118s behind the
+        # watermark — plus a sentinel pushing the watermark further
+        spark.createDataFrame(
+            [(1, t0 + timedelta(seconds=1), 100.0),
+             (98, t0 + timedelta(seconds=240), 0.5)],
+            "user_id long, ts timestamp, value double",
+        ).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        q.processAllAvailable()  # timeout-processing microbatch
+        rows = [r for r in spark.sql("SELECT * FROM sess_late").collect()
+                if r["user_id"] == 1]
+    finally:
+        q.stop()
+    # exactly ONE session for user 1, built from the on-time events only:
+    # the late row neither merged into it (total stays 3.0) nor opened a
+    # phantom second session
+    assert len(rows) == 1, rows
+    s = rows[0]
+    assert s["n_events"] == 2 and abs(s["total_value"] - 3.0) < 1e-9
+    assert s["session_start"] == t0
+    assert (s["session_end"] - s["session_start"]).total_seconds() == 2.0
+
+
+def test_stream_stream_join_late_row_past_watermark_dropped(spark, tmp_path):
+    """A right-side row arriving after the watermark passed its event
+    time must not join, even though its timestamps satisfy the join
+    bound — join state for that horizon is already evicted."""
+    from thundercats_spark.streaming.windows import stream_stream_join
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    lpath, rpath = str(tmp_path / "ll"), str(tmp_path / "rr")
+    # batch 1: one matching pair + far-future sentinels on BOTH sides
+    # (the global watermark is the min across sources; both must move)
+    spark.createDataFrame(
+        [(1, base + timedelta(minutes=30), 100.0),
+         (50, base + timedelta(hours=10), 1.0)],
+        "user_id long, pts timestamp, amount double",
+    ).write.mode("overwrite").parquet(lpath)
+    spark.createDataFrame(
+        [(1, base + timedelta(minutes=10), 1.0),
+         (60, base + timedelta(hours=10), 999.0)],
+        "user_id long, cts timestamp, click_id double",
+    ).write.mode("overwrite").parquet(rpath)
+
+    lstream = spark.readStream.schema(
+        "user_id long, pts timestamp, amount double").parquet(lpath)
+    rstream = spark.readStream.schema(
+        "user_id long, cts timestamp, click_id double").parquet(rpath)
+    joined = stream_stream_join(
+        lstream, rstream, "user_id", "pts", "cts",
+        within="1 hour", watermark="30 minutes",
+    ).select(lstream["user_id"], "amount", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_late")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE click at base+12min — inside the purchase's
+        # join window, but ~9h behind the watermark → dropped
+        spark.createDataFrame(
+            [(1, base + timedelta(minutes=12), 7.0)],
+            "user_id long, cts timestamp, click_id double",
+        ).write.mode("append").parquet(rpath)
+        q.processAllAvailable()
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ss_late").collect()
+    finally:
+        q.stop()
+    assert [(r["user_id"], r["click_id"]) for r in rows] == [(1, 1.0)]
