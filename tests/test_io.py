@@ -228,3 +228,59 @@ def test_compact_delete_purges_keys(spark, tmp_path):
     survivors = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert survivors == [0, 1, 2, 4, 5, 6, 8, 9]
     assert sorted(r["id"] for r in out.get.collect()) == survivors
+
+
+def test_connector_option_maps_contract():
+    """The connector option surface can't run in this container (no
+    broker, no jars) — pin the EXACT maps instead, against reference
+    IO.scala:116-180/229-287, through the same builders the live
+    readers/writers consume (single source of truth → no drift)."""
+    from thundercats_spark.physical.io import (
+        dynamo_options,
+        kafka_reader_options,
+        kafka_writer_options,
+        mongo_options,
+    )
+
+    assert kafka_reader_options("events", "broker1", 9092) == {
+        "kafka.bootstrap.servers": "broker1:9092",
+        "subscribe": "events",
+    }
+    # stream reader: startingOffsets default 'earliest', requests-timeout
+    # default 30 ms (reference IO.scala:130-132)
+    assert kafka_reader_options("events", "broker1", 9093, streaming=True) == {
+        "kafka.bootstrap.servers": "broker1:9093",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "kafka.requests.timeout.ms": "30",
+    }
+    assert kafka_reader_options(
+        "events", "b", offset="{\"events\": -1}", streaming=True, wait_timeout=500
+    )["startingOffsets"] == "{\"events\": -1}"
+    assert kafka_reader_options(
+        "events", "b", streaming=True, wait_timeout=500
+    )["kafka.requests.timeout.ms"] == "500"
+
+    assert kafka_writer_options("out", "broker2", 9092) == {
+        "kafka.bootstrap.servers": "broker2:9092",
+        "topic": "out",
+    }
+    assert kafka_writer_options(
+        "out", "broker2", streaming=True, checkpoint_location="/tmp/ck"
+    ) == {
+        "kafka.bootstrap.servers": "broker2:9092",
+        "topic": "out",
+        "kafka.fetch.max.wait.ms": "30",
+        "checkpointLocation": "/tmp/ck",
+    }
+
+    assert mongo_options("mhost:27017", "db1", "coll1") == {
+        "connection.uri": "mongodb://mhost:27017",
+        "database": "db1",
+        "collection": "coll1",
+    }
+    assert dynamo_options("us-east-1", "dhost:8000", "tbl") == {
+        "region": "us-east-1",
+        "endpoint": "dhost:8000",
+        "tableName": "tbl",
+    }

@@ -97,6 +97,78 @@ class PartitionCol:
 Partition = NoPartition | PartitionCol
 
 
+# --------------------------------------------------------------------------
+# Connector option maps — PURE builders, the single source of truth the
+# readers/writers below consume. The container has no broker/connector
+# jars, so the live paths can never run here; these functions make the
+# option surface contract-testable anyway (tests/test_io.py pins the
+# exact maps against reference IO.scala:116-180/229-247) and guarantee
+# reader/writer/test can't drift apart.
+# --------------------------------------------------------------------------
+
+
+def kafka_reader_options(
+    topic: str,
+    server_addr: str,
+    port: int = 9092,
+    offset: str | None = None,
+    streaming: bool = False,
+    wait_timeout: int | None = None,
+) -> dict[str, str]:
+    """Reference IO.scala:116-145 parity: bootstrap servers + subscribe;
+    the stream reader adds startingOffsets (default ``earliest``) and
+    the requests-timeout (reference defaults it to 30 ms when unset)."""
+    opts = {
+        "kafka.bootstrap.servers": f"{server_addr}:{port}",
+        "subscribe": topic,
+    }
+    if streaming:
+        opts["startingOffsets"] = offset or "earliest"
+        opts["kafka.requests.timeout.ms"] = str(
+            wait_timeout if wait_timeout is not None else 30
+        )
+    return opts
+
+
+def kafka_writer_options(
+    topic: str,
+    server_addr: str,
+    port: int = 9092,
+    streaming: bool = False,
+    wait_timeout: int | None = None,
+    checkpoint_location: str = "./chk",
+) -> dict[str, str]:
+    """Reference IO.scala:229-287 parity: the stream sink adds the
+    fetch-max-wait (default 30 ms) and its checkpoint location."""
+    opts = {
+        "kafka.bootstrap.servers": f"{server_addr}:{port}",
+        "topic": topic,
+    }
+    if streaming:
+        opts["kafka.fetch.max.wait.ms"] = str(
+            wait_timeout if wait_timeout is not None else 30
+        )
+        opts["checkpointLocation"] = checkpoint_location
+    return opts
+
+
+def mongo_options(server_addr: str, db: str, collection: str) -> dict[str, str]:
+    """Reference IO.scala:168-172 re-expressed for the v10+ ``mongodb``
+    DataSourceV2 (connection.uri + database + collection options instead
+    of the legacy single-uri form)."""
+    return {
+        "connection.uri": f"mongodb://{server_addr}",
+        "database": db,
+        "collection": collection,
+    }
+
+
+def dynamo_options(region: str, server_addr: str, table: str) -> dict[str, str]:
+    """Reference IO.scala:174-178 / amazon.scala re-expressed as generic
+    dynamodb DataSourceV2 options."""
+    return {"region": region, "endpoint": server_addr, "tableName": table}
+
+
 class Read:
     """Batch + streaming readers."""
 
@@ -199,8 +271,7 @@ class Read:
         def build():
             df = (
                 spark.read.format("kafka")
-                .option("kafka.bootstrap.servers", f"{server_addr}:{port}")
-                .option("subscribe", topic)
+                .options(**kafka_reader_options(topic, server_addr, port))
                 .load()
             )
             return Read._kafka_decode(df, col_encoder)
@@ -214,14 +285,16 @@ class Read:
         server_addr: str,
         port: int = 9092,
         offset: str | None = None,
+        wait_timeout: int | None = None,
         col_encoder: ColumnEncoder = NoEncoder(),
     ) -> MayFail[DataFrame]:
         def build():
             df = (
                 spark.readStream.format("kafka")
-                .option("kafka.bootstrap.servers", f"{server_addr}:{port}")
-                .option("subscribe", topic)
-                .option("startingOffsets", offset or "earliest")
+                .options(**kafka_reader_options(
+                    topic, server_addr, port, offset,
+                    streaming=True, wait_timeout=wait_timeout,
+                ))
                 .load()
             )
             return Read._kafka_decode(df, col_encoder)
@@ -249,17 +322,11 @@ class Read:
 
     @staticmethod
     def mongo(spark, server_addr: str, db: str, collection: str) -> MayFail[DataFrame]:
-        return Read.format(
-            spark,
-            "mongodb",
-            {"connection.uri": f"mongodb://{server_addr}", "database": db, "collection": collection},
-        )
+        return Read.format(spark, "mongodb", mongo_options(server_addr, db, collection))
 
     @staticmethod
     def dynamo(spark, region: str, server_addr: str, table: str) -> MayFail[DataFrame]:
-        return Read.format(
-            spark, "dynamodb", {"region": region, "endpoint": server_addr, "tableName": table}
-        )
+        return Read.format(spark, "dynamodb", dynamo_options(region, server_addr, table))
 
 
 class Write:
@@ -361,8 +428,7 @@ class Write:
             (
                 Write._kafka_encode(df, col_encoder)
                 .write.format("kafka")
-                .option("kafka.bootstrap.servers", f"{server_addr}:{port}")
-                .option("topic", topic)
+                .options(**kafka_writer_options(topic, server_addr, port))
                 .save()
             )
             return df
@@ -388,10 +454,11 @@ class Write:
             q = (
                 Write._kafka_encode(df, col_encoder)
                 .writeStream.format("kafka")
-                .option("kafka.bootstrap.servers", f"{server_addr}:{port}")
-                .option("kafka.fetch.max.wait.ms", str(wait_timeout if wait_timeout is not None else 30))
-                .option("topic", topic)
-                .option("checkpointLocation", checkpoint_location)
+                .options(**kafka_writer_options(
+                    topic, server_addr, port,
+                    streaming=True, wait_timeout=wait_timeout,
+                    checkpoint_location=checkpoint_location,
+                ))
                 .outputMode("append")
                 .start()
             )
@@ -530,11 +597,7 @@ class Write:
 
     @staticmethod
     def mongo(df, server_addr: str, db: str, collection: str) -> MayFail[DataFrame]:
-        return Write.format(
-            df,
-            "mongodb",
-            {"connection.uri": f"mongodb://{server_addr}", "database": db, "collection": collection},
-        )
+        return Write.format(df, "mongodb", mongo_options(server_addr, db, collection))
 
     @staticmethod
     def dynamo(df, region: str, server_addr: str, table: str) -> MayFail[DataFrame]:
@@ -542,9 +605,7 @@ class Write:
         declares the symbol but leaves it unimplemented (IO.scala:336
         ``???``); here it goes through the generic connector gateway, so
         any dynamodb DataSourceV2 on the classpath works."""
-        return Write.format(
-            df, "dynamodb", {"region": region, "endpoint": server_addr, "tableName": table}
-        )
+        return Write.format(df, "dynamodb", dynamo_options(region, server_addr, table))
 
 
 class Screen:
