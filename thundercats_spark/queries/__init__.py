@@ -55,11 +55,12 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]
     return out
 
 
-# Names the round-1 driver already hash-verified (CORRECTNESS_r01.json).
-# The driver checks the first ~50 registry entries per round, in order —
-# so entries NOT yet driver-verified (round-1 misses + anything new) are
-# listed first, and the already-green ones fill the tail. Every query
-# still runs in pytest and tools/verify_oracle.py regardless of order.
+# Driver-verification rotation. The driver checks the first ~50 registry
+# entries per round, in order, so the registry is sorted
+# oldest-verification-first: never-verified entries (new queries) lead,
+# then entries whose latest driver row is round 1 (two rounds old), then
+# the round-2-verified tail. Every query still runs in pytest and
+# tools/verify_oracle.py regardless of order.
 _VERIFIED_R01 = {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q10_returned_items", "events_daily_rollup", "events_user_topk",
@@ -80,6 +81,26 @@ _VERIFIED_R01 = {
     "text_quality_score", "text_lang_id", "doc_fingerprint",
 }
 
+# Names whose latest driver hash-match is round 2 (CORRECTNESS_r02.json)
+# — the freshest verification, so they fill the registry tail.
+_VERIFIED_R02 = {
+    "ann_indexed_topk", "llm_clean_pipeline", "dedup_connected_groups",
+    "doc_bigram_logprob", "doc_repetition_score", "doc_source_mix",
+    "doc_decontaminate", "corpus_split_stratified", "doc_decontaminate_fuzzy",
+    "corpus_split_leakage_safe", "doc_pii_scrub", "ann_batch_topk",
+    "doc_quality_funnel", "dedup_keep_best", "corpus_pack_sequences",
+    "dedup_semantic", "dedup_minhash_oph", "doc_repeated_spans",
+    "doc_span_dup_fraction", "corpus_shuffle_order", "doc_remove_repeated_spans",
+    "corpus_sample_per_source", "join_inner", "join_left", "join_outer",
+    "join_broadcast", "join_expr", "group_agg_map", "group_agg_cols",
+    "filter_where", "filter_na", "filter_range", "order_by", "add_column",
+    "agg_reduce", "agg_by_key", "select_rename", "text_trim",
+    "events_json_extract", "q8_market_share", "q11_important_parts",
+    "q13_order_distribution", "q16_supplier_variety", "q17_small_quantity",
+    "q19_disjunctive_revenue", "q20_volume_suppliers", "q21_waiting_suppliers",
+    "q22_idle_customers", "q1_pricing_summary", "q3_shipping_priority",
+}
+
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect populates the registry.
@@ -92,6 +113,15 @@ def all_queries() -> dict[str, Query]:
         tpch2,
     )
 
-    unverified = {n: q for n, q in _REGISTRY.items() if n not in _VERIFIED_R01}
-    verified = {n: q for n, q in _REGISTRY.items() if n in _VERIFIED_R01}
-    return {**unverified, **verified}
+    never = {
+        n: q
+        for n, q in _REGISTRY.items()
+        if n not in _VERIFIED_R01 and n not in _VERIFIED_R02
+    }
+    r01_old = {
+        n: q
+        for n, q in _REGISTRY.items()
+        if n in _VERIFIED_R01 and n not in _VERIFIED_R02
+    }
+    r02_fresh = {n: q for n, q in _REGISTRY.items() if n in _VERIFIED_R02}
+    return {**never, **r01_old, **r02_fresh}
