@@ -276,3 +276,22 @@ def test_ngram_jaccard_join_disjoint_frames(spark):
         for r in dedup.ngram_jaccard_join(a, b, threshold=0.5).collect()
     }
     assert got == {(1, 100)}
+
+
+def test_ngram_jaccard_join_collapse_is_output_identical(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    import pyspark.sql.functions as F
+
+    corpus = base.unionByName(base.withColumn("doc_id", F.col("doc_id") + 100000))
+    bench = base.limit(50)
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"], round(float(r["jaccard"]), 9))
+            for r in dedup.ngram_jaccard_join(
+                corpus, bench, threshold=0.5, **kw
+            ).collect()
+        }
+
+    on, off = pairs(collapse_exact=True), pairs(collapse_exact=False)
+    assert on == off and len(on) >= 100  # every dup copy matches its bench twin

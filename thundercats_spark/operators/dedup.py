@@ -647,6 +647,35 @@ def ngram_jaccard_pairs(
     return _jaccard_mine(sh, _jaccard_posting(sh, threshold), threshold)
 
 
+def _expand_pairs_rs(rep_pairs, groups_a, groups_b, measure: str) -> DataFrame:
+    """R-S twin of ``_expand_pairs``: rep-level cross-frame pairs expand
+    through each side's own collapse groups (no within-group pairs — the
+    frames are distinct and orientation is fixed a→b). A side without
+    collapse passes ``None`` and keeps its ids as-is."""
+    out = rep_pairs
+    if groups_a is not None:
+        out = (
+            out.join(
+                groups_a.select(
+                    F.col("rep").alias("id_a"), F.col("members").alias("__ma")
+                ),
+                "id_a",
+            )
+            .select(F.explode("__ma").alias("id_a"), "id_b", measure)
+        )
+    if groups_b is not None:
+        out = (
+            out.join(
+                groups_b.select(
+                    F.col("rep").alias("id_b"), F.col("members").alias("__mb")
+                ),
+                "id_b",
+            )
+            .select("id_a", F.explode("__mb").alias("id_b"), measure)
+        )
+    return out.select("id_a", "id_b", measure)
+
+
 def ngram_jaccard_join(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -654,6 +683,7 @@ def ngram_jaccard_join(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """EXACT cross-frame Jaccard similarity join (R-S PPJoin): every
     pair (id_a ∈ df_a, id_b ∈ df_b) with shingle-set J >= t. Same
@@ -669,9 +699,23 @@ def ngram_jaccard_join(
     its PREFIX (~(1-t) of shingles); text never shuffles; verify runs
     on int arrays. Use for fuzzy benchmark decontamination (df_b = the
     eval set — typically tiny, so AQE broadcasts its posting list) or
-    catalog-vs-catalog near-dup linkage."""
-    sha, pa = _jaccard_prefix_posting(df_a, text_col, id_col, n, threshold)
-    shb, pb = _jaccard_prefix_posting(df_b, text_col, id_col, n, threshold)
+    catalog-vs-catalog near-dup linkage.
+
+    ``collapse_exact`` (default on) collapses identical shingle sets on
+    EACH side independently before indexing and expands afterwards —
+    output-identical (same argument as ``ngram_jaccard_pairs``); dup
+    multiplicity in the corpus side (the common case in fuzzy
+    decontamination) stops multiplying the posting join and verify."""
+    sha = _jaccard_shingle_sets(df_a, text_col, id_col, n)
+    shb = _jaccard_shingle_sets(df_b, text_col, id_col, n)
+    ga = gb = None
+    if collapse_exact:
+        ga = _collapse_groups(sha.withColumn("__gfp", F.xxhash64("hs")), "__gfp")
+        sha = ga.select(F.col("rep").alias("id"), "hs")
+        gb = _collapse_groups(shb.withColumn("__gfp", F.xxhash64("hs")), "__gfp")
+        shb = gb.select(F.col("rep").alias("id"), "hs")
+    pa = _jaccard_posting(sha, threshold)
+    pb = _jaccard_posting(shb, threshold)
     cand = (
         pa.alias("a")
         .join(pb.alias("b"), "shingle")
@@ -681,7 +725,7 @@ def ngram_jaccard_join(
     )
     sa = sha.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     sb = shb.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
-    return (
+    verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
@@ -692,6 +736,9 @@ def ngram_jaccard_join(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if collapse_exact:
+        return _expand_pairs_rs(verified, ga, gb, "jaccard")
+    return verified
 
 
 # --------------------------------------------------------------------------
