@@ -295,3 +295,42 @@ def test_ngram_jaccard_join_collapse_is_output_identical(spark, sf_dir):
 
     on, off = pairs(collapse_exact=True), pairs(collapse_exact=False)
     assert on == off and len(on) >= 100  # every dup copy matches its bench twin
+
+
+def test_dedup_minhash_incremental_across_batches(spark, tmp_path):
+    from thundercats_spark.operators.dedup import dedup_minhash_incremental
+
+    idx = str(tmp_path / "lsh_index")
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    other = "completely different text about spark queries and shuffle partitions here"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    out1 = dedup_minhash_incremental(b1, idx, threshold=0.5)
+    assert sorted(r["doc_id"] for r in out1.collect()) == [1, 2]
+
+    near_base = base.replace("today", "tonight")  # J >= 0.5 of doc 1
+    fresh_txt = "entirely novel document mentioning streaming watermarks and stateful session windows"
+    b2 = spark.createDataFrame(
+        [
+            (10, near_base),            # near-dup of HISTORY (doc 1) -> drop
+            (11, fresh_txt),            # new -> keep
+            (12, fresh_txt + " extra"), # within-batch near-dup of 11 -> drop
+        ],
+        "doc_id long, text string",
+    )
+    out2 = dedup_minhash_incremental(b2, idx, threshold=0.5)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [11]
+    # replaying the committed batch is a no-op: 11 now matches itself
+    assert dedup_minhash_incremental(b2, idx, threshold=0.5).count() == 0
+    # dry run: nothing committed, result reproducible
+    b3 = spark.createDataFrame(
+        [(20, "yet another brand new sentence about broadcast joins and bucketing")],
+        "doc_id long, text string",
+    )
+    assert dedup_minhash_incremental(b3, idx, commit=False).count() == 1
+    assert dedup_minhash_incremental(b3, idx, commit=False).count() == 1
+    # index holds exactly the survivors' sets: 1, 2, 11
+    assert sorted(
+        r["id"] for r in spark.read.parquet(idx + "/sets").collect()
+    ) == [1, 2, 11]

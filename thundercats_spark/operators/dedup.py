@@ -957,3 +957,103 @@ def dedup_incremental(
 
         Write.upsert_parquet(fresh.select("__fp"), index_path, ["__fp"]).get
     return new_df.join(fresh.select(id_col), id_col, "inner")
+
+
+def dedup_minhash_incremental(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    method: str = "perm",
+    commit: bool = True,
+) -> DataFrame:
+    """NEAR-dup dedupe of a NEW batch against everything ever ingested —
+    the rolling-ingestion twin of ``dedup_incremental`` for the
+    MinHash-LSH family. History is never rescanned: the persisted index
+    at ``index_path`` holds two compact tables —
+    ``<index>/buckets`` (id, bucket): the exploded LSH band keys, and
+    ``<index>/sets`` (id, hs): the hashed shingle sets for verification
+    — so each increment costs one bucket-key join against the index plus
+    an exact-Jaccard verify against only the candidate ids' sets
+    (semi-join pruned), never the historical text.
+
+    Batch flow: drop within-batch near-dups (greedy min-id survivor,
+    same rule as ``dedup_minhash``), probe surviving signatures against
+    the historical buckets, verify candidates exactly, drop matches
+    >= ``threshold``, then append survivors' (id, hs) and (id, bucket)
+    rows. Appends are id-upserts, so replaying a crashed batch cannot
+    double-insert (``commit=False`` = dry run). Returns the surviving
+    rows of ``new_df``. Sketch parameters must stay constant across the
+    index's lifetime — they define the bucket space.
+
+    Scale shape: the buckets table grows as n_docs × bands 16-byte rows
+    and is only ever hash-joined on its bucket key; the sets table is
+    read column-pruned for candidate ids. At 100 TB, partition both by
+    a bucket/id prefix so the probe and verify prune partitions."""
+    spark = new_df.sparkSession
+    buckets_path = index_path.rstrip("/") + "/buckets"
+    sets_path = index_path.rstrip("/") + "/sets"
+
+    # within-batch near-dup collapse (keeps min id of every near-pair)
+    survivors = dedup_minhash(
+        new_df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, seed=seed, method=method,
+    )
+    sh = survivors.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            shingle_hashes(word_shingles(F.col(text_col), shingle_n))
+        ).alias("hs"),
+    )
+    sig_fn = minhash_signature_oph if method == "oph" else minhash_signature_fast
+    new_buckets = sig_fn(sh, "hs", num_hashes, seed).select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), bands)).alias("bucket")
+    )
+    try:
+        old_buckets = spark.read.parquet(buckets_path)
+        # candidate historical ids per new id: shared band bucket
+        cand = (
+            new_buckets.alias("n")
+            .join(old_buckets.alias("o"), "bucket")
+            .select(F.col("n.id").alias("id"), F.col("o.id").alias("old_id"))
+            .distinct()
+        )
+        old_sets = spark.read.parquet(sets_path)
+        # verify exactly against ONLY the candidate old ids' sets
+        matched = (
+            cand.join(
+                old_sets.select(F.col("id").alias("old_id"), F.col("hs").alias("hs_o")),
+                "old_id",
+            )
+            .join(sh.select("id", F.col("hs").alias("hs_n")), "id")
+            .withColumn("inter", F.size(F.array_intersect("hs_n", "hs_o")))
+            .where(
+                F.col("inter")
+                / (F.size("hs_n") + F.size("hs_o") - F.col("inter"))
+                >= threshold
+            )
+            .select("id")
+            .distinct()
+        )
+        fresh = sh.join(matched, "id", "left_anti")
+    except Exception as e:
+        from thundercats_spark.physical.io import _is_path_not_found
+
+        if not _is_path_not_found(e):
+            raise
+        fresh = sh
+    if commit:
+        from thundercats_spark.physical.io import Write
+
+        Write.upsert_parquet(fresh.select("id", "hs"), sets_path, ["id"]).get
+        fresh_buckets = new_buckets.join(fresh.select("id"), "id", "left_semi")
+        Write.upsert_parquet(fresh_buckets, buckets_path, ["id", "bucket"]).get
+    return survivors.join(
+        fresh.select(F.col("id").alias(id_col)), id_col, "inner"
+    )
