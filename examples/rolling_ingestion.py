@@ -1,0 +1,75 @@
+"""Example app — rolling corpus ingestion with full-history dedup, the
+production shape for a crawl pipeline that lands new document batches
+daily: each increment dedupes against EVERYTHING ever ingested (exact
+first, then near-dup) without rescanning history — both indexes hold
+hashes/sketches, never text — then appends survivors to the corpus.
+
+Batch flow per increment:
+  1. ``dedup_incremental``          — exact: 8-byte fingerprint index
+  2. ``dedup_minhash_incremental``  — near-dup: persisted LSH bucket +
+                                      shingle-set index, candidate-only
+                                      exact-Jaccard verify
+  3. append survivors (id-upsert, replay-safe)
+
+Run: python examples/rolling_ingestion.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+import pyspark.sql.functions as F
+
+from thundercats_spark.operators.dedup import (
+    dedup_incremental,
+    dedup_minhash_incremental,
+)
+from thundercats_spark.physical.io import Write
+from thundercats_spark.session import get_spark
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("rolling-ingestion", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="tc_ingest_")
+    fp_index = f"{work}/fp_index"
+    lsh_index = f"{work}/lsh_index"
+    corpus = f"{work}/corpus"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    # simulate three daily batches: day 2 re-delivers some of day 1
+    # verbatim (exact dups) and day 3 ships lightly-edited copies
+    # (near-dups) plus genuinely new rows
+    day1 = docs.where(F.col("doc_id") % 3 == 0)
+    day2 = docs.where(F.col("doc_id") % 3 <= 1)  # half is day-1 again
+    day3 = docs.where(F.col("doc_id") % 3 == 2).unionByName(
+        day1.limit(50).select(
+            (F.col("doc_id") + 10 * n).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.lit("mirror")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+
+    for day, batch in (("day1", day1), ("day2", day2), ("day3", day3)):
+        exact_fresh = dedup_incremental(batch, fp_index)
+        near_fresh = dedup_minhash_incremental(exact_fresh, lsh_index, threshold=0.5)
+        Write.upsert_parquet(near_fresh, corpus, ["doc_id"]).get
+        print(
+            f"{day}: arrived={batch.count()} "
+            f"after_exact={exact_fresh.count()} "
+            f"ingested={near_fresh.count()}"
+        )
+
+    final = spark.read.parquet(corpus)
+    print(f"corpus total: {final.count()} (unique source docs: {n})")
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
