@@ -276,3 +276,46 @@ def test_decontaminate_fuzzy_flag_and_filter(spark):
     kept = decontaminate_fuzzy(corpus, bench, threshold=0.5, mode="filter")
     assert sorted(r["doc_id"] for r in kept.collect()) == [3]
     assert "n_bench_matches" not in kept.columns
+
+
+def test_select_token_budget_equals_naive_cumsum(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from thundercats_spark.functions.text_analysis import token_count
+    from thundercats_spark.operators.curation import select_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 10_000
+    got = {
+        (r["doc_id"], r["n_tokens"])
+        for r in select_token_budget(
+            docs, budget, F.col("n_chars").cast("double"), ids_only=True
+        ).collect()
+    }
+    # naive single-window reference (fine at test scale)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = {
+        (r["doc_id"], r["n_tokens"])
+        for r in docs.select(
+            "doc_id",
+            F.col("n_chars").cast("double").alias("score"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .where(F.col("cum") <= budget)
+        .collect()
+    }
+    assert got == naive and 0 < len(got) < docs.count()
+    # degenerate budgets
+    assert select_token_budget(
+        docs, 0, F.col("n_chars").cast("double"), ids_only=True
+    ).count() == 0
+    assert select_token_budget(
+        docs, 10**12, F.col("n_chars").cast("double"), ids_only=True
+    ).count() == docs.count()
+    # full-row mode returns the surviving input rows
+    full = select_token_budget(docs, budget, F.col("n_chars").cast("double"))
+    assert full.count() == len(got) and "text" in full.columns

@@ -471,3 +471,83 @@ def calibrate_threshold(
         "__s", [q], relative_error
     )
     return float(out[0])
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: Column | None = None,
+    n_buckets: int = 256,
+    ids_only: bool = False,
+) -> DataFrame:
+    """Data selection under a token budget: keep the best-scoring docs
+    until ``budget_tokens`` fills (the curation step after quality
+    scoring). Ranking is (score DESC, id ASC); a doc survives iff the
+    cumulative token count through its own rank stays within budget —
+    the greedy prefix policy.
+
+    Scale plan: the naive ordered cumulative sum is a single-partition
+    global window — a non-starter. Instead: (1) bucket docs by
+    driver-fetched approximate score quantiles (a scan-stage comparison
+    against a literal boundary array; equal scores always share a
+    bucket, so bucket order is consistent with rank order and boundary
+    precision never affects CORRECTNESS, only balance), (2) one
+    partial-agg pass sums tokens per bucket and the tiny per-bucket
+    table prefix-sums on the driver to locate the boundary bucket,
+    (3) better buckets keep everything with no sort at all; ONLY the
+    boundary bucket (~1/n_buckets of the corpus) runs the exact ordered
+    cumsum window, offset by the better-buckets total. Output is
+    identical to the naive global cumsum (oracle-checked).
+
+    Returns (id, n_tokens, score) with ``ids_only``, else the surviving
+    input rows (joined back by id — text never shuffles)."""
+    from thundercats_spark.functions.text_analysis import token_count
+
+    toks = token_col if token_col is not None else token_count(F.col(text_col))
+    scored = df.select(
+        F.col(id_col),
+        score.cast("double").alias("score"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    # (1) score-range buckets from approx quantiles (driver gets only
+    # the boundary list). Dedup: equal boundaries collapse.
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    boundaries = sorted(set(scored.stat.approxQuantile("score", qs, 0.01)))
+    b_arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    bucketed = scored.withColumn(
+        "__bkt", F.size(F.filter(b_arr, lambda b: F.col("score") > b))
+    )
+    # (2) per-bucket token totals -> driver prefix sum, best bucket first
+    totals = {
+        r["__bkt"]: r["t"]
+        for r in bucketed.groupBy("__bkt").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    running, keep_whole, boundary_bkt, offset = 0, set(), None, 0
+    for bkt in sorted(totals, reverse=True):
+        if running + totals[bkt] <= budget_tokens:
+            keep_whole.add(bkt)
+            running += totals[bkt]
+        else:
+            boundary_bkt, offset = bkt, running
+            break
+    # (3) exact cumsum inside the boundary bucket only
+    kept = bucketed.where(F.col("__bkt").isin(*keep_whole) if keep_whole else F.lit(False))
+    if boundary_bkt is not None:
+        w = (
+            Window.orderBy(F.desc("score"), F.asc(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        edge = (
+            bucketed.where(F.col("__bkt") == boundary_bkt)
+            .withColumn("__cum", F.sum("n_tokens").over(w))
+            .where(F.lit(offset) + F.col("__cum") <= budget_tokens)
+            .drop("__cum")
+        )
+        kept = kept.unionByName(edge)
+    out = kept.select(id_col, "n_tokens", "score")
+    if ids_only:
+        return out
+    return df.join(out.select(id_col), id_col, "inner")

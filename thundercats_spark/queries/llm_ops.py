@@ -1027,3 +1027,36 @@ def corpus_sample_per_source_q(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
     out = sample_per_group(d, k=20, group_col="source", key_col="doc_id")
     return out.select("source", "doc_id").orderBy("source", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# token-budget corpus selection
+# --------------------------------------------------------------------------
+
+TOKEN_BUDGET_SQL = r"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) AS score,
+         len(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, score,
+         SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM scored
+)
+SELECT doc_id, n_tokens, score FROM c WHERE cum <= 10000
+"""
+
+
+@register("corpus_token_budget", TOKEN_BUDGET_SQL)
+def corpus_token_budget_q(spark, sf_dir):
+    """Greedy best-first selection under a 10k-token budget, ranked by
+    document length (score = n_chars, ties by id). The two-pass bucketed
+    plan must equal the oracle's naive global cumsum exactly."""
+    from thundercats_spark.operators.curation import select_token_budget
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return select_token_budget(
+        d, 10_000, F.col("n_chars").cast("double"), ids_only=True
+    )
