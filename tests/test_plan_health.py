@@ -8,10 +8,11 @@ import pytest
 
 from thundercats_spark.queries import all_queries
 
-# queries whose plan BUILD executes jobs (ivf trains centroids) or that
-# are intentionally quadratic brute-force oracles
+# queries whose plan BUILD executes jobs (ivf trains centroids, token
+# budget fetches quantiles/bucket sums) or that are intentionally
+# quadratic brute-force oracles
 SKIP = {"ann_ivf_topk", "ann_indexed_topk", "ann_lsh_indexed",
-        "dedup_embedding_cosine", "dedup_semantic"}
+        "dedup_embedding_cosine", "dedup_semantic", "corpus_token_budget"}
 # tiny-broadcast cross joins legitimately plan as BNLJ
 SCALAR_BNLJ_OK = {
     "q11_important_parts",
