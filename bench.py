@@ -46,6 +46,12 @@ BENCH_QUERIES = [
     "events_resample_ffill",
     "llm_clean_pipeline",
     "dedup_connected_groups",
+    # curation family (the ops a real training-data pipeline runs)
+    "doc_decontaminate",
+    "doc_repeated_spans",
+    "corpus_pack_sequences",
+    "corpus_token_budget",
+    "corpus_split_leakage_safe",
 ]
 
 
@@ -90,13 +96,23 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # 10x scale rehearsal of the dedup family (bucket-size distribution,
-    # wall-clock) — produced offline by tools/scale_check.py
-    stats = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "scale_stats.json")
+    # The scale rehearsals (x10/x30 bucket bounds, wall-clocks) live in
+    # tools/scale_stats*.json — pointed to, never embedded: the driver
+    # captures only the tail of stdout, and r03's embedded blob pushed
+    # the summary head past the capture window ("parsed": null). The
+    # compact summary MUST be the last line and stay well under ~1500
+    # chars.
+    stats = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "scale_stats.json"
+    )
     if os.path.exists(stats):
-        with open(stats) as f:
-            out["scale_check"] = json.load(f)
-    print(json.dumps(out))
+        out["scale_check_artifact"] = "tools/scale_stats.json"
+    line = json.dumps(out)
+    if len(line) > 1900:  # defensive: drop per-query detail before the total
+        slim = dict(out)
+        slim["queries"] = {"n_queries": len(timings)}
+        line = json.dumps(slim)
+    print(line)
 
 
 if __name__ == "__main__":

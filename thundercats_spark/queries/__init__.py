@@ -58,9 +58,10 @@ def load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]
 # Driver-verification rotation. The driver checks the first ~50 registry
 # entries per round, in order, so the registry is sorted
 # oldest-verification-first: never-verified entries (new queries) lead,
-# then entries whose latest driver row is round 1 (two rounds old), then
-# the round-2-verified tail. Every query still runs in pytest and
-# tools/verify_oracle.py regardless of order.
+# then entries whose LATEST driver row is the oldest round, ending with
+# the freshest-verified tail (a name in several sets counts at its
+# latest). Every query still runs in pytest and tools/verify_oracle.py
+# regardless of order.
 _VERIFIED_R01 = {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q10_returned_items", "events_daily_rollup", "events_user_topk",
@@ -101,6 +102,32 @@ _VERIFIED_R02 = {
     "q22_idle_customers", "q1_pricing_summary", "q3_shipping_priority",
 }
 
+# Names whose latest driver check is round 3 (CORRECTNESS_r03.json):
+# the r01-stale window plus the two round-3 registrations.
+_VERIFIED_R03 = {
+    "ann_lsh_indexed", "corpus_token_budget", "q5_local_supplier",
+    "q10_returned_items", "events_daily_rollup", "events_user_topk",
+    "events_sessionize", "asof_join_events_orders", "q6_forecast_revenue",
+    "q4_priority_semi", "customers_no_recent_orders", "q14_promo_share",
+    "q18_large_orders", "events_rollup_hierarchy", "customer_running_total",
+    "doc_word_frequencies", "customer_balance_stats", "supplier_name_distance",
+    "q12_priority_classes", "events_resample_ffill", "q15_top_supplier",
+    "q2_cheapest_supplier", "customer_cohorts_setops", "orders_above_segment_avg",
+    "q7_nation_volume", "q9_product_profit", "doc_tfidf_top_terms",
+    "events_range_join", "orders_cube_summary", "orders_pivot_by_priority",
+    "customer_balance_quartiles", "customer_order_gaps", "events_funnel_conversion",
+    "events_retention_cohorts", "orders_value_percentiles",
+    "customer_balance_rank_dist", "orders_balance_correlation",
+    "orders_latest_per_customer", "dedup_exact", "ngram_jaccard_pairs",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "text_token_stats",
+    "text_quality_score", "text_lang_id", "doc_fingerprint",
+}
+
+# Oldest-first round lists; a name's effective round is the LAST list
+# containing it. Append future rounds' sets here.
+_ROUNDS = [_VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03]
+
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect populates the registry.
@@ -113,15 +140,16 @@ def all_queries() -> dict[str, Query]:
         tpch2,
     )
 
-    never = {
-        n: q
-        for n, q in _REGISTRY.items()
-        if n not in _VERIFIED_R01 and n not in _VERIFIED_R02
-    }
-    r01_old = {
-        n: q
-        for n, q in _REGISTRY.items()
-        if n in _VERIFIED_R01 and n not in _VERIFIED_R02
-    }
-    r02_fresh = {n: q for n, q in _REGISTRY.items() if n in _VERIFIED_R02}
-    return {**never, **r01_old, **r02_fresh}
+    def latest_round(name: str) -> int:
+        rnd = 0  # 0 = never driver-verified → head of the rotation
+        for i, s in enumerate(_ROUNDS, start=1):
+            if name in s:
+                rnd = i
+        return rnd
+
+    # Stable within a tier (registration order preserves the family
+    # grouping the correctness files have always shown).
+    ordered = sorted(
+        _REGISTRY.items(), key=lambda kv: latest_round(kv[0])
+    )
+    return dict(ordered)
