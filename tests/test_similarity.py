@@ -243,3 +243,51 @@ def test_ann_lsh_indexed_prunes_partitions_and_matches_lsh(emb, tmp_path_factory
     ]
     via_index = [(r["vec_id"], r["cos"]) for r in indexed.collect()]
     assert via_index == via_lsh
+
+def test_index_meta_validates_hyperparameters(emb, tmp_path_factory):
+    """The persisted indexes carry (dim, n_planes/n_clusters, seed)
+    metadata; probing with drifted hyperparameters must raise — a wrong
+    (n_planes, seed) silently probes the wrong LSH buckets otherwise."""
+    import pytest
+
+    spark = emb.sparkSession
+    idx = str(tmp_path_factory.mktemp("annmeta") / "lsh_idx")
+    dim = similarity.ann_lsh_index_build(emb, idx, n_planes=8, seed=7)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+
+    # param assertions that agree pass; drifted ones fail loudly
+    similarity.ann_topk_lsh_indexed(spark, idx, qv, n_planes=8, seed=7)
+    with pytest.raises(ValueError, match="n_planes=9"):
+        similarity.ann_topk_lsh_indexed(spark, idx, qv, n_planes=9)
+    with pytest.raises(ValueError, match="seed=8"):
+        similarity.ann_topk_lsh_indexed(spark, idx, qv, seed=8)
+    # a query vector of the wrong dimensionality can't silently hash
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_topk_lsh_indexed(spark, idx, qv + [0.0])
+    # an index directory without metadata is unprobeable, not assumed
+    bare = str(tmp_path_factory.mktemp("annmeta") / "bare_idx")
+    emb.withColumn("__sig", F.lit(0)).write.partitionBy("__sig").parquet(bare)
+    with pytest.raises(ValueError, match="no metadata"):
+        similarity.ann_topk_lsh_indexed(spark, bare, qv)
+
+    # IVF: persisted meta + query-dim validation
+    ividx = str(tmp_path_factory.mktemp("annmeta") / "ivf_idx")
+    similarity.ann_index_build(emb, ividx, n_clusters=4)
+    meta = spark.read.parquet(ividx + "_meta").first().asDict()
+    assert meta == {"dim": dim, "n_clusters": 4, "seed": 7}
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_topk_indexed(spark, ividx, qv + [0.0])
+
+
+def test_lsh_index_build_accepts_known_dim(emb, tmp_path_factory):
+    """Passing dim skips the discovery first() and must produce the
+    byte-identical index (same hyperplanes → same signatures)."""
+    spark = emb.sparkSession
+    dim = len(emb.first()["embedding"])
+    a = str(tmp_path_factory.mktemp("anndim") / "a")
+    b = str(tmp_path_factory.mktemp("anndim") / "b")
+    similarity.ann_lsh_index_build(emb, a)
+    assert similarity.ann_lsh_index_build(emb, b, dim=dim) == dim
+    sig_a = {(r["vec_id"], r["__sig"]) for r in spark.read.parquet(a).collect()}
+    sig_b = {(r["vec_id"], r["__sig"]) for r in spark.read.parquet(b).collect()}
+    assert sig_a == sig_b

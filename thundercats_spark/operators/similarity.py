@@ -129,6 +129,52 @@ def ann_topk_lsh(
     )
 
 
+def _meta_path(path: str) -> str:
+    return path.rstrip("/") + "_meta"
+
+
+def _write_index_meta(spark, path: str, meta: dict) -> None:
+    """Persist index hyperparameters next to the index (1-row parquet —
+    same mechanism as the IVF centroids table, so it works on any
+    Hadoop-visible filesystem, not just local disk)."""
+    fields = ", ".join(f"{k} long" for k in sorted(meta))
+    spark.createDataFrame(
+        [tuple(int(meta[k]) for k in sorted(meta))], fields
+    ).coalesce(1).write.mode("overwrite").parquet(_meta_path(path))
+
+
+def _check_index_meta(spark, path: str, kind: str, caller: dict) -> dict:
+    """Read the persisted meta and fail LOUDLY if the caller pinned a
+    hyperparameter that disagrees — probing an LSH index with a
+    different (n_planes, seed) than the build silently lands in wrong
+    buckets and quietly destroys recall, so a mismatch is an error,
+    never a fallback. Caller values of ``None`` mean "use the index's
+    own"; returns the effective meta dict."""
+    try:
+        row = spark.read.parquet(_meta_path(path)).first()
+    except Exception as e:
+        from thundercats_spark.physical.io import _is_path_not_found
+
+        if _is_path_not_found(e):
+            raise ValueError(
+                f"{kind} index at {path!r} has no metadata file "
+                f"({_meta_path(path)!r}) — rebuild it with the current "
+                "index builder; probing with assumed hyperparameters is "
+                "unsafe (wrong params silently probe wrong buckets)."
+            ) from e
+        raise
+    meta = row.asDict()
+    for key, val in caller.items():
+        if val is not None and key in meta and int(val) != int(meta[key]):
+            raise ValueError(
+                f"{kind} index hyperparameter mismatch at {path!r}: "
+                f"caller {key}={val} but the index was built with "
+                f"{key}={meta[key]}. Rebuild the index or drop the "
+                "argument to use the index's own parameters."
+            )
+    return meta
+
+
 def ann_lsh_index_build(
     df: DataFrame,
     path: str,
@@ -136,6 +182,7 @@ def ann_lsh_index_build(
     id_col: str = "vec_id",
     n_planes: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> int:
     """Build the persisted hyperplane-LSH index: compute each vector's
     sign signature once and write parquet PARTITIONED BY ``__sig`` (the
@@ -143,12 +190,19 @@ def ann_lsh_index_build(
     ``ann_topk_lsh_indexed`` with a partition-pruned scan — only the
     multiprobe buckets are read, instead of re-signing the full table
     per query. The hyperplanes are fully determined by (dim, n_planes,
-    seed), so nothing but the data needs persisting; returns ``dim``
-    for the caller's records. One pass, no shuffle besides the write."""
-    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    seed); those are persisted at ``<path>_meta`` and validated at probe
+    time so a drifted caller fails loudly instead of probing the wrong
+    buckets. Pass ``dim`` when known to skip the discovery job (else
+    one ``first()`` reads a single vector). One distributed pass, no
+    shuffle besides the write; returns ``dim``."""
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
     sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
     df.withColumn("__sig", sig).write.mode("overwrite").partitionBy("__sig").parquet(
         path
+    )
+    _write_index_meta(
+        df.sparkSession, path, {"dim": dim, "n_planes": n_planes, "seed": seed}
     )
     return dim
 
@@ -160,8 +214,8 @@ def ann_topk_lsh_indexed(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 8,
-    seed: int = 7,
+    n_planes: int | None = None,
+    seed: int | None = None,
     multiprobe_bits: int = 2,
 ) -> DataFrame:
     """Approximate top-k against a persisted LSH index (see
@@ -169,10 +223,23 @@ def ann_topk_lsh_indexed(
     (pure arithmetic on the seeded hyperplanes), then scan ONLY those
     ``__sig=`` partitions — the IN-list lands on the partition column,
     so the parquet source prunes at planning time (PartitionFilters in
-    explain) — and exact-rerank. Same results as ``ann_topk_lsh`` with
-    the same (n_planes, seed, multiprobe_bits); the per-query cost drops
-    from O(table) signature recompute to O(probed buckets) scan."""
-    probe = _lsh_probe_set(query_vec, n_planes, seed, multiprobe_bits)
+    explain) — and exact-rerank. The hyperplane parameters come from the
+    index's own metadata; passing ``n_planes``/``seed`` explicitly is
+    allowed only as an assertion (mismatch raises — see
+    ``_check_index_meta``). A query vector whose length differs from
+    the indexed ``dim`` also raises. The per-query cost drops from
+    O(table) signature recompute to O(probed buckets) scan."""
+    meta = _check_index_meta(
+        spark, path, "LSH", {"n_planes": n_planes, "seed": seed}
+    )
+    if len(query_vec) != meta["dim"]:
+        raise ValueError(
+            f"query vector has dim {len(query_vec)} but the LSH index at "
+            f"{path!r} was built for dim {meta['dim']}"
+        )
+    probe = _lsh_probe_set(
+        query_vec, int(meta["n_planes"]), int(meta["seed"]), multiprobe_bits
+    )
     cells = spark.read.parquet(path).where(F.col("__sig").isin(*sorted(probe)))
     return ann_topk_bruteforce(cells, query_vec, k, vec_col, id_col).select(
         id_col, "cos"
@@ -307,6 +374,11 @@ def ann_index_build(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+    _write_index_meta(
+        spark,
+        path,
+        {"dim": len(centroids[0]), "n_clusters": len(centroids), "seed": seed},
+    )
     return centroids
 
 
@@ -338,6 +410,11 @@ def ann_topk_indexed(
     centroids; the scan cost drops from O(table) to O(probed cells)."""
     if centroids is None:
         centroids = ann_index_centroids(spark, path)
+    if len(query_vec) != len(centroids[0]):
+        raise ValueError(
+            f"query vector has dim {len(query_vec)} but the IVF index at "
+            f"{path!r} was built for dim {len(centroids[0])}"
+        )
     cmat = np.array(centroids, dtype=np.float64)
     cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
     q = np.asarray(query_vec, dtype=np.float64)

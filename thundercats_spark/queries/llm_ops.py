@@ -164,39 +164,51 @@ def ann_ivf_topk_q(spark, sf_dir):
     )
 
 
+def _cached_index_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
+    """Deterministic per-(sf_dir, kind) index location under the system
+    temp dir, so repeated driver/pytest invocations reuse one build
+    instead of littering fresh mkdtemp dirs and re-charging index
+    construction to a query meant to showcase the cheap pruned probe.
+    The build is fully seeded, so any run reproduces the same index.
+    "Built" = the meta file's _SUCCESS marker exists (the meta is the
+    LAST artifact each builder writes)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"tc_idx_cache_{tag}", kind)
+    built = os.path.exists(os.path.join(idx + "_meta", "_SUCCESS"))
+    return idx, built
+
+
 @register("ann_indexed_topk", ANN_TOPK_SQL)
 def ann_indexed_topk_q(spark, sf_dir):
     """Persisted-IVF-index ANN: build the __cluster-partitioned index
-    once, probe it with a partition-pruned scan. Probing all cells makes
-    it exact, so the brute-force oracle applies; the pruning plan
-    (PartitionFilters, nprobe < n_clusters) is pytest-gated in
-    tests/test_similarity.py."""
-    import tempfile
-
+    once per (sf_dir) into a deterministic cache path, probe it with a
+    partition-pruned scan. Probing all cells makes it exact, so the
+    brute-force oracle applies; the pruning plan (PartitionFilters,
+    nprobe < n_clusters) is pytest-gated in tests/test_similarity.py."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    idx = tempfile.mkdtemp(prefix="tc_ann_idx_") + "/idx"
-    cents = similarity.ann_index_build(
-        e.where(F.col("vec_id") != 0), idx, n_clusters=8
-    )
-    return similarity.ann_topk_indexed(
-        spark, idx, qv, k=10, nprobe=8, centroids=cents
-    )
+    idx, built = _cached_index_dir("ivf", sf_dir)
+    if not built:
+        similarity.ann_index_build(e.where(F.col("vec_id") != 0), idx, n_clusters=8)
+    return similarity.ann_topk_indexed(spark, idx, qv, k=10, nprobe=8)
 
 
 @register("ann_lsh_indexed", None)
 def ann_lsh_indexed_q(spark, sf_dir):
-    """Persisted-LSH-index ANN: build the __sig-partitioned index once,
-    probe the multiprobe bucket set with a partition-pruned scan
-    (rows-only check — approximate by design; identity with the
-    per-query LSH path and the PartitionFilters plan are pytest-gated in
-    tests/test_similarity.py)."""
-    import tempfile
-
+    """Persisted-LSH-index ANN: build the __sig-partitioned index once
+    per (sf_dir) into a deterministic cache path, probe the multiprobe
+    bucket set with a partition-pruned scan (rows-only check —
+    approximate by design; identity with the per-query LSH path and the
+    PartitionFilters plan are pytest-gated in tests/test_similarity.py)."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    idx = tempfile.mkdtemp(prefix="tc_ann_lsh_idx_") + "/idx"
-    similarity.ann_lsh_index_build(e.where(F.col("vec_id") != 0), idx)
+    idx, built = _cached_index_dir("lsh", sf_dir)
+    if not built:
+        similarity.ann_lsh_index_build(e.where(F.col("vec_id") != 0), idx)
     return similarity.ann_topk_lsh_indexed(spark, idx, qv, k=10)
 
 
