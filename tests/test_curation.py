@@ -319,3 +319,50 @@ def test_select_token_budget_equals_naive_cumsum(spark, sf_dir):
     # full-row mode returns the surviving input rows
     full = select_token_budget(docs, budget, F.col("n_chars").cast("double"))
     assert full.count() == len(got) and "text" in full.columns
+
+def test_select_token_budget_recursion_guard(spark, sf_dir):
+    """An oversized boundary bucket is re-bucketed recursively rather
+    than single-partition sorted; output must stay identical to the
+    default (and therefore to the naive cumsum the test above pins)."""
+    import pyspark.sql.functions as F
+
+    from thundercats_spark.operators.curation import select_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget, score = 10_000, F.col("n_chars").cast("double")
+    base = {
+        (r["doc_id"], r["n_tokens"])
+        for r in select_token_budget(docs, budget, score, ids_only=True).collect()
+    }
+    # max_exact_rows far below the ~1/8-corpus bucket size forces the
+    # recursive re-bucket of every boundary bucket down to the leaves
+    recursed = {
+        (r["doc_id"], r["n_tokens"])
+        for r in select_token_budget(
+            docs, budget, score, ids_only=True, n_buckets=8, max_exact_rows=5
+        ).collect()
+    }
+    assert recursed == base and base
+
+
+def test_select_token_budget_injected_prep_builds_inertly(spark, sf_dir):
+    """With boundaries + bucket_totals injected, the final plan builds
+    with zero driver actions, and the physical plan contains no global
+    sort — only the boundary bucket's window sorts."""
+    import pyspark.sql.functions as F
+
+    from thundercats_spark.operators.curation import select_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    out = select_token_budget(
+        docs, 10_000, F.col("n_chars").cast("double"), ids_only=True,
+        boundaries=[100.0, 500.0, 900.0],
+        bucket_totals={0: 4000, 1: 4000, 2: 4000, 3: 4000},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(tracker.getJobIdsForGroup() or []) == jobs_before
+    # exactly one sort: the boundary-bucket window's partition-local one
+    assert "TakeOrdered" not in plan
+    assert plan.count("Sort ") <= 1, plan

@@ -473,6 +473,88 @@ def calibrate_threshold(
     return float(out[0])
 
 
+def _budget_ids(
+    scored: DataFrame,
+    budget_tokens: int,
+    id_col: str,
+    n_buckets: int,
+    boundaries: Sequence[float] | None,
+    bucket_totals: dict | None,
+    max_exact_rows: int,
+    depth: int,
+    max_depth: int = 4,
+) -> DataFrame:
+    """Core of ``select_token_budget`` over a (id, score, n_tokens)
+    frame. See the public docstring for the plan; this level adds the
+    recursion guard — a boundary bucket bigger than ``max_exact_rows``
+    is re-bucketed by its own sub-quantiles instead of sorted in one
+    partition, so the exact-window input stays bounded at any corpus
+    size (each level shrinks it ~n_buckets×; all-equal scores can't
+    split and fall through to the window, where order is by id only)."""
+    managed = boundaries is None or bucket_totals is None
+    if managed:
+        # quantiles, totals, and the final filters each re-read this
+        # frame: one materialization instead of recomputing the token
+        # count + score over the corpus per action.
+        scored = scored.persist()
+    if boundaries is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        boundaries = sorted(set(scored.stat.approxQuantile("score", qs, 0.01)))
+    b_arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    bucketed = scored.withColumn(
+        "__bkt", F.size(F.filter(b_arr, lambda b: F.col("score") > b))
+    )
+    if bucket_totals is None:
+        bucket_totals = {
+            r["__bkt"]: (r["t"], r["n"])
+            for r in bucketed.groupBy("__bkt")
+            .agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    # driver prefix sum over the tiny per-bucket table, best bucket
+    # first; injected totals may be plain token sums (row count unknown
+    # -> recursion guard off, the inert-plan mode used by plan tests)
+    running, keep_whole, boundary_bkt, offset, boundary_rows = 0, set(), None, 0, None
+    for bkt in sorted(bucket_totals, reverse=True):
+        t = bucket_totals[bkt]
+        t, n = t if isinstance(t, (tuple, list)) else (t, None)
+        if running + t <= budget_tokens:
+            keep_whole.add(bkt)
+            running += t
+        else:
+            boundary_bkt, offset, boundary_rows = bkt, running, n
+            break
+    out = bucketed.where(
+        F.col("__bkt").isin(*keep_whole) if keep_whole else F.lit(False)
+    ).select(id_col, "n_tokens", "score")
+    if boundary_bkt is not None:
+        edge_src = bucketed.where(F.col("__bkt") == boundary_bkt).drop("__bkt")
+        can_split = len(bucket_totals) > 1 and depth < max_depth
+        if boundary_rows is not None and boundary_rows > max_exact_rows and can_split:
+            edge = _budget_ids(
+                edge_src, budget_tokens - offset, id_col, n_buckets,
+                None, None, max_exact_rows, depth + 1, max_depth,
+            )
+        else:
+            w = (
+                Window.orderBy(F.desc("score"), F.asc(id_col))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            edge = (
+                edge_src.withColumn("__cum", F.sum("n_tokens").over(w))
+                .where(F.lit(offset) + F.col("__cum") <= budget_tokens)
+                .drop("__cum")
+            )
+        out = out.unionByName(edge.select(id_col, "n_tokens", "score"))
+    if managed:
+        # materialize the (budget-bounded) survivor ids, then release
+        # the corpus-sized cache — callers get a cheap cached frame.
+        out = out.persist()
+        out.count()
+        scored.unpersist()
+    return out
+
+
 def select_token_budget(
     df: DataFrame,
     budget_tokens: int,
@@ -482,6 +564,9 @@ def select_token_budget(
     token_col: Column | None = None,
     n_buckets: int = 256,
     ids_only: bool = False,
+    boundaries: Sequence[float] | None = None,
+    bucket_totals: dict | None = None,
+    max_exact_rows: int = 50_000_000,
 ) -> DataFrame:
     """Data selection under a token budget: keep the best-scoring docs
     until ``budget_tokens`` fills (the curation step after quality
@@ -499,8 +584,19 @@ def select_token_budget(
     table prefix-sums on the driver to locate the boundary bucket,
     (3) better buckets keep everything with no sort at all; ONLY the
     boundary bucket (~1/n_buckets of the corpus) runs the exact ordered
-    cumsum window, offset by the better-buckets total. Output is
-    identical to the naive global cumsum (oracle-checked).
+    cumsum window, offset by the better-buckets total — and if that
+    bucket still exceeds ``max_exact_rows`` it is re-bucketed
+    recursively, so the window input is bounded at any corpus size.
+    The (id, score, n_tokens) projection is persisted across the
+    prep actions and released once the survivor ids materialize; text
+    never shuffles. Output is identical to the naive global cumsum
+    (oracle-checked).
+
+    ``boundaries`` / ``bucket_totals`` inject the two driver-fetched
+    prep artifacts (bucket_totals values: token sum, or (sum, rows)
+    tuples); with both given the final plan builds with NO driver
+    actions — the mode plan-health tests use to assert the physical
+    plan (no global sort) inertly.
 
     Returns (id, n_tokens, score) with ``ids_only``, else the surviving
     input rows (joined back by id — text never shuffles)."""
@@ -512,42 +608,10 @@ def select_token_budget(
         score.cast("double").alias("score"),
         toks.cast("long").alias("n_tokens"),
     )
-    # (1) score-range buckets from approx quantiles (driver gets only
-    # the boundary list). Dedup: equal boundaries collapse.
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    boundaries = sorted(set(scored.stat.approxQuantile("score", qs, 0.01)))
-    b_arr = F.array(*[F.lit(float(b)) for b in boundaries])
-    bucketed = scored.withColumn(
-        "__bkt", F.size(F.filter(b_arr, lambda b: F.col("score") > b))
+    out = _budget_ids(
+        scored, budget_tokens, id_col, n_buckets,
+        boundaries, bucket_totals, max_exact_rows, depth=0,
     )
-    # (2) per-bucket token totals -> driver prefix sum, best bucket first
-    totals = {
-        r["__bkt"]: r["t"]
-        for r in bucketed.groupBy("__bkt").agg(F.sum("n_tokens").alias("t")).collect()
-    }
-    running, keep_whole, boundary_bkt, offset = 0, set(), None, 0
-    for bkt in sorted(totals, reverse=True):
-        if running + totals[bkt] <= budget_tokens:
-            keep_whole.add(bkt)
-            running += totals[bkt]
-        else:
-            boundary_bkt, offset = bkt, running
-            break
-    # (3) exact cumsum inside the boundary bucket only
-    kept = bucketed.where(F.col("__bkt").isin(*keep_whole) if keep_whole else F.lit(False))
-    if boundary_bkt is not None:
-        w = (
-            Window.orderBy(F.desc("score"), F.asc(id_col))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        edge = (
-            bucketed.where(F.col("__bkt") == boundary_bkt)
-            .withColumn("__cum", F.sum("n_tokens").over(w))
-            .where(F.lit(offset) + F.col("__cum") <= budget_tokens)
-            .drop("__cum")
-        )
-        kept = kept.unionByName(edge)
-    out = kept.select(id_col, "n_tokens", "score")
     if ids_only:
         return out
     return df.join(out.select(id_col), id_col, "inner")

@@ -1045,11 +1045,15 @@ def corpus_sample_per_source_q(spark, sf_dir):
 # token-budget corpus selection
 # --------------------------------------------------------------------------
 
+# Empty/whitespace-only docs: DuckDB's regexp_split_to_array('') yields
+# [''] (1 token) but the Spark path's token_count gives 0 — the CASE
+# guard keeps the two in agreement if the corpus ever contains empty docs.
 TOKEN_BUDGET_SQL = r"""
 WITH scored AS (
   SELECT doc_id,
          CAST(n_chars AS DOUBLE) AS score,
-         len(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, n_tokens, score,
