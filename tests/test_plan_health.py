@@ -6,13 +6,13 @@ import re
 
 import pytest
 
-from thundercats_spark.queries import all_queries
+from pyspark.sql import functions as F
 
-# queries whose plan BUILD executes jobs (ivf trains centroids, token
-# budget fetches quantiles/bucket sums) or that are intentionally
-# quadratic brute-force oracles
-SKIP = {"ann_ivf_topk", "ann_indexed_topk", "ann_lsh_indexed",
-        "dedup_embedding_cosine", "dedup_semantic", "corpus_token_budget"}
+from thundercats_spark.queries import all_queries, load
+
+# intentionally-quadratic brute-force oracles: their plans SHOULD be
+# the exhaustive compare, so the scale gates don't apply
+SKIP = {"dedup_embedding_cosine", "dedup_semantic"}
 # tiny-broadcast cross joins legitimately plan as BNLJ
 SCALAR_BNLJ_OK = {
     "q11_important_parts",
@@ -24,20 +24,73 @@ SCALAR_BNLJ_OK = {
     "dedup_simhash",  # 1-row mean-bucket-size stats for the auto hot-band cap
 }
 # Arrow-kernel operators are allowed (designed) Python-boundary nodes
-PY_EVAL_OK = {"dedup_minhash_lsh", "dedup_minhash_oph", "dedup_simhash"}
+PY_EVAL_OK = {
+    "dedup_minhash_lsh", "dedup_minhash_oph", "dedup_simhash",
+    "ann_ivf_topk",  # Arrow argmax assign kernel (ivf_assign)
+}
 
 
-def _plan(spark, name, sf_dir):
-    q = all_queries()[name]
-    df = q.spark_fn(spark, sf_dir)
+def _explain(spark, df):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return df._jdf.queryExecution().explainString(mode)
 
 
+def _plan(spark, name, sf_dir):
+    q = all_queries()[name]
+    return _explain(spark, q.spark_fn(spark, sf_dir))
+
+
+def _inert_overrides(spark, sf_dir):
+    """Final plans for the prep-heavy queries, built the way a real
+    pipeline builds them: the driver-action prep (quantile boundaries,
+    k-means centroids, index construction) runs as its own up-front
+    step here, and the PLAN under test is then constructed from the
+    injected literals / persisted index alone — so the scale gates can
+    assert the shape that actually runs at 100 TB (no global sort,
+    partition-pruned probes) instead of skipping these queries."""
+    from thundercats_spark.operators import similarity
+    from thundercats_spark.operators.curation import select_token_budget
+    from thundercats_spark.queries.llm_ops import _cached_index_dir
+
+    out = {}
+    docs = load(spark, sf_dir, "documents")["documents"]
+    out["corpus_token_budget"] = select_token_budget(
+        docs, 10_000, F.col("n_chars").cast("double"), ids_only=True,
+        boundaries=[100.0, 500.0, 900.0],
+        bucket_totals={0: 4000, 1: 4000, 2: 4000, 3: 4000},
+    )
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    ivf_idx, built = _cached_index_dir("ivf", sf_dir)
+    if not built:
+        similarity.ann_index_build(emb, ivf_idx, n_clusters=8)
+    cents = similarity.ann_index_centroids(spark, ivf_idx)
+    qv = [float(x) for x in cents[0]]
+    out["ann_ivf_topk"] = similarity.ann_topk_ivf(
+        emb, qv, k=10, centroids=cents, nprobe=3
+    )
+    out["ann_indexed_topk"] = similarity.ann_topk_indexed(
+        spark, ivf_idx, qv, k=10, nprobe=3, centroids=cents
+    )
+
+    lsh_idx, built = _cached_index_dir("lsh", sf_dir)
+    if not built:
+        similarity.ann_lsh_index_build(emb, lsh_idx)
+    out["ann_lsh_indexed"] = similarity.ann_topk_lsh_indexed(
+        spark, lsh_idx, qv, k=10
+    )
+    return out
+
+
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
+    overrides = _inert_overrides(spark, sf_dir)
     return {
-        name: _plan(spark, name, sf_dir)
+        name: (
+            _explain(spark, overrides[name])
+            if name in overrides
+            else _plan(spark, name, sf_dir)
+        )
         for name in all_queries()
         if name not in SKIP
     }
@@ -91,3 +144,19 @@ def test_filters_reach_parquet_scans(plans):
     for name in ("q1_pricing_summary", "q6_forecast_revenue",
                  "q19_disjunctive_revenue", "q14_promo_share"):
         assert re.search(r"PushedFilters: \[[^\]]", plans[name]), name
+
+
+def test_indexed_ann_plans_prune_partitions(plans):
+    """The persisted-index probes must push the probe IN-list onto the
+    partition column — planning-time pruning, not a full scan."""
+    for name in ("ann_indexed_topk", "ann_lsh_indexed"):
+        assert re.search(r"PartitionFilters: \[[^\]]", plans[name]), name
+
+
+def test_token_budget_plan_sorts_only_the_boundary_bucket(plans):
+    """The greedy-prefix selection must not plan a global sort: whole
+    kept buckets pass through as filters, and the single Sort in the
+    plan is the boundary bucket's exact-cumsum window."""
+    p = plans["corpus_token_budget"]
+    assert p.count("Sort (") <= 1, p
+    assert "TakeOrderedAndProject" not in p
