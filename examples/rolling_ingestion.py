@@ -4,12 +4,20 @@ daily: each increment dedupes against EVERYTHING ever ingested (exact
 first, then near-dup) without rescanning history — both indexes hold
 hashes/sketches, never text — then appends survivors to the corpus.
 
-Batch flow per increment:
-  1. ``dedup_incremental``          — exact: 8-byte fingerprint index
-  2. ``dedup_minhash_incremental``  — near-dup: persisted LSH bucket +
-                                      shingle-set index, candidate-only
-                                      exact-Jaccard verify
-  3. append survivors (id-upsert, replay-safe)
+Batch flow per increment (CRASH-SAFE ORDERING — corpus before index):
+  1. ``dedup_incremental_prepare``          — exact: 8-byte fingerprint
+                                              index, probe only
+  2. ``dedup_minhash_incremental_prepare``  — near-dup: persisted LSH
+                                              bucket + shingle-set
+                                              index, candidate-only
+                                              exact-Jaccard verify
+  3. append survivors to the corpus (id-upsert, replay-idempotent)
+  4. ``commit()`` both indexes (key-idempotent upserts)
+
+Committing an index BEFORE the corpus write would open a crash window
+where a replayed batch matches itself in the index and is silently
+dropped from the corpus forever; with this ordering a crash at any
+step replays cleanly (see ``IncrementalBatch``).
 
 Run: python examples/rolling_ingestion.py [sf_dir]
 """
@@ -25,8 +33,8 @@ sys.path.insert(0, ".")
 import pyspark.sql.functions as F
 
 from thundercats_spark.operators.dedup import (
-    dedup_incremental,
-    dedup_minhash_incremental,
+    dedup_incremental_prepare,
+    dedup_minhash_incremental_prepare,
 )
 from thundercats_spark.physical.io import Write
 from thundercats_spark.session import get_spark
@@ -57,13 +65,19 @@ def main():
     )
 
     for day, batch in (("day1", day1), ("day2", day2), ("day3", day3)):
-        exact_fresh = dedup_incremental(batch, fp_index)
-        near_fresh = dedup_minhash_incremental(exact_fresh, lsh_index, threshold=0.5)
-        Write.upsert_parquet(near_fresh, corpus, ["doc_id"]).get
+        exact = dedup_incremental_prepare(batch, fp_index)
+        near = dedup_minhash_incremental_prepare(
+            exact.survivors, lsh_index, threshold=0.5
+        )
+        # corpus FIRST (replay-idempotent), indexes after — a crash
+        # anywhere in between replays cleanly
+        Write.upsert_parquet(near.survivors, corpus, ["doc_id"]).get
+        counts = (batch.count(), exact.survivors.count(), near.survivors.count())
+        exact.commit()
+        near.commit()
         print(
-            f"{day}: arrived={batch.count()} "
-            f"after_exact={exact_fresh.count()} "
-            f"ingested={near_fresh.count()}"
+            f"{day}: arrived={counts[0]} after_exact={counts[1]} "
+            f"ingested={counts[2]}"
         )
 
     final = spark.read.parquet(corpus)

@@ -334,3 +334,62 @@ def test_dedup_minhash_incremental_across_batches(spark, tmp_path):
     assert sorted(
         r["id"] for r in spark.read.parquet(idx + "/sets").collect()
     ) == [1, 2, 11]
+
+def test_incremental_two_step_survives_crash_before_commit(spark, tmp_path):
+    """The prepare → write-corpus → commit ordering must make a crash
+    between the corpus write and the index commit recoverable: the
+    replayed batch sees the UNCOMMITTED index, reproduces the same
+    survivors, the corpus upsert is id-idempotent, and only then does
+    the index commit land. (The one-shot form commits first, so a crash
+    in its window permanently drops the batch — the reason the two-step
+    API exists.)"""
+    from thundercats_spark.operators.dedup import (
+        dedup_incremental_prepare,
+        dedup_minhash_incremental_prepare,
+    )
+    from thundercats_spark.physical.io import Write
+
+    fp_idx = str(tmp_path / "fp_index")
+    lsh_idx = str(tmp_path / "lsh_index")
+    corpus = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [(1, "seed history document about broadcast joins and shuffle behavior")],
+        "doc_id long, text string",
+    )
+    ex = dedup_incremental_prepare(b1, fp_idx)
+    near = dedup_minhash_incremental_prepare(ex.survivors, lsh_idx, threshold=0.5)
+    Write.upsert_parquet(near.survivors, corpus, ["doc_id"]).get
+    ex.commit()
+    near.commit()
+
+    batch = spark.createDataFrame(
+        [
+            (10, "a genuinely new document that must survive the crash replay"),
+            (11, "a genuinely new document that must survive the crash replay"),  # exact dup in batch
+        ],
+        "doc_id long, text string",
+    )
+    # attempt 1: corpus written, then CRASH before either index commit
+    ex1 = dedup_incremental_prepare(batch, fp_idx)
+    near1 = dedup_minhash_incremental_prepare(ex1.survivors, lsh_idx, threshold=0.5)
+    assert sorted(r["doc_id"] for r in near1.survivors.collect()) == [10]
+    Write.upsert_parquet(near1.survivors, corpus, ["doc_id"]).get
+    # (no commit — simulated crash; prepare-time caches deliberately leak)
+
+    # replay: the index never saw the batch, so survivors reproduce
+    ex2 = dedup_incremental_prepare(batch, fp_idx)
+    near2 = dedup_minhash_incremental_prepare(ex2.survivors, lsh_idx, threshold=0.5)
+    assert sorted(r["doc_id"] for r in near2.survivors.collect()) == [10]
+    Write.upsert_parquet(near2.survivors, corpus, ["doc_id"]).get  # idempotent
+    ex2.commit()
+    near2.commit()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 10]  # batch ingested exactly once, never dropped
+    # committed replay is now a no-op (self-match), and the index holds
+    # exactly the survivor ids
+    ex3 = dedup_incremental_prepare(batch, fp_idx)
+    assert ex3.survivors.count() == 0
+    assert sorted(
+        r["id"] for r in spark.read.parquet(lsh_idx + "/sets").collect()
+    ) == [1, 10]

@@ -26,6 +26,7 @@ Embedding near-dup (cosine) lives in operators/similarity.py.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -915,6 +916,85 @@ def latest_by_key(
 # --------------------------------------------------------------------------
 
 
+@dataclass
+class IncrementalBatch:
+    """Two-step result of an incremental dedup.
+
+    REQUIRED ORDERING: persist ``survivors`` to the corpus FIRST, then
+    call ``commit()`` to upsert the index. Committing first opens a
+    crash window — if the job dies after the index upsert but before
+    the corpus append, a replayed batch matches itself in the index,
+    returns zero survivors, and the batch is silently dropped from the
+    corpus forever. With corpus-first ordering a crash at any point
+    replays cleanly: the corpus upsert is id-idempotent, the index
+    upsert is key-idempotent, and the fresh-key frames are eagerly
+    ``localCheckpoint``-ed at prepare time, so ``survivors`` is a fixed
+    pre-commit snapshot however the caller interleaves actions (a
+    recompute through the index path after commit would silently turn
+    it empty). localCheckpoint blocks are executor-local: on a real
+    cluster an executor loss fails the batch loudly (replay it) rather
+    than recomputing wrong — set a reliable checkpoint dir and swap to
+    ``checkpoint()`` if that trade is unacceptable.
+
+    The one-shot ``dedup_incremental`` / ``dedup_minhash_incremental``
+    wrappers commit before returning (convenient for tests and
+    non-durable corpora); any pipeline that must not lose data uses the
+    ``*_prepare`` variants and this ordering."""
+
+    survivors: DataFrame
+    _upserts: list[tuple[DataFrame, str, list[str]]] = field(default_factory=list)
+
+    def commit(self) -> "IncrementalBatch":
+        """Upsert the index tables (idempotent per key). Call AFTER the
+        survivors are durably written — see the class docstring for why
+        this ordering."""
+        from thundercats_spark.physical.io import Write
+
+        for frame, path, keys in self._upserts:
+            Write.upsert_parquet(frame, path, keys).get
+        return self
+
+
+def dedup_incremental_prepare(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> IncrementalBatch:
+    """Crash-safe two-step variant of ``dedup_incremental``: computes
+    and MATERIALIZES the fresh-fingerprint set against the current
+    index without touching it, so the caller can write ``survivors`` to
+    the corpus and only then ``commit()`` the index (see
+    ``IncrementalBatch`` for the ordering contract)."""
+    key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    fp = F.xxhash64(key).alias("__fp")
+    batch = new_df.select(F.col(id_col), fp)
+    # within-batch: min id per fingerprint
+    batch_keep = batch.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    spark = new_df.sparkSession
+    try:
+        seen = spark.read.parquet(index_path).select("__fp")
+        fresh = batch_keep.join(seen, "__fp", "left_anti")
+    except Exception as e:
+        from thundercats_spark.physical.io import _is_path_not_found
+
+        if not _is_path_not_found(e):
+            raise
+        fresh = batch_keep
+    # Eager lineage truncation: fresh is a compact (fp, id) frame whose
+    # plan reads the index — once commit() appends to that path, ANY
+    # recompute would re-list it and see the batch's own fingerprints
+    # (survivors silently become empty). The checkpoint pins the
+    # pre-commit snapshot so survivors stay stable before and after
+    # commit, whatever order the caller acts in.
+    fresh = fresh.localCheckpoint(eager=True)
+    return IncrementalBatch(
+        survivors=new_df.join(fresh.select(id_col), id_col, "inner"),
+        _upserts=[(fresh.select("__fp"), index_path, ["__fp"])],
+    )
+
+
 def dedup_incremental(
     new_df: DataFrame,
     index_path: str,
@@ -931,35 +1011,22 @@ def dedup_incremental(
     full history WITHOUT rescanning it (the index holds only 8-byte
     fingerprints, not text).
 
-    ``commit=False`` skips the index append (dry-run / caller manages
-    the commit after its own write succeeds). The append is
-    ``Write.upsert_parquet``-idempotent: replaying a crashed batch
-    cannot double-insert fingerprints. Returns the surviving rows of
-    ``new_df`` (text rejoins by id — text itself never shuffles).
-    """
-    key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
-    fp = F.xxhash64(key).alias("__fp")
-    batch = new_df.select(F.col(id_col), fp)
-    # within-batch: min id per fingerprint
-    batch_keep = batch.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    spark = new_df.sparkSession
-    try:
-        seen = spark.read.parquet(index_path).select("__fp")
-        fresh = batch_keep.join(seen, "__fp", "left_anti")
-    except Exception as e:
-        from thundercats_spark.physical.io import _is_path_not_found
-
-        if not _is_path_not_found(e):
-            raise
-        fresh = batch_keep
+    NOTE this one-shot form commits the index BEFORE the caller can
+    persist the returned survivors; a crash in that window loses the
+    batch on replay (replay matches itself in the index and returns
+    empty). Durable pipelines use ``dedup_incremental_prepare`` →
+    write corpus → ``commit()`` instead. ``commit=False`` skips the
+    index append (dry-run). The append is idempotent: replaying a
+    committed batch cannot double-insert fingerprints. Returns the
+    surviving rows of ``new_df`` (text rejoins by id — text itself
+    never shuffles)."""
+    batch = dedup_incremental_prepare(new_df, index_path, text_col, id_col, normalize)
     if commit:
-        from thundercats_spark.physical.io import Write
-
-        Write.upsert_parquet(fresh.select("__fp"), index_path, ["__fp"]).get
-    return new_df.join(fresh.select(id_col), id_col, "inner")
+        batch.commit()
+    return batch.survivors
 
 
-def dedup_minhash_incremental(
+def dedup_minhash_incremental_prepare(
     new_df: DataFrame,
     index_path: str,
     text_col: str = "text",
@@ -970,31 +1037,15 @@ def dedup_minhash_incremental(
     threshold: float = 0.5,
     seed: int = 42,
     method: str = "perm",
-    commit: bool = True,
-) -> DataFrame:
-    """NEAR-dup dedupe of a NEW batch against everything ever ingested —
-    the rolling-ingestion twin of ``dedup_incremental`` for the
-    MinHash-LSH family. History is never rescanned: the persisted index
-    at ``index_path`` holds two compact tables —
-    ``<index>/buckets`` (id, bucket): the exploded LSH band keys, and
-    ``<index>/sets`` (id, hs): the hashed shingle sets for verification
-    — so each increment costs one bucket-key join against the index plus
-    an exact-Jaccard verify against only the candidate ids' sets
-    (semi-join pruned), never the historical text.
-
-    Batch flow: drop within-batch near-dups (greedy min-id survivor,
-    same rule as ``dedup_minhash``), probe surviving signatures against
-    the historical buckets, verify candidates exactly, drop matches
-    >= ``threshold``, then append survivors' (id, hs) and (id, bucket)
-    rows. Appends are id-upserts, so replaying a crashed batch cannot
-    double-insert (``commit=False`` = dry run). Returns the surviving
-    rows of ``new_df``. Sketch parameters must stay constant across the
-    index's lifetime — they define the bucket space.
-
-    Scale shape: the buckets table grows as n_docs × bands 16-byte rows
-    and is only ever hash-joined on its bucket key; the sets table is
-    read column-pruned for candidate ids. At 100 TB, partition both by
-    a bucket/id prefix so the probe and verify prune partitions."""
+) -> IncrementalBatch:
+    """Crash-safe two-step variant of ``dedup_minhash_incremental``:
+    runs the whole probe/verify against the CURRENT index state and
+    materializes the fresh (id, hs) sets and (id, bucket) rows without
+    touching the index, so the caller writes ``survivors`` to the
+    corpus first and then ``commit()``s (see ``IncrementalBatch`` for
+    the ordering contract). The materialization also means the heavy
+    within-batch LSH pass runs exactly once — survivors and both index
+    upserts reuse the cached frames."""
     spark = new_df.sparkSession
     buckets_path = index_path.rstrip("/") + "/buckets"
     sets_path = index_path.rstrip("/") + "/sets"
@@ -1048,12 +1099,73 @@ def dedup_minhash_incremental(
         if not _is_path_not_found(e):
             raise
         fresh = sh
-    if commit:
-        from thundercats_spark.physical.io import Write
-
-        Write.upsert_parquet(fresh.select("id", "hs"), sets_path, ["id"]).get
-        fresh_buckets = new_buckets.join(fresh.select("id"), "id", "left_semi")
-        Write.upsert_parquet(fresh_buckets, buckets_path, ["id", "bucket"]).get
-    return survivors.join(
-        fresh.select(F.col("id").alias(id_col)), id_col, "inner"
+    # Eager lineage truncation (see dedup_incremental_prepare): both
+    # frames' plans read the index paths, so a post-commit recompute
+    # would match the batch against itself. The checkpoint pins the
+    # pre-commit snapshot AND means the heavy within-batch LSH pass
+    # runs exactly once — survivor join and both upserts reuse it.
+    fresh = fresh.localCheckpoint(eager=True)
+    fresh_buckets = new_buckets.join(
+        fresh.select("id"), "id", "left_semi"
+    ).localCheckpoint(eager=True)
+    return IncrementalBatch(
+        survivors=survivors.join(
+            fresh.select(F.col("id").alias(id_col)), id_col, "inner"
+        ),
+        _upserts=[
+            (fresh.select("id", "hs"), sets_path, ["id"]),
+            (fresh_buckets, buckets_path, ["id", "bucket"]),
+        ],
     )
+
+
+def dedup_minhash_incremental(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    method: str = "perm",
+    commit: bool = True,
+) -> DataFrame:
+    """NEAR-dup dedupe of a NEW batch against everything ever ingested —
+    the rolling-ingestion twin of ``dedup_incremental`` for the
+    MinHash-LSH family. History is never rescanned: the persisted index
+    at ``index_path`` holds two compact tables —
+    ``<index>/buckets`` (id, bucket): the exploded LSH band keys, and
+    ``<index>/sets`` (id, hs): the hashed shingle sets for verification
+    — so each increment costs one bucket-key join against the index plus
+    an exact-Jaccard verify against only the candidate ids' sets
+    (semi-join pruned), never the historical text.
+
+    Batch flow: drop within-batch near-dups (greedy min-id survivor,
+    same rule as ``dedup_minhash``), probe surviving signatures against
+    the historical buckets, verify candidates exactly, drop matches
+    >= ``threshold``, then append survivors' (id, hs) and (id, bucket)
+    rows. Appends are id-upserts, so replaying a COMMITTED batch cannot
+    double-insert (``commit=False`` = dry run). Returns the surviving
+    rows of ``new_df``. Sketch parameters must stay constant across the
+    index's lifetime — they define the bucket space.
+
+    NOTE this one-shot form commits the index BEFORE the caller can
+    persist the returned survivors; a crash in that window loses the
+    batch on replay (replay matches itself in the index and returns
+    empty). Durable pipelines use ``dedup_minhash_incremental_prepare``
+    → write corpus → ``commit()`` instead.
+
+    Scale shape: the buckets table grows as n_docs × bands 16-byte rows
+    and is only ever hash-joined on its bucket key; the sets table is
+    read column-pruned for candidate ids. At 100 TB, partition both by
+    a bucket/id prefix so the probe and verify prune partitions."""
+    batch = dedup_minhash_incremental_prepare(
+        new_df, index_path, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, seed=seed, method=method,
+    )
+    if commit:
+        batch.commit()
+    return batch.survivors

@@ -253,22 +253,21 @@ def stream_dedup_corpus(
     only spans the watermark — here the dedup horizon is unbounded and
     the state is an 8-byte-per-doc parquet index, not executor memory.
 
-    Replay safety: BOTH writes are idempotent upserts — docs by
-    ``id_col``, fingerprints by hash — so a crash between them just
-    re-converges on replay (at-least-once upstream → effective
-    exactly-once in the sink). Returns the started StreamingQuery."""
-    from pyspark.sql import functions as F
-
-    from thundercats_spark.operators.dedup import dedup_incremental
+    Replay safety: the two-step ``dedup_incremental_prepare`` →
+    corpus upsert → index ``commit()`` ordering (see
+    ``IncrementalBatch``) — both writes are idempotent upserts, so a
+    crash between them just re-converges on replay (at-least-once
+    upstream → effective exactly-once in the sink). Returns the
+    started StreamingQuery."""
+    from thundercats_spark.operators.dedup import dedup_incremental_prepare
     from thundercats_spark.physical.io import Write
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
-        fresh = dedup_incremental(
-            batch, index_path, text_col=text_col, id_col=id_col, commit=False
-        ).localCheckpoint()  # freeze survivors: both writes below reuse them
-        Write.upsert_parquet(fresh, out_path, [id_col]).get
-        fp = F.xxhash64(F.lower(F.trim(F.col(text_col)))).alias("__fp")
-        Write.upsert_parquet(fresh.select(fp), index_path, ["__fp"]).get
+        prep = dedup_incremental_prepare(
+            batch, index_path, text_col=text_col, id_col=id_col
+        )
+        Write.upsert_parquet(prep.survivors, out_path, [id_col]).get
+        prep.commit()
 
     w = stream.writeStream.foreachBatch(ingest).outputMode("update")
     if checkpoint:
