@@ -366,3 +366,132 @@ def test_select_token_budget_injected_prep_builds_inertly(spark, sf_dir):
     # exactly one sort: the boundary-bucket window's partition-local one
     assert "TakeOrdered" not in plan
     assert plan.count("Sort ") <= 1, plan
+
+
+def test_select_token_budget_grouped_equals_naive_per_group(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from thundercats_spark.functions.text_analysis import token_count
+    from thundercats_spark.operators.curation import select_token_budget_grouped
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget, score = 700, F.col("n_chars").cast("double")
+    got = {
+        (r["source"], r["doc_id"], r["n_tokens"])
+        for r in select_token_budget_grouped(
+            docs, budget, score, group_col="source", ids_only=True
+        ).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = {
+        (r["source"], r["doc_id"], r["n_tokens"])
+        for r in docs.select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("double").alias("score"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .where(F.col("cum") <= budget)
+        .collect()
+    }
+    assert got == naive and 0 < len(got) < docs.count()
+    # every source respects its own quota
+    by_src = {}
+    for s, _, n in got:
+        by_src[s] = by_src.get(s, 0) + n
+    assert all(v <= budget for v in by_src.values()) and len(by_src) > 1
+
+
+def test_select_token_budget_grouped_dict_budgets(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from thundercats_spark.operators.curation import select_token_budget_grouped
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    score = F.col("n_chars").cast("double")
+    # only two sources get a budget; src1 generous, src2 tight;
+    # every other source is absent from the map -> dropped entirely
+    out = select_token_budget_grouped(
+        docs, {"src1": 10**9, "src2": 300}, score, group_col="source", ids_only=True
+    ).collect()
+    srcs = {r["source"] for r in out}
+    assert srcs == {"src1", "src2"}
+    n1 = sum(r["n_tokens"] for r in out if r["source"] == "src1")
+    n2 = sum(r["n_tokens"] for r in out if r["source"] == "src2")
+    assert n2 <= 300 < n1
+    assert len([r for r in out if r["source"] == "src1"]) == docs.where(
+        F.col("source") == "src1"
+    ).count()  # generous budget keeps the whole source
+    # full-row mode returns surviving input rows
+    full = select_token_budget_grouped(
+        docs, {"src1": 10**9, "src2": 300}, score, group_col="source"
+    )
+    assert full.count() == len(out) and "text" in full.columns
+
+
+def test_chunk_documents_semantics(spark):
+    from thundercats_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),                               # shorter than one chunk
+            (3, ""),                                    # empty -> no chunks
+            (4, "   "),                                 # whitespace-only -> none
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2)
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["chunk_n_tokens"])
+        for r in out.collect()
+    }
+    # doc 1: starts 0,2,4,6 (stride 2) — windows stop once the end is
+    # covered, so no redundant trailing window at 8
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t2 t3 t4 t5", 4)
+    assert rows[(1, 3)] == ("t6 t7 t8 t9", 4)
+    assert rows[(2, 0)] == ("a b c", 3)
+    assert {k[0] for k in rows} == {1, 2}  # empty docs emit nothing
+    assert len([k for k in rows if k[0] == 1]) == 4
+    # a length not landing on the stride leaves a SHORT final window
+    nine = spark.createDataFrame(
+        [(9, " ".join(f"t{i}" for i in range(9)))], "doc_id long, text string"
+    )
+    short = {
+        r["chunk_id"]: (r["chunk_text"], r["chunk_n_tokens"])
+        for r in chunk_documents(nine, 4, overlap=2).collect()
+    }
+    assert short[3] == ("t6 t7 t8", 3)
+    # no overlap case: exact partition of the token stream
+    flat = (
+        chunk_documents(docs.where(F.col("doc_id") == 1), 4, overlap=0)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert " ".join(r["chunk_text"] for r in flat) == " ".join(
+        f"t{i}" for i in range(10)
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, 4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, 0)
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    """Chunking is a narrow map: the physical plan must contain no
+    exchange at all."""
+    from thundercats_spark.operators.curation import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        chunk_documents(docs, 64, overlap=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

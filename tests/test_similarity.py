@@ -91,6 +91,24 @@ def test_ivf_exhaustive_probe_equals_bruteforce(emb):
     assert full == exact  # nprobe = n_clusters degrades to exact search
 
 
+def test_ivf_recenter_arrow_equals_expr(emb):
+    """The fused Arrow partial-sum re-center (the large-dim plan) must
+    train the same quantizer as the historical expression path — same
+    init, same assignment rule, same mean, differing only in float
+    summation order."""
+    import numpy as np
+
+    ce = similarity.ivf_train(emb, n_clusters=8, iters=3, recenter="expr")
+    ca = similarity.ivf_train(emb, n_clusters=8, iters=3, recenter="arrow")
+    assert np.allclose(np.array(ce), np.array(ca), atol=1e-9)
+    # and the assignments they induce are identical
+    ae = similarity.ivf_assign(emb, ce).select("vec_id", "__cluster")
+    aa = similarity.ivf_assign(emb, ca).select("vec_id", "__cluster")
+    assert ae.exceptAll(aa).count() == 0 and aa.exceptAll(ae).count() == 0
+    with pytest.raises(ValueError, match="recenter"):
+        similarity.ivf_train(emb, n_clusters=4, iters=1, recenter="bogus")
+
+
 def test_ivf_recall_and_determinism(emb):
     qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
     exact = [r["vec_id"] for r in similarity.ann_topk_bruteforce(emb, qv, k=10).collect()]

@@ -344,6 +344,54 @@ def _token_count(text: Column) -> Column:
     return token_count(text)
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split every document into fixed-size sliding token windows —
+    the long-document treatment before packing/training (and the
+    retrieval-chunking shape): window ``c`` starts at token
+    ``c * (chunk_tokens - overlap)``, consecutive windows share
+    ``overlap`` tokens, every token is covered, the final window may
+    be shorter. Documents with no tokens emit no rows. Adds
+    ``(chunk_id, chunk_text, chunk_n_tokens)`` — one output row per
+    window, all input columns preserved (drop ``text_col`` downstream
+    if only the chunks matter).
+
+    Scale shape: a pure narrow per-row transformation — split +
+    ``sequence`` of window starts + ``posexplode`` + ``slice``, all
+    JVM-side, NO shuffle; output rows inherit the input partitioning.
+    Fan-out is ~n_tokens/stride rows per doc; follow with
+    ``repartition`` only if a downstream shuffle needs rebalancing."""
+    from thundercats_spark.functions.text_analysis import tokens
+
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be > 0")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    # last start = largest multiple of stride below max(n - overlap, 1)
+    n = F.size("__toks")
+    last = (
+        F.floor((F.greatest(n - F.lit(overlap), F.lit(1)) - 1) / F.lit(stride))
+        * F.lit(stride)
+    ).cast("int")
+    starts = F.when(n > 0, F.sequence(F.lit(0), last, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__st") + 1, chunk_tokens)
+    return (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .select("*", F.posexplode(starts).alias("chunk_id", "__st"))
+        .withColumn("chunk_text", F.array_join(chunk, " "))
+        .withColumn("chunk_n_tokens", F.size(chunk))
+        .drop("__toks", "__st")
+    )
+
+
 def boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -612,6 +660,113 @@ def select_token_budget(
         scored, budget_tokens, id_col, n_buckets,
         boundaries, bucket_totals, max_exact_rows, depth=0,
     )
+    if ids_only:
+        return out
+    return df.join(out.select(id_col), id_col, "inner")
+
+
+def select_token_budget_grouped(
+    df: DataFrame,
+    budgets: int | dict,
+    score: Column,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: Column | None = None,
+    n_buckets: int = 256,
+    ids_only: bool = False,
+) -> DataFrame:
+    """Per-group token-budget selection: within every group (a source,
+    a language, a domain), keep the best-scoring docs until that
+    GROUP's budget fills — the grouped twin of ``select_token_budget``
+    and the shape data-mixing recipes need (per-source token quotas
+    from ``temperature_mix`` / ``rebalance_fractions`` × a global
+    budget). ``budgets`` is one int for every group or a
+    ``{group: budget}`` map (groups absent from the map get budget 0 —
+    dropped entirely). Ranking within a group is (score DESC, id ASC);
+    a doc survives iff its group's cumulative token count through its
+    own rank stays within that group's budget.
+
+    Scale plan mirrors ``select_token_budget``: one shared
+    approxQuantile pass fetches GLOBAL score boundaries (equal scores
+    always share a bucket, so boundary precision affects balance,
+    never correctness), one partial-agg pass totals tokens per
+    (group, bucket), the tiny n_groups × n_buckets table prefix-sums
+    per group on the driver, whole-kept buckets pass with no sort at
+    all, and ONLY each group's boundary-bucket rows run the exact
+    ordered window — partitioned by group, so the window input is
+    ~1/n_buckets of each group, never a global sort. The per-group
+    plan (boundary bucket, edge budget) broadcast-joins back; text
+    never shuffles. Output equals the naive per-group cumsum
+    (oracle-checked).
+
+    Returns (id, group, n_tokens, score) with ``ids_only``, else the
+    surviving input rows (joined back by id)."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from thundercats_spark.functions.text_analysis import token_count
+
+    toks = token_col if token_col is not None else token_count(F.col(text_col))
+    scored = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("__grp"),
+        score.cast("double").alias("score"),
+        toks.cast("long").alias("n_tokens"),
+    ).persist()
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(scored.stat.approxQuantile("score", qs, 0.01)))
+    b_arr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucketed = scored.withColumn(
+        "__bkt", F.size(F.filter(b_arr, lambda b: F.col("score") > b))
+    )
+    totals = (
+        bucketed.groupBy("__grp", "__bkt")
+        .agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per: dict = {}
+    for r in totals:
+        per.setdefault(r["__grp"], {})[r["__bkt"]] = r["t"]
+    plan = []
+    for g, buckets in per.items():
+        bud = budgets if isinstance(budgets, int) else int(budgets.get(g, 0))
+        running, boundary, offset = 0, None, 0
+        for bkt in sorted(buckets, reverse=True):
+            t = buckets[bkt]
+            if running + t <= bud:
+                running += t
+            else:
+                boundary, offset = bkt, running
+                break
+        # boundary None → the whole group fits; -1 keeps every bucket
+        plan.append((g, -1 if boundary is None else boundary, bud - offset))
+    spark = df.sparkSession
+    pmap = spark.createDataFrame(
+        plan,
+        StructType(
+            [
+                StructField("__grp", scored.schema["__grp"].dataType),
+                StructField("__bnd", IntegerType()),
+                StructField("__edge_budget", LongType()),
+            ]
+        ),
+    )
+    joined = bucketed.join(F.broadcast(pmap), "__grp")
+    keep = joined.where(F.col("__bkt") > F.col("__bnd"))
+    w = (
+        Window.partitionBy("__grp")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    edge = (
+        joined.where(F.col("__bkt") == F.col("__bnd"))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .where(F.col("__cum") <= F.col("__edge_budget"))
+    )
+    cols = [F.col("__grp").alias(group_col), id_col, "n_tokens", "score"]
+    out = keep.select(*cols).unionByName(edge.select(*cols)).persist()
+    out.count()
+    scored.unpersist()
     if ids_only:
         return out
     return df.join(out.select(id_col), id_col, "inner")

@@ -246,6 +246,45 @@ def ann_topk_lsh_indexed(
     )
 
 
+def _ivf_partial_sums(
+    df: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Fused assign + per-partition partial-sum Arrow kernel for the
+    Lloyd's re-center pass: each partition emits at most ``n_clusters``
+    rows (cluster, raw-vector sum, count) — the map-side combine the
+    expression path gets from Spark's partial aggregation, but with the
+    dim-wide sum done as one numpy reduction instead of ``dim`` codegen
+    sum expressions. No shuffle: the final combine over
+    n_partitions × n_clusters tiny rows happens on the driver."""
+    cmat = np.array(centroids, dtype=np.float64)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    k, dim = cmat.shape
+
+    def part(batches):
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].apply(lambda x: np.asarray(x, dtype=np.float64)))
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            a = np.argmax(mn @ cmat.T, axis=1)
+            np.add.at(sums, a, m)
+            counts += np.bincount(a, minlength=k)
+        nz = np.nonzero(counts)[0]
+        yield pd.DataFrame(
+            {
+                "__cluster": nz.astype("int32"),
+                "vsum": [sums[i].tolist() for i in nz],
+                "n": counts[nz],
+            }
+        )
+
+    return df.select(vec_col).mapInPandas(
+        part, "__cluster int, vsum array<double>, n long"
+    )
+
+
 def ivf_train(
     df: DataFrame,
     n_clusters: int = 16,
@@ -253,16 +292,25 @@ def ivf_train(
     id_col: str = "vec_id",
     iters: int = 5,
     seed: int = 7,
+    recenter: str = "auto",
 ) -> list[list[float]]:
     """Train an IVF coarse quantizer: Lloyd's k-means with deterministic
     init (the ``n_clusters`` rows with smallest ``xxhash64(id, seed)`` —
     a seeded pseudo-random sample that reproduces across runs).
 
     Each iteration is one distributed pass: assign (Arrow kernel,
-    argmax dot against the centroid matrix) + groupBy-mean re-center.
+    argmax dot against the centroid matrix) + sum/count re-center.
     Only the (n_clusters × dim) centroid matrix ever reaches the
     driver — the index build streams at any scale.
-    """
+
+    ``recenter`` picks the re-center plan: ``"expr"`` = ``dim`` codegen
+    sum expressions through Spark's partial aggregation (exact JVM-side
+    combine order — the historical path, fine at embedding dims);
+    ``"arrow"`` = the fused ``_ivf_partial_sums`` kernel (one numpy
+    reduction per partition — avoids dim-many generated expressions,
+    the right plan at 1k+ dims); ``"auto"`` = expr up to dim 256, arrow
+    above. Both converge to the same centroids up to float summation
+    order (equivalence pinned in tests)."""
     df = ensure_parallelism(df)
     init = (
         df.select(id_col, vec_col)
@@ -273,26 +321,38 @@ def ivf_train(
     )
     centroids = np.array([list(r[vec_col]) for r in init], dtype=np.float64)
     centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    if recenter == "auto":
+        recenter = "expr" if centroids.shape[1] <= 256 else "arrow"
+    if recenter not in ("expr", "arrow"):
+        raise ValueError(f"unknown recenter mode {recenter!r}")
 
     for _ in range(iters):
-        assigned = ivf_assign(df, centroids.tolist(), vec_col)
-        agg = (
-            assigned.groupBy("__cluster")
-            .agg(
-                F.array(*[
-                    F.sum(F.col(vec_col).getItem(i).cast("double"))
-                    for i in range(centroids.shape[1])
-                ]).alias("vsum"),
-                F.count(F.lit(1)).alias("n"),
+        if recenter == "arrow":
+            agg = _ivf_partial_sums(df, centroids.tolist(), vec_col).collect()
+        else:
+            assigned = ivf_assign(df, centroids.tolist(), vec_col)
+            agg = (
+                assigned.groupBy("__cluster")
+                .agg(
+                    F.array(*[
+                        F.sum(F.col(vec_col).getItem(i).cast("double"))
+                        for i in range(centroids.shape[1])
+                    ]).alias("vsum"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        new = centroids.copy()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(centroids.shape[0], dtype=np.int64)
         for r in agg:
-            mean = np.array(r["vsum"], dtype=np.float64) / r["n"]
+            sums[r["__cluster"]] += np.array(r["vsum"], dtype=np.float64)
+            counts[r["__cluster"]] += r["n"]
+        new = centroids.copy()
+        for i in np.nonzero(counts)[0]:
+            mean = sums[i] / counts[i]
             nrm = np.linalg.norm(mean)
             if nrm > 1e-12:
-                new[r["__cluster"]] = mean / nrm
+                new[i] = mean / nrm
         if np.allclose(new, centroids):
             break
         centroids = new

@@ -1076,3 +1076,73 @@ def corpus_token_budget_q(spark, sf_dir):
     return select_token_budget(
         d, 10_000, F.col("n_chars").cast("double"), ids_only=True
     )
+
+
+# Per-source budgets (data mixing): same empty-doc guard as
+# TOKEN_BUDGET_SQL; the window partitions by source.
+TOKEN_BUDGET_GROUPED_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(n_chars AS DOUBLE) AS score,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens, score,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY score DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, score FROM c WHERE cum <= 700
+"""
+
+
+@register("corpus_token_budget_per_source", TOKEN_BUDGET_GROUPED_SQL)
+def corpus_token_budget_per_source_q(spark, sf_dir):
+    """Grouped budget selection: every source keeps its best docs under
+    a 700-token quota — the data-mixing shape. The bucketed grouped plan
+    must equal the oracle's per-source cumsum exactly."""
+    from thundercats_spark.operators.curation import select_token_budget_grouped
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return select_token_budget_grouped(
+        d, 700, F.col("n_chars").cast("double"), group_col="source", ids_only=True
+    )
+
+
+# Sliding token-window chunking: Spark slice/list_slice are both
+# 1-based inclusive; the start set is every multiple of the stride
+# below max(n - overlap, 1) in BOTH engines (Spark: inclusive sequence
+# to the last multiple <= bound-1; DuckDB: exclusive range to bound).
+CHUNK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents WHERE TRIM(text) <> ''
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+)
+SELECT s.doc_id,
+       CAST(u.st / 48 AS INT) AS chunk_id,
+       CAST(least(u.st + 64, s.n) - u.st AS INT) AS n_tokens,
+       array_to_string(list_slice(s.toks, u.st + 1, least(u.st + 64, s.n)), ' ')
+         AS chunk_text
+FROM s, UNNEST(range(0, greatest(s.n - 16, 1), 48)) AS u(st)
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("doc_chunk_windows", CHUNK_SQL)
+def doc_chunk_windows_q(spark, sf_dir):
+    """64-token windows with 16-token overlap (stride 48) over every
+    document — one row per window, short final window kept."""
+    from thundercats_spark.operators.curation import chunk_documents
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    out = chunk_documents(d, 64, overlap=16)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.col("chunk_n_tokens").alias("n_tokens"),
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_id")

@@ -278,6 +278,106 @@ def main():
         fn().write.format("noop").mode("overwrite").save()
         out[f"secs_{name}"] = round(time.time() - t0, 3)
 
+    # round-3 operators (VERDICT r03 #4): token-budget selection,
+    # incremental minhash dedup, indexed LSH ANN probe.
+    import shutil
+    import tempfile
+
+    from thundercats_spark.functions.text_analysis import token_count
+    from thundercats_spark.operators import similarity
+    from thundercats_spark.operators.curation import select_token_budget
+
+    # (a) select_token_budget — the scale question is "how big is the
+    # boundary bucket" (the ONLY slice that runs an exact ordered
+    # window). Reproduce the prep to locate it, then time the full op.
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("score"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).persist()
+    total_rows = scored.count()
+    total_tokens = scored.agg(F.sum("n_tokens")).first()[0]
+    budget = int(total_tokens * 0.5)
+    n_buckets = 256
+    qs_frac = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(scored.stat.approxQuantile("score", qs_frac, 0.01)))
+    b_arr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucketed = scored.withColumn(
+        "__bkt", F.size(F.filter(b_arr, lambda b: F.col("score") > b))
+    )
+    totals = {
+        r["__bkt"]: (r["t"], r["n"])
+        for r in bucketed.groupBy("__bkt")
+        .agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    running, boundary_rows = 0, 0
+    for bkt in sorted(totals, reverse=True):
+        t, n = totals[bkt]
+        if running + t <= budget:
+            running += t
+        else:
+            boundary_rows = n
+            break
+    t0 = time.time()
+    n_kept = select_token_budget(
+        d, budget, F.col("n_chars").cast("double"), ids_only=True
+    ).count()
+    out["token_budget"] = {
+        "n_rows": total_rows,
+        "budget_tokens": budget,
+        "n_kept": n_kept,
+        "n_score_buckets": len(bounds) + 1,
+        "boundary_bucket_rows": boundary_rows,
+        "boundary_bucket_frac": round(boundary_rows / total_rows, 5),
+        "secs": round(time.time() - t0, 3),
+    }
+    scored.unpersist()
+
+    # (b) dedup_minhash_incremental — equal-size batches ingested into a
+    # fresh index; per-batch secs must track BATCH size (flat curve),
+    # not accumulated history (the index holds 8-byte hashes + shingle
+    # sets, probed by bucket join; historical text is never rescanned).
+    n_batches = 6
+    idx_dir = tempfile.mkdtemp(prefix="scale_mh_idx_")
+    per_batch = []
+    for b in range(n_batches):
+        batch = d.where(F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
+        t0 = time.time()
+        surv = dedup.dedup_minhash_incremental(batch, idx_dir, threshold=0.5)
+        n_s = surv.count()
+        per_batch.append(
+            {"batch": b, "secs": round(time.time() - t0, 3), "survivors": n_s}
+        )
+    out["minhash_incremental_batches"] = per_batch
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # (c) ann_topk_lsh_indexed — what fraction of the index does one
+    # probe actually read? (planning-time partition pruning on __sig)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann_dir = tempfile.mkdtemp(prefix="scale_ann_idx_")
+    qv = [float(x) for x in emb.select("embedding").first()["embedding"]]
+    t0 = time.time()
+    similarity.ann_lsh_index_build(emb, ann_dir, n_planes=8, seed=7, dim=len(qv))
+    build_secs = round(time.time() - t0, 3)
+    probe = similarity._lsh_probe_set(qv, 8, 7, 2)
+    idx = spark.read.parquet(ann_dir)
+    n_parts = idx.select("__sig").distinct().count()
+    n_vecs = idx.count()
+    rows_scanned = idx.where(F.col("__sig").isin(*sorted(probe))).count()
+    t0 = time.time()
+    similarity.ann_topk_lsh_indexed(spark, ann_dir, qv, k=10).collect()
+    out["ann_lsh_indexed"] = {
+        "n_vectors": n_vecs,
+        "n_partitions": n_parts,
+        "n_probe_buckets": len(probe),
+        "rows_scanned": rows_scanned,
+        "scan_frac": round(rows_scanned / max(n_vecs, 1), 5),
+        "build_secs": build_secs,
+        "probe_secs": round(time.time() - t0, 3),
+    }
+    shutil.rmtree(ann_dir, ignore_errors=True)
+
     # relational headline shapes at 10x facts (sf1-equivalent when the
     # source is sf0.1): same registered queries, replica dir as sf_dir.
     from thundercats_spark.queries import all_queries
