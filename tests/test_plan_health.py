@@ -160,3 +160,14 @@ def test_token_budget_plan_sorts_only_the_boundary_bucket(plans):
     p = plans["corpus_token_budget"]
     assert p.count("Sort (") <= 1, p
     assert "TakeOrderedAndProject" not in p
+
+
+def test_grouped_token_budget_plan_sorts_within_groups_only(plans):
+    """The per-group selection's only sort is the boundary-bucket
+    window's partition-local one (partitioned by group) — never a
+    global ordering of the corpus."""
+    p = plans["corpus_token_budget_per_source"]
+    assert "TakeOrderedAndProject" not in p
+    # the edge window sorts within hash-partitioned groups; a global
+    # sort would show as a rangepartitioning exchange
+    assert "rangepartitioning" not in p, p

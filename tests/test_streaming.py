@@ -339,3 +339,34 @@ def test_stream_stream_join_late_row_past_watermark_dropped(spark, tmp_path):
     finally:
         q.stop()
     assert [(r["user_id"], r["click_id"]) for r in rows] == [(1, 1.0)]
+
+
+def test_chunk_documents_works_on_streams(spark, tmp_path):
+    """chunk_documents is a pure narrow map, so the SAME operator runs
+    unchanged on a streaming frame (stateless projection — no
+    watermark, no state store)."""
+    from thundercats_spark.operators.curation import chunk_documents
+    from thundercats_spark.streaming.windows import run_stream_to_memory
+
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = chunk_documents(stream, chunk_tokens=4, overlap=2).select(
+        "doc_id", "chunk_id", "chunk_text", "chunk_n_tokens"
+    )
+    assert out.isStreaming
+    run_stream_to_memory(out, "chunks_s")
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in spark.sql("select * from chunks_s").collect()
+    }
+    batch = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in chunk_documents(
+            spark.read.parquet(src), chunk_tokens=4, overlap=2
+        ).collect()
+    }
+    assert got == batch and len(got) == 5  # 4 windows for doc 1 + 1 for doc 2
