@@ -495,3 +495,29 @@ def test_chunk_documents_no_shuffle(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_select_token_budget_grouped_recursion_guard(spark, sf_dir):
+    """Oversized per-group boundary buckets are re-bucketed recursively
+    rather than window-sorted; output must equal the default plan
+    (and therefore the naive per-group cumsum pinned above)."""
+    import pyspark.sql.functions as F
+
+    from thundercats_spark.operators.curation import select_token_budget_grouped
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget, score = 700, F.col("n_chars").cast("double")
+    base = {
+        (r["source"], r["doc_id"], r["n_tokens"])
+        for r in select_token_budget_grouped(
+            docs, budget, score, group_col="source", ids_only=True
+        ).collect()
+    }
+    recursed = {
+        (r["source"], r["doc_id"], r["n_tokens"])
+        for r in select_token_budget_grouped(
+            docs, budget, score, group_col="source", ids_only=True,
+            n_buckets=4, max_exact_rows=2,
+        ).collect()
+    }
+    assert recursed == base and base

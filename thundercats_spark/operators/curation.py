@@ -675,6 +675,7 @@ def select_token_budget_grouped(
     token_col: Column | None = None,
     n_buckets: int = 256,
     ids_only: bool = False,
+    max_exact_rows: int = 50_000_000,
 ) -> DataFrame:
     """Per-group token-budget selection: within every group (a source,
     a language, a domain), keep the best-scoring docs until that
@@ -697,8 +698,11 @@ def select_token_budget_grouped(
     ordered window — partitioned by group, so the window input is
     ~1/n_buckets of each group, never a global sort. The per-group
     plan (boundary bucket, edge budget) broadcast-joins back; text
-    never shuffles. Output equals the naive per-group cumsum
-    (oracle-checked).
+    never shuffles. A group whose boundary bucket still exceeds
+    ``max_exact_rows`` is routed through ``_budget_ids``'s recursive
+    re-bucketing instead of the window (same guard as the global
+    selector), so the exact-window input stays bounded for any group
+    size. Output equals the naive per-group cumsum (oracle-checked).
 
     Returns (id, group, n_tokens, score) with ``ids_only``, else the
     surviving input rows (joined back by id)."""
@@ -726,20 +730,28 @@ def select_token_budget_grouped(
     )
     per: dict = {}
     for r in totals:
-        per.setdefault(r["__grp"], {})[r["__bkt"]] = r["t"]
+        per.setdefault(r["__grp"], {})[r["__bkt"]] = (r["t"], r["n"])
     plan = []
+    oversized = []  # (group, boundary bucket, remaining budget)
     for g, buckets in per.items():
         bud = budgets if isinstance(budgets, int) else int(budgets.get(g, 0))
-        running, boundary, offset = 0, None, 0
+        running, boundary, offset, edge_rows = 0, None, 0, 0
         for bkt in sorted(buckets, reverse=True):
-            t = buckets[bkt]
+            t, n = buckets[bkt]
             if running + t <= bud:
                 running += t
             else:
-                boundary, offset = bkt, running
+                boundary, offset, edge_rows = bkt, running, n
                 break
-        # boundary None → the whole group fits; -1 keeps every bucket
-        plan.append((g, -1 if boundary is None else boundary, bud - offset))
+        if boundary is not None and edge_rows > max_exact_rows and len(buckets) > 1:
+            # recursion guard: this group's edge is re-bucketed via
+            # _budget_ids, not window-sorted; the broadcast plan keeps
+            # its whole buckets but hands the edge nothing (budget -1)
+            oversized.append((g, boundary, bud - offset))
+            plan.append((g, boundary, -1))
+        else:
+            # boundary None → the whole group fits; -1 keeps every bucket
+            plan.append((g, -1 if boundary is None else boundary, bud - offset))
     spark = df.sparkSession
     pmap = spark.createDataFrame(
         plan,
@@ -764,7 +776,21 @@ def select_token_budget_grouped(
         .where(F.col("__cum") <= F.col("__edge_budget"))
     )
     cols = [F.col("__grp").alias(group_col), id_col, "n_tokens", "score"]
-    out = keep.select(*cols).unionByName(edge.select(*cols)).persist()
+    out = keep.select(*cols).unionByName(edge.select(*cols))
+    for g, bkt, remaining in oversized:
+        sub = bucketed.where(
+            (F.col("__grp") == F.lit(g)) & (F.col("__bkt") == F.lit(bkt))
+        ).select(id_col, "score", "n_tokens")
+        picked = _budget_ids(
+            sub, remaining, id_col, n_buckets, None, None,
+            max_exact_rows, depth=1,
+        )
+        out = out.unionByName(
+            picked.select(
+                F.lit(g).alias(group_col), id_col, "n_tokens", "score"
+            )
+        )
+    out = out.persist()
     out.count()
     scored.unpersist()
     if ids_only:
