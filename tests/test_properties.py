@@ -164,3 +164,81 @@ def test_ngram_jaccard_join_matches_naive(spark, doc_sets):
     assert set(got) == set(expect), (a_rows, b_rows)
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-12, (k, v, got[k])
+
+
+@st.composite
+def chunk_case(draw):
+    n = draw(st.integers(0, 40))
+    chunk = draw(st.integers(1, 12))
+    overlap = draw(st.integers(0, chunk - 1))
+    return n, chunk, overlap
+
+
+@given(chunk_case())
+@settings(**SETTINGS)
+def test_chunk_documents_matches_naive(spark, case):
+    from thundercats_spark.operators.curation import chunk_documents
+
+    n, chunk, overlap = case
+    text = " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["chunk_id"]: (r["chunk_text"], r["chunk_n_tokens"])
+        for r in chunk_documents(df, chunk, overlap).collect()
+    }
+    # naive model: starts at multiples of stride below max(n-overlap, 1)
+    toks = text.split() if text else []
+    stride = chunk - overlap
+    want = {}
+    if toks:
+        for cid, s in enumerate(range(0, max(n - overlap, 1), stride)):
+            w = toks[s : s + chunk]
+            want[cid] = (" ".join(w), len(w))
+    assert got == want
+    # coverage: the windows jointly cover every token exactly
+    covered = set()
+    for cid in want:
+        s = cid * stride
+        covered |= set(range(s, min(s + chunk, n)))
+    assert covered == set(range(n))
+
+
+@st.composite
+def budget_rows(draw):
+    n = draw(st.integers(1, 40))
+    rows = []
+    for i in range(n):
+        grp = draw(st.sampled_from(["a", "b", "c"]))
+        score = float(draw(st.integers(0, 6)))  # heavy ties on purpose
+        toks = draw(st.integers(0, 20))
+        rows.append((i, grp, score, toks))
+    budget = draw(st.integers(0, 120))
+    return rows, budget
+
+
+@given(budget_rows())
+@settings(**SETTINGS)
+def test_grouped_token_budget_matches_naive(spark, case):
+    from thundercats_spark.operators.curation import select_token_budget_grouped
+
+    rows, budget = case
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, score double, toks long"
+    )
+    got = {
+        (r["source"], r["doc_id"])
+        for r in select_token_budget_grouped(
+            df, budget, F.col("score"), group_col="source",
+            token_col=F.col("toks"), n_buckets=4, ids_only=True,
+        ).collect()
+    }
+    want = set()
+    for g in {r[1] for r in rows}:
+        cum = 0
+        for i, grp, score, toks in sorted(
+            (r for r in rows if r[1] == g), key=lambda r: (-r[2], r[0])
+        ):
+            cum += toks
+            if cum <= budget:
+                want.add((g, i))
+    assert got == want
