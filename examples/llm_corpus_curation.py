@@ -13,6 +13,9 @@ driver's ``documents`` table, composing the engine's curation family:
   7. fingerprint+stats — stable ids and corpus accounting
   8. leakage-safe split— train/val/test where near-dup groups
                          co-travel (no test doc has a train near-dup)
+  9. token quotas      — temperature-mixed per-source budgets, best
+                         quality first (bucketed, no global sort)
+  10. chunking         — fixed 32-token training windows (narrow map)
 
 Every stage stays declarative (no collect in the data path), so the
 same code runs at 100 TB: filters fuse into the parquet scan, dedup
@@ -97,8 +100,27 @@ def main():
     )
     n5 = balanced.count()
 
+    # 6b) per-source token quotas: temperature-smoothed target mix x
+    # a global token budget -> each source keeps its best-quality docs
+    # until its own quota fills (bucketed selection, no global sort).
+    from thundercats_spark.operators.curation import (
+        chunk_documents,
+        select_token_budget_grouped,
+        temperature_mix,
+    )
+
+    counts = {r["source"]: r["n_docs"] for r in source_mix(balanced).collect()}
+    mix = temperature_mix(counts, temperature=2.0)
+    total_budget = 20_000  # tokens at example scale
+    quotas = {src: int(p_src * total_budget) for src, p_src in mix.items()}
+    budgeted = select_token_budget_grouped(
+        balanced, quotas, F.col("quality"), group_col="source",
+        token_col=F.col("n_tokens"),
+    )
+    n6 = budgeted.count()
+
     # 7) stable fingerprints.
-    final = balanced.select(
+    final = budgeted.select(
         "doc_id", "text", "source", "lang", "n_tokens",
         T.doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
@@ -107,7 +129,15 @@ def main():
     # a group never straddles splits.
     split = corpus_split_leakage_safe(
         final, pairs, {"train": 0.9, "val": 0.05, "test": 0.05}, "doc_id"
-    ).drop("text")
+    )
+
+    # 9) long docs -> fixed training windows (stateless narrow map;
+    # each chunk inherits its doc's split so leakage safety survives).
+    chunks = chunk_documents(split, chunk_tokens=32, overlap=8).drop(
+        "text", "chunk_text"
+    )
+    n_chunks = chunks.count()
+    split = split.drop("text")
 
     print(f"corpus:    {n0} docs")
     print(f"quality:   {n1} kept ({n0 - n1} filtered)")
@@ -115,6 +145,8 @@ def main():
     print(f"near-dup:  {n3} kept ({n2 - n3} removed)")
     print(f"decontam:  {n4} kept ({n3 - n4} removed)")
     print(f"rebalance: {n5} kept ({n4 - n5} sampled out)")
+    print(f"quota:     {n6} kept under per-source token budgets {quotas}")
+    print(f"chunks:    {n_chunks} training windows (32 tok, 8 overlap)")
     print("final mix:")
     for r in source_mix(split, "source").collect()[:8]:
         print(f"  {r['source']}: {r['n_docs']} ({r['fraction']:.3f})")
