@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "corpus_pack_sequences",
     "corpus_token_budget",
     "corpus_split_leakage_safe",
+    "corpus_token_budget_per_source",
+    "doc_chunk_windows",
 ]
 
 
