@@ -521,3 +521,39 @@ def test_select_token_budget_grouped_recursion_guard(spark, sf_dir):
         ).collect()
     }
     assert recursed == base and base
+
+
+def test_token_budget_null_rows_excluded(spark):
+    """A null score or null text/token count is unrankable: the row is
+    excluded from selection (it can't compete for budget) instead of
+    landing in an arbitrary bucket or NULLing the driver's per-bucket
+    sums. Null text also emits no chunks."""
+    import pyspark.sql.functions as F
+
+    from thundercats_spark.operators.curation import (
+        chunk_documents,
+        select_token_budget,
+        select_token_budget_grouped,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", 4.0), (2, None, 3.0), (3, "e f", None), (4, "g h i", 2.0)],
+        "doc_id long, text string, score double",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in select_token_budget(
+            docs, 100, F.col("score"), ids_only=True
+        ).collect()
+    )
+    assert got == [1, 4]
+    gotg = sorted(
+        r["doc_id"]
+        for r in select_token_budget_grouped(
+            docs.withColumn("src", F.lit("s")), 100, F.col("score"),
+            group_col="src", ids_only=True,
+        ).collect()
+    )
+    assert gotg == [1, 4]
+    chunks = {r["doc_id"] for r in chunk_documents(docs, 2).collect()}
+    assert chunks == {1, 3, 4}  # null text emits nothing

@@ -651,11 +651,16 @@ def select_token_budget(
     from thundercats_spark.functions.text_analysis import token_count
 
     toks = token_col if token_col is not None else token_count(F.col(text_col))
+    # a row with a null score or null token count is unrankable — it
+    # cannot compete for budget, and letting it through would land it
+    # in an arbitrary bucket (filter comparisons against NULL keep
+    # nothing -> bucket 0) and NULL the per-bucket token sums the
+    # driver prefix-sums over. Excluded, explicitly.
     scored = df.select(
         F.col(id_col),
         score.cast("double").alias("score"),
         toks.cast("long").alias("n_tokens"),
-    )
+    ).where(F.col("score").isNotNull() & F.col("n_tokens").isNotNull())
     out = _budget_ids(
         scored, budget_tokens, id_col, n_buckets,
         boundaries, bucket_totals, max_exact_rows, depth=0,
@@ -711,12 +716,18 @@ def select_token_budget_grouped(
     from thundercats_spark.functions.text_analysis import token_count
 
     toks = token_col if token_col is not None else token_count(F.col(text_col))
-    scored = df.select(
-        F.col(id_col),
-        F.col(group_col).alias("__grp"),
-        score.cast("double").alias("score"),
-        toks.cast("long").alias("n_tokens"),
-    ).persist()
+    # null score / null token count = unrankable -> excluded (same
+    # policy and reasons as select_token_budget)
+    scored = (
+        df.select(
+            F.col(id_col),
+            F.col(group_col).alias("__grp"),
+            score.cast("double").alias("score"),
+            toks.cast("long").alias("n_tokens"),
+        )
+        .where(F.col("score").isNotNull() & F.col("n_tokens").isNotNull())
+        .persist()
+    )
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(scored.stat.approxQuantile("score", qs, 0.01)))
     b_arr = F.array(*[F.lit(float(b)) for b in bounds])
