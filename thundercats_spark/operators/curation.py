@@ -90,8 +90,13 @@ def decontaminate(
     The benchmark side is an eval set — tiny next to a 100 TB corpus —
     so AQE broadcasts it; the corpus side streams through the scan
     stage. One shuffle (the per-doc count)."""
+    from thundercats_spark.operators.dedup import ensure_parallelism
+
     grams = F.array_distinct(word_ngrams(F.col(text_col), n))
-    doc_grams = df.select(
+    # the n-gram explode + hash is scan-stage work: a single-file input
+    # would run it on one thread (measured 23s vs 2s at sf0.1) — widen
+    # BEFORE the heavy expressions. No-op on already-wide inputs.
+    doc_grams = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(grams).alias("__g")
     ).select(id_col, F.xxhash64("__g").alias("__gh"))
     bench_grams = (
@@ -406,10 +411,12 @@ def boilerplate_lines(
     Scale shape: explode → (doc, line-hash) pairs, distinct, count per
     hash. Only 8-byte hashes shuffle for the count (one representative
     line string rides along via ``any_value`` for reporting)."""
+    from thundercats_spark.operators.dedup import ensure_parallelism
+
     line = F.explode(F.split(F.col(text_col), F.lit(sep))).alias("__line")
     norm = F.lower(F.trim(F.col("__line")))
     pairs = (
-        df.select(F.col(id_col), line)
+        ensure_parallelism(df.select(id_col, text_col)).select(F.col(id_col), line)
         .where(F.length(F.trim(F.col("__line"))) > 0)
         .select(
             F.col(id_col),
@@ -447,8 +454,12 @@ def remove_boilerplate_lines(
     (array_sort on (pos, line) structs — no per-group sort memory
     beyond the doc itself)."""
     boiler = boilerplate_lines(df, text_col, id_col, min_docs, sep).select("__lh")
+    from thundercats_spark.operators.dedup import ensure_parallelism
+
     pos_line = F.posexplode(F.split(F.col(text_col), F.lit(sep)))
-    lines = df.select(F.col(id_col), pos_line).select(
+    lines = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), pos_line
+    ).select(
         id_col,
         "pos",
         F.col("col").alias("__line"),
