@@ -311,8 +311,13 @@ FROM documents
 
 @register("doc_fingerprint", FINGERPRINT_SQL)
 def doc_fingerprint_q(spark, sf_dir):
+    from thundercats_spark.operators.dedup import ensure_parallelism
+
     d = load(spark, sf_dir, "documents")["documents"]
-    return d.select(
+    # the rolling-hash char fold is the heaviest per-row expression in
+    # the registry — widen a single-file input first (per-row output,
+    # partitioning-invariant; no-op on wide inputs)
+    return ensure_parallelism(d.select("doc_id", "text")).select(
         "doc_id", T.doc_fingerprint_poly(F.col("text")).alias("fingerprint")
     )
 
