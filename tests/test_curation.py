@@ -557,3 +557,36 @@ def test_token_budget_null_rows_excluded(spark):
     assert gotg == [1, 4]
     chunks = {r["doc_id"] for r in chunk_documents(docs, 2).collect()}
     assert chunks == {1, 3, 4}  # null text emits nothing
+
+
+def test_repeat_corpus_factors(spark):
+    from thundercats_spark.operators.curation import repeat_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"doc {i}") for i in range(300)],
+        "doc_id long, source string, text string",
+    )
+    out = repeat_corpus(docs, {"s0": 3.0, "s1": 1.5, "s2": 0.0})
+    rows = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in rows}
+    assert counts["s0"] == 300  # exactly 3 epochs of 100 docs
+    assert "s2" not in counts  # factor 0 drops the source
+    assert 100 < counts["s1"] < 200  # 1 full + ~half an extra epoch
+    # each doc's copy count is n or 0; epochs are 0..n-1 contiguous
+    per_doc = {}
+    for r in out.select("doc_id", "epoch").collect():
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+    # deterministic: same selection on a repartitioned input
+    again = repeat_corpus(docs.repartition(7), {"s0": 3.0, "s1": 1.5, "s2": 0.0})
+    assert {
+        (r["doc_id"], r["epoch"]) for r in again.select("doc_id", "epoch").collect()
+    } == {(r["doc_id"], r["epoch"]) for r in out.select("doc_id", "epoch").collect()}
+    # scalar factor applies to every source; empty dict is an error
+    n_all = repeat_corpus(docs, 2.0).count()
+    assert n_all == 600
+    with pytest.raises(ValueError, match="factors"):
+        repeat_corpus(docs, {})
+    # plan stays narrow: no exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -279,6 +279,61 @@ def rebalance_to_mix(
     return df.sampleBy(source_col, fractions, seed=seed)
 
 
+def repeat_corpus(
+    df: DataFrame,
+    factors: dict | float,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "repeat",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Data-repetition factors — the epoch-upsampling companion to
+    mixture weights ("books ×3.2 epochs, crawl ×0.8"): every doc in
+    source ``s`` is emitted ``floor(f_s)`` times, plus one extra copy
+    for a deterministic ``frac(f_s)`` share of the source's docs
+    (md5-bucketed on id, so which docs get the extra epoch is stable
+    across runs, engines, and partitioning — no RNG state). Factors
+    below 1 downsample the same way (0 full copies + a frac(f) share).
+    Copies carry ``epoch_col`` = 0..n-1 so a downstream shuffle
+    (``epoch_shuffle(df, epoch)``) can de-interleave repeats.
+
+    ``factors`` is a ``{source: factor}`` map (missing sources get 0 —
+    dropped) or one float for every source. Scale shape: a broadcast
+    map expression + ``posexplode(sequence)`` in the scan stage — no
+    shuffle, no count job; output size = sum_s f_s·|s| by
+    construction."""
+    if isinstance(factors, dict):
+        if not factors:
+            raise ValueError("factors must not be empty")
+        pairs = [x for kv in factors.items() for x in kv]
+        f_expr = F.coalesce(
+            F.element_at(
+                F.create_map(*[F.lit(x) for x in pairs]),
+                F.col(source_col).cast("string"),
+            ),
+            F.lit(0.0),
+        ).cast("double")
+    else:
+        f_expr = F.lit(float(factors))
+    full = F.floor(f_expr).cast("int")
+    frac = f_expr - full
+    # same engine-portable md5 bucket as corpus_split: extra epoch iff
+    # bucket/10000 < frac(f)
+    extra = (
+        split_bucket(F.col(id_col), salt).cast("double") / 10000.0 < frac
+    ).cast("int")
+    n_copies = (full + extra).alias("__n")
+    out = (
+        df.withColumn("__n", n_copies)
+        .where(F.col("__n") > 0)
+        .select(
+            "*", F.posexplode(F.sequence(F.lit(0), F.col("__n") - 1)).alias(epoch_col, "__e")
+        )
+        .drop("__n", "__e")
+    )
+    return out
+
+
 def sample_per_group(
     df: DataFrame,
     k: int,

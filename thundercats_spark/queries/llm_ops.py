@@ -1151,3 +1151,35 @@ def doc_chunk_windows_q(spark, sf_dir):
         F.col("chunk_n_tokens").alias("n_tokens"),
         "chunk_text",
     ).orderBy("doc_id", "chunk_id")
+
+
+# Data-repetition factors: the md5 bucket matches split_bucket exactly
+# (same expression family as SPLIT_SQL), so which docs receive the
+# fractional extra epoch is engine-identical.
+REPEAT_SQL = """
+WITH f AS (
+  SELECT * FROM (VALUES ('src1', 2.5), ('src2', 1.0), ('src3', 0.4)) AS t(source, f)
+), d AS (
+  SELECT doc_id, dd.source,
+         CAST(FLOOR(f.f) AS INT)
+         + CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'repeat'), 1, 6))::BIGINT
+                     % 10000 / 10000.0 < f.f - FLOOR(f.f)
+                THEN 1 ELSE 0 END AS n
+  FROM documents dd JOIN f USING (source)
+)
+SELECT doc_id, source, CAST(u.e AS INT) AS epoch
+FROM d, UNNEST(range(0, n)) AS u(e)
+WHERE n > 0
+ORDER BY doc_id, epoch
+"""
+
+
+@register("corpus_repeat_epochs", REPEAT_SQL)
+def corpus_repeat_epochs_q(spark, sf_dir):
+    """Per-source epoch repetition: src1 x2.5, src2 x1, src3 x0.4,
+    every other source dropped — deterministic fractional epochs."""
+    from thundercats_spark.operators.curation import repeat_corpus
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    out = repeat_corpus(d, {"src1": 2.5, "src2": 1.0, "src3": 0.4})
+    return out.select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
