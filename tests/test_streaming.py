@@ -370,3 +370,36 @@ def test_chunk_documents_works_on_streams(spark, tmp_path):
         ).collect()
     }
     assert got == batch and len(got) == 5  # 4 windows for doc 1 + 1 for doc 2
+
+
+def test_stream_dedup_corpus_near_full_history(spark, tmp_path):
+    """Near-dup streaming ingestion: later micro-batches drop docs
+    whose Jaccard >= threshold against ANY earlier batch (probed from
+    the persisted index, text never rescanned), not just exact copies."""
+    from thundercats_spark.streaming.windows import stream_dedup_corpus_near
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    chk = str(tmp_path / "chk")
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tail"      # J >= 0.5 vs base
+    fresh = "completely unrelated content about spark accumulators here"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    docs([(1, base), (2, fresh)]).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_dedup_corpus_near(stream, out, idx, checkpoint=chk)
+    q.processAllAvailable()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2]
+    # batch 2: a NEAR dup of batch 1 (dropped), an exact repeat
+    # (dropped), and a new doc (kept)
+    docs([(10, near), (11, fresh), (12, "brand new text entirely different")]
+         ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 12]

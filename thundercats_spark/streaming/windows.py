@@ -273,3 +273,46 @@ def stream_dedup_corpus(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def stream_dedup_corpus_near(
+    stream: DataFrame,
+    out_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    checkpoint: str | None = None,
+    **minhash_kwargs,
+):
+    """Streaming corpus ingestion with FULL-HISTORY NEAR-dup dedup —
+    the MinHash-LSH twin of ``stream_dedup_corpus``: each micro-batch
+    collapses its own near-dups, probes the persisted LSH index
+    (bucket join + candidate-only exact Jaccard verify — historical
+    text is never rescanned), appends survivors to ``out_path``, then
+    commits the (id, bucket) / (id, shingle-set) index tables.
+
+    Replay safety: the crash-safe two-step ordering
+    (``dedup_minhash_incremental_prepare`` → corpus upsert → index
+    ``commit()``, see ``IncrementalBatch``) — both writes are
+    idempotent upserts, so a crash anywhere re-converges on replay.
+    Sketch parameters (``minhash_kwargs``: num_hashes, bands,
+    shingle_n, seed, method) must stay constant for the index's
+    lifetime. Returns the started StreamingQuery."""
+    from thundercats_spark.operators.dedup import (
+        dedup_minhash_incremental_prepare,
+    )
+    from thundercats_spark.physical.io import Write
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        prep = dedup_minhash_incremental_prepare(
+            batch, index_path, text_col=text_col, id_col=id_col,
+            threshold=threshold, **minhash_kwargs,
+        )
+        Write.upsert_parquet(prep.survivors, out_path, [id_col]).get
+        prep.commit()
+
+    w = stream.writeStream.foreachBatch(ingest).outputMode("update")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
