@@ -284,3 +284,41 @@ def test_connector_option_maps_contract():
         "endpoint": "dhost:8000",
         "tableName": "tbl",
     }
+
+
+def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
+    """Compaction after many small appends: same rows, fewer files,
+    original recoverable semantics (swap-and-validate)."""
+    import os
+
+    from thundercats_spark.physical.io import Write
+
+    path = str(tmp_path / "idx")
+    for batch in range(5):
+        spark.range(batch * 100, (batch + 1) * 100).withColumnRenamed(
+            "id", "k"
+        ).repartition(4).write.mode("append").parquet(path)
+
+    def n_files(p):
+        return sum(
+            1 for r, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    before = n_files(path)
+    assert before >= 20  # 5 appends x 4 partitions
+    out = Write.compact_parquet(spark, path, target_files=2).get
+    assert n_files(path) == 2
+    assert out.count() == 500
+    got = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(500))
+    # incremental dedup keeps working against the compacted index
+    from thundercats_spark.operators.dedup import dedup_incremental
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    idx2 = str(tmp_path / "fpidx")
+    dedup_incremental(docs, idx2).count()
+    Write.compact_parquet(spark, idx2, target_files=1).get
+    replay = dedup_incremental(docs, idx2)  # all seen -> empty
+    assert replay.count() == 0

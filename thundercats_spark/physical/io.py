@@ -583,6 +583,53 @@ class Write:
         return MayFail.of(run)
 
     @staticmethod
+    def compact_parquet(
+        spark: SparkSession, path: str, target_files: int | None = None
+    ) -> MayFail[DataFrame]:
+        """Small-file compaction for append-accumulating datasets: the
+        incremental dedup indexes gain ~one file set per committed
+        batch, and after thousands of batches the listing + footer
+        overhead taxes every probe. Rewrites ``path`` into
+        ``target_files`` files (default: one per 128 MB of current
+        bytes, min 1) using the same write-sibling / swap / validate /
+        drop-backup dance as ``compact_delete`` (same crash-recovery
+        contract — see that docstring). Periodic maintenance; never run
+        concurrently with a committer on the same path."""
+
+        def run():
+            import math
+            import shutil
+
+            if target_files is None:
+                nbytes = sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(path)
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+                n_out = max(1, math.ceil(nbytes / (128 << 20)))
+            else:
+                n_out = max(1, int(target_files))
+            compacted = spark.read.parquet(path).coalesce(n_out)
+            tmp = path.rstrip("/") + ".compact"
+            compacted.write.mode("overwrite").parquet(tmp)
+            old = path.rstrip("/") + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(path, old)
+            os.replace(tmp, path)
+            try:
+                out = spark.read.parquet(path)
+                out.schema  # noqa: B018 - forces footer read
+            except Exception:
+                shutil.rmtree(path, ignore_errors=True)
+                os.replace(old, path)
+                raise
+            shutil.rmtree(old, ignore_errors=True)
+            return out
+
+        return MayFail.of(run)
+
+    @staticmethod
     def format(
         df: DataFrame, fmt: str, options: dict[str, str], mode: str = "append"
     ) -> MayFail[DataFrame]:
