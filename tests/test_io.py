@@ -322,3 +322,47 @@ def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
     Write.compact_parquet(spark, idx2, target_files=1).get
     replay = dedup_incremental(docs, idx2)  # all seen -> empty
     assert replay.count() == 0
+
+
+def test_parquet_sorted_clusters_value_ranges(spark, tmp_path):
+    """The cluster-and-sort write must produce files whose parquet
+    min/max footers cover narrow, non-overlapping ranges — the property
+    file-level data skipping depends on. Verified from the actual
+    footers via pyarrow, not from the plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from thundercats_spark.physical.io import Write
+
+    df = spark.range(10_000).withColumn("k", (F.col("id") * 2654435761) % 10_000)
+    path = str(tmp_path / "clustered")
+    Write.parquet_sorted(df, path, ["k"], n_files=4).get
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "k"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    # files cover disjoint ranges (range partitioner boundaries)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+    # and a selective read still pushes the predicate to the scan
+    plan = (
+        spark.read.parquet(path)
+        .where(F.col("k") == 1234)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,1234)]" in plan, plan

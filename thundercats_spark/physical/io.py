@@ -583,6 +583,34 @@ class Write:
         return MayFail.of(run)
 
     @staticmethod
+    def parquet_sorted(
+        df: DataFrame,
+        path: str,
+        sort_cols: list[str],
+        n_files: int | None = None,
+        overwrite: bool = False,
+    ) -> MayFail[DataFrame]:
+        """Cluster-and-sort write for DATA SKIPPING: range-partition the
+        frame on ``sort_cols`` and sort within each partition before
+        writing, so every output file covers a narrow, mostly disjoint
+        value range — parquet footer min/max stats then let selective
+        scans skip whole files/row-groups instead of reading them (the
+        poor man's Z-order; for one sort key it IS optimal clustering).
+        Costs one range exchange + in-partition sort at write time and
+        pays back on every selective read. ``n_files`` pins the output
+        file count (default: Spark's shuffle partition setting)."""
+
+        def run():
+            parts = [n_files] if n_files else []
+            clustered = df.repartitionByRange(
+                *parts, *[F.col(c) for c in sort_cols]
+            ).sortWithinPartitions(*sort_cols)
+            clustered.write.mode("overwrite" if overwrite else "error").parquet(path)
+            return df
+
+        return MayFail.of(run)
+
+    @staticmethod
     def compact_parquet(
         spark: SparkSession, path: str, target_files: int | None = None
     ) -> MayFail[DataFrame]:
