@@ -590,3 +590,27 @@ def test_repeat_corpus_factors(spark):
     # plan stays narrow: no exchange
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_corpus_drift_report(spark):
+    from thundercats_spark.operators.curation import corpus_drift
+
+    a = spark.createDataFrame(
+        [(1, "s0", "w1 w2"), (2, "s0", "w1"), (3, "s1", "w1 w2 w3")],
+        "doc_id long, source string, text string",
+    )
+    b = spark.createDataFrame(
+        [(4, "s0", "w1 w2 w3 w4"), (5, "s2", "w1")],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["source"]: r for r in corpus_drift(a, b).collect()}
+    assert rows["s0"]["n_docs_a"] == 2 and rows["s0"]["n_docs_b"] == 1
+    assert rows["s0"]["n_tokens_a"] == 3 and rows["s0"]["n_tokens_b"] == 4
+    # vanished source: full-magnitude negative delta
+    assert rows["s1"]["n_docs_b"] == 0 and rows["s1"]["frac_b"] == 0.0
+    assert abs(rows["s1"]["frac_delta"] + 1 / 3) < 1e-15
+    # appeared source: full-magnitude positive delta
+    assert rows["s2"]["n_docs_a"] == 0 and rows["s2"]["frac_delta"] == 0.5
+    # fractions in each snapshot sum to 1
+    assert abs(sum(r["frac_a"] for r in rows.values()) - 1.0) < 1e-12
+    assert abs(sum(r["frac_b"] for r in rows.values()) - 1.0) < 1e-12

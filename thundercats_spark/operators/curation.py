@@ -279,6 +279,47 @@ def rebalance_to_mix(
     return df.sampleBy(source_col, fractions, seed=seed)
 
 
+def corpus_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-over-snapshot drift report — the freeze check a rolling
+    ingest runs before promoting a new corpus snapshot: per source,
+    doc counts, token sums, corpus-fraction in each snapshot, and the
+    fraction delta (b − a). A source present in only one snapshot
+    reports 0 on the other side, so appearing/vanishing sources
+    surface as full-magnitude deltas. All metrics are exact integer /
+    rational arithmetic (engine-portable; no sketches), one
+    partial-agg pass per snapshot + a tiny per-source outer join."""
+    from thundercats_spark.functions.text_analysis import token_count
+
+    def per_source(df, tag):
+        return df.groupBy(F.col(source_col).alias("source")).agg(
+            F.count(F.lit(1)).alias(f"n_docs_{tag}"),
+            F.sum(token_count(F.col(text_col)).cast("long")).alias(f"n_tokens_{tag}"),
+        )
+    a, b = per_source(df_a, "a"), per_source(df_b, "b")
+    joined = a.join(b, "source", "full").na.fill(
+        {c: 0 for c in ("n_docs_a", "n_tokens_a", "n_docs_b", "n_tokens_b")}
+    )
+    totals = joined.agg(
+        F.sum("n_docs_a").alias("__ta"), F.sum("n_docs_b").alias("__tb")
+    )
+    frac_a = F.col("n_docs_a") / F.col("__ta")
+    frac_b = F.col("n_docs_b") / F.col("__tb")
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "source", "n_docs_a", "n_docs_b", "n_tokens_a", "n_tokens_b",
+            frac_a.alias("frac_a"),
+            frac_b.alias("frac_b"),
+            (frac_b - frac_a).alias("frac_delta"),
+        )
+    )
+
+
 def repeat_corpus(
     df: DataFrame,
     factors: dict | float,

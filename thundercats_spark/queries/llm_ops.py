@@ -1183,3 +1183,48 @@ def corpus_repeat_epochs_q(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
     out = repeat_corpus(d, {"src1": 2.5, "src2": 1.0, "src3": 0.4})
     return out.select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+
+
+# Snapshot drift: docs split by id parity stand in for two corpus
+# snapshots. Fractions are single IEEE divisions of exact ints in both
+# engines -> bit-identical.
+DRIFT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS tok
+  FROM documents
+), a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_a,
+         CAST(SUM(tok) AS BIGINT) AS n_tokens_a
+  FROM toks WHERE doc_id % 2 = 0 GROUP BY source
+), b AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_b,
+         CAST(SUM(tok) AS BIGINT) AS n_tokens_b
+  FROM toks WHERE doc_id % 2 = 1 GROUP BY source
+), j AS (
+  SELECT COALESCE(a.source, b.source) AS source,
+         COALESCE(n_docs_a, 0) AS n_docs_a, COALESCE(n_docs_b, 0) AS n_docs_b,
+         COALESCE(n_tokens_a, 0) AS n_tokens_a, COALESCE(n_tokens_b, 0) AS n_tokens_b
+  FROM a FULL JOIN b ON a.source = b.source
+), t AS (
+  SELECT CAST(SUM(n_docs_a) AS BIGINT) AS ta, CAST(SUM(n_docs_b) AS BIGINT) AS tb FROM j
+)
+SELECT source, n_docs_a, n_docs_b, n_tokens_a, n_tokens_b,
+       n_docs_a * 1.0 / ta AS frac_a,
+       n_docs_b * 1.0 / tb AS frac_b,
+       n_docs_b * 1.0 / tb - n_docs_a * 1.0 / ta AS frac_delta
+FROM j, t ORDER BY source
+"""
+
+
+@register("corpus_drift_report", DRIFT_SQL)
+def corpus_drift_report_q(spark, sf_dir):
+    """Per-source drift between the even-id and odd-id halves of the
+    corpus (two stand-in snapshots)."""
+    from thundercats_spark.operators.curation import corpus_drift
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return corpus_drift(
+        d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1)
+    ).orderBy("source")
