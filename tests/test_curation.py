@@ -614,3 +614,40 @@ def test_corpus_drift_report(spark):
     # fractions in each snapshot sum to 1
     assert abs(sum(r["frac_a"] for r in rows.values()) - 1.0) < 1e-12
     assert abs(sum(r["frac_b"] for r in rows.values()) - 1.0) < 1e-12
+
+
+def test_materialize_packed_sequences(spark):
+    """The materialized sequences must realize pack_sequences'
+    concat-and-chunk policy exactly: per group, docs concatenate in id
+    order and slice every `budget` tokens; all sequences are full
+    except each group's last; tokens are conserved in order."""
+    import pyspark.sql.functions as F
+
+    from thundercats_spark.functions.text_analysis import token_ids
+    from thundercats_spark.operators.curation import materialize_packed_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(7 + i % 5))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = materialize_packed_sequences(
+        docs, budget=16, n_groups=1, vocab_size=1024
+    ).collect()
+    seqs = {r["pack_seq"]: list(r["ids"]) for r in out}
+    # reference: concatenate all docs in id order, slice every 16
+    flat = []
+    for r in docs.select(
+        "doc_id", token_ids(F.col("text"), 1024).alias("ids")
+    ).orderBy("doc_id").collect():
+        flat.extend(r["ids"])
+    want = {
+        s: flat[s * 16 : (s + 1) * 16] for s in range((len(flat) + 15) // 16)
+    }
+    assert seqs == want
+    # every sequence full except the last
+    lens = [r["n_tokens"] for r in sorted(out, key=lambda r: r["pack_seq"])]
+    assert all(n == 16 for n in lens[:-1]) and 0 < lens[-1] <= 16
+    # multi-group: token totals conserved, per-seq budget bound holds
+    out4 = materialize_packed_sequences(docs, budget=16, n_groups=4).collect()
+    assert sum(r["n_tokens"] for r in out4) == len(flat)
+    assert all(r["n_tokens"] <= 16 for r in out4)

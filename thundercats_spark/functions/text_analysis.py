@@ -35,6 +35,24 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def token_ids(text: Column, vocab_size: int = 65536, salt: str = "tok") -> Column:
+    """Map each whitespace token to a stable hash id in
+    [0, vocab_size) — the vocabulary-free stand-in for a real
+    tokenizer when preparing training sequences (a fixed BPE vocab
+    isn't shipped here; swap this expression for a real
+    tokenizer-lookup UDF without touching the packing machinery).
+    Engine-portable (first 6 hex digits of md5(token || salt), like
+    ``split_bucket``) and deterministic across runs, engines, and
+    partitioning. Pure JVM expression per token."""
+    return F.transform(
+        tokens(text),
+        lambda t: (
+            F.conv(F.substring(F.md5(F.concat(t, F.lit(salt))), 1, 6), 16, 10)
+            .cast("long") % vocab_size
+        ).cast("int"),
+    )
+
+
 def bpe_token_estimate(text: Column) -> Column:
     """BPE-ish subword count estimate: split on word boundaries,
     punctuation, and digits (the GPT-2 pre-tokenizer regex family),

@@ -493,6 +493,71 @@ def chunk_documents(
     )
 
 
+def materialize_packed_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 65536,
+    n_groups: int = 64,
+    salt: str = "pack",
+    ids_col: Column | None = None,
+) -> DataFrame:
+    """Emit the ACTUAL training artifact: fixed-length token-id
+    sequences under the GPT concat-and-chunk policy (the realization
+    of ``pack_sequences``' assignment). Per hash group, documents
+    concatenate in id order into one token stream sliced every
+    ``budget`` tokens; each output row is one training sequence
+    (``pack_group``, ``pack_seq``, ``ids``, ``n_tokens``) with
+    ``len(ids) == budget`` everywhere except each group's final
+    partial sequence. Token ids come from ``token_ids`` (hash
+    vocabulary) unless ``ids_col`` supplies a real tokenizer's output
+    (``array<int>``).
+
+    Scale shape: one per-group offset window (same shuffle as
+    ``pack_sequences``), a posexplode to (group, global-pos, id)
+    triples, and ONE groupBy (group, pos div budget) whose rows are
+    budget-bounded by construction — ~2048 ints each, regardless of
+    corpus size. No group-wide collect anywhere; parallelism =
+    n_groups × sequences."""
+    from thundercats_spark.functions.text_analysis import token_ids
+
+    ids = ids_col if ids_col is not None else token_ids(F.col(text_col), vocab_size)
+    base = (
+        df.select(F.col(id_col), ids.alias("__ids"))
+        .withColumn("n_tokens", F.size("__ids"))
+        .withColumn("pack_group", split_bucket(F.col(id_col), salt, n_groups))
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = base.withColumn("__start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    stream = base.select(
+        "pack_group",
+        "__start",
+        F.posexplode("__ids").alias("__p", "__tid"),
+    ).select(
+        "pack_group",
+        (F.col("__start") + F.col("__p")).alias("__gpos"),
+        "__tid",
+    )
+    return (
+        stream.groupBy(
+            "pack_group",
+            F.floor(F.col("__gpos") / budget).cast("long").alias("pack_seq"),
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__gpos", "__tid"))),
+                lambda s: s["__tid"],
+            ).alias("ids")
+        )
+        .withColumn("n_tokens", F.size("ids"))
+    )
+
+
 def boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",

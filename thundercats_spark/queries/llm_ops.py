@@ -1228,3 +1228,56 @@ def corpus_drift_report_q(spark, sf_dir):
     return corpus_drift(
         d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1)
     ).orderBy("source")
+
+
+# Materialized training sequences: the md5 token-id and pack-bucket
+# expressions are the same engine-portable family as split_bucket, so
+# the full text -> ids -> concat-and-chunk realization is
+# engine-identical. ids compare as a space-joined string (array-vs-list
+# encodings differ between engines; the string is unambiguous).
+PACKED_SEQ_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks
+  FROM documents
+), ids AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 6))::BIGINT % 4 AS pack_group,
+         list_transform(toks, tk ->
+           ('0x' || substring(md5(tk || 'tok'), 1, 6))::BIGINT % 65536) AS tid,
+         len(toks) AS n
+  FROM t
+), off AS (
+  SELECT doc_id, pack_group, tid,
+         SUM(n) OVER (PARTITION BY pack_group ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start
+  FROM ids
+), stream AS (
+  SELECT pack_group, off.start + u.p - 1 AS gpos, off.tid[u.p] AS tok
+  FROM off, UNNEST(range(1, len(off.tid) + 1)) AS u(p)
+)
+SELECT CAST(pack_group AS INT) AS pack_group,
+       CAST(gpos // 128 AS BIGINT) AS pack_seq,
+       string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gpos) AS ids_str,
+       CAST(COUNT(*) AS INT) AS n_tokens
+FROM stream
+GROUP BY 1, 2
+ORDER BY pack_group, pack_seq
+"""
+
+
+@register("corpus_packed_sequences", PACKED_SEQ_SQL)
+def corpus_packed_sequences_q(spark, sf_dir):
+    """Materialized 128-token training sequences over 4 hash groups
+    with the portable md5 hash vocabulary."""
+    from thundercats_spark.operators.curation import materialize_packed_sequences
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    out = materialize_packed_sequences(d, budget=128, n_groups=4)
+    return out.select(
+        F.col("pack_group").cast("int").alias("pack_group"),
+        "pack_seq",
+        F.concat_ws(" ", "ids").alias("ids_str"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    ).orderBy("pack_group", "pack_seq")
