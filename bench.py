@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "corpus_split_leakage_safe",
     "corpus_token_budget_per_source",
     "doc_chunk_windows",
+    "corpus_packed_sequences",
 ]
 
 

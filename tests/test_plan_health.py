@@ -20,6 +20,7 @@ SCALAR_BNLJ_OK = {
     "doc_bigram_logprob",
     "events_funnel_conversion",  # three 1-row stage counts
     "doc_source_mix",  # 1-row corpus total
+    "corpus_drift_report",  # 1-row snapshot totals (frac denominators)
     "ann_batch_topk",  # broadcast query-vector table (a handful of rows)
     "dedup_simhash",  # 1-row mean-bucket-size stats for the auto hot-band cap
 }
