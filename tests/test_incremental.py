@@ -49,3 +49,99 @@ def test_uncommitted_run_reprocesses(spark, tmp_path):
     # crash before commit → same window again (at-least-once)
     again = read_incremental(spark, path, state, "ts")
     assert again.frame.count() == 1
+
+
+# --------------------------------------------------------------------------
+# incremental rollup maintenance
+# --------------------------------------------------------------------------
+
+import pytest
+from pyspark.sql import functions as F
+
+from thundercats_spark.operators.incremental import rollup_update
+
+METRICS = {
+    "n": ("count", "*"),
+    "total": ("sum", "v"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+}
+
+
+def _batches(spark):
+    b1 = spark.createDataFrame(
+        [("d1", "a", 10), ("d1", "a", 5), ("d1", "b", 7), ("d2", "a", 1)],
+        "day string, k string, v int",
+    )
+    b2 = spark.createDataFrame(
+        [("d2", "a", 4), ("d2", "b", 9), ("d3", "c", 2)],
+        "day string, k string, v int",
+    )
+    b3 = spark.createDataFrame([("d1", "a", 100)], "day string, k string, v int")
+    return [b1, b2, b3]
+
+
+def _expected(spark, batches):
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    return {
+        (r["day"], r["k"]): (r["n"], r["total"], r["lo"], r["hi"])
+        for r in full.groupBy("day", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("partitioned", [True, False])
+def test_rollup_update_equals_full_recompute(spark, tmp_path, partitioned):
+    path = str(tmp_path / "rollup")
+    batches = _batches(spark)
+    for b in batches:
+        rollup_update(
+            spark, b, path, ["day", "k"], METRICS,
+            partition_col="day" if partitioned else None,
+        )
+    got = {
+        (r["day"], r["k"]): (r["n"], r["total"], r["lo"], r["hi"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == _expected(spark, batches)
+
+
+def test_rollup_update_prunes_untouched_partitions(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    batches = _batches(spark)
+    rollup_update(spark, batches[0], path, ["day", "k"], METRICS, partition_col="day")
+    # d1/d2 exist; a batch touching only d1 must read back only day=d1
+    existing = spark.read.parquet(path).where(F.col("day").isin(["d1"]))
+    plan = existing._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "d1" in plan
+    before_d2 = {
+        (r["day"], r["k"]): r["total"]
+        for r in spark.read.parquet(path).where("day = 'd2'").collect()
+    }
+    rollup_update(spark, batches[2], path, ["day", "k"], METRICS, partition_col="day")
+    after_d2 = {
+        (r["day"], r["k"]): r["total"]
+        for r in spark.read.parquet(path).where("day = 'd2'").collect()
+    }
+    assert before_d2 == after_d2  # untouched partition byte-stable
+
+
+def test_rollup_update_rejects_non_distributive(spark, tmp_path):
+    with pytest.raises(ValueError, match="distributive"):
+        rollup_update(
+            spark, _batches(spark)[0], str(tmp_path / "r"), ["day"],
+            {"a": ("avg", "v")},
+        )
+    with pytest.raises(ValueError, match="group keys"):
+        rollup_update(
+            spark, _batches(spark)[0], str(tmp_path / "r"), ["day"],
+            METRICS, partition_col="k",
+        )

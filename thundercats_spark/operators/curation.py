@@ -279,6 +279,81 @@ def rebalance_to_mix(
     return df.sampleBy(source_col, fractions, seed=seed)
 
 
+def temperature_keep_fractions(
+    counts: dict[str, int], temperature: float = 2.0
+) -> dict[str, float]:
+    """Per-source keep-fractions that move the corpus to the
+    temperature-smoothed mix (``temperature_mix`` ∘
+    ``rebalance_fractions``) in one Z-free closed form:
+
+        keep_s = min(1, min_t(c_t^e) / c_s^e),   e = 1 - 1/T
+
+    The normalizer Z cancels, so no float summation appears anywhere —
+    every term is a pow/division over a single integer count, which
+    any engine (or an oracle) reproduces bit-for-bit. T=1 keeps the
+    corpus unchanged; T→∞ levels every source to the smallest one."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    e = 1.0 - 1.0 / temperature
+    pos = {s: c for s, c in counts.items() if c > 0}
+    if not pos:
+        return {}
+    m = min(c**e for c in pos.values())
+    return {s: min(1.0, m / (c**e)) for s, c in pos.items()}
+
+
+def sample_to_fractions(
+    df: DataFrame,
+    fractions: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic per-source downsample: keep a row iff
+    ``split_bucket(key, salt) < floor(frac_source * buckets)``.
+    Unlike ``sampleBy`` (RNG-stream based, partitioning-sensitive),
+    the kept set is a pure function of the row key — identical across
+    runs, engines, and re-ingests, so a replayed batch selects the
+    same rows. Scan-stage filter, zero shuffle. Sources absent from
+    ``fractions`` are dropped."""
+    import math
+
+    thresh = F.create_map(
+        *[
+            x
+            for s, f in sorted(fractions.items())
+            for x in (F.lit(s), F.lit(int(math.floor(f * buckets))))
+        ]
+    )
+    b = split_bucket(F.col(key_col), salt, buckets)
+    t = thresh[F.col(source_col)]
+    return df.where(t.isNotNull() & (b < t))
+
+
+def temperature_sample(
+    df: DataFrame,
+    temperature: float = 2.0,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based source rebalancing end-to-end: count per
+    source (one partial-agg pass over an 8-byte column), derive
+    keep-fractions with ``temperature_keep_fractions``, apply them as
+    a deterministic hash filter. The count map is per-source — tiny at
+    any corpus size — so the collect is bounded by source cardinality,
+    not rows."""
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fracs = temperature_keep_fractions(counts, temperature)
+    return sample_to_fractions(df, fracs, source_col, key_col, salt)
+
+
 def corpus_drift(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -74,3 +74,123 @@ def read_incremental(
     row = df.agg(F.max(ts_col).alias("m")).first()
     new_wm = None if row["m"] is None else str(row["m"])
     return Incremental(frame=df, state_path=state_path, new_watermark=new_wm)
+
+
+# --------------------------------------------------------------------------
+# Incremental rollup maintenance (incremental view maintenance for
+# distributive aggregates)
+# --------------------------------------------------------------------------
+
+_INIT = {
+    "count": lambda c: F.count(F.lit(1) if c == "*" else F.col(c)),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+# how two partial states of the same metric combine
+_MERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _rollup_aggs(metrics: dict[str, tuple[str, str]], init: bool):
+    out = []
+    for name, (fn, col) in metrics.items():
+        if fn not in _INIT:
+            raise ValueError(
+                f"{fn!r} is not distributive; supported: {sorted(_INIT)} "
+                "(derive avg as sum/count at read time)"
+            )
+        expr = _INIT[fn](col) if init else _MERGE[fn](name)
+        out.append(expr.alias(name))
+    return out
+
+
+def _swap_dir(new: str, target: str) -> None:
+    """Replace ``target`` with ``new`` keeping a ``.old`` backup until
+    the swap completes (same recovery discipline as
+    ``Write.compact_delete``)."""
+    import shutil
+
+    backup = target + ".old"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    if os.path.exists(target):
+        os.rename(target, backup)
+    os.rename(new, target)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+
+
+def rollup_update(
+    spark: SparkSession,
+    batch: DataFrame,
+    rollup_path: str,
+    keys: list[str],
+    metrics: dict[str, tuple[str, str]],
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Maintain an aggregate table incrementally: fold one ingestion
+    batch into the persisted rollup at ``rollup_path`` without
+    recomputing history — the batch counterpart of a streaming
+    windowed agg with state.
+
+    ``metrics`` maps output column -> (fn, source column) where fn is
+    a DISTRIBUTIVE aggregate (count/sum/min/max — the class where
+    merge(partial_a, partial_b) is exact; avg = sum/count at read).
+
+    Scale shape: the batch is aggregated once (map-side partials, one
+    shuffle on the group keys); when ``partition_col`` (one of
+    ``keys``, e.g. the event date) is given, only the partitions the
+    batch TOUCHES are read back, merged, and swapped — history
+    partitions are never opened, so a daily batch costs O(batch +
+    touched partitions), not O(table). The swap publishes each
+    touched partition atomically with a ``.old`` backup (on an object
+    store / multi-writer setup, use a transactional table format for
+    the publish step instead).
+
+    Returns the merged rollup rows for the touched scope (the whole
+    table when unpartitioned)."""
+    if partition_col is not None and partition_col not in keys:
+        raise ValueError("partition_col must be one of the group keys")
+
+    partial = batch.groupBy(*keys).agg(*_rollup_aggs(metrics, init=True))
+    exists = os.path.exists(rollup_path)
+
+    if partition_col is None:
+        merged = partial
+        if exists:
+            existing = spark.read.parquet(rollup_path)
+            merged = (
+                existing.unionByName(partial)
+                .groupBy(*keys)
+                .agg(*_rollup_aggs(metrics, init=False))
+            )
+        staging = rollup_path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        _swap_dir(staging, rollup_path)
+        return spark.read.parquet(rollup_path)
+
+    touched = [r[0] for r in partial.select(partition_col).distinct().collect()]
+    if not touched:
+        return spark.read.parquet(rollup_path) if exists else partial
+    merged = partial
+    if exists:
+        existing = spark.read.parquet(rollup_path).where(
+            F.col(partition_col).isin(touched)  # partition-pruned read
+        )
+        merged = (
+            existing.unionByName(partial)
+            .groupBy(*keys)
+            .agg(*_rollup_aggs(metrics, init=False))
+        )
+    staging = rollup_path + ".staging"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    os.makedirs(rollup_path, exist_ok=True)
+    for v in touched:
+        part = f"{partition_col}={v}"
+        src = os.path.join(staging, part)
+        if os.path.exists(src):
+            _swap_dir(src, os.path.join(rollup_path, part))
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(rollup_path).where(F.col(partition_col).isin(touched))

@@ -135,6 +135,7 @@ def all_queries() -> dict[str, Query]:
         analytics,
         analytics2,
         llm_ops,
+        llm_ops2,
         relational,
         tpch,
         tpch2,

@@ -1,0 +1,213 @@
+"""Round-4 LLM-pipeline registrations: temperature source rebalancing,
+embedding quantization/geometry, model-based quality scoring, and the
+dedup cluster-size report. Every entry pairs the Spark operator with a
+DuckDB oracle that reproduces it bit-for-bit (doubles round(6)-pinned
+per the llm_ops.py precision notes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thundercats_spark.queries import load, register
+
+# --------------------------------------------------------------------------
+# Temperature-based source rebalancing (alpha-sampling), deterministic.
+# keep_s = min(1, min_t(c_t^e) / c_s^e), e = 1 - 1/T; rows kept by the
+# engine-portable md5 bucket rule. T=2 ⇒ e=0.5 ⇒ POW(c, 0.5), which
+# libm evaluates identically from integer counts in both engines.
+# --------------------------------------------------------------------------
+
+TEMPERATURE_SAMPLE_SQL = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+),
+m AS (SELECT MIN(POW(c, 0.5)) AS mw FROM counts),
+keep AS (
+  SELECT lang,
+         CAST(FLOOR(LEAST(1.0, m.mw / POW(c, 0.5)) * 10000) AS INT) AS thresh
+  FROM counts, m
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN keep k USING (lang)
+WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 6))::BIGINT
+      % 10000 < k.thresh
+ORDER BY d.doc_id
+"""
+
+
+@register("corpus_temperature_sample", TEMPERATURE_SAMPLE_SQL)
+def corpus_temperature_sample_q(spark, sf_dir):
+    from thundercats_spark.operators.curation import temperature_sample
+
+    # group on lang — the driver corpus' skewed axis (en ≈ 3x fr), so
+    # the T=2 smoothing visibly downsamples the over-represented langs.
+    d = load(spark, sf_dir, "documents")["documents"]
+    out = temperature_sample(d, temperature=2.0, source_col="lang")
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Embedding geometry + symmetric int8 quantization. The fold is
+# sequential float64 (list_reduce ≡ F.aggregate), so norms agree to the
+# last ulp and the quantized ints are exact in both engines.
+# --------------------------------------------------------------------------
+
+EMB_NORMS_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)), 6)
+         AS l2_norm,
+       ROUND(list_reduce(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE))), (a, b) -> greatest(a, b)), 6)
+         AS max_abs,
+       ROUND(list_reduce(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE))), (a, b) -> greatest(a, b)) / 127.0, 9)
+         AS q_scale
+FROM embeddings ORDER BY vec_id
+"""
+
+
+@register("embedding_norm_stats", EMB_NORMS_SQL)
+def embedding_norm_stats_q(spark, sf_dir):
+    from thundercats_spark.operators.embeddings import embedding_norms
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_norms(e).orderBy("vec_id")
+
+
+EMB_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                     (a, b) -> greatest(a, b)) / 127.0 AS sc
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(sc, 9) AS q_scale,
+       CASE WHEN sc = 0
+            THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) / sc) AS INT))
+       END AS q
+FROM s ORDER BY vec_id
+"""
+
+
+@register("embedding_quantize", EMB_QUANTIZE_SQL)
+def embedding_quantize_q(spark, sf_dir):
+    from thundercats_spark.operators.embeddings import quantize_embeddings
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    out = quantize_embeddings(e)
+    return out.select(
+        "vec_id", F.round("q_scale", 9).alias("q_scale"), "q"
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Linear quality-classifier scoring (the serving shape of the trained
+# HashingTF+LR filter in quality/classifier.py, with md5-derived fixed
+# weights so the whole scoring path is oracle-checkable).
+# token_id = md5-hash(token||'tok') % 1024; w(id) ∈ [-1,1] md5-derived;
+# score = sigmoid(mean w). round(6) absorbs any 1-ulp exp() divergence.
+# --------------------------------------------------------------------------
+
+CLASSIFIER_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text) = '' THEN []
+              ELSE regexp_split_to_array(TRIM(text), '\s+') END AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_transform(t, tok ->
+           CAST((('0x' || substring(md5(
+                   'w:' || CAST(('0x' || substring(md5(tok || 'tok'), 1, 6))::BIGINT % 65536
+                        AS VARCHAR)), 1, 6))::BIGINT % 2001) - 1000 AS DOUBLE)
+           / 1000.0) AS ws
+  FROM toks
+),
+z AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) > 0
+              THEN list_reduce(ws, (a, b) -> a + b) / len(ws)
+              ELSE 0.0 END AS mean_w
+  FROM w
+)
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-mean_w)), 6) AS quality_prob
+FROM z ORDER BY doc_id
+"""
+
+
+@register("doc_quality_classifier_score", CLASSIFIER_SCORE_SQL)
+def doc_quality_classifier_score_q(spark, sf_dir):
+    from thundercats_spark.quality.classifier import linear_quality_score
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        F.round(
+            linear_quality_score(F.col("text"), vocab_size=65536, salt="w"), 6
+        ).alias("quality_prob"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Dedup cluster-size histogram: how many near-dup groups of each size
+# the corpus contains — the report a dedup run publishes (mass removed,
+# largest clusters). Same pair graph + recursive-CTE components as
+# dedup_connected_groups, aggregated to (cluster_size, n_clusters).
+# Singleton docs (no near-dup edge) are excluded, as in the pair graph.
+# --------------------------------------------------------------------------
+
+CLUSTER_SIZES_SQL = r"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]),
+           s -> hash(s)
+         ) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND 2 * least(len(a.shingles), len(b.shingles)) >= greatest(len(a.shingles), len(b.shingles))
+  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(id, comp) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, w.comp FROM edges e JOIN walk w ON e.b = w.id
+),
+comp AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+@register("dedup_cluster_sizes", CLUSTER_SIZES_SQL)
+def dedup_cluster_sizes_q(spark, sf_dir):
+    from thundercats_spark.operators import dedup
+    from thundercats_spark.operators.components import connected_components
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
