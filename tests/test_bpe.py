@@ -1,0 +1,88 @@
+"""BPE tokenizer training + encoding (functions/bpe.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from thundercats_spark.functions.bpe import (
+    END_OF_WORD,
+    bpe_encode,
+    bpe_encode_word,
+    bpe_token_count,
+    bpe_train,
+    bpe_train_from_counts,
+    merge_ranks,
+    word_counts,
+)
+
+SENNRICH = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+
+
+def test_train_matches_hand_computed_merges():
+    merges = bpe_train_from_counts(SENNRICH, n_merges=4)
+    # classic worked example: 'es' (6+3=9) then 'est' (9) then 'est</w>'
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", END_OF_WORD)
+    # next best: 'l o' appears in low(5)+lower(2)=7
+    assert merges[3] == ("l", "o")
+
+
+def test_train_is_deterministic_under_input_order():
+    a = bpe_train_from_counts(SENNRICH, n_merges=10)
+    b = bpe_train_from_counts(list(reversed(SENNRICH)), n_merges=10)
+    assert a == b
+
+
+def test_encode_word_roundtrip_and_greedy_rank():
+    merges = bpe_train_from_counts(SENNRICH, n_merges=10)
+    ranks = merge_ranks(merges)
+    for w, _ in SENNRICH + [("lowest", 1), ("news", 1), ("zzz", 1)]:
+        toks = bpe_encode_word(w, ranks)
+        assert "".join(toks) == w + END_OF_WORD  # lossless segmentation
+    # a fully-learned word collapses to few symbols
+    assert len(bpe_encode_word("newest", ranks)) <= 2
+
+
+def test_word_counts_top_n_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a a a b b c",), ("b a d d",)], "text string"
+    )
+    top2 = {r["word"]: r["n"] for r in word_counts(df, top_n=2).collect()}
+    assert top2 == {"a": 4, "b": 3}
+
+
+def test_spark_encode_matches_python(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60).cache()
+    merges = bpe_train(docs, n_merges=200, top_n=5000)
+    assert merges  # learned something
+    ranks = merge_ranks(merges)
+    out = bpe_encode(docs, merges).select("doc_id", "text", "bpe_tokens").collect()
+    for r in out[:30]:
+        expect = []
+        for w in r["text"].split():
+            expect.extend(bpe_encode_word(w, ranks))
+        assert r["bpe_tokens"] == expect, r["doc_id"]
+
+
+def test_bpe_compresses_relative_to_chars(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60).cache()
+    merges = bpe_train(docs, n_merges=300, top_n=5000)
+    stats = (
+        bpe_token_count(docs, merges)
+        .select(
+            F.sum("bpe_token_count").alias("toks"),
+            F.sum(F.length("text")).alias("chars"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("words"),
+        )
+        .first()
+    )
+    assert stats["toks"] < stats["chars"]  # merged something
+    assert stats["toks"] >= stats["words"]  # at least one token per word
+
+
+def test_empty_and_null_docs(spark):
+    merges = bpe_train_from_counts(SENNRICH, n_merges=5)
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "low")], "id long, text string")
+    rows = {r["id"]: r["bpe_tokens"] for r in bpe_encode(df, merges).collect()}
+    assert rows[1] == [] and rows[2] == []
+    assert "".join(rows[3]) == "low" + END_OF_WORD
