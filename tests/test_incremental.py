@@ -134,8 +134,29 @@ def test_rollup_update_prunes_untouched_partitions(spark, tmp_path):
     assert before_d2 == after_d2  # untouched partition byte-stable
 
 
+def test_rollup_update_hll_approx_distinct(spark, tmp_path):
+    from thundercats_spark.operators.incremental import hll_estimate
+
+    path = str(tmp_path / "rollup")
+    metrics = {"uniq": ("approx_distinct", "k"), "n": ("count", "*")}
+    batches = _batches(spark)
+    for b in batches:
+        rollup_update(spark, b, path, ["day"], metrics, partition_col="day")
+    got = {
+        r["day"]: r["uniq"]
+        for r in hll_estimate(spark.read.parquet(path), "uniq").collect()
+    }
+    full = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    exact = {
+        r["day"]: r["u"]
+        for r in full.groupBy("day").agg(F.count_distinct("k").alias("u")).collect()
+    }
+    # tiny cardinalities: the HLL estimate is exact
+    assert got == exact
+
+
 def test_rollup_update_rejects_non_distributive(spark, tmp_path):
-    with pytest.raises(ValueError, match="distributive"):
+    with pytest.raises(ValueError, match="mergeable"):
         rollup_update(
             spark, _batches(spark)[0], str(tmp_path / "r"), ["day"],
             {"a": ("avg", "v")},

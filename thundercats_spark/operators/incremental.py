@@ -86,9 +86,21 @@ _INIT = {
     "sum": lambda c: F.sum(c),
     "min": lambda c: F.min(c),
     "max": lambda c: F.max(c),
+    # approx distinct via a MERGEABLE Datasketches HLL state: the
+    # persisted rollup stores the binary sketch, so batches union
+    # exactly like sums add — the only way a distinct-style metric can
+    # be maintained incrementally without keeping raw keys around.
+    # Read the estimate with ``hll_estimate``.
+    "approx_distinct": lambda c: F.hll_sketch_agg(c),
 }
 # how two partial states of the same metric combine
-_MERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+_MERGE = {
+    "count": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "approx_distinct": lambda name: F.hll_union_agg(name),
+}
 
 
 def _rollup_aggs(metrics: dict[str, tuple[str, str]], init: bool):
@@ -96,11 +108,20 @@ def _rollup_aggs(metrics: dict[str, tuple[str, str]], init: bool):
     for name, (fn, col) in metrics.items():
         if fn not in _INIT:
             raise ValueError(
-                f"{fn!r} is not distributive; supported: {sorted(_INIT)} "
+                f"{fn!r} is not mergeable; supported: {sorted(_INIT)} "
                 "(derive avg as sum/count at read time)"
             )
         expr = _INIT[fn](col) if init else _MERGE[fn](name)
         out.append(expr.alias(name))
+    return out
+
+
+def hll_estimate(df: DataFrame, *sketch_cols: str) -> DataFrame:
+    """Replace persisted HLL sketch columns with their cardinality
+    estimates (read-side helper for ``approx_distinct`` metrics)."""
+    out = df
+    for c in sketch_cols:
+        out = out.withColumn(c, F.hll_sketch_estimate(F.col(c)))
     return out
 
 

@@ -395,6 +395,67 @@ def main():
         rel[name] = round(time.time() - t0, 3)
     out["relational_x10_secs"] = rel
 
+    # round-4 operators: temperature sampling, int8 quantization,
+    # model-based quality filter, BPE train/encode — all timed on the
+    # same x-replica corpus so curves are comparable across rounds.
+    from thundercats_spark.functions.bpe import bpe_encode, bpe_train
+    from thundercats_spark.operators.curation import temperature_sample
+    from thundercats_spark.operators.embeddings import quantize_embeddings
+    from thundercats_spark.quality.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    t0 = time.time()
+    temperature_sample(d, 2.0, source_col="lang").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["secs_temperature_sample"] = round(time.time() - t0, 3)
+
+    emb_x = emb.select(
+        F.explode(F.array(*[F.lit(i) for i in range(replicas)])).alias("__r"),
+        "vec_id",
+        "embedding",
+    ).select(
+        (F.col("vec_id") * replicas + F.col("__r")).alias("vec_id"), "embedding"
+    )
+    t0 = time.time()
+    quantize_embeddings(emb_x).write.format("noop").mode("overwrite").save()
+    out["secs_quantize_embeddings"] = {
+        "n_vectors": emb.count() * replicas,
+        "secs": round(time.time() - t0, 3),
+    }
+
+    labeled = d.withColumn("label", (F.col("lang") == "en").cast("int"))
+    t0 = time.time()
+    model = train_quality_classifier(labeled, max_iter=20)
+    train_secs = round(time.time() - t0, 3)
+    t0 = time.time()
+    score_quality(model, d).write.format("noop").mode("overwrite").save()
+    out["quality_classifier"] = {
+        "n_docs": n_docs,
+        "train_secs": train_secs,
+        "score_secs": round(time.time() - t0, 3),
+    }
+
+    t0 = time.time()
+    merges = bpe_train(d, n_merges=500, top_n=100_000)
+    bpe_train_secs = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_tok = (
+        bpe_encode(d, merges)
+        .agg(F.sum(F.size("bpe_tokens")).alias("t"))
+        .first()["t"]
+    )
+    enc_secs = round(time.time() - t0, 3)
+    out["bpe"] = {
+        "n_merges": len(merges),
+        "train_secs": bpe_train_secs,
+        "encode_secs": enc_secs,
+        "tokens": int(n_tok),
+        "tokens_per_sec": int(n_tok / max(enc_secs, 1e-9)),
+    }
+
     fname = "scale_stats.json" if replicas == 10 else f"scale_stats_x{replicas}.json"
     dest = os.path.join(REPO, "tools", fname)
     with open(dest, "w") as f:
