@@ -23,6 +23,7 @@ SCALAR_BNLJ_OK = {
     "corpus_drift_report",  # 1-row snapshot totals (frac denominators)
     "ann_batch_topk",  # broadcast query-vector table (a handful of rows)
     "dedup_simhash",  # 1-row mean-bucket-size stats for the auto hot-band cap
+    "ann_quantized_topk",  # broadcast 1-row quantized query vector
 }
 # Arrow-kernel operators are allowed (designed) Python-boundary nodes
 PY_EVAL_OK = {

@@ -211,3 +211,64 @@ def dedup_cluster_sizes_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# int8-quantized ANN top-k: score the whole corpus with the integer-
+# domain dot kernel (exact given the quantized inputs, so fully
+# oracle-checkable — the scoring path an SQ8 index runs before optional
+# full-precision re-ranking). Both engines quantize in-engine, so the
+# integer sums agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+QUANTIZED_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                     (a, b) -> greatest(a, b)) / 127.0 AS sc
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id, sc,
+         CASE WHEN sc = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) / sc) AS BIGINT))
+         END AS qv
+  FROM q
+),
+tgt AS (SELECT sc AS sq, qv AS qq FROM qz WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(e.sc * t.sq * list_reduce(
+         list_transform(list_zip(e.qv, t.qq), p -> p[1] * p[2]),
+         (a, b) -> a + b), 6) AS score
+FROM qz e, tgt t
+WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("ann_quantized_topk", QUANTIZED_TOPK_SQL)
+def ann_quantized_topk_q(spark, sf_dir):
+    from thundercats_spark.operators.embeddings import (
+        quantize_embeddings,
+        quantized_dot,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    qz = quantize_embeddings(e)
+    tgt = qz.where(F.col("vec_id") == 0).select(
+        F.col("q_scale").alias("sq"), F.col("q").alias("qq")
+    )
+    scored = (
+        qz.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(tgt))
+        .select(
+            "vec_id",
+            F.round(
+                quantized_dot(F.col("q"), F.col("q_scale"), F.col("qq"), F.col("sq")),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
