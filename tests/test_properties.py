@@ -242,3 +242,85 @@ def test_grouped_token_budget_matches_naive(spark, case):
             if cum <= budget:
                 want.add((g, i))
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# round-4 kernels: quantization, BPE, temperature fractions
+# --------------------------------------------------------------------------
+
+
+@st.composite
+def float_vectors(draw):
+    n = draw(st.integers(1, 6))
+    dim = draw(st.integers(1, 8))
+    return [
+        [draw(st.floats(-100, 100, width=32, allow_nan=False)) for _ in range(dim)]
+        for _ in range(n)
+    ]
+
+
+@given(float_vectors())
+@settings(**SETTINGS)
+def test_quantize_error_bound_property(spark, vecs):
+    from thundercats_spark.operators.embeddings import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    q = quantize_embeddings(df)
+    back = {r["vec_id"]: r["embedding"] for r in dequantize_embeddings(q).collect()}
+    scales = {r["vec_id"]: r["q_scale"] for r in q.collect()}
+    ints = {r["vec_id"]: r["q"] for r in q.collect()}
+    for i, v in enumerate(vecs):
+        s = scales[i]
+        assert all(abs(x) <= 127 for x in ints[i])
+        for orig, approx in zip(v, back[i]):
+            assert abs(float(orig) - float(approx)) <= s / 2 + 1e-6
+
+
+@given(st.lists(st.text(alphabet="abcde", min_size=1, max_size=8), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_bpe_lossless_any_corpus(spark, words):
+    from thundercats_spark.functions.bpe import (
+        END_OF_WORD,
+        bpe_encode_word,
+        bpe_train_from_counts,
+        merge_ranks,
+    )
+    from collections import Counter
+
+    counts = list(Counter(words).items())
+    ranks = merge_ranks(bpe_train_from_counts(counts, n_merges=30))
+    for w in words + ["unseen", "xyz"]:
+        assert "".join(bpe_encode_word(w, ranks)) == w + END_OF_WORD
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(0, 10_000),
+        min_size=1,
+        max_size=4,
+    ),
+    st.floats(0.5, 50, allow_nan=False),
+)
+@settings(**SETTINGS)
+def test_temperature_fractions_properties(spark, counts, temp):
+    from thundercats_spark.operators.curation import temperature_keep_fractions
+
+    fr = temperature_keep_fractions(counts, temp)
+    pos = {s: c for s, c in counts.items() if c > 0}
+    assert set(fr) == set(pos)
+    for s, f in fr.items():
+        assert 0.0 < f <= 1.0
+    if pos:
+        smallest = min(pos, key=lambda s: (pos[s], s))
+        assert fr[smallest] == 1.0  # the smallest source is never cut
+        if temp >= 1.0:
+            # larger sources never keep a larger fraction
+            for s in pos:
+                if pos[s] >= pos[smallest]:
+                    assert fr[s] <= fr[smallest] + 1e-12
