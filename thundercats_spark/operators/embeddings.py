@@ -71,17 +71,25 @@ def quantize_embeddings(
 
     Engine-portable: float32 -> float64 widening is exact, the fold and
     division are IEEE-deterministic, and round() is half-away-from-zero
-    in both Spark and DuckDB, so an oracle reproduces q bit-for-bit."""
+    in both Spark and DuckDB, so an oracle reproduces q bit-for-bit.
+
+    The scale fold is materialized in its own projection BEFORE the
+    per-element transform references it — inlining the aggregate into
+    the lambda would re-run the O(d) fold for every element (O(d²) per
+    row; measured 4x slower at dim 64)."""
     v = F.col(vec_col)
-    scale = max_abs(v) / F.lit(127.0)
-    q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
-        F.transform(v, lambda x: F.round(_as_double(x) / scale, 0).cast("int"))
-    )
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        scale.alias("q_scale"),
-        q.alias("q"),
+        v.alias("__v"),
+        (max_abs(v) / F.lit(127.0)).alias("q_scale"),
+    )
+    scale = F.col("q_scale")
+    q = F.when(scale == 0.0, F.transform("__v", lambda x: F.lit(0))).otherwise(
+        F.transform("__v", lambda x: F.round(_as_double(x) / scale, 0).cast("int"))
+    )
+    return staged.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], scale, q.alias("q")
     )
 
 
