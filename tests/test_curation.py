@@ -651,3 +651,47 @@ def test_materialize_packed_sequences(spark):
     out4 = materialize_packed_sequences(docs, budget=16, n_groups=4).collect()
     assert sum(r["n_tokens"] for r in out4) == len(flat)
     assert all(r["n_tokens"] <= 16 for r in out4)
+
+
+# --------------------------------------------------------------------------
+# snapshot integrity: manifest + diff
+# --------------------------------------------------------------------------
+
+
+def test_corpus_manifest_is_order_and_partition_independent(spark, sf_dir):
+    from thundercats_spark.operators.curation import corpus_manifest
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = [tuple(r) for r in corpus_manifest(d).collect()]
+    shuffled = [
+        tuple(r)
+        for r in corpus_manifest(
+            d.repartition(17).sortWithinPartitions(F.desc("doc_id"))
+        ).collect()
+    ]
+    assert base == shuffled
+    # and any content change flips the checksum for exactly that source
+    tweaked = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.concat(F.col("text"), F.lit("!"))).otherwise(
+            F.col("text")
+        ),
+    )
+    src3 = d.where(F.col("doc_id") == 3).first()["source"]
+    after = {r["source"]: r["content_xor"] for r in corpus_manifest(tweaked).collect()}
+    before = {r["source"]: r["content_xor"] for r in corpus_manifest(d).collect()}
+    assert after[src3] != before[src3]
+    assert all(after[s] == before[s] for s in before if s != src3)
+
+
+def test_corpus_diff_categories(spark):
+    from thundercats_spark.operators.curation import corpus_diff
+
+    a = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(1, "same"), (2, "did change"), (4, "new")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["status"] for r in corpus_diff(a, b).collect()}
+    assert rows == {2: "changed", 3: "removed", 4: "added"}  # 1 (unchanged) excluded

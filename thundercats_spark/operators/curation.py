@@ -1054,3 +1054,76 @@ def select_token_budget_grouped(
     if ids_only:
         return out
     return df.join(out.select(id_col), id_col, "inner")
+
+
+# --------------------------------------------------------------------------
+# Snapshot integrity: content manifests and content-level diffs
+# --------------------------------------------------------------------------
+
+
+def content_hash48(col: Column) -> Column:
+    """48-bit content hash (first 12 hex digits of md5) as a BIGINT —
+    engine-portable (any SQL engine reproduces it from the same bytes)
+    and safely inside the signed-64 range so XOR-aggregation never
+    overflows. 48 bits keeps the whole-corpus XOR collision probability
+    negligible for manifest purposes (this is an integrity checksum,
+    not a dedup key — dedup uses the full fingerprint family)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def corpus_manifest(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source reproducibility manifest: doc count, char sum, and
+    ORDER-INDEPENDENT content/id checksums (bit_xor of per-row
+    hashes). Two corpus builds match iff their manifests match —
+    regardless of partitioning, file layout, or row order — so a
+    rebuild audit is one tiny frame compare instead of a corpus diff.
+    One partial-agg pass; only 8-byte hashes shuffle."""
+    h = content_hash48(F.col(text_col))
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text_col)).alias("n_chars"),
+            F.expr(
+                f"bit_xor(cast(conv(substring(md5({text_col}), 1, 12), 16, 10)"
+                " as bigint))"
+            ).alias("content_xor"),
+            F.expr(f"bit_xor({id_col})").alias("id_xor"),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-level diff between two corpus snapshots: which doc ids
+    were added, removed, or changed (same id, different content hash).
+    Unchanged docs are excluded — at 100 TB the output is the CHANGE
+    set, not the corpus. Only (id, 8-byte hash) pairs shuffle through
+    the full outer join; the text never moves."""
+    ha = df_a.select(
+        F.col(id_col).alias("doc_id"), content_hash48(F.col(text_col)).alias("h_a")
+    )
+    hb = df_b.select(
+        F.col(id_col).alias("doc_id"), content_hash48(F.col(text_col)).alias("h_b")
+    )
+    j = ha.join(hb, "doc_id", "full")
+    status = (
+        F.when(F.col("h_a").isNull(), F.lit("added"))
+        .when(F.col("h_b").isNull(), F.lit("removed"))
+        .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select("doc_id", "status", "h_a", "h_b")
+    )

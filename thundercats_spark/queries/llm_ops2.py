@@ -272,3 +272,71 @@ def ann_quantized_topk_q(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+# --------------------------------------------------------------------------
+# Snapshot integrity: order-independent per-source content manifest +
+# content-level diff between two snapshots. The 48-bit md5-prefix hash
+# and bit_xor aggregation are engine-portable, so a rebuild audit in
+# ANY engine produces the identical manifest.
+# --------------------------------------------------------------------------
+
+MANIFEST_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       bit_xor(('0x' || substring(md5(text), 1, 12))::BIGINT) AS content_xor,
+       bit_xor(doc_id) AS id_xor
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@register("corpus_manifest", MANIFEST_SQL)
+def corpus_manifest_q(spark, sf_dir):
+    from thundercats_spark.operators.curation import corpus_manifest
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return corpus_manifest(d)
+
+
+# Snapshot b is derived deterministically from the base table in BOTH
+# engines: drop doc_id%97==0 (removals), append ' [rev2]' to text for
+# doc_id%89==0 (changes), clone doc_id%101==0 under id+1000000 (adds).
+CORPUS_DIFF_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 101 = 0
+),
+ha AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 12))::BIGINT AS h_a
+       FROM documents),
+hb AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 12))::BIGINT AS h_b FROM b)
+SELECT COALESCE(ha.doc_id, hb.doc_id) AS doc_id,
+       CASE WHEN ha.doc_id IS NULL THEN 'added'
+            WHEN hb.doc_id IS NULL THEN 'removed'
+            WHEN h_a <> h_b THEN 'changed' END AS status,
+       h_a, h_b
+FROM ha FULL OUTER JOIN hb ON ha.doc_id = hb.doc_id
+WHERE (ha.doc_id IS NULL OR hb.doc_id IS NULL OR h_a <> h_b)
+ORDER BY doc_id
+"""
+
+
+@register("corpus_snapshot_diff", CORPUS_DIFF_SQL)
+def corpus_snapshot_diff_q(spark, sf_dir):
+    from thundercats_spark.operators.curation import corpus_diff
+
+    a = load(spark, sf_dir, "documents")["documents"]
+    changed = F.when(
+        F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    b = a.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", changed.alias("text")
+    ).unionByName(
+        a.where(F.col("doc_id") % 101 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return corpus_diff(a, b).orderBy("doc_id")
