@@ -55,6 +55,13 @@ BENCH_QUERIES = [
     "corpus_token_budget_per_source",
     "doc_chunk_windows",
     "corpus_packed_sequences",
+    # round-4 families: model scoring, temperature mixing, int8 serving,
+    # snapshot integrity
+    "doc_quality_classifier_score",
+    "corpus_temperature_sample",
+    "embedding_quantize",
+    "ann_quantized_topk",
+    "corpus_manifest",
 ]
 
 
