@@ -1,3 +1,9 @@
+from thundercats_spark.quality.classifier import (
+    filter_by_quality,
+    linear_quality_score,
+    score_quality,
+    train_quality_classifier,
+)
 from thundercats_spark.quality.checks import (
     Check,
     expect_in_range,
@@ -16,4 +22,8 @@ __all__ = [
     "expect_in_range",
     "expect_row_count_between",
     "validate",
+    "train_quality_classifier",
+    "score_quality",
+    "filter_by_quality",
+    "linear_quality_score",
 ]
