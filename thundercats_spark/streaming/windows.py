@@ -316,3 +316,46 @@ def stream_dedup_corpus_near(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def stream_rollup_parquet(
+    stream: DataFrame,
+    rollup_path: str,
+    keys: Sequence[str],
+    metrics: dict,
+    partition_col: str | None = None,
+    checkpoint: str | None = None,
+):
+    """Live aggregate table maintained by the stream: each micro-batch
+    folds into the persisted rollup via ``rollup_update`` (count / sum
+    / min / max / HLL approx-distinct — the mergeable class).
+
+    Replay safety: ``foreachBatch`` redelivers a batch (same batch_id)
+    after a crash, and re-merging a sum-like metric would double-count
+    — so the last merged batch_id is committed WITH the rollup
+    (``state_doc``) and replayed ids are skipped. In the unpartitioned
+    path the id rides the same atomic directory swap as the data, so
+    the merge+commit is exactly-once; with ``partition_col`` the id is
+    written after the partition swaps, leaving a crash window of one
+    batch (documented trade for partition-pruned maintenance of very
+    large rollups). Returns the started StreamingQuery."""
+    from thundercats_spark.operators.incremental import rollup_state, rollup_update
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        last = rollup_state(rollup_path).get("batch_id", -1)
+        if batch_id <= last:
+            return  # already merged before the crash — skip the replay
+        rollup_update(
+            batch.sparkSession,
+            batch,
+            rollup_path,
+            list(keys),
+            metrics,
+            partition_col=partition_col,
+            state_doc={"batch_id": batch_id},
+        )
+
+    w = stream.writeStream.foreachBatch(fold).outputMode("update")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
