@@ -86,3 +86,44 @@ def test_empty_and_null_docs(spark):
     rows = {r["id"]: r["bpe_tokens"] for r in bpe_encode(df, merges).collect()}
     assert rows[1] == [] and rows[2] == []
     assert "".join(rows[3]) == "low" + END_OF_WORD
+
+
+def _naive_train(counts, n_merges):
+    """Reference rescan-everything implementation (the textbook loop)."""
+    from collections import Counter, defaultdict
+
+    from thundercats_spark.functions.bpe import END_OF_WORD, _merge_word
+
+    vocab = defaultdict(int)
+    for word, n in counts:
+        vocab[tuple(word) + (END_OF_WORD,)] += n
+    vocab = dict(vocab)
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for symbols, n in vocab.items():
+            for p in zip(symbols, symbols[1:]):
+                pairs[p] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        merges.append(best[0])
+        vocab = {_merge_word(s, best[0]): n for s, n in vocab.items()}
+    return merges
+
+
+def test_incremental_trainer_equals_naive():
+    import random
+
+    rng = random.Random(5)
+    words = [
+        "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 10)))
+        for _ in range(300)
+    ]
+    counts = [(w, rng.randint(1, 50)) for w in set(words)]
+    assert bpe_train_from_counts(counts, 80) == _naive_train(counts, 80)
+    # and on the classic example at every merge budget
+    for k in (1, 3, 7, 50):
+        assert bpe_train_from_counts(SENNRICH, k) == _naive_train(SENNRICH, k)

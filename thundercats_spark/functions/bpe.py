@@ -92,24 +92,73 @@ def bpe_train_from_counts(
     """Learn ``n_merges`` BPE merges from a (word, count) table.
     Deterministic: the best pair each round is (max count, then
     lexicographically smallest) — no dict-order dependence. Stops early
-    when no pair repeats."""
-    vocab: dict[tuple[str, ...], int] = defaultdict(int)
+    when no pair repeats.
+
+    Incremental stats (the Sennrich learn_bpe optimization): a
+    pair→word-index inverted index makes each merge touch only the
+    words that actually CONTAIN the winning pair, re-counting just
+    their adjacencies — instead of rescanning the whole vocabulary
+    per merge (O(merges × vocab), which crawls at 100k+ words and
+    30k merges). Equivalence with the naive rescan is test-pinned."""
+    agg: dict[tuple[str, ...], int] = defaultdict(int)
     for word, n in counts:
-        vocab[tuple(word) + (END_OF_WORD,)] += n
-    vocab = dict(vocab)
+        agg[tuple(word) + (END_OF_WORD,)] += n
+    words: list[tuple[str, ...]] = list(agg.keys())
+    freqs: list[int] = [agg[w] for w in words]
+
+    import heapq
+
+    pairs: Counter = Counter()
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, symbols in enumerate(words):
+        for p in zip(symbols, symbols[1:]):
+            pairs[p] += freqs[i]
+            where[p].add(i)
+
+    # best-pair selection via a lazy-invalidation heap: every count
+    # change pushes a fresh (-count, pair) entry; stale entries are
+    # discarded at pop time by checking against the live Counter. Heap
+    # order (-count, pair) IS the deterministic tie-break rule, so the
+    # winner is identical to the naive full scan (equivalence-pinned).
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-n, p) for p, n in pairs.items()
+    ]
+    heapq.heapify(heap)
+
+    def touch(p: tuple[str, str]) -> None:
+        n = pairs.get(p)
+        if n:
+            heapq.heappush(heap, (-n, p))
+
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs = _pair_stats(vocab)
-        if not pairs:
+    while len(merges) < n_merges and heap:
+        neg, pair = heapq.heappop(heap)
+        if pairs.get(pair) != -neg:
+            continue  # stale entry — a newer count was pushed
+        if -neg < 2:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < 2:
-            break
-        pair = best[0]
         merges.append(pair)
-        vocab = {
-            (_merge_word(s, pair) if pair[0] in s else s): n for s, n in vocab.items()
-        }
+        for i in list(where.get(pair, ())):
+            old, n = words[i], freqs[i]
+            changed = set()
+            for p in zip(old, old[1:]):  # retract the word's contributions
+                pairs[p] -= n
+                changed.add(p)
+                if pairs[p] <= 0:
+                    del pairs[p]
+                s = where.get(p)
+                if s is not None:
+                    s.discard(i)
+                    if not s:
+                        del where[p]
+            new = _merge_word(old, pair)
+            words[i] = new
+            for p in zip(new, new[1:]):  # re-add under the merged form
+                pairs[p] += n
+                changed.add(p)
+                where[p].add(i)
+            for p in changed:
+                touch(p)
     return merges
 
 
