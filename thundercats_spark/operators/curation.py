@@ -1109,7 +1109,9 @@ def corpus_diff(
     were added, removed, or changed (same id, different content hash).
     Unchanged docs are excluded — at 100 TB the output is the CHANGE
     set, not the corpus. Only (id, 8-byte hash) pairs shuffle through
-    the full outer join; the text never moves."""
+    the full outer join; the text never moves. ``id_col`` must be
+    unique within each snapshot (run ``dedup_exact`` first if not) —
+    duplicate ids would cross-multiply in the join."""
     ha = df_a.select(
         F.col(id_col).alias("doc_id"), content_hash48(F.col(text_col)).alias("h_a")
     )

