@@ -16,3 +16,30 @@ def test_long_chain_converges_via_pointer_halving(spark):
     )
     comp = {r["id"]: r["component"] for r in connected_components(edges2).collect()}
     assert comp[150] == 0 and comp[1040] == 1000
+
+
+def test_driver_fast_path_equals_distributed(spark):
+    import random
+
+    from thundercats_spark.operators.components import connected_components
+
+    rng = random.Random(23)
+    edges = [
+        (rng.randint(0, 80), rng.randint(0, 80)) for _ in range(150)
+    ] + [(200, 201), (201, 202), (202, 203), (203, 204)]  # a chain
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = sorted(tuple(r) for r in connected_components(df).collect())
+    dist = sorted(
+        tuple(r)
+        for r in connected_components(df, small_graph_rows=None).collect()
+    )
+    assert fast == dist
+    comp = dict(fast)
+    assert comp[204] == 200  # the chain collapses to its min id
+
+
+def test_fast_path_empty_edges(spark):
+    from thundercats_spark.operators.components import connected_components
+
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0

@@ -36,6 +36,44 @@ def _cut_lineage(df: DataFrame, reliable: bool) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _components_driver(sym: DataFrame) -> DataFrame:
+    """Union-find over a collected edge list — the exact same
+    (id, component=min id) result as the iterative path, without the
+    per-iteration job overhead that dominates on small graphs.
+    Deterministic (pure integer set operations)."""
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    out = sorted((x, comp_min[find(x)]) for x in parent)
+    id_type = sym.schema["a"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("id", id_type, True), StructField("component", id_type, True)]
+    )
+    return sym.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -43,11 +81,24 @@ def connected_components(
     max_iter: int = 20,
     checkpoint_every: int = 3,
     reliable: bool = False,
+    small_graph_rows: int | None = 500_000,
 ) -> DataFrame:
     """→ (id, component) where component = min node id in the
     component. Nodes = every id appearing in ``edges``. Set
     ``reliable=True`` for fault-tolerant checkpoints (requires
-    ``setCheckpointDir``); see module docstring."""
+    ``setCheckpointDir``); see module docstring.
+
+    Adaptive execution: after the (always-materialized) symmetric edge
+    list is built, a cheap count decides the plan — at or below
+    ``small_graph_rows`` edges the transitive closure runs as
+    driver-side union-find (same exact result, pinned by an
+    equivalence test; skips ~5 iteration jobs whose fixed overhead
+    dominates on the small dup graphs a collapsed corpus typically
+    yields), above it the checkpointed pointer-halving loop runs
+    distributed. ``small_graph_rows=None`` forces the distributed
+    path. The 500k default keeps the collected edge list well under
+    driver memory; the 100 TB-scale graph takes the distributed path
+    automatically."""
     sym = _cut_lineage(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -57,6 +108,8 @@ def connected_components(
         # expensive pair-mining job) re-executes per iteration.
         reliable,
     )
+    if small_graph_rows is not None and sym.count() <= small_graph_rows:
+        return _components_driver(sym)
     labels = _cut_lineage(
         sym.select(F.col("a").alias("id"))
         .distinct()
