@@ -211,7 +211,9 @@ def main():
 
     t0 = time.time()
     pairs = dedup.minhash_lsh_pairs(d, threshold=0.5)
-    cc = connected_components(pairs)
+    # force the distributed pointer-halving plan: the rehearsal must
+    # exercise the 100 TB path, not the small-graph driver fast path
+    cc = connected_components(pairs, small_graph_rows=None)
     n_groups = cc.select("component").distinct().count()
     out["secs_connected_components"] = round(time.time() - t0, 3)
     out["n_components"] = n_groups
