@@ -366,3 +366,30 @@ def test_parquet_sorted_clusters_value_ranges(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,1234)]" in plan, plan
+
+
+def test_json_quarantine_splits_bad_lines(spark, tmp_path):
+    from thundercats_spark.physical.io import Read
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "not json at all\n"
+        '{"id": 2, "v": "fine"}\n'
+        "\n"
+        '{"id": 3, "v": unquoted}\n'
+    )
+    good, bad = Read.json_quarantine_df(spark, str(src), "id long, v string")
+    rows = {r["id"]: r["v"] for r in good.collect()}
+    assert rows == {1: "ok", 2: "fine"}
+    quarantined = sorted(r["raw"] for r in bad.collect())
+    assert quarantined == ["not json at all", '{"id": 3, "v": unquoted}']
+    assert all(r["source_path"].endswith("a.jsonl") for r in bad.collect())
+    # scan-stage only: no caching requirement, no exchange
+    # (InMemoryFileIndex is the file LISTING, not a cached relation)
+    plan = good._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "InMemoryRelation" not in plan
+    # monadic surface
+    res = Read.json_quarantine(spark, str(src), "id long, v string")
+    assert not res.is_failing

@@ -247,6 +247,45 @@ class Read:
     def text_corpus(spark, path, whole_file=False) -> MayFail[DataFrame]:
         return MayFail.of(lambda: Read.text_corpus_df(spark, path, whole_file))
 
+    @staticmethod
+    def json_quarantine_df(
+        spark: SparkSession, path: str, schema: str
+    ) -> tuple[DataFrame, DataFrame]:
+        """JSON Lines ingestion with malformed-record quarantine:
+        returns ``(good, quarantine)`` where ``good`` has ``schema``'s
+        columns and ``quarantine`` carries the raw line + source file
+        of every row that failed to parse — at ingest scale bad lines
+        are routine, and dropping them silently (or failing the whole
+        job) are both wrong.
+
+        Implementation note: built as ``from_json`` over a text scan
+        rather than the json source's ``_corrupt_record`` column,
+        which Spark forbids filtering on without caching the frame —
+        this formulation is a pure scan-stage projection, no cache, no
+        second pass."""
+        cr = "__corrupt"
+        raw = spark.read.text(path).select(
+            F.col("value").alias("raw"), F.input_file_name().alias("source_path")
+        )
+        parsed = raw.select(
+            "raw",
+            "source_path",
+            F.from_json(
+                "raw",
+                f"{schema}, {cr} string",
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": cr},
+            ).alias("__p"),
+        ).where(F.trim("raw") != "")  # blank lines are noise, not records
+        good = parsed.where(F.col(f"__p.{cr}").isNull()).select("__p.*").drop(cr)
+        bad = parsed.where(F.col(f"__p.{cr}").isNotNull()).select(
+            "raw", "source_path"
+        )
+        return good, bad
+
+    @staticmethod
+    def json_quarantine(spark, path, schema) -> MayFail[tuple[DataFrame, DataFrame]]:
+        return MayFail.of(lambda: Read.json_quarantine_df(spark, path, schema))
+
     # -- kafka (reference IO.scala:116-166): lazy plan; no broker locally ----
     @staticmethod
     def _kafka_decode(df: DataFrame, col_encoder: ColumnEncoder) -> DataFrame:
