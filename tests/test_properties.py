@@ -317,10 +317,20 @@ def test_temperature_fractions_properties(spark, counts, temp):
     for s, f in fr.items():
         assert 0.0 < f <= 1.0
     if pos:
+        # some source is always kept in full (the smoothing target's
+        # anchor): the smallest for T >= 1 (flattening), the largest
+        # for T < 1 (sharpening — alpha-sampling's other regime)
         smallest = min(pos, key=lambda s: (pos[s], s))
-        assert fr[smallest] == 1.0  # the smallest source is never cut
+        largest = max(pos, key=lambda s: (pos[s], s))
+        anchor = smallest if temp >= 1.0 else largest
+        assert fr[anchor] == 1.0
         if temp >= 1.0:
-            # larger sources never keep a larger fraction
+            # flattening: larger sources never keep a larger fraction
             for s in pos:
                 if pos[s] >= pos[smallest]:
                     assert fr[s] <= fr[smallest] + 1e-12
+        else:
+            # sharpening: smaller sources never keep a larger fraction
+            for s in pos:
+                if pos[s] <= pos[largest]:
+                    assert fr[s] <= fr[largest] + 1e-12

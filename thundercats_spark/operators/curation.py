@@ -291,7 +291,9 @@ def temperature_keep_fractions(
     The normalizer Z cancels, so no float summation appears anywhere —
     every term is a pow/division over a single integer count, which
     any engine (or an oracle) reproduces bit-for-bit. T=1 keeps the
-    corpus unchanged; T→∞ levels every source to the smallest one."""
+    corpus unchanged; T→∞ levels every source to the smallest one;
+    T<1 runs the other alpha-sampling regime — sharpening toward the
+    LARGEST source (it anchors at 1.0 and smaller sources are cut)."""
     if temperature <= 0:
         raise ValueError("temperature must be > 0")
     e = 1.0 - 1.0 / temperature
