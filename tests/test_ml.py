@@ -415,3 +415,44 @@ def test_pipe_helpers(spark, tmp_path, reg_df):
     back = P.load(path).get
     fe = P.fitted_estimator(back).get
     assert type(fe).__name__ == "LinearRegressionModel"
+
+
+def test_custom_transformer_persistence_roundtrip(spark, tmp_path):
+    """Every custom transformer survives save -> load with params and
+    transform output intact (production model-registry requirement)."""
+    from pyspark.ml import Pipeline
+
+    from thundercats_spark.ml.estimators import (
+        ColumnRename,
+        Scaler,
+        StringEncoder,
+        ZStandardScaler,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "alpha beta"), (2, 20.0, "beta gamma"), (3, 40.0, "delta")],
+        "id long, x double, words string",
+    )
+    pipe = Pipeline(
+        stages=[
+            Scaler(inputCol="x", outputCol="x_s", normalise=True, logScale=True),
+            ZStandardScaler(inputCol="x", outputCol="x_z"),
+            StringEncoder(inputCol="words", outputCol="w_h", numBuckets=1 << 10),
+            ColumnRename(inputCol="x_z", outputCol="x_std"),
+        ]
+    )
+    model = pipe.fit(df)
+    before = [tuple(r) for r in model.transform(df).orderBy("id").collect()]
+
+    path = str(tmp_path / "custom_stages")
+    model.write().overwrite().save(path)
+    from pyspark.ml import PipelineModel
+
+    back = PipelineModel.load(path)
+    after = [tuple(r) for r in back.transform(df).orderBy("id").collect()]
+    assert before == after
+    # params survive the round trip
+    sc = back.stages[0]
+    assert sc.getOrDefault(sc.logScale) is True
+    se = back.stages[2]
+    assert se.getOrDefault(se.numBuckets) == 1 << 10
