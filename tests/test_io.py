@@ -393,3 +393,22 @@ def test_json_quarantine_splits_bad_lines(spark, tmp_path):
     # monadic surface
     res = Read.json_quarantine(spark, str(src), "id long, v string")
     assert not res.is_failing
+
+
+def test_csv_quarantine_splits_bad_lines(spark, tmp_path):
+    from thundercats_spark.physical.io import Read
+
+    src = tmp_path / "csvin"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "id,v\n"
+        "1,ok\n"
+        "not_a_number,oops\n"
+        "2,fine\n"
+        "3,extra,columns,here\n"
+    )
+    good, bad = Read.csv_quarantine_df(spark, str(src), "id long, v string")
+    rows = {r["id"]: r["v"] for r in good.collect()}
+    assert rows == {1: "ok", 2: "fine"}
+    quarantined = sorted(r["raw"] for r in bad.collect())
+    assert quarantined == ["3,extra,columns,here", "not_a_number,oops"]

@@ -286,6 +286,53 @@ class Read:
     def json_quarantine(spark, path, schema) -> MayFail[tuple[DataFrame, DataFrame]]:
         return MayFail.of(lambda: Read.json_quarantine_df(spark, path, schema))
 
+    @staticmethod
+    def csv_quarantine_df(
+        spark: SparkSession,
+        path: str,
+        schema: str,
+        delimiter: str = ",",
+        with_header: bool = True,
+    ) -> tuple[DataFrame, DataFrame]:
+        """CSV twin of ``json_quarantine_df``: ``(good, quarantine)``
+        via ``from_csv`` over a text scan — malformed lines (wrong
+        field count, uncastable values) keep their raw text and source
+        file instead of becoming silent nulls. Header lines are dropped
+        by matching the header string per file (the text source has no
+        header notion)."""
+        cr = "__corrupt"
+        raw = spark.read.text(path).select(
+            F.col("value").alias("raw"), F.input_file_name().alias("source_path")
+        )
+        opts = {
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": cr,
+            "sep": delimiter,
+        }
+        parsed = raw.select(
+            "raw",
+            "source_path",
+            F.from_csv("raw", f"{schema}, {cr} string", opts).alias("__p"),
+        ).where(F.trim("raw") != "")
+        if with_header:
+            header = delimiter.join(
+                f.strip().split()[0] for f in schema.split(",")
+            )
+            parsed = parsed.where(F.col("raw") != header)
+        good = parsed.where(F.col(f"__p.{cr}").isNull()).select("__p.*").drop(cr)
+        bad = parsed.where(F.col(f"__p.{cr}").isNotNull()).select(
+            "raw", "source_path"
+        )
+        return good, bad
+
+    @staticmethod
+    def csv_quarantine(
+        spark, path, schema, delimiter=",", with_header=True
+    ) -> MayFail[tuple[DataFrame, DataFrame]]:
+        return MayFail.of(
+            lambda: Read.csv_quarantine_df(spark, path, schema, delimiter, with_header)
+        )
+
     # -- kafka (reference IO.scala:116-166): lazy plan; no broker locally ----
     @staticmethod
     def _kafka_decode(df: DataFrame, col_encoder: ColumnEncoder) -> DataFrame:
