@@ -135,3 +135,95 @@ def test_repartition_for_payload_uses_listing_bytes(spark):
     # fallback: no listing column -> payload lengths (30 bytes total -> 1)
     df3 = df.drop("n_bytes")
     assert repartition_for_payload(df3, target_mb=64).rdd.getNumPartitions() == 1
+
+
+# --------------------------------------------------------------------------
+# REAL decoders for self-describing formats (no codec libs needed)
+# --------------------------------------------------------------------------
+
+
+def _make_bmp(w, h, rgb_rows):
+    """Hand-built uncompressed 24-bit BMP (bottom-up row order)."""
+    import struct
+
+    row_pad = (w * 3 + 3) // 4 * 4 - w * 3
+    body = b""
+    for row in reversed(rgb_rows):  # bottom-up
+        for (r, g, b) in row:
+            body += bytes([b, g, r])
+        body += b"\0" * row_pad
+    pix_off = 54
+    size = pix_off + len(body)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, pix_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return hdr + dib + body
+
+
+def _make_wav(framerate, samples, sampwidth=2, nch=1):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(nch)
+        f.setsampwidth(sampwidth)
+        f.setframerate(framerate)
+        f.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_bmp_decodes_for_real(spark):
+    from thundercats_spark.multimodal.binary import decode_bmp, decode_image_features
+
+    pixels = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    payload = _make_bmp(2, 2, pixels)
+    w, h, mode, vec = decode_bmp(payload)
+    assert (w, h, mode) == (2, 2, "BMP")
+    assert vec.tolist() == [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]
+    # end-to-end through the Spark op: exact pixels, not stub output
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    row = decode_image_features(df).first()
+    assert (row["width"], row["height"], row["mode"]) == (2, 2, "BMP")
+    assert row["feature"][:3] == [255.0, 0.0, 0.0]
+
+
+def test_ppm_decodes_for_real():
+    from thundercats_spark.multimodal.binary import decode_ppm
+
+    payload = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    w, h, mode, vec = decode_ppm(payload)
+    assert (w, h, mode) == (2, 1, "PPM")
+    assert vec.tolist() == [1, 2, 3, 4, 5, 6]
+    assert decode_ppm(b"P5 not p6") is None
+
+
+def test_wav_decodes_for_real(spark):
+    import math
+
+    from thundercats_spark.multimodal.binary import decode_audio_features, decode_wav
+
+    fr = 8000
+    # 2 seconds of a constant-amplitude square wave -> RMS == amplitude
+    samples = [10000 if i % 2 == 0 else -10000 for i in range(fr * 2)]
+    payload = _make_wav(fr, samples)
+    got = decode_wav(payload)
+    assert got is not None
+    frate, nch, duration_ms, mono = got
+    assert (frate, nch, duration_ms) == (fr, 1, 2000)
+    assert len(mono) == fr * 2
+    df = spark.createDataFrame([(7, bytearray(payload))], "media_id long, payload binary")
+    row = decode_audio_features(df, window_ms=1000).first()
+    assert row["duration_ms"] == 2000 and row["n_windows"] == 2
+    for v in row["feature"]:
+        assert math.isclose(v, 10000.0, rel_tol=1e-9)
+
+
+def test_non_wav_payload_falls_back_to_stub(spark):
+    from thundercats_spark.multimodal.binary import decode_audio_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00" * 3200))], "media_id long, payload binary"
+    )
+    row = decode_audio_features(df).first()
+    assert row["duration_ms"] == 200  # byte-length estimate, stub path

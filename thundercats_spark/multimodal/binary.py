@@ -38,23 +38,93 @@ IMAGE_FEATURES_SCHEMA = "media_id long, width int, height int, mode string, feat
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame binary"
 
 
+def decode_bmp(data: bytes):
+    """REAL decoder for uncompressed 24-bit BMP (no external libs —
+    the format is a struct header + padded BGR rows). Returns
+    (width, height, 'BMP', float32 RGB pixels) or None if the payload
+    is not a BMP this decoder handles."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    w = struct.unpack_from("<i", data, 18)[0]
+    h = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    row_bytes = (w * 3 + 3) // 4 * 4
+    need = pix_off + row_bytes * abs(h)
+    if len(data) < need:
+        return None
+    arr = np.frombuffer(data, np.uint8, count=row_bytes * abs(h), offset=pix_off)
+    arr = arr.reshape(abs(h), row_bytes)[:, : w * 3].reshape(abs(h), w, 3)[:, :, ::-1]
+    if h > 0:
+        arr = arr[::-1]  # positive height = bottom-up row order
+    return w, abs(h), "BMP", arr.astype(np.float32).ravel()
+
+
+def decode_ppm(data: bytes):
+    """REAL decoder for binary PPM (P6): ASCII header (width, height,
+    maxval, '#' comments allowed) + raw RGB bytes."""
+    if not data.startswith(b"P6"):
+        return None
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(data):
+        c = data[pos : pos + 1]
+        if c == b"#":
+            pos = data.find(b"\n", pos)
+            if pos < 0:
+                return None
+            pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end : end + 1].isspace():
+                end += 1
+            fields.append(data[pos:end])
+            pos = end
+    if len(fields) < 3:
+        return None
+    try:
+        w, h, maxval = (int(f) for f in fields)
+    except ValueError:
+        return None
+    pos += 1  # single whitespace after maxval, then raw pixel data
+    if maxval > 255 or w <= 0 or h <= 0 or len(data) < pos + w * h * 3:
+        return None
+    arr = np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos)
+    return w, h, "PPM", arr.astype(np.float32)
+
+
 def _decoder():
-    """Real decoder if the imaging lib exists, else deterministic stub."""
+    """Decoder chain: REAL header-parsing decoders for self-describing
+    uncompressed formats (BMP, PPM — no libs needed), then the imaging
+    lib for compressed formats if importable, else the deterministic
+    stub. The second return value reports whether a REAL path decoded
+    compressed formats too."""
     try:  # pragma: no cover - lib absent in this container
         import io
 
         from PIL import Image
 
         def decode(payload: bytes):
+            got = decode_bmp(payload) or decode_ppm(payload)
+            if got is not None:
+                return got
             im = Image.open(io.BytesIO(payload))
             return im.width, im.height, im.mode, np.asarray(im, dtype=np.float32).ravel()
 
         return decode, True
     except ImportError:
         def decode_stub(payload: bytes):
-            # STUB: deterministic pseudo-decode from payload bytes.
-            # Real pipelines replace this with PIL/libvips via the
-            # import branch above; everything downstream is unchanged.
+            got = decode_bmp(payload) or decode_ppm(payload)
+            if got is not None:  # REAL decode — format needs no codec lib
+                return got
+            # STUB for compressed formats only (JPEG/PNG/...):
+            # deterministic pseudo-decode from payload bytes. Real
+            # pipelines get these via the PIL branch above; everything
+            # downstream is unchanged.
             digest = hashlib.sha256(payload).digest()
             w = 1 + digest[0]
             h = 1 + digest[1]
@@ -218,12 +288,43 @@ def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) 
     return df.select("media_id", "payload", "meta").mapInPandas(run, RESIZED_SCHEMA)
 
 
+def decode_wav(data: bytes):
+    """REAL decoder for RIFF/WAVE PCM via the stdlib ``wave`` module:
+    returns (framerate, n_channels, duration_ms, mono float64 samples)
+    or None for non-WAV / non-PCM payloads."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            nch, sw, fr, nf = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+            )
+            pcm = w.readframes(nf)
+    except (wave.Error, EOFError):
+        return None
+    dtype = {1: np.uint8, 2: "<i2", 4: "<i4"}.get(sw)
+    if dtype is None or fr <= 0 or nch <= 0:
+        return None
+    samples = np.frombuffer(pcm, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        samples -= 128.0  # 8-bit WAV is unsigned
+    if nch > 1:
+        samples = samples[: len(samples) // nch * nch].reshape(-1, nch).mean(axis=1)
+    duration_ms = max(1, int(round(nf * 1000 / fr)))
+    return fr, nch, duration_ms, samples
+
+
 def decode_audio_features(df: DataFrame, window_ms: int = 1000, batch_size: int = 64) -> DataFrame:
-    """Audio payload → (duration, windowed feature vector). STUB
-    decoder: duration estimated from byte length at a nominal bitrate
-    and an energy-profile-like vector from windowed byte sums — a real
-    build decodes PCM (torchaudio/ffmpeg) and emits MFCC/log-mel per
-    window through the identical contract."""
+    """Audio payload → (duration, windowed feature vector). RIFF/WAVE
+    PCM payloads decode for REAL (stdlib wave: true duration from the
+    frame count, per-window RMS energy over the downmixed samples).
+    Other formats fall back to the STUB (duration estimated from byte
+    length at a nominal bitrate, windowed byte sums) — a real build
+    adds compressed codecs (torchaudio/ffmpeg) behind the identical
+    contract."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bytes_per_ms = 16  # STUB nominal 128 kbit/s
@@ -231,6 +332,21 @@ def decode_audio_features(df: DataFrame, window_ms: int = 1000, batch_size: int 
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
+                wav = decode_wav(data)
+                if wav is not None:  # REAL path
+                    fr, _nch, duration_ms, samples = wav
+                    n_windows = max(1, duration_ms // window_ms)
+                    win = max(1, len(samples) // n_windows)
+                    feat = [
+                        float(
+                            np.sqrt(np.mean(np.square(samples[i * win : (i + 1) * win])))
+                        )
+                        if len(samples[i * win : (i + 1) * win])
+                        else 0.0
+                        for i in range(n_windows)
+                    ]
+                    rows.append((mid, duration_ms, n_windows, feat))
+                    continue
                 duration_ms = max(1, len(data) // bytes_per_ms)
                 n_windows = max(1, duration_ms // window_ms)
                 chunk = max(1, len(data) // n_windows)
