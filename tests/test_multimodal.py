@@ -227,3 +227,25 @@ def test_non_wav_payload_falls_back_to_stub(spark):
     )
     row = decode_audio_features(df).first()
     assert row["duration_ms"] == 200  # byte-length estimate, stub path
+
+
+def test_bmp_resize_is_real_roundtrip(spark):
+    from thundercats_spark.multimodal.binary import decode_bmp, resize_images
+
+    # 4x4 image with distinct per-pixel values
+    rows4 = [[(y * 40 + x * 10, 0, 255 - y * 40 - x * 10) for x in range(4)] for y in range(4)]
+    payload = _make_bmp(4, 4, rows4)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), (4, 4, None, "bmp"))],
+        "media_id long, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+    )
+    out = resize_images(df, 2, 2).first()
+    assert out["meta"]["width"] == 2 and out["meta"]["height"] == 2
+    w, h, mode, vec = decode_bmp(bytes(out["payload"]))
+    assert (w, h, mode) == (2, 2, "BMP")
+    got = vec.reshape(2, 2, 3)
+    # nearest-neighbor: target (y,x) samples source (y*4//2, x*4//2)
+    for ty in range(2):
+        for tx in range(2):
+            assert tuple(got[ty, tx]) == rows4[ty * 2][tx * 2]

@@ -262,10 +262,27 @@ RESIZED_SCHEMA = "media_id long, payload binary, meta struct<width:int, height:i
 AUDIO_FEATURES_SCHEMA = "media_id long, duration_ms int, n_windows int, feature array<float>"
 
 
+def encode_bmp(w: int, h: int, rgb: np.ndarray) -> bytes:
+    """Inverse of ``decode_bmp``: float/uint8 RGB (h, w, 3) → an
+    uncompressed 24-bit bottom-up BMP byte string."""
+    arr = np.clip(np.asarray(rgb).reshape(h, w, 3), 0, 255).astype(np.uint8)
+    row_pad = (w * 3 + 3) // 4 * 4 - w * 3
+    bgr = arr[::-1, :, ::-1]  # bottom-up rows, BGR order
+    body = b"".join(r.tobytes() + b"\0" * row_pad for r in bgr)
+    pix_off = 54
+    hdr = b"BM" + struct.pack("<IHHI", pix_off + len(body), 0, 0, pix_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return hdr + dib + body
+
+
 def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) -> DataFrame:
     """payload → resized payload with updated meta dims, one mapInPandas
-    pass. STUB resample (deterministic byte decimation to the target
-    pixel budget); the PIL branch in ``_decoder`` swaps in real
+    pass. BMP payloads resize for REAL (header decode → nearest-
+    neighbor numpy resample → BMP re-encode); other formats use the
+    STUB resample (deterministic byte decimation to the target pixel
+    budget) until a codec lib is present — the PIL branch swaps in real
     resampling with no contract change. Payload size is bounded by the
     target dims, so downstream shuffles shrink accordingly."""
 
@@ -275,12 +292,22 @@ def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) 
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 data = bytes(payload)
+                codec = meta["codec"] if meta is not None else None
+                dur = meta["duration_ms"] if meta is not None else None
+                bmp = decode_bmp(data)
+                if bmp is not None:  # REAL path
+                    sw, sh, _, vec = bmp
+                    arr = vec.reshape(sh, sw, 3)
+                    ys = np.minimum(np.arange(height) * sh // height, sh - 1)
+                    xs = np.minimum(np.arange(width) * sw // width, sw - 1)
+                    out = encode_bmp(width, height, arr[ys][:, xs])
+                    rows.append((mid, out, (width, height, dur, codec)))
+                    continue
                 # STUB: decimate/repeat bytes to the pixel budget. Real
                 # builds decode + Image.resize((width, height)) here.
                 step = max(1, len(data) // budget)
                 out = data[::step][:budget]
-                codec = meta["codec"] if meta is not None else None
-                rows.append((mid, out, (width, height, meta["duration_ms"] if meta is not None else None, codec)))
+                rows.append((mid, out, (width, height, dur, codec)))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
     spark = df.sparkSession
