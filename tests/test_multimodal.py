@@ -249,3 +249,26 @@ def test_bmp_resize_is_real_roundtrip(spark):
     for ty in range(2):
         for tx in range(2):
             assert tuple(got[ty, tx]) == rows4[ty * 2][tx * 2]
+
+
+def test_synthetic_real_media_exercises_real_decoders(spark):
+    import math
+
+    from thundercats_spark.multimodal.binary import (
+        decode_audio_features,
+        decode_image_features,
+        make_synthetic_media,
+    )
+
+    imgs = make_synthetic_media(spark, 4, media_type="image", real=True)
+    decoded = decode_image_features(imgs).collect()
+    assert all(r["mode"] == "BMP" for r in decoded)
+    assert all((r["width"], r["height"]) == (8, 6) for r in decoded)
+    assert len({tuple(r["feature"][:9]) for r in decoded}) == 4  # per-id pixels differ
+
+    wavs = make_synthetic_media(spark, 3, media_type="audio", real=True)
+    feats = decode_audio_features(wavs, window_ms=500).collect()
+    for r in feats:
+        assert r["duration_ms"] == 1000 and r["n_windows"] == 2
+        for v in r["feature"]:  # sine RMS = amplitude / sqrt(2)
+            assert math.isclose(v, 10000 / math.sqrt(2), rel_tol=0.01)

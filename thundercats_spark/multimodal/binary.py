@@ -248,11 +248,42 @@ def read_media_dir(
     )
 
 
-def make_synthetic_media(spark, n: int = 32, media_type: str = "image") -> DataFrame:
-    """Deterministic synthetic media table for tests (payload = seeded
-    bytes; metadata filled in)."""
+def make_synthetic_media(
+    spark, n: int = 32, media_type: str = "image", real: bool = False
+) -> DataFrame:
+    """Deterministic synthetic media table for tests. Default payloads
+    are seeded opaque bytes (standing in for compressed formats the
+    container can't decode); ``real=True`` emits genuinely decodable
+    payloads instead — 24-bit BMPs (seeded gradient) for images, 8 kHz
+    PCM WAV sine tones for audio — so the full pipeline exercises the
+    REAL decoder paths."""
     rows = []
     for i in range(n):
+        if real and media_type == "image":
+            w, h = 8, 6
+            yy, xx = np.mgrid[0:h, 0:w]
+            rgb = np.stack(
+                [(xx * 16 + i) % 256, (yy * 32 + i) % 256, (xx * yy + i) % 256], axis=2
+            )
+            payload = encode_bmp(w, h, rgb)
+            rows.append((i, media_type, bytearray(payload), (w, h, None, "bmp")))
+            continue
+        if real and media_type == "audio":
+            import io
+            import wave
+
+            fr, secs = 8000, 1
+            t = np.arange(fr * secs)
+            tone = (10000 * np.sin(2 * np.pi * (200 + 10 * i) * t / fr)).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(fr)
+                f.writeframes(tone.tobytes())
+            payload = buf.getvalue()
+            rows.append((i, media_type, bytearray(payload), (None, None, 1000, "wav")))
+            continue
         payload = hashlib.sha512(struct.pack("<q", i)).digest() * 8  # 512 bytes
         rows.append((i, media_type, bytearray(payload), (64, 48, 1000, "stub")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
