@@ -150,3 +150,15 @@ def test_sample_to_fractions_is_replay_stable(spark, sf_dir):
         r["lang"] for r in sample_to_fractions(d, f, source_col="lang").select("lang").distinct().collect()
     }
     assert kept_langs <= {"en", "fr"}  # absent sources dropped
+
+
+def test_quality_model_persistence_roundtrip(spark, labeled, tmp_path):
+    from pyspark.ml import PipelineModel
+
+    model = train_quality_classifier(labeled, n_features=1 << 12, max_iter=15)
+    path = str(tmp_path / "quality_model")
+    model.write().overwrite().save(path)
+    back = PipelineModel.load(path)
+    a = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, labeled).collect()}
+    b = {r["doc_id"]: r["quality_prob"] for r in score_quality(back, labeled).collect()}
+    assert a == b
