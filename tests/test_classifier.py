@@ -162,3 +162,13 @@ def test_quality_model_persistence_roundtrip(spark, labeled, tmp_path):
     a = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, labeled).collect()}
     b = {r["doc_id"]: r["quality_prob"] for r in score_quality(back, labeled).collect()}
     assert a == b
+
+
+def test_temperature_sample_with_null_sources(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else None) for i in range(60)], "doc_id long, lang string"
+    )
+    out = temperature_sample(df, temperature=2.0, source_col="lang")
+    rows = out.collect()
+    assert rows  # no crash; named sources survive
+    assert all(r["lang"] is not None for r in rows)  # null sources dropped

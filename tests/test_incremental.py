@@ -166,3 +166,21 @@ def test_rollup_update_rejects_non_distributive(spark, tmp_path):
             spark, _batches(spark)[0], str(tmp_path / "r"), ["day"],
             METRICS, partition_col="k",
         )
+
+
+def test_rollup_partition_values_with_escapes_and_null(spark, tmp_path):
+    """Partition values Spark Hive-escapes (':' -> '%3A') and NULL
+    partitions must survive the swap — regression for the
+    reconstructed-dir-name bug that silently dropped them."""
+    path = str(tmp_path / "rollup")
+    metrics = {"total": ("sum", "v")}
+    b1 = spark.createDataFrame(
+        [("web:en", 5), (None, 3), ("plain", 1)], "src string, v int"
+    )
+    b2 = spark.createDataFrame(
+        [("web:en", 2), (None, 4)], "src string, v int"
+    )
+    rollup_update(spark, b1, path, ["src"], metrics, partition_col="src")
+    rollup_update(spark, b2, path, ["src"], metrics, partition_col="src")
+    got = {r["src"]: r["total"] for r in spark.read.parquet(path).collect()}
+    assert got == {"web:en": 7, None: 7, "plain": 1}

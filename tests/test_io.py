@@ -412,3 +412,26 @@ def test_csv_quarantine_splits_bad_lines(spark, tmp_path):
     assert rows == {1: "ok", 2: "fine"}
     quarantined = sorted(r["raw"] for r in bad.collect())
     assert quarantined == ["3,extra,columns,here", "not_a_number,oops"]
+
+
+def test_json_quarantine_null_literal_is_quarantined(spark, tmp_path):
+    from thundercats_spark.physical.io import Read
+
+    src = tmp_path / "nullin"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"id": 1, "v": "ok"}\nnull\n')
+    good, bad = Read.json_quarantine_df(spark, str(src), "id long, v string")
+    assert [r["id"] for r in good.collect()] == [1]
+    assert [r["raw"] for r in bad.collect()] == ["null"]
+
+
+def test_csv_quarantine_header_variants_dropped(spark, tmp_path):
+    from thundercats_spark.physical.io import Read
+
+    src = tmp_path / "csvhdr"
+    src.mkdir()
+    (src / "a.csv").write_text('Id, V\n1,ok\n')
+    (src / "b.csv").write_text('"id","v"\n2,fine\n')
+    good, bad = Read.csv_quarantine_df(spark, str(src), "id long, v string")
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 0

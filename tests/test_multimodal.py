@@ -35,7 +35,9 @@ def test_decode_image_features(spark):
     first = out[0]
     assert first["mode"] == "STUB"  # stubbed decoder in this container
     assert len(first["feature"]) == 32
-    assert all(0.0 <= x <= 1.0 for x in first["feature"])
+    # 0-255 raw-pixel scale — the SAME convention as the real BMP/PPM
+    # (and PIL) paths, so mixed-codec datasets share one feature scale
+    assert all(0.0 <= x <= 255.0 for x in first["feature"])
     # deterministic across runs
     again = decode_image_features(make_synthetic_media(spark, 16)).collect()
     assert [r["feature"] for r in again] == [r["feature"] for r in out]
@@ -272,3 +274,32 @@ def test_synthetic_real_media_exercises_real_decoders(spark):
         assert r["duration_ms"] == 1000 and r["n_windows"] == 2
         for v in r["feature"]:  # sine RMS = amplitude / sqrt(2)
             assert math.isclose(v, 10000 / math.sqrt(2), rel_tol=0.01)
+
+
+def test_wav_24bit_decodes_for_real():
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    from thundercats_spark.multimodal.binary import decode_wav
+
+    fr = 8000
+    amp = 100000  # needs >16 bits
+    samples = np.array([amp if i % 2 == 0 else -amp for i in range(fr)], dtype=np.int64)
+    le = np.zeros((len(samples), 3), dtype=np.uint8)
+    u = np.where(samples < 0, samples + (1 << 24), samples)
+    le[:, 0] = u & 0xFF
+    le[:, 1] = (u >> 8) & 0xFF
+    le[:, 2] = (u >> 16) & 0xFF
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(3)
+        f.setframerate(fr)
+        f.writeframes(le.tobytes())
+    got = decode_wav(buf.getvalue())
+    assert got is not None
+    frate, nch, duration_ms, mono = got
+    assert (frate, nch, duration_ms) == (fr, 1, 1000)
+    assert abs(mono[0] - amp) < 1e-9 and abs(mono[1] + amp) < 1e-9

@@ -21,6 +21,7 @@ must be learned and shipped.
 
 from __future__ import annotations
 
+import re
 from collections import Counter, defaultdict
 
 import pandas as pd
@@ -28,6 +29,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 END_OF_WORD = "▁"  # sentencepiece-style marker, appended per word
+
+# Pre-tokenization whitespace, matching the Java-regex \s class the
+# corpus word_counts split uses (text_analysis.tokens): ASCII whitespace
+# ONLY. Python's str.split() would also split on Unicode spaces (NBSP,
+# ideographic space), segmenting words differently at encode time than
+# the trainer saw them.
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _pre_tokenize(text: str) -> list[str]:
+    return [w for w in _WS_RE.split(text) if w]
 
 
 # --------------------------------------------------------------------------
@@ -224,7 +236,7 @@ def bpe_encode(
             if t is None:
                 return []
             out = []
-            for w in t.split():
+            for w in _pre_tokenize(t):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = bpe_encode_word(w, ranks)

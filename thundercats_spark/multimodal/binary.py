@@ -124,11 +124,13 @@ def _decoder():
             # STUB for compressed formats only (JPEG/PNG/...):
             # deterministic pseudo-decode from payload bytes. Real
             # pipelines get these via the PIL branch above; everything
-            # downstream is unchanged.
+            # downstream is unchanged. Feature scale is raw 0-255, the
+            # SAME convention as the real BMP/PPM/PIL paths — mixed
+            # datasets must not mix feature scales by codec.
             digest = hashlib.sha256(payload).digest()
             w = 1 + digest[0]
             h = 1 + digest[1]
-            vec = np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
+            vec = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
             return w, h, "STUB", vec
 
         return decode_stub, False
@@ -363,10 +365,16 @@ def decode_wav(data: bytes):
             pcm = w.readframes(nf)
     except (wave.Error, EOFError):
         return None
-    dtype = {1: np.uint8, 2: "<i2", 4: "<i4"}.get(sw)
-    if dtype is None or fr <= 0 or nch <= 0:
+    if sw not in (1, 2, 3, 4) or fr <= 0 or nch <= 0:
         return None
-    samples = np.frombuffer(pcm, dtype=dtype).astype(np.float64)
+    if sw == 3:  # 24-bit PCM: no numpy dtype — assemble from raw bytes
+        b = np.frombuffer(pcm, dtype=np.uint8)
+        b = b[: len(b) // 3 * 3].reshape(-1, 3).astype(np.int64)
+        raw = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples = np.where(raw >= 1 << 23, raw - (1 << 24), raw).astype(np.float64)
+    else:
+        dtype = {1: np.uint8, 2: "<i2", 4: "<i4"}[sw]
+        samples = np.frombuffer(pcm, dtype=dtype).astype(np.float64)
     if sw == 1:
         samples -= 128.0  # 8-bit WAV is unsigned
     if nch > 1:

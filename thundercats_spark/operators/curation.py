@@ -318,13 +318,17 @@ def sample_to_fractions(
     the kept set is a pure function of the row key — identical across
     runs, engines, and re-ingests, so a replayed batch selects the
     same rows. Scan-stage filter, zero shuffle. Sources absent from
-    ``fractions`` are dropped."""
+    ``fractions`` are dropped — including NULL sources (a null can't
+    key the fraction map; filter or impute upstream to keep them)."""
     import math
 
+    named = {s: f for s, f in fractions.items() if s is not None}
+    if not named:
+        return df.where(F.lit(False))
     thresh = F.create_map(
         *[
             x
-            for s, f in sorted(fractions.items())
+            for s, f in sorted(named.items())
             for x in (F.lit(s), F.lit(int(math.floor(f * buckets))))
         ]
     )
@@ -351,6 +355,7 @@ def temperature_sample(
         for r in df.groupBy(F.col(source_col).alias("s"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
+        if r["s"] is not None  # null sources can't be rebalanced; dropped
     }
     fracs = temperature_keep_fractions(counts, temperature)
     return sample_to_fractions(df, fracs, source_col, key_col, salt)
@@ -1085,17 +1090,23 @@ def corpus_manifest(
     regardless of partitioning, file layout, or row order — so a
     rebuild audit is one tiny frame compare instead of a corpus diff.
     One partial-agg pass; only 8-byte hashes shuffle."""
-    h = content_hash48(F.col(text_col))
+    # hashes projected first via the Column API (no SQL-string column
+    # interpolation — names needing backquotes would break an expr),
+    # then XOR-aggregated; bit_xor has no python DSL wrapper so the
+    # agg references the projected columns by their safe aliases.
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.length(text_col).alias("__len"),
+        content_hash48(F.col(text_col)).alias("__ch"),
+        F.col(id_col).alias("__id"),
+    )
     return (
-        df.groupBy(F.col(source_col).alias("source"))
+        base.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.length(text_col)).alias("n_chars"),
-            F.expr(
-                f"bit_xor(cast(conv(substring(md5({text_col}), 1, 12), 16, 10)"
-                " as bigint))"
-            ).alias("content_xor"),
-            F.expr(f"bit_xor({id_col})").alias("id_xor"),
+            F.sum("__len").alias("n_chars"),
+            F.expr("bit_xor(__ch)").alias("content_xor"),
+            F.expr("bit_xor(__id)").alias("id_xor"),
         )
         .orderBy("source")
     )

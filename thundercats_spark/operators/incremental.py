@@ -219,10 +219,16 @@ def rollup_update(
     touched = [r[0] for r in partial.select(partition_col).distinct().collect()]
     if not touched:
         return spark.read.parquet(rollup_path) if exists else partial
+    non_null = [v for v in touched if v is not None]
+    # isin() never matches NULL — include the null partition explicitly
+    # or its existing history would be dropped from the merge.
+    touched_pred = F.col(partition_col).isin(non_null)
+    if len(non_null) < len(touched):
+        touched_pred = touched_pred | F.col(partition_col).isNull()
     merged = partial
     if exists:
         existing = spark.read.parquet(rollup_path).where(
-            F.col(partition_col).isin(touched)  # partition-pruned read
+            touched_pred  # partition-pruned read
         )
         merged = (
             existing.unionByName(partial)
@@ -232,13 +238,25 @@ def rollup_update(
     staging = rollup_path + ".staging"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     os.makedirs(rollup_path, exist_ok=True)
-    for v in touched:
-        part = f"{partition_col}={v}"
-        src = os.path.join(staging, part)
-        if os.path.exists(src):
-            _swap_dir(src, os.path.join(rollup_path, part))
+    # Swap the partition dirs Spark ACTUALLY wrote (listed from staging)
+    # rather than reconstructing names from values: Spark Hive-escapes
+    # special chars (':' -> '%3A', null -> __HIVE_DEFAULT_PARTITION__),
+    # and a reconstructed f"{col}={v}" name would miss those dirs —
+    # silently deleting the merged batch with the staging cleanup.
+    swapped = 0
+    for entry in sorted(os.listdir(staging)):
+        if entry.startswith(f"{partition_col}=") and os.path.isdir(
+            os.path.join(staging, entry)
+        ):
+            _swap_dir(os.path.join(staging, entry), os.path.join(rollup_path, entry))
+            swapped += 1
+    if swapped == 0:
+        raise RuntimeError(
+            f"rollup staging wrote no {partition_col}= partition dirs under "
+            f"{staging}; refusing to commit"
+        )
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
     write_state(rollup_path)
-    return spark.read.parquet(rollup_path).where(F.col(partition_col).isin(touched))
+    return spark.read.parquet(rollup_path).where(touched_pred)

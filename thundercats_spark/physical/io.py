@@ -276,10 +276,13 @@ class Read:
                 {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": cr},
             ).alias("__p"),
         ).where(F.trim("raw") != "")  # blank lines are noise, not records
-        good = parsed.where(F.col(f"__p.{cr}").isNull()).select("__p.*").drop(cr)
-        bad = parsed.where(F.col(f"__p.{cr}").isNotNull()).select(
-            "raw", "source_path"
-        )
+        # the literal line 'null' is valid JSON but parses to a NULL
+        # struct (corrupt col null too) — without the isNotNull guard it
+        # would land in GOOD as a silent all-null row, the exact outcome
+        # this reader exists to prevent.
+        ok = F.col("__p").isNotNull() & F.col(f"__p.{cr}").isNull()
+        good = parsed.where(ok).select("__p.*").drop(cr)
+        bad = parsed.where(~ok).select("raw", "source_path")
         return good, bad
 
     @staticmethod
@@ -298,8 +301,11 @@ class Read:
         via ``from_csv`` over a text scan — malformed lines (wrong
         field count, uncastable values) keep their raw text and source
         file instead of becoming silent nulls. Header lines are dropped
-        by matching the header string per file (the text source has no
-        header notion)."""
+        by matching the schema's field names against the line's fields
+        (case-, space-, and quote-insensitively — the text source has
+        no header notion). Caveat: an all-string data row whose fields
+        EQUAL the column names is indistinguishable from a header and
+        is dropped too."""
         cr = "__corrupt"
         raw = spark.read.text(path).select(
             F.col("value").alias("raw"), F.input_file_name().alias("source_path")
@@ -315,10 +321,17 @@ class Read:
             F.from_csv("raw", f"{schema}, {cr} string", opts).alias("__p"),
         ).where(F.trim("raw") != "")
         if with_header:
-            header = delimiter.join(
-                f.strip().split()[0] for f in schema.split(",")
+            names = [f.strip().split()[0].lower() for f in schema.split(",")]
+            # normalize both sides: split on the delimiter, strip spaces
+            # and optional quotes, lowercase — so 'Name, City' or
+            # '"name","city"' still reads as the header line.
+            fields = F.transform(
+                F.split("raw", F.lit(delimiter)),
+                lambda x: F.lower(F.trim(F.regexp_replace(F.trim(x), '^"|"$', ""))),
             )
-            parsed = parsed.where(F.col("raw") != header)
+            parsed = parsed.where(
+                fields != F.array(*[F.lit(n) for n in names])
+            )
         good = parsed.where(F.col(f"__p.{cr}").isNull()).select("__p.*").drop(cr)
         bad = parsed.where(F.col(f"__p.{cr}").isNotNull()).select(
             "raw", "source_path"
