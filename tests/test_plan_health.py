@@ -63,9 +63,14 @@ def _inert_overrides(spark, sf_dir):
     )
 
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    # build with the SAME recipe as the registry queries (vec_id != 0):
+    # the cache slot is shared, and an index built from the unfiltered
+    # table would flip the oracle-checked query results depending on
+    # which ran first.
+    corpus = emb.where(F.col("vec_id") != 0)
     ivf_idx, built = _cached_index_dir("ivf", sf_dir)
     if not built:
-        similarity.ann_index_build(emb, ivf_idx, n_clusters=8)
+        similarity.ann_index_build(corpus, ivf_idx, n_clusters=8)
     cents = similarity.ann_index_centroids(spark, ivf_idx)
     qv = [float(x) for x in cents[0]]
     out["ann_ivf_topk"] = similarity.ann_topk_ivf(
@@ -77,7 +82,7 @@ def _inert_overrides(spark, sf_dir):
 
     lsh_idx, built = _cached_index_dir("lsh", sf_dir)
     if not built:
-        similarity.ann_lsh_index_build(emb, lsh_idx)
+        similarity.ann_lsh_index_build(corpus, lsh_idx)
     out["ann_lsh_indexed"] = similarity.ann_topk_lsh_indexed(
         spark, lsh_idx, qv, k=10
     )

@@ -532,7 +532,6 @@ def chunk_documents(
     chunk_tokens: int,
     overlap: int = 0,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Split every document into fixed-size sliding token windows —
     the long-document treatment before packing/training (and the
@@ -608,6 +607,11 @@ def materialize_packed_sequences(
     base = (
         df.select(F.col(id_col), ids.alias("__ids"))
         .withColumn("n_tokens", F.size("__ids"))
+        # NULL text ⇒ NULL id array ⇒ size() = -1 (legacy sizeOfNull):
+        # a -1 entering the running-sum offsets would shift every later
+        # doc's global position in the group, colliding token slots.
+        # Token-less docs contribute nothing to a token stream — drop.
+        .where(F.col("n_tokens") > 0)
         .withColumn("pack_group", split_bucket(F.col(id_col), salt, n_groups))
     )
     w = (
@@ -829,6 +833,7 @@ def _budget_ids(
     out = bucketed.where(
         F.col("__bkt").isin(*keep_whole) if keep_whole else F.lit(False)
     ).select(id_col, "n_tokens", "score")
+    child_cached = None
     if boundary_bkt is not None:
         edge_src = bucketed.where(F.col("__bkt") == boundary_bkt).drop("__bkt")
         can_split = len(bucket_totals) > 1 and depth < max_depth
@@ -837,6 +842,7 @@ def _budget_ids(
                 edge_src, budget_tokens - offset, id_col, n_buckets,
                 None, None, max_exact_rows, depth + 1, max_depth,
             )
+            child_cached = edge  # recursive levels persist their result
         else:
             w = (
                 Window.orderBy(F.desc("score"), F.asc(id_col))
@@ -854,6 +860,8 @@ def _budget_ids(
         out = out.persist()
         out.count()
         scored.unpersist()
+        if child_cached is not None:
+            child_cached.unpersist()  # folded into out; don't pin twice
     return out
 
 
@@ -1036,12 +1044,19 @@ def select_token_budget_grouped(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     edge = (
-        joined.where(F.col("__bkt") == F.col("__bnd"))
+        # exclude oversized groups (__edge_budget = -1) BEFORE the
+        # window: their boundary rows go through _budget_ids below, and
+        # letting them into the per-group sort first would pay exactly
+        # the single-partition exact-sort cost the guard exists to avoid
+        joined.where(
+            (F.col("__bkt") == F.col("__bnd")) & (F.col("__edge_budget") >= 0)
+        )
         .withColumn("__cum", F.sum("n_tokens").over(w))
         .where(F.col("__cum") <= F.col("__edge_budget"))
     )
     cols = [F.col("__grp").alias(group_col), id_col, "n_tokens", "score"]
     out = keep.select(*cols).unionByName(edge.select(*cols))
+    picked_caches = []
     for g, bkt, remaining in oversized:
         sub = bucketed.where(
             (F.col("__grp") == F.lit(g)) & (F.col("__bkt") == F.lit(bkt))
@@ -1050,6 +1065,7 @@ def select_token_budget_grouped(
             sub, remaining, id_col, n_buckets, None, None,
             max_exact_rows, depth=1,
         )
+        picked_caches.append(picked)
         out = out.unionByName(
             picked.select(
                 F.lit(g).alias(group_col), id_col, "n_tokens", "score"
@@ -1058,6 +1074,8 @@ def select_token_budget_grouped(
     out = out.persist()
     out.count()
     scored.unpersist()
+    for p in picked_caches:
+        p.unpersist()  # folded into out; release the child caches
     if ids_only:
         return out
     return df.join(out.select(id_col), id_col, "inner")

@@ -1050,12 +1050,16 @@ def dedup_minhash_incremental_prepare(
     buckets_path = index_path.rstrip("/") + "/buckets"
     sets_path = index_path.rstrip("/") + "/sets"
 
-    # within-batch near-dup collapse (keeps min id of every near-pair)
+    # within-batch near-dup collapse (keeps min id of every near-pair).
+    # Checkpoint IMMEDIATELY: sh, new_buckets, the probe, and the
+    # returned survivors frame all branch off this result — without the
+    # pin, the heavy signature/band/verify pass would re-execute once
+    # per downstream action (~3x per batch, measured in review).
     survivors = dedup_minhash(
         new_df, text_col, id_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         threshold=threshold, seed=seed, method=method,
-    )
+    ).localCheckpoint(eager=True)
     sh = survivors.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
@@ -1102,8 +1106,9 @@ def dedup_minhash_incremental_prepare(
     # Eager lineage truncation (see dedup_incremental_prepare): both
     # frames' plans read the index paths, so a post-commit recompute
     # would match the batch against itself. The checkpoint pins the
-    # pre-commit snapshot AND means the heavy within-batch LSH pass
-    # runs exactly once — survivor join and both upserts reuse it.
+    # pre-commit snapshot; the LSH pass itself was already pinned by
+    # the survivors checkpoint above, so these only re-run the cheap
+    # probe joins over the pinned frames.
     fresh = fresh.localCheckpoint(eager=True)
     fresh_buckets = new_buckets.join(
         fresh.select("id"), "id", "left_semi"

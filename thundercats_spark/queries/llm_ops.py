@@ -172,14 +172,53 @@ def _cached_index_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
     The build is fully seeded, so any run reproduces the same index.
     "Built" = the meta file's _SUCCESS marker exists (the meta is the
     LAST artifact each builder writes)."""
+    import glob
     import hashlib
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    # Tag = sf_dir + a fingerprint of the embeddings parquet files
+    # (name/size/mtime) + the build recipe: regenerated data or a
+    # changed build filter gets a FRESH cache dir instead of silently
+    # probing a stale index built from old vectors.
+    files = sorted(glob.glob(os.path.join(sf_dir, "embeddings.parquet", "*")))
+    stamp = [(os.path.basename(f), os.path.getsize(f), int(os.path.getmtime(f)))
+             for f in files]
+    recipe = "exclude-vec0"  # all index queries build from vec_id != 0
+    tag = hashlib.md5(
+        f"{sf_dir.rstrip('/')}|{recipe}|{stamp}".encode()
+    ).hexdigest()[:12]
     idx = os.path.join(tempfile.gettempdir(), f"tc_idx_cache_{tag}", kind)
     built = os.path.exists(os.path.join(idx + "_meta", "_SUCCESS"))
     return idx, built
+
+
+def _publish_index(idx: str, build_fn) -> None:
+    """Build into a per-process dir, then atomically rename into the
+    shared cache slot — two processes racing the build can't interleave
+    writes into one directory; the loser discards its copy and uses the
+    winner's. The meta dir (with _SUCCESS, the 'built' marker) is
+    renamed LAST, preserving the marker-is-final invariant."""
+    import glob as _glob
+    import os
+    import shutil
+
+    tmp = f"{idx}.b{os.getpid()}"
+    os.makedirs(os.path.dirname(idx), exist_ok=True)
+    build_fn(tmp)
+    # move every artifact the builder wrote (index dir + any siblings
+    # like _centroids), the _meta dir (the 'built' marker) LAST
+    siblings = sorted(
+        p for p in _glob.glob(tmp + "*") if not p.endswith("_meta")
+    ) + [tmp + "_meta"]
+    for src in siblings:
+        if not os.path.exists(src):
+            continue
+        dst = idx + src[len(tmp):]
+        try:
+            os.rename(src, dst)
+        except OSError:
+            shutil.rmtree(src, ignore_errors=True)  # lost the race
 
 
 @register("ann_indexed_topk", ANN_TOPK_SQL)
@@ -193,7 +232,12 @@ def ann_indexed_topk_q(spark, sf_dir):
     qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     idx, built = _cached_index_dir("ivf", sf_dir)
     if not built:
-        similarity.ann_index_build(e.where(F.col("vec_id") != 0), idx, n_clusters=8)
+        _publish_index(
+            idx,
+            lambda d: similarity.ann_index_build(
+                e.where(F.col("vec_id") != 0), d, n_clusters=8
+            ),
+        )
     return similarity.ann_topk_indexed(spark, idx, qv, k=10, nprobe=8)
 
 
@@ -208,7 +252,10 @@ def ann_lsh_indexed_q(spark, sf_dir):
     qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     idx, built = _cached_index_dir("lsh", sf_dir)
     if not built:
-        similarity.ann_lsh_index_build(e.where(F.col("vec_id") != 0), idx)
+        _publish_index(
+            idx,
+            lambda d: similarity.ann_lsh_index_build(e.where(F.col("vec_id") != 0), d),
+        )
     return similarity.ann_topk_lsh_indexed(spark, idx, qv, k=10)
 
 
@@ -1252,7 +1299,7 @@ WITH t AS (
   SELECT doc_id, pack_group, tid,
          SUM(n) OVER (PARTITION BY pack_group ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start
-  FROM ids
+  FROM ids WHERE n > 0  -- token-less docs are dropped from the stream
 ), stream AS (
   SELECT pack_group, off.start + u.p - 1 AS gpos, off.tid[u.p] AS tok
   FROM off, UNNEST(range(1, len(off.tid) + 1)) AS u(p)
