@@ -303,3 +303,30 @@ def test_wav_24bit_decodes_for_real():
     frate, nch, duration_ms, mono = got
     assert (frate, nch, duration_ms) == (fr, 1, 1000)
     assert abs(mono[0] - amp) < 1e-9 and abs(mono[1] + amp) < 1e-9
+
+
+def test_raw_video_frame_sampling_is_real(spark):
+    from thundercats_spark.multimodal.binary import make_synthetic_media, sample_frames
+
+    vids = make_synthetic_media(spark, 2, media_type="video", real=True)
+    out = sample_frames(vids, every_n=3, max_frames=3).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_id.items():
+        # 8 frames, every 3rd -> source frames 0, 3, 6
+        assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 3, 6]
+        for r in rows:
+            frame = bytes(r["frame"])
+            assert len(frame) == 4 * 3 * 3  # exactly one w*h*3 frame
+            # per-frame constant fill value pins the slicing boundaries
+            assert frame == bytes([min(255, 10 * mid + r["frame_idx"])]) * len(frame)
+
+
+def test_pgm_decodes_for_real():
+    from thundercats_spark.multimodal.binary import decode_pgm
+
+    payload = b"P5\n3 2\n255\n" + bytes([9, 8, 7, 6, 5, 4])
+    w, h, mode, vec = decode_pgm(payload)
+    assert (w, h, mode) == (3, 2, "PGM")
+    assert vec.tolist() == [9, 8, 7, 6, 5, 4]

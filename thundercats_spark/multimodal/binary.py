@@ -63,11 +63,9 @@ def decode_bmp(data: bytes):
     return w, abs(h), "BMP", arr.astype(np.float32).ravel()
 
 
-def decode_ppm(data: bytes):
-    """REAL decoder for binary PPM (P6): ASCII header (width, height,
-    maxval, '#' comments allowed) + raw RGB bytes."""
-    if not data.startswith(b"P6"):
-        return None
+def _pnm_header(data: bytes):
+    """Parse the ASCII (width, height, maxval) header shared by binary
+    PPM/PGM; returns (w, h, maxval, pixel_offset) or None."""
     pos, fields = 2, []
     while len(fields) < 3 and pos < len(data):
         c = data[pos : pos + 1]
@@ -91,10 +89,39 @@ def decode_ppm(data: bytes):
     except ValueError:
         return None
     pos += 1  # single whitespace after maxval, then raw pixel data
-    if maxval > 255 or w <= 0 or h <= 0 or len(data) < pos + w * h * 3:
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None
+    return w, h, maxval, pos
+
+
+def decode_ppm(data: bytes):
+    """REAL decoder for binary PPM (P6): ASCII header (width, height,
+    maxval, '#' comments allowed) + raw RGB bytes."""
+    if not data.startswith(b"P6"):
+        return None
+    got = _pnm_header(data)
+    if got is None:
+        return None
+    w, h, _maxval, pos = got
+    if len(data) < pos + w * h * 3:
         return None
     arr = np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos)
     return w, h, "PPM", arr.astype(np.float32)
+
+
+def decode_pgm(data: bytes):
+    """REAL decoder for binary PGM (P5): grayscale sibling of PPM —
+    one byte per pixel."""
+    if not data.startswith(b"P5"):
+        return None
+    got = _pnm_header(data)
+    if got is None:
+        return None
+    w, h, _maxval, pos = got
+    if len(data) < pos + w * h:
+        return None
+    arr = np.frombuffer(data, np.uint8, count=w * h, offset=pos)
+    return w, h, "PGM", arr.astype(np.float32)
 
 
 def _decoder():
@@ -109,7 +136,7 @@ def _decoder():
         from PIL import Image
 
         def decode(payload: bytes):
-            got = decode_bmp(payload) or decode_ppm(payload)
+            got = decode_bmp(payload) or decode_ppm(payload) or decode_pgm(payload)
             if got is not None:
                 return got
             im = Image.open(io.BytesIO(payload))
@@ -118,7 +145,7 @@ def _decoder():
         return decode, True
     except ImportError:
         def decode_stub(payload: bytes):
-            got = decode_bmp(payload) or decode_ppm(payload)
+            got = decode_bmp(payload) or decode_ppm(payload) or decode_pgm(payload)
             if got is not None:  # REAL decode — format needs no codec lib
                 return got
             # STUB for compressed formats only (JPEG/PNG/...):
@@ -157,22 +184,43 @@ def decode_image_features(df: DataFrame, batch_size: int = 64) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
-    """Video → sampled frame payloads. The STUB slices the payload into
-    pseudo-frames; a real build decodes with ffmpeg — identical
-    dataframe contract either way."""
+    """Video → sampled frame payloads. Raw-RGB video payloads (frame
+    size = meta.width × meta.height × 3 divides the payload exactly)
+    sample for REAL: every ``every_n``-th frame sliced on true frame
+    boundaries, ``frame_idx`` = the SOURCE frame number. Container
+    formats fall back to the STUB (fixed-width pseudo-frame slices)
+    until ffmpeg is present — identical dataframe contract."""
+    has_meta = "meta" in df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = bytes(payload)
+            for j in range(len(pdf)):
+                mid = pdf["media_id"].iloc[j]
+                data = bytes(pdf["payload"].iloc[j])
+                meta = pdf["meta"].iloc[j] if has_meta else None
+                fsz = None
+                if meta and meta.get("width") and meta.get("height"):
+                    cand = int(meta["width"]) * int(meta["height"]) * 3
+                    if cand > 0 and len(data) >= cand and len(data) % cand == 0:
+                        fsz = cand
+                if fsz:  # REAL: exact frame boundaries of raw RGB video
+                    n_total = len(data) // fsz
+                    taken = 0
+                    for fi in range(0, n_total, max(every_n, 1)):
+                        if taken >= max_frames:
+                            break
+                        rows.append((mid, fi, data[fi * fsz : (fi + 1) * fsz]))
+                        taken += 1
+                    continue
                 # STUB frame extraction: fixed-width slices as "frames".
                 chunk = max(1, len(data) // max(every_n, 1))
                 for i in range(min(max_frames, max(1, len(data) // chunk))):
                     rows.append((mid, i, data[i * chunk : (i + 1) * chunk]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
-    return df.select("media_id", "payload").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+    cols = ["media_id", "payload"] + (["meta"] if has_meta else [])
+    return df.select(*cols).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
 def payload_stats(df: DataFrame) -> DataFrame:
@@ -269,6 +317,13 @@ def make_synthetic_media(
             )
             payload = encode_bmp(w, h, rgb)
             rows.append((i, media_type, bytearray(payload), (w, h, None, "bmp")))
+            continue
+        if real and media_type == "video":
+            w, h, n_frames = 4, 3, 8
+            frames = b"".join(
+                bytes([min(255, 10 * i + f)] * (w * h * 3)) for f in range(n_frames)
+            )
+            rows.append((i, media_type, bytearray(frames), (w, h, None, "rawvideo")))
             continue
         if real and media_type == "audio":
             import io
