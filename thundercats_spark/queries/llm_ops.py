@@ -1299,7 +1299,7 @@ WITH t AS (
   SELECT doc_id, pack_group, tid,
          SUM(n) OVER (PARTITION BY pack_group ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start
-  FROM ids WHERE n > 0  -- token-less docs are dropped from the stream
+  FROM ids WHERE n > 0  -- token-less docs contribute nothing
 ), stream AS (
   SELECT pack_group, off.start + u.p - 1 AS gpos, off.tid[u.p] AS tok
   FROM off, UNNEST(range(1, len(off.tid) + 1)) AS u(p)
