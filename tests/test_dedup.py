@@ -393,3 +393,26 @@ def test_incremental_two_step_survives_crash_before_commit(spark, tmp_path):
     assert sorted(
         r["id"] for r in spark.read.parquet(lsh_idx + "/sets").collect()
     ) == [1, 10]
+
+
+def test_dedup_keep_best_string_ids(spark):
+    """Tie-breaks must work for NON-numeric ids (URL hashes etc.) —
+    regression for the negated-id ordering that crashed/null-cast."""
+    from thundercats_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [("doc-b", "same text", 5.0), ("doc-a", "same text", 5.0),
+         ("doc-c", "same text", 9.0), ("doc-z", "other", 1.0)],
+        "doc_id string, text string, q double",
+    )
+    rows = {r["doc_id"]: r for r in
+            dedup_keep_best(df, F.col("q"), ids_only=True).collect()}
+    assert set(rows) == {"doc-c", "doc-z"}  # best score wins
+    assert rows["doc-c"]["n_copies"] == 3
+    # pure score tie -> lexicographically smallest id survives
+    tie = spark.createDataFrame(
+        [("doc-b", "t", 1.0), ("doc-a", "t", 1.0)],
+        "doc_id string, text string, q double",
+    )
+    [r] = dedup_keep_best(tie, F.col("q"), ids_only=True).collect()
+    assert r["doc_id"] == "doc-a"

@@ -110,3 +110,23 @@ def test_remove_repeated_spans_exact(spark):
     # unique and too-short docs pass through whole
     assert rows[4]["n_removed"] == 0 and rows[5]["n_removed"] == 0
     assert rows[5]["clean_text"] == "too short to have spans"
+
+
+def test_canonical_occurrence_survives_overlapping_removals(spark):
+    """Regression: removing span X's non-canonical occurrence must not
+    delete the canonical occurrence of an overlapping span Y — without
+    protection, 'c d' would survive in NO document here."""
+    from thundercats_spark.operators.spans import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "c d e")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_repeated_spans(df, span_words=2, min_docs=2).collect()
+    }
+    assert out[1] == "a b c"  # canonical 'b c' untouched
+    assert out[2] == "c d"    # canonical 'c d' protected; 'b c' copy cut
+    assert out[3] == "e"      # non-canonical 'c d' removed
+    # every duplicated span survives exactly once across the corpus
+    assert "b c" in out[1] and "c d" in out[2]

@@ -143,14 +143,17 @@ def dedup_keep_best(
     # scan stage (repartition upstream if the score expr is heavy and
     # the input arrives as a single split)
     scored = df.select(F.col(id_col), fp, score.alias("__score"))
-    # struct ordering: score first, then -id so ties pick the min id
+    # min_by over (-score, id): highest score wins, ties pick the min
+    # id. Negating the (numeric) SCORE instead of the id keeps the
+    # tie-break type-agnostic — ids are often strings (URL hashes),
+    # where a negated id would crash under ANSI or silently null-cast.
     pick = F.struct(
-        F.col("__score").alias("s"), (-F.col(id_col)).alias("nid")
+        (-F.col("__score").cast("double")).alias("ns"), F.col(id_col).alias("i")
     )
     keep = (
         scored.groupBy("__fp")
         .agg(
-            F.max_by(F.col(id_col), pick).alias(id_col),
+            F.min_by(F.col(id_col), pick).alias(id_col),
             F.count(F.lit(1)).alias("n_copies"),
             F.max("__score").alias("best_score"),
         )
@@ -273,9 +276,8 @@ def minhash_signature(shingle_hash_col, num_hashes: int = 64, seed: int = 42):
 
 
 def lsh_band_keys(signature, bands: int = 16):
-    """Hash each band of the signature to a bucket key array."""
-    num_hashes = None  # length derived lazily from slice arithmetic
-    _ = num_hashes
+    """Hash each band of the signature to a bucket key array (band
+    width derived from the signature length by slice arithmetic)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(
@@ -509,6 +511,15 @@ def simhash_pairs(
     missed only if EVERY band the pair agrees on is hot; near-identical
     docs agree on ~all 4 bands, so they survive unless all four blow
     the cap."""
+    if max_hamming > 3:
+        # 4 fixed bands of 15 bits: a pair at Hamming 4+ can differ in
+        # every band and share no key — candidates would be silently
+        # incomplete, so refuse instead of under-recalling quietly.
+        raise ValueError(
+            "simhash_pairs banding (4 x 15 bits) guarantees candidate "
+            "completeness only for max_hamming <= 3; "
+            f"got max_hamming={max_hamming}"
+        )
     bands, groups = simhash_banded(df, text_col, id_col, max_bucket_size, collapse_exact)
     # Verify BEFORE the distinct: both signatures are already in the
     # joined row, so the Hamming check is a free per-row bit_count at

@@ -196,7 +196,13 @@ def ann_lsh_index_build(
     one ``first()`` reads a single vector). One distributed pass, no
     shuffle besides the write; returns ``dim``."""
     if dim is None:
-        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+        row = df.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError(
+                "cannot build an LSH index from an empty frame without "
+                "an explicit dim= (nothing to discover the width from)"
+            )
+        dim = row["d"]
     sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
     df.withColumn("__sig", sig).write.mode("overwrite").partitionBy("__sig").parquet(
         path
@@ -556,8 +562,15 @@ def cosine_pairs_lsh(
     """Near-pair candidates = pairs sharing a bucket in ANY of
     ``n_tables`` independent hyperplane tables (OR-construction boosts
     recall), cosine-verified. Shuffles on (table, signature) — never
-    materializes n² pairs."""
+    materializes n² pairs; the pair-dedup shuffle carries ~20-byte
+    (id_a, id_b, cos) rows, never the vectors (cos is verified at the
+    join output, where both vectors are already in the row)."""
     dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:  # empty input → empty pair frame, not a crash
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                f"id_b {df.schema[id_col].dataType.simpleString()}, cos double"
+        )
     dim = dim_row["d"]
     tables = [
         hyperplane_signature(F.col(vec_col), dim, n_planes, seed=7 + 1000 * t)
@@ -574,22 +587,25 @@ def cosine_pairs_lsh(
             ])
         ).alias("b"),
     ).select("id", "v", F.col("b.t").alias("t"), F.col("b.sig").alias("sig"))
-    cand = (
+    # cosine + threshold BEFORE dropDuplicates: cos is deterministic
+    # per pair, so the result is identical — but the dedup shuffle then
+    # moves 20-byte triples instead of dragging both full embedding
+    # vectors (2 x dim floats per candidate) through the exchange.
+    cos = vcos(F.col("x.v"), F.col("y.v"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
         sigs.alias("x")
         .join(sigs.alias("y"), ["t", "sig"])
         .where(F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.col("x.v").alias("va"),
-            F.col("y.v").alias("vb"),
+            cos.alias("cos"),
         )
+        .where(F.col("cos") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = vcos(F.col("va"), F.col("vb"))
-    if round_digits is not None:
-        cos = F.round(cos, round_digits)
-    return cand.select("id_a", "id_b", cos.alias("cos")).where(F.col("cos") >= threshold)
 
 
 def cosine_pairs_clustered(

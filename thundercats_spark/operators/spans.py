@@ -221,12 +221,28 @@ def remove_repeated_spans(
         )
         .select("id", "pos")
     )
-    covered = removals.select(
-        "id",
+    # positions belonging to a CANONICAL occurrence are protected:
+    # without this, removing span X's non-canonical occurrence can
+    # cover the canonical occurrence of an overlapping span Y in the
+    # same document, deleting every copy of Y from the corpus (the
+    # 'keep ONE canonical occurrence' contract would silently break —
+    # counterexample pinned in tests/test_spans.py).
+    protected = dup.select(
+        F.col("canon.id").alias("id"),
         F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(span_words - 1))
+            F.sequence(F.col("canon.pos"), F.col("canon.pos") + F.lit(span_words - 1))
         ).alias("p"),
     ).distinct()
+    covered = (
+        removals.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(span_words - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .join(protected, ["id", "p"], "left_anti")
+    )
     tok = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), F.posexplode(_words(text_col)).alias("p0", "word"))

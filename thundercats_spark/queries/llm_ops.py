@@ -1046,9 +1046,17 @@ WITH words AS (
   SELECT o.doc_id, o.pos,
          ROW_NUMBER() OVER (PARTITION BY o.span ORDER BY o.doc_id, o.pos) AS rn
   FROM occ o JOIN dupspan USING (span)
-), covered AS (
+), protected AS (
+  -- canonical occurrences' positions are never removed (mirrors the
+  -- operator's canonical-span protection)
   SELECT DISTINCT doc_id, pos + i AS p
-  FROM docc, UNNEST(generate_series(0, 9)) AS t(i) WHERE rn > 1
+  FROM docc, UNNEST(generate_series(0, 9)) AS t(i) WHERE rn = 1
+), covered AS (
+  SELECT DISTINCT d.doc_id, d.pos + i AS p
+  FROM docc d, UNNEST(generate_series(0, 9)) AS t(i)
+  WHERE d.rn > 1
+    AND NOT EXISTS (SELECT 1 FROM protected pr
+                    WHERE pr.doc_id = d.doc_id AND pr.p = d.pos + i)
 )
 SELECT t.doc_id,
        COALESCE(string_agg(CASE WHEN c.p IS NULL THEN t.word END, ' ' ORDER BY t.p), '')
