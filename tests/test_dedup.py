@@ -69,9 +69,15 @@ def test_simhash_deterministic_and_near(docs):
 
 
 def test_simhash_pairs(docs):
-    pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=10)
+    pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got
+    # the 4x15-bit banding cannot guarantee candidates beyond Hamming 3
+    # — asking for more must fail loudly, not under-recall silently
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=4)
 
 
 def test_minhash_recall_vs_exact_on_documents(spark, sf_dir):
@@ -416,3 +422,34 @@ def test_dedup_keep_best_string_ids(spark):
     )
     [r] = dedup_keep_best(tie, F.col("q"), ids_only=True).collect()
     assert r["doc_id"] == "doc-a"
+
+
+def test_incremental_index_meta_validated(spark, tmp_path):
+    """A dedup index probed with different hyperparameters than its
+    build must fail loudly — a silent mismatch would ignore ALL history
+    (zero recall) with no error."""
+    from thundercats_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_minhash_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with shared words common to all") for i in range(8)],
+        "doc_id long, text string",
+    )
+    mh_idx = str(tmp_path / "mh_idx")
+    dedup_minhash_incremental(docs, mh_idx, threshold=0.9)
+    with pytest.raises(ValueError, match="seed"):
+        dedup_minhash_incremental(docs, mh_idx, threshold=0.9, seed=7)
+    with pytest.raises(ValueError, match="bands"):
+        dedup_minhash_incremental(docs, mh_idx, threshold=0.9, bands=8)
+    with pytest.raises(ValueError, match="oph"):
+        dedup_minhash_incremental(docs, mh_idx, threshold=0.9, method="oph")
+    # matching params still probe fine (replay returns empty)
+    assert dedup_minhash_incremental(docs, mh_idx, threshold=0.9).count() == 0
+
+    ex_idx = str(tmp_path / "ex_idx")
+    dedup_incremental(docs, ex_idx, normalize=True)
+    with pytest.raises(ValueError, match="normalize"):
+        dedup_incremental(docs, ex_idx, normalize=False)
+    assert dedup_incremental(docs, ex_idx).count() == 0

@@ -255,8 +255,17 @@ def _expand_pairs(
 
 def shingle_hashes(shingles):
     """Integer base hashes of a shingle array (compute ONCE — string
-    hashing dominates; the k permutations then run over ints)."""
-    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    hashing dominates; the k permutations then run over ints).
+
+    FULL 64-bit values: the collapse fingerprints and the exact-Jaccard
+    verify stage intersect these sets, where 31-bit hashes would give
+    birthday collisions on long documents (a ~65k-shingle doc has ~63%
+    odds of an internal 2^31 collision, shrinking |union| and inflating
+    J). The signature kernels reduce mod P internally — the reduced
+    values are identical to hashing mod P up front, so signatures and
+    banding are unchanged; only the verify/collapse precision improves
+    (to the ~2^-64 the docstrings claim)."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
 def minhash_signature(shingle_hash_col, num_hashes: int = 64, seed: int = 42):
@@ -267,7 +276,12 @@ def minhash_signature(shingle_hash_col, num_hashes: int = 64, seed: int = 42):
     cols = [
         F.array_min(
             F.transform(
-                shingle_hash_col, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
+                # reduce the 64-bit base hash mod P BEFORE the affine
+                # map: a*h must stay under 2^62 (a < 2^31, h mod P < 2^31)
+                shingle_hash_col,
+                lambda h: F.pmod(
+                    F.lit(a) * F.pmod(h, F.lit(_P)) + F.lit(b), F.lit(_P)
+                )
             )
         )
         for a, b in params
@@ -777,7 +791,8 @@ def _minhash_np_udf(num_hashes: int, seed: int):
     def sig(hs: pd.Series) -> pd.Series:
         out = []
         for row in hs:
-            h = np.asarray(row, dtype=np.int64)[:, None]  # (n, 1), already < 2^31
+            # reduce 64-bit base hashes mod P first: keeps a*h < 2^62
+            h = np.asarray(row, dtype=np.int64)[:, None] % _P  # (n, 1)
             m = (a * h + b) % _P  # (n, k) int64 — no overflow: < 2^62
             out.append(m.min(axis=0))
         return pd.Series(out)
@@ -824,7 +839,7 @@ def _minhash_oph_np_udf(num_hashes: int, seed: int):
         idx = np.arange(k, dtype=np.int64)
         out = []
         for row in hs:
-            h = np.asarray(row, dtype=np.int64)
+            h = np.asarray(row, dtype=np.int64) % _P  # reduce 64-bit base
             m = np.full(k, _EMPTY, dtype=np.int64)
             if len(h):
                 h = (a * h + b) % _P  # seed-dependent bin permutation
@@ -966,6 +981,34 @@ class IncrementalBatch:
         return self
 
 
+def _index_meta_guard(spark, data_path: str, meta_base: str, caller: dict, kind: str):
+    """Persist/validate index hyperparameters, mirroring the ANN
+    indexes' _write/_check_index_meta discipline: probing a dedup index
+    with different (seed, bands, hash width, normalize) than the build
+    silently matches nothing — history would be ignored with full
+    recall loss and no error. First build writes the meta; every later
+    probe validates; an index with data but no meta is refused (rebuild
+    with the current builder)."""
+    from thundercats_spark.operators.similarity import (
+        _check_index_meta,
+        _meta_path,
+        _write_index_meta,
+    )
+    from thundercats_spark.physical.io import _path_exists
+
+    if _path_exists(spark, _meta_path(meta_base)):
+        _check_index_meta(spark, meta_base, kind, caller)
+    elif _path_exists(spark, data_path):
+        raise ValueError(
+            f"{kind} index at {data_path!r} has no hyperparameter "
+            f"metadata ({_meta_path(meta_base)!r}) — rebuild it with "
+            "the current builder; probing with assumed parameters is "
+            "unsafe (a mismatch silently ignores all history)."
+        )
+    else:
+        _write_index_meta(spark, meta_base, caller)
+
+
 def dedup_incremental_prepare(
     new_df: DataFrame,
     index_path: str,
@@ -978,12 +1021,16 @@ def dedup_incremental_prepare(
     index without touching it, so the caller can write ``survivors`` to
     the corpus and only then ``commit()`` the index (see
     ``IncrementalBatch`` for the ordering contract)."""
+    spark = new_df.sparkSession
+    _index_meta_guard(
+        spark, index_path, index_path.rstrip("/"),
+        {"normalize": int(normalize)}, "exact-dedup",
+    )
     key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
     fp = F.xxhash64(key).alias("__fp")
     batch = new_df.select(F.col(id_col), fp)
     # within-batch: min id per fingerprint
     batch_keep = batch.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    spark = new_df.sparkSession
     try:
         seen = spark.read.parquet(index_path).select("__fp")
         fresh = batch_keep.join(seen, "__fp", "left_anti")
@@ -1060,6 +1107,14 @@ def dedup_minhash_incremental_prepare(
     spark = new_df.sparkSession
     buckets_path = index_path.rstrip("/") + "/buckets"
     sets_path = index_path.rstrip("/") + "/sets"
+    _index_meta_guard(
+        spark, buckets_path, index_path.rstrip("/") + "/index",
+        {
+            "num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n,
+            "seed": seed, "oph": int(method == "oph"), "hs_bits": 64,
+        },
+        "minhash-dedup",
+    )
 
     # within-batch near-dup collapse (keeps min id of every near-pair).
     # Checkpoint IMMEDIATELY: sh, new_buckets, the probe, and the
