@@ -60,24 +60,6 @@ def span_hash_stream(
     )
 
 
-def _span_text_stream(
-    df: DataFrame, text_col: str, id_col: str, span_words: int
-) -> DataFrame:
-    """(id, span, span_h) — the text-carrying twin of
-    ``span_hash_stream``; only ever joined against a survivor set."""
-    spans = F.expr(
-        f"transform(sequence(1, size(__w) - {span_words} + 1), "
-        f"i -> array_join(slice(__w, i, {span_words}), ' '))"
-    )
-    return (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("id"), _words(text_col).alias("__w"))
-        .where(F.size("__w") >= span_words)
-        .select("id", F.explode(spans).alias("span"))
-        .withColumn("span_h", F.xxhash64("span"))
-    )
-
-
 def repeated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -101,10 +83,26 @@ def repeated_spans(
         .where(F.col("nd") >= min_docs)
         .select("span_h")
     )
-    # Survivor set is data-dependent and unbounded at corpus scale:
-    # no broadcast hint — AQE promotes to BHJ when it actually fits.
-    survivors = _span_text_stream(df, text_col, id_col, span_words).join(
+    # Survivor selection runs on the 8-byte OCCURRENCE stream
+    # (id, pos, span_h) — joining the text-carrying stream against
+    # dup_h would drag O(words x span_words) span text through the
+    # shuffle when the survivor set outgrows a broadcast. The span text
+    # is re-sliced afterwards, from only the documents that contain a
+    # duplicated span. (No broadcast hints: both survivor sets are
+    # data-dependent; AQE promotes to BHJ when one actually fits.)
+    surv_occ = span_occurrence_stream(df, text_col, id_col, span_words).join(
         dup_h, "span_h", "leftsemi"
+    )
+    docs_w = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), _words(text_col).alias("__w"))
+        .join(surv_occ.select("id").distinct(), "id", "leftsemi")
+    )
+    survivors = surv_occ.join(docs_w, "id").select(
+        "id",
+        F.array_join(
+            F.slice(F.col("__w"), F.col("pos"), span_words), " "
+        ).alias("span"),
     )
     out = (
         survivors.groupBy("span")
@@ -155,7 +153,7 @@ def span_dup_fraction(
             "n_dup",
             (F.col("n_dup").cast("double") / F.col("n_spans")).alias("dup_frac"),
         )
-        .orderBy(id_col)
+        # no decorative global sort (see remove_repeated_spans note)
     )
 
 
@@ -267,5 +265,7 @@ def remove_repeated_spans(
             ).alias("clean_text"),
             F.count(F.col("__c")).cast("long").alias("n_removed"),
         )
-        .orderBy(id_col)
+        # no decorative global sort: at corpus scale a terminal orderBy
+        # adds a full range-partition shuffle no consumer needs —
+        # callers that want ordered output sort the (small) result
     )

@@ -993,7 +993,7 @@ def doc_span_dup_fraction_q(spark, sf_dir):
     from thundercats_spark.operators.spans import span_dup_fraction
 
     d = load(spark, sf_dir, "documents")["documents"]
-    return span_dup_fraction(d, "text", "doc_id", span_words=10, min_docs=2)
+    return span_dup_fraction(d, "text", "doc_id", span_words=10, min_docs=2).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -1072,7 +1072,7 @@ def doc_remove_repeated_spans_q(spark, sf_dir):
     from thundercats_spark.operators.spans import remove_repeated_spans
 
     d = load(spark, sf_dir, "documents")["documents"]
-    return remove_repeated_spans(d, "text", "doc_id", span_words=10, min_docs=2)
+    return remove_repeated_spans(d, "text", "doc_id", span_words=10, min_docs=2).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
