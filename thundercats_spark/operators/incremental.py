@@ -216,8 +216,14 @@ def rollup_update(
         _swap_dir(staging, rollup_path)
         return spark.read.parquet(rollup_path)
 
+    # one materialization: the touched-partition collect AND the
+    # staging write both consume `partial` — without the persist the
+    # whole batch aggregation would execute twice per call (the
+    # streaming sink runs this every micro-batch).
+    partial = partial.persist()
     touched = [r[0] for r in partial.select(partition_col).distinct().collect()]
     if not touched:
+        partial.unpersist()
         return spark.read.parquet(rollup_path) if exists else partial
     non_null = [v for v in touched if v is not None]
     # isin() never matches NULL — include the null partition explicitly
@@ -259,4 +265,5 @@ def rollup_update(
 
     shutil.rmtree(staging, ignore_errors=True)
     write_state(rollup_path)
+    partial.unpersist()
     return spark.read.parquet(rollup_path).where(touched_pred)

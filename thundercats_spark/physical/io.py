@@ -124,6 +124,11 @@ def kafka_reader_options(
     }
     if streaming:
         opts["startingOffsets"] = offset or "earliest"
+        # DELIBERATE bug-for-bug parity with reference IO.scala:139:
+        # 'requests.timeout.ms' is not a real Kafka config (the client
+        # logs an unknown-config warning and ignores it; the real knob
+        # is 'request.timeout.ms') — kept verbatim because the option
+        # maps are contract-pinned against the reference (test_io.py).
         opts["kafka.requests.timeout.ms"] = str(
             wait_timeout if wait_timeout is not None else 30
         )
@@ -145,6 +150,9 @@ def kafka_writer_options(
         "topic": topic,
     }
     if streaming:
+        # DELIBERATE parity with reference IO.scala:268: fetch.max.wait
+        # is a CONSUMER config a producer sink ignores — kept verbatim
+        # for the contract-pinned option-map parity (test_io.py).
         opts["kafka.fetch.max.wait.ms"] = str(
             wait_timeout if wait_timeout is not None else 30
         )
@@ -321,12 +329,19 @@ class Read:
             F.from_csv("raw", f"{schema}, {cr} string", opts).alias("__p"),
         ).where(F.trim("raw") != "")
         if with_header:
-            names = [f.strip().split()[0].lower() for f in schema.split(",")]
-            # normalize both sides: split on the delimiter, strip spaces
-            # and optional quotes, lowercase — so 'Name, City' or
-            # '"name","city"' still reads as the header line.
+            import re as _re
+
+            from pyspark.sql.types import StructType
+
+            # field names from the PARSED schema (not a naive comma
+            # split, which breaks on decimal(10,2)/map<k,v> types)
+            names = [f.name.lower() for f in StructType.fromDDL(schema).fields]
+            # normalize both sides: split on the (regex-escaped)
+            # delimiter, strip spaces and optional quotes, lowercase —
+            # so 'Name, City' or '"name"|"city"' still reads as the
+            # header line even for metachar delimiters like '|'.
             fields = F.transform(
-                F.split("raw", F.lit(delimiter)),
+                F.split("raw", F.lit(_re.escape(delimiter))),
                 lambda x: F.lower(F.trim(F.regexp_replace(F.trim(x), '^"|"$', ""))),
             )
             parsed = parsed.where(
@@ -434,6 +449,14 @@ class Write:
     @staticmethod
     def _prep(df: DataFrame, partition: Partition, overwrite: bool, single_file: bool):
         if single_file:
+            if isinstance(partition, PartitionCol):
+                # contradictory: coalesce(1) would silently drop the
+                # partitioning and downstream pruned reads would scan
+                # everything — refuse instead of quietly unpartitioning
+                raise ValueError(
+                    "single_file=True cannot be combined with "
+                    "PartitionCol — pick one"
+                )
             # reference NoPartition semantics (IO.scala:191): one output file.
             w = df.coalesce(1).write
         elif isinstance(partition, PartitionCol):
@@ -634,6 +657,33 @@ class Write:
         return MayFail.of(run)
 
     @staticmethod
+    def _swap_validate(spark: SparkSession, path: str, tmp: str) -> DataFrame:
+        """Publish ``tmp`` over ``path`` with the validate-before-
+        dropping-backup discipline shared by compact_delete and
+        compact_parquet: keep a ``.old`` backup until the swapped-in
+        dataset's footers read back, restore it if they don't. The two
+        ``os.replace`` calls are each atomic but the pair is not — a
+        crash between them leaves the original at ``<path>.old``
+        (recovery: rename it back). Same-filesystem only (EXDEV
+        otherwise); on object stores write a versioned prefix and
+        repoint a manifest instead."""
+        import shutil
+
+        old = path.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(path, old)
+        os.replace(tmp, path)
+        try:
+            out = spark.read.parquet(path)
+            out.schema  # noqa: B018 - forces footer read
+        except Exception:
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(old, path)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+        return out
+
+    @staticmethod
     def compact_delete(
         spark: SparkSession, path: str, delete_keys: DataFrame, keys: list[str]
     ) -> MayFail[DataFrame]:
@@ -663,21 +713,7 @@ class Write:
             )
             tmp = path.rstrip("/") + ".compact"
             survivors.write.mode("overwrite").parquet(tmp)
-            old = path.rstrip("/") + ".old"
-            shutil.rmtree(old, ignore_errors=True)
-            os.replace(path, old)
-            os.replace(tmp, path)
-            # Validate the swapped-in dataset (footer/schema read) BEFORE
-            # dropping the backup; restore the original if it is unreadable.
-            try:
-                out = spark.read.parquet(path)
-                out.schema  # noqa: B018 - forces footer read
-            except Exception:
-                shutil.rmtree(path, ignore_errors=True)
-                os.replace(old, path)
-                raise
-            shutil.rmtree(old, ignore_errors=True)
-            return out
+            return Write._swap_validate(spark, path, tmp)
 
         return MayFail.of(run)
 
@@ -740,19 +776,7 @@ class Write:
             compacted = spark.read.parquet(path).coalesce(n_out)
             tmp = path.rstrip("/") + ".compact"
             compacted.write.mode("overwrite").parquet(tmp)
-            old = path.rstrip("/") + ".old"
-            shutil.rmtree(old, ignore_errors=True)
-            os.replace(path, old)
-            os.replace(tmp, path)
-            try:
-                out = spark.read.parquet(path)
-                out.schema  # noqa: B018 - forces footer read
-            except Exception:
-                shutil.rmtree(path, ignore_errors=True)
-                os.replace(old, path)
-                raise
-            shutil.rmtree(old, ignore_errors=True)
-            return out
+            return Write._swap_validate(spark, path, tmp)
 
         return MayFail.of(run)
 

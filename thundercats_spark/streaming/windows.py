@@ -50,18 +50,12 @@ _SESSION_SCHEMA = "user_id long, session_start timestamp, session_end timestamp,
 _STATE_SCHEMA = "start long, end long, n long, total double"
 
 
-def _session_fn_with_gap(gap_ms: int):
-    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
-        return _session_fn(key, pdfs, state, gap_ms)
-
-    return fn
-
-
-def _session_fn(
-    key, pdfs: Iterable[pd.DataFrame], state: GroupState, gap_ms: int = 30 * 60 * 1000
-) -> Iterable[pd.DataFrame]:
-    """Accumulate per-user session state; emit when the processing-time
-    timeout fires (user idle past the gap)."""
+def _session_body(key, pdfs, state: GroupState, set_timeout):
+    """Shared accumulate/emit core of BOTH sessionizers — they differ
+    ONLY in how the close timeout is armed (processing-time duration vs
+    event-time watermark timestamp), injected as ``set_timeout(state,
+    end_us)``. One copy means a fix to the fold/emit logic cannot
+    silently apply to one timeout mode and not the other."""
     if state.hasTimedOut:
         start, end, n, total = state.get
         state.remove()
@@ -86,8 +80,18 @@ def _session_fn(
             n += 1
             total += float(v)
     state.update((start, end, n, total))
-    state.setTimeoutDuration(gap_ms)  # idle gap → emit
+    set_timeout(state, end)
     # nothing to emit while the session is open
+
+
+def _session_fn_with_gap(gap_ms: int):
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        # idle gap in PROCESSING time → emit
+        return _session_body(
+            key, pdfs, state, lambda st, _end: st.setTimeoutDuration(gap_ms)
+        )
+
+    return fn
 
 
 def sessionize_stream(stream: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
@@ -112,32 +116,12 @@ def sessionize_stream(stream: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFr
 
 def _session_fn_event_time(gap_ms: int):
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
-        if state.hasTimedOut:
-            start, end, n, total = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start, unit="us")],
-                    "session_end": [pd.Timestamp(end, unit="us")],
-                    "n_events": [n],
-                    "total_value": [total],
-                }
-            )
-            return
-        start, end, n, total = state.get if state.exists else (None, None, 0, 0.0)
-        for pdf in pdfs:
-            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-            vals = pdf["value"].tolist()
-            for t, v in zip(ts_us, vals):
-                start = t if start is None else min(start, t)
-                end = t if end is None else max(end, t)
-                n += 1
-                total += float(v)
-        state.update((start, end, n, total))
         # close when the WATERMARK (not the wall clock) passes the gap
         # beyond the session's last event — deterministic in event time.
-        state.setTimeoutTimestamp(end // 1000 + gap_ms)
+        return _session_body(
+            key, pdfs, state,
+            lambda st, end: st.setTimeoutTimestamp(end // 1000 + gap_ms),
+        )
 
     return fn
 
@@ -167,10 +151,18 @@ def sessionize_stream_event_time(
 
 def run_stream_to_memory(out: DataFrame, name: str, timeout_s: float = 20.0, mode: str = "append"):
     """Drive a streaming DataFrame into an in-memory table until idle
-    (test/debug harness; mirrors reference Screen.showDFStream)."""
+    OR ``timeout_s`` elapses (test/debug harness; mirrors reference
+    Screen.showDFStream). The bound matters: ProcessingTimeTimeout
+    queries keep scheduling cleanup batches, so processAllAvailable
+    alone can never idle — it runs in a worker thread and the join is
+    time-bounded."""
+    import threading
+
     q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try:
-        q.processAllAvailable()
+        t = threading.Thread(target=q.processAllAvailable, daemon=True)
+        t.start()
+        t.join(timeout_s)
     finally:
         q.stop()
     return q
@@ -192,12 +184,16 @@ def stream_stream_join(
     the state would grow forever."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
+    # frame-qualified references throughout: both streams commonly use
+    # the SAME timestamp column name, where a bare F.expr(left_ts)
+    # would be AMBIGUOUS_REFERENCE against the joined schema
     cond = (
         (lw[key] == rw[key])
-        & (rw[right_ts] >= F.expr(f"{left_ts} - INTERVAL {within}"))
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {within}"))
         & (rw[right_ts] <= lw[left_ts])
     )
-    return lw.join(rw, cond, how)
+    # drop the duplicate join key so downstream select(key) resolves
+    return lw.join(rw, cond, how).drop(rw[key])
 
 
 def stream_upsert_parquet(
@@ -217,20 +213,13 @@ def stream_upsert_parquet(
     sink by a key prefix or date so the anti-join prunes partitions."""
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        b = batch.dropDuplicates(list(keys))
-        spark = batch.sparkSession
-        try:
-            existing = spark.read.parquet(path).select(*keys)
-            b = b.join(existing, list(keys), "left_anti")
-        except Exception as e:
-            # Only a missing sink (first batch) may skip the anti-join;
-            # any other read failure must fail the batch, or a replay
-            # would double-append — the bug this sink exists to prevent.
-            from thundercats_spark.physical.io import _is_path_not_found
+        # single source of truth for the replay-safety logic — the
+        # batch twin already implements dedup + anti-join + the
+        # missing-sink-only guard; a drifting duplicate here would
+        # fork the crash-safety semantics.
+        from thundercats_spark.physical.io import Write
 
-            if not _is_path_not_found(e):
-                raise
-        b.write.mode("append").parquet(path)
+        Write.upsert_parquet(batch, path, list(keys)).get
 
     w = stream.writeStream.foreachBatch(upsert).outputMode("update")
     if checkpoint:
