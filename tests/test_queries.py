@@ -30,6 +30,33 @@ def test_entry_contract(spark):
     assert len(qs) >= 30
 
 
+def test_oracle_query_output_is_scalar_only(spark, sf_dir):
+    """The driver canonicalizes results via pandas sort_values, which
+    cannot hash list/dict cells — an array/map/struct output column
+    makes an oracle-checked query driver-red even when its values are
+    exact (r04: embedding_quantize). Gate: every oracle-registered
+    query must emit only atomic columns; serialize nested values
+    (e.g. F.array_join) before registering."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, q in sorted(QUERIES.items()):
+        if not q.oracle:
+            continue
+        df = q.spark_fn(spark, sf_dir)
+        nested = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            offenders[name] = nested
+    assert not offenders, (
+        f"oracle-checked queries emit non-scalar columns the driver's "
+        f"pandas canonicalizer cannot hash: {offenders}"
+    )
+
+
 def test_registry_names_are_wellformed():
     import re
 

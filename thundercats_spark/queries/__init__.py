@@ -124,6 +124,30 @@ _VERIFIED_R03 = {
     "text_quality_score", "text_lang_id", "doc_fingerprint",
 }
 
+# Names whose latest driver hash-match (or rows-only-by-design row) is
+# round 4 (CORRECTNESS_r04.json). embedding_quantize is deliberately
+# absent — its r04 driver row errored (result-shape), so it stays at
+# its prior tier and leads round 5's window with the r02-stale names.
+_VERIFIED_R04 = {
+    "add_column", "agg_reduce", "ann_batch_topk", "ann_indexed_topk",
+    "ann_quantized_topk", "corpus_drift_report", "corpus_manifest",
+    "corpus_pack_sequences", "corpus_packed_sequences",
+    "corpus_repeat_epochs", "corpus_sample_per_source",
+    "corpus_shuffle_order", "corpus_snapshot_diff",
+    "corpus_split_leakage_safe", "corpus_split_stratified",
+    "corpus_temperature_sample", "corpus_token_budget_per_source",
+    "dedup_cluster_sizes", "dedup_connected_groups", "dedup_keep_best",
+    "dedup_minhash_oph", "dedup_semantic", "doc_bigram_logprob",
+    "doc_chunk_windows", "doc_decontaminate", "doc_decontaminate_fuzzy",
+    "doc_pii_scrub", "doc_quality_classifier_score", "doc_quality_funnel",
+    "doc_remove_repeated_spans", "doc_repeated_spans",
+    "doc_repetition_score", "doc_source_mix", "doc_span_dup_fraction",
+    "embedding_norm_stats", "filter_na", "filter_range", "filter_where",
+    "group_agg_cols", "group_agg_map", "join_broadcast", "join_expr",
+    "join_inner", "join_left", "join_outer", "llm_clean_pipeline",
+    "order_by", "q1_pricing_summary", "q3_shipping_priority",
+}
+
 # Oldest-first round lists; a name's effective round is the LAST list
 # containing it. Append future rounds' sets here.
 #
@@ -133,7 +157,7 @@ _VERIFIED_R03 = {
 # Between driver windows, EVERY query still runs each round in pytest
 # (schema/determinism) and tools/verify_oracle.py (full value parity —
 # re-run in full this round: 106 exact + 7 rows-only, 0 fail).
-_ROUNDS = [_VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03]
+_ROUNDS = [_VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03, _VERIFIED_R04]
 
 
 def all_queries() -> dict[str, Query]:

@@ -85,11 +85,12 @@ WITH s AS (
 )
 SELECT vec_id,
        ROUND(sc, 9) AS q_scale,
-       CASE WHEN sc = 0
-            THEN list_transform(embedding, x -> 0)
-            ELSE list_transform(embedding,
-                 x -> CAST(ROUND(CAST(x AS DOUBLE) / sc) AS INT))
-       END AS q
+       array_to_string(
+         CASE WHEN sc = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) / sc) AS INT))
+         END, ',') AS q_csv
 FROM s ORDER BY vec_id
 """
 
@@ -100,8 +101,13 @@ def embedding_quantize_q(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     out = quantize_embeddings(e)
+    # q is array<int>; the driver's pandas canonicalizer cannot hash list
+    # cells (r04 driver ERR), so the registered output serializes it to a
+    # scalar CSV string — mirrored by array_to_string in EMB_QUANTIZE_SQL.
     return out.select(
-        "vec_id", F.round("q_scale", 9).alias("q_scale"), "q"
+        "vec_id",
+        F.round("q_scale", 9).alias("q_scale"),
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q_csv"),
     ).orderBy("vec_id")
 
 
