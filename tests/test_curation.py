@@ -695,3 +695,22 @@ def test_corpus_diff_categories(spark):
     )
     rows = {r["doc_id"]: r["status"] for r in corpus_diff(a, b).collect()}
     assert rows == {2: "changed", 3: "removed", 4: "added"}  # 1 (unchanged) excluded
+
+
+def test_sample_to_fractions_clamps_tiny_positive_fraction(spark):
+    """A positive keep-fraction below 1/buckets must keep ~1/buckets of
+    the source, not silently drop it — regression for the floor-to-zero
+    threshold under extreme source skew."""
+    from thundercats_spark.operators.curation import sample_to_fractions
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.lit("big").alias("source")
+    )
+    out = sample_to_fractions(
+        df, {"big": 1e-6, "absent": 0.5}, buckets=1000
+    )
+    n = out.count()
+    # threshold clamps to 1 of 1000 buckets -> ~2 of 2000 rows survive
+    assert 0 < n < 50
+    # exact zero still means drop
+    assert sample_to_fractions(df, {"big": 0.0}, buckets=1000).count() == 0

@@ -453,3 +453,21 @@ def test_incremental_index_meta_validated(spark, tmp_path):
     with pytest.raises(ValueError, match="normalize"):
         dedup_incremental(docs, ex_idx, normalize=False)
     assert dedup_incremental(docs, ex_idx).count() == 0
+
+
+def test_dedup_keep_best_int64_above_2_53(spark):
+    """int64 scores whose distinction lives above double precision
+    (2^53) must still pick the true max — regression for the blanket
+    double cast that collapsed them to the same ordering key."""
+    from thundercats_spark.operators.dedup import dedup_keep_best
+
+    lo = (1 << 60) + 0
+    hi = (1 << 60) + 1  # same double as lo, different int64
+    assert float(lo) == float(hi)
+    df = spark.createDataFrame(
+        [("a", "same", lo), ("b", "same", hi)],
+        "doc_id string, text string, sc long",
+    )
+    [r] = dedup_keep_best(df, F.col("sc"), ids_only=True).collect()
+    assert r["doc_id"] == "b"  # true max-score winner, not the min-id double-tie
+    assert r["best_score"] == hi

@@ -319,7 +319,15 @@ def sample_to_fractions(
     runs, engines, and re-ingests, so a replayed batch selects the
     same rows. Scan-stage filter, zero shuffle. Sources absent from
     ``fractions`` are dropped — including NULL sources (a null can't
-    key the fraction map; filter or impute upstream to keep them)."""
+    key the fraction map; filter or impute upstream to keep them).
+
+    A POSITIVE fraction below ``1/buckets`` is clamped up to one
+    bucket (keep ≈ 1/buckets of the source) rather than floored to
+    zero — under extreme skew (count ratio ≥ ~buckets^T at temperature
+    T) the floor would silently DROP the largest source entirely,
+    which inverts the operator's intent. 1/buckets is therefore the
+    minimum representable keep-rate; raise ``buckets`` if the mix
+    needs finer resolution."""
     import math
 
     named = {s: f for s, f in fractions.items() if s is not None}
@@ -329,7 +337,10 @@ def sample_to_fractions(
         *[
             x
             for s, f in sorted(named.items())
-            for x in (F.lit(s), F.lit(int(math.floor(f * buckets))))
+            for x in (
+                F.lit(s),
+                F.lit(max(1, int(math.floor(f * buckets))) if f > 0 else 0),
+            )
         ]
     )
     b = split_bucket(F.col(key_col), salt, buckets)

@@ -136,7 +136,15 @@ def dedup_keep_best(
     min id — e.g. retain the best-quality or longest copy. ``score`` is
     any Column over the input row. Same scale shape as ``dedup_exact``:
     one shuffle on the 64-bit fingerprint; only (id, fp, score) ever
-    shuffles, never the text."""
+    shuffles, never the text.
+
+    Ordering preserves the score's own numeric type when it is
+    integral (negation in int64 — exact for every value except the
+    unrepresentable ``-2^63``), and goes through double only for
+    fractional scores; distinct int64 scores above ``2^53`` therefore
+    cannot collapse to the same ordering key."""
+    from pyspark.sql import types as T
+
     key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
     fp = F.xxhash64(key).alias("__fp")
     # as in dedup_exact: project before shuffling so text stays in the
@@ -147,9 +155,14 @@ def dedup_keep_best(
     # id. Negating the (numeric) SCORE instead of the id keeps the
     # tie-break type-agnostic — ids are often strings (URL hashes),
     # where a negated id would crash under ANSI or silently null-cast.
-    pick = F.struct(
-        (-F.col("__score").cast("double")).alias("ns"), F.col(id_col).alias("i")
+    score_type = scored.schema["__score"].dataType
+    integral = isinstance(
+        score_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     )
+    neg = (-F.col("__score").cast("long")) if integral else (
+        -F.col("__score").cast("double")
+    )
+    pick = F.struct(neg.alias("ns"), F.col(id_col).alias("i"))
     keep = (
         scored.groupBy("__fp")
         .agg(

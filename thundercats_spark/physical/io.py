@@ -313,7 +313,12 @@ class Read:
         (case-, space-, and quote-insensitively — the text source has
         no header notion). Caveat: an all-string data row whose fields
         EQUAL the column names is indistinguishable from a header and
-        is dropped too."""
+        is dropped too. Caveat 2: header matching splits the raw line
+        on the bare delimiter (not a CSV parse), so a QUOTED,
+        delimiter-containing column name (``"a,b"``) tokenizes
+        differently than ``from_csv`` would and the header line lands
+        in quarantine on every file instead of being dropped — rename
+        such columns or pre-strip the header upstream."""
         cr = "__corrupt"
         raw = spark.read.text(path).select(
             F.col("value").alias("raw"), F.input_file_name().alias("source_path")

@@ -23,8 +23,11 @@ WITH counts AS (
 ),
 m AS (SELECT MIN(POW(c, 0.5)) AS mw FROM counts),
 keep AS (
+  -- GREATEST(1, ...) mirrors sample_to_fractions' clamp: a positive
+  -- keep-fraction below 1/buckets keeps one bucket, never zero.
   SELECT lang,
-         CAST(FLOOR(LEAST(1.0, m.mw / POW(c, 0.5)) * 10000) AS INT) AS thresh
+         GREATEST(1, CAST(FLOOR(LEAST(1.0, m.mw / POW(c, 0.5)) * 10000) AS INT))
+           AS thresh
   FROM counts, m
 )
 SELECT d.doc_id, d.lang
