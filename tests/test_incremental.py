@@ -184,3 +184,63 @@ def test_rollup_partition_values_with_escapes_and_null(spark, tmp_path):
     rollup_update(spark, b2, path, ["src"], metrics, partition_col="src")
     got = {r["src"]: r["total"] for r in spark.read.parquet(path).collect()}
     assert got == {"web:en": 7, None: 7, "plain": 1}
+
+
+def test_rollup_partitioned_crash_between_swaps_recovers(spark, tmp_path, monkeypatch):
+    """Kill the swap loop between two partition swaps, then replay the
+    batch with the same state_doc: the already-swapped partition must
+    be SKIPPED (not re-merged/double-counted) and the missing one
+    completed — final table equals the straight-through run."""
+    import thundercats_spark.operators.incremental as inc
+
+    path = str(tmp_path / "rollup")
+    batches = _batches(spark)
+    rollup_update(
+        spark, batches[0], path, ["day", "k"], METRICS,
+        partition_col="day", state_doc={"batch_id": 0},
+    )
+
+    real_swap = inc._swap_dir
+    calls = {"n": 0}
+
+    def dying_swap(new, target):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash between partition swaps")
+        real_swap(new, target)
+
+    # batch 1 touches d2 and d3 -> two partition swaps; die on the 2nd
+    monkeypatch.setattr(inc, "_swap_dir", dying_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        rollup_update(
+            spark, batches[1], path, ["day", "k"], METRICS,
+            partition_col="day", state_doc={"batch_id": 1},
+        )
+    monkeypatch.setattr(inc, "_swap_dir", real_swap)
+    # exactly one partition published with batch 1's journal
+    published = [
+        d for d in sorted(__import__("os").listdir(path))
+        if d.startswith("day=")
+        and inc.rollup_state(f"{path}/{d}") == {"batch_id": 1}
+    ]
+    assert len(published) == 1
+    # leftover staging from the crash must not break the replay
+    rollup_update(
+        spark, batches[1], path, ["day", "k"], METRICS,
+        partition_col="day", state_doc={"batch_id": 1},
+    )
+    got = {
+        (r["day"], r["k"]): (r["n"], r["total"], r["lo"], r["hi"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == _expected(spark, batches[:2])
+    # a full replay of an already-complete batch is a no-op too
+    rollup_update(
+        spark, batches[1], path, ["day", "k"], METRICS,
+        partition_col="day", state_doc={"batch_id": 1},
+    )
+    got2 = {
+        (r["day"], r["k"]): (r["n"], r["total"], r["lo"], r["hi"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got2 == _expected(spark, batches[:2])

@@ -182,11 +182,17 @@ def rollup_update(
     ``state_doc`` (e.g. ``{"batch_id": 7}``) is persisted as
     ``_rollup_state.json`` with the merge: in the unpartitioned path it
     rides the staged directory, so state and data publish in ONE atomic
-    swap (the streaming sink's exactly-once hook); in the partitioned
-    path it is written after the partition swaps (a crash inside the
-    swap loop can replay the batch — acceptable for the
-    at-least-once-with-skip contract, documented on the sink).
-    Underscore-prefixed files are invisible to Spark's parquet reads.
+    swap (the streaming sink's exactly-once hook). In the partitioned
+    path the SAME doc is additionally journaled INSIDE each staged
+    partition dir, so state and data swap atomically per partition —
+    a replay after a crash mid-swap-loop skips the partitions already
+    carrying this ``state_doc`` (their published data includes the
+    batch; re-merging a sum/count would be permanent double-count
+    corruption, not duplicate delivery) and completes only the
+    missing ones. Replay correctness assumes the redelivered batch is
+    identical, which Structured Streaming's checkpoint guarantees for
+    a given batch_id. Underscore-prefixed files are invisible to
+    Spark's parquet reads.
 
     Returns the merged rollup rows for the touched scope (the whole
     table when unpartitioned)."""
@@ -250,13 +256,25 @@ def rollup_update(
     # and a reconstructed f"{col}={v}" name would miss those dirs —
     # silently deleting the merged batch with the staging cleanup.
     swapped = 0
+    skipped = 0
     for entry in sorted(os.listdir(staging)):
         if entry.startswith(f"{partition_col}=") and os.path.isdir(
             os.path.join(staging, entry)
         ):
-            _swap_dir(os.path.join(staging, entry), os.path.join(rollup_path, entry))
+            target = os.path.join(rollup_path, entry)
+            # Replay guard: a partition whose published per-partition
+            # journal already carries THIS state_doc was swapped by a
+            # previous (crashed) run of the same batch — its data
+            # already includes the batch, and the staged re-merge for
+            # it is double-counted. Skip it; swap only the missing
+            # partitions.
+            if state_doc is not None and rollup_state(target) == state_doc:
+                skipped += 1
+                continue
+            write_state(os.path.join(staging, entry))  # journal rides the swap
+            _swap_dir(os.path.join(staging, entry), target)
             swapped += 1
-    if swapped == 0:
+    if swapped == 0 and skipped == 0:
         raise RuntimeError(
             f"rollup staging wrote no {partition_col}= partition dirs under "
             f"{staging}; refusing to commit"

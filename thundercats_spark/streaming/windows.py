@@ -325,9 +325,11 @@ def stream_rollup_parquet(
     (``state_doc``) and replayed ids are skipped. In the unpartitioned
     path the id rides the same atomic directory swap as the data, so
     the merge+commit is exactly-once; with ``partition_col`` the id is
-    written after the partition swaps, leaving a crash window of one
-    batch (documented trade for partition-pruned maintenance of very
-    large rollups). Returns the started StreamingQuery."""
+    additionally journaled inside EVERY partition dir (atomically with
+    its swap), so a crash mid-swap-loop is recovered on replay by
+    completing only the partitions not yet carrying the batch —
+    already-swapped ones are skipped, never re-merged. Returns the
+    started StreamingQuery."""
     from thundercats_spark.operators.incremental import rollup_state, rollup_update
 
     def fold(batch: DataFrame, batch_id: int) -> None:
