@@ -43,3 +43,39 @@ def test_fast_path_empty_edges(spark):
 
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(df).count() == 0
+
+
+def test_small_graph_rows_plumbed_through_callers(spark):
+    """small_graph_rows=0 must force the distributed CC path through a
+    CALLER (not just connected_components directly) and produce the
+    same groups — the config hook for small-driver deployments."""
+    from thundercats_spark.operators.components import dedup_groups
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    fast = dedup_groups(df, pairs)  # default: driver union-find
+    forced = dedup_groups(df, pairs, small_graph_rows=None)  # distributed
+    canon = lambda d: sorted(
+        (r["doc_id"], r["group_id"], r["group_size"]) for r in d.collect()
+    )
+    assert canon(fast) == canon(forced)
+
+
+def test_small_graph_rows_plumbed_leakage_safe_split(spark):
+    from thundercats_spark.operators.curation import corpus_split_leakage_safe
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 6)], "id_a long, id_b long")
+    w = {"train": 0.8, "test": 0.2}
+    fast = corpus_split_leakage_safe(df, pairs, w)
+    forced = corpus_split_leakage_safe(df, pairs, w, small_graph_rows=None)
+    canon = lambda d: sorted(
+        (r["doc_id"], r["group_rep"], r["split"]) for r in d.collect()
+    )
+    assert canon(fast) == canon(forced)

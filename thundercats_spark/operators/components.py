@@ -172,11 +172,18 @@ def dedup_groups(
     pairs: DataFrame,
     id_col: str = "doc_id",
     reliable: bool = False,
+    small_graph_rows: int | None = 500_000,
 ) -> DataFrame:
     """Exact-transitive dedup: collapse every connected component of
     near-duplicate ``pairs`` to its min-id representative. Rows not in
-    any pair survive untouched. Adds ``group_id``/``group_size``."""
-    comp = connected_components(pairs, "id_a", "id_b", reliable=reliable)
+    any pair survive untouched. Adds ``group_id``/``group_size``.
+    ``small_graph_rows`` tunes (or, with ``None``, disables) the
+    driver union-find fast path — lower it on small-driver
+    deployments; see ``connected_components``."""
+    comp = connected_components(
+        pairs, "id_a", "id_b", reliable=reliable,
+        small_graph_rows=small_graph_rows,
+    )
     comp = comp.withColumnRenamed("id", id_col)
     sized = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
     comp = comp.join(sized, "component")

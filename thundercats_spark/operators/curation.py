@@ -207,6 +207,7 @@ def corpus_split_leakage_safe(
     weights: dict[str, float],
     key_col: str = "doc_id",
     salt: str = "split",
+    small_graph_rows: int | None = 500_000,
 ) -> DataFrame:
     """Group-aware train/val/test split: any two documents connected in
     ``dup_pairs`` (near-duplicate edges ``id_a``/``id_b``, e.g. from
@@ -223,11 +224,15 @@ def corpus_split_leakage_safe(
     broadcasts it when it fits and the corpus itself never shuffles
     in that case. No forced broadcast: a pathologically duplicated
     corpus falls back to a shuffle join instead of an OOM.
-    (Reference has no counterpart; standard pretraining hygiene —
-    split by dedup cluster, not by document.)"""
+    ``small_graph_rows`` tunes/disables the CC driver union-find fast
+    path for small-driver deployments. (Reference has no counterpart;
+    standard pretraining hygiene — split by dedup cluster, not by
+    document.)"""
     from thundercats_spark.operators.components import connected_components
 
-    labels = connected_components(dup_pairs).withColumnRenamed("id", key_col)
+    labels = connected_components(
+        dup_pairs, small_graph_rows=small_graph_rows
+    ).withColumnRenamed("id", key_col)
     labeled = df.join(labels, key_col, "left")
     rep = F.coalesce(F.col("component"), F.col(key_col))
     return labeled.withColumn("group_rep", rep).drop("component").withColumn(
