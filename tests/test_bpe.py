@@ -127,3 +127,37 @@ def test_incremental_trainer_equals_naive():
     # and on the classic example at every merge budget
     for k in (1, 3, 7, 50):
         assert bpe_train_from_counts(SENNRICH, k) == _naive_train(SENNRICH, k)
+
+
+def test_bpe_artifact_roundtrip(spark, sf_dir, tmp_path):
+    """Save → load must restore the merge list exactly, and encoding
+    from the restored artifact must equal encoding from the in-memory
+    merges (the shipped tokenizer IS the trained tokenizer)."""
+    from thundercats_spark.functions.bpe import (
+        bpe_load,
+        bpe_save,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60).cache()
+    merges = bpe_train(docs, n_merges=60, top_n=5000)
+    path = str(tmp_path / "tok.parquet")
+    bpe_save(spark, merges, path)
+    restored = bpe_load(spark, path)
+    assert restored == merges
+    a = bpe_encode(docs, merges).select("doc_id", "bpe_tokens").collect()
+    b = bpe_encode(docs, restored).select("doc_id", "bpe_tokens").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bpe_artifact_corrupt_ranks_fail_loudly(spark, tmp_path):
+    from thundercats_spark.functions.bpe import bpe_load
+
+    path = str(tmp_path / "bad.parquet")
+    spark.createDataFrame(
+        [(0, "a", "b"), (2, "c", "d")], "rank int, left string, right string"
+    ).write.parquet(path)
+    import pytest
+
+    with pytest.raises(ValueError, match="non-contiguous"):
+        bpe_load(spark, path)

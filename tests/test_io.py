@@ -435,3 +435,31 @@ def test_csv_quarantine_header_variants_dropped(spark, tmp_path):
     good, bad = Read.csv_quarantine_df(spark, str(src), "id long, v string")
     assert {r["id"] for r in good.collect()} == {1, 2}
     assert bad.count() == 0
+
+
+def test_bucketed_q3_zero_exchange_and_parity(spark, sf_dir):
+    """The headline q3 shape over pre-bucketed fact tables must plan
+    with ZERO exchanges (the bucket layout satisfies the fact-fact
+    join AND the downstream groupBy, whose keys are a superset of the
+    orderkey partitioning) and return exactly what the driver-verified
+    unbucketed q3 returns."""
+    from thundercats_spark.queries.bucketed import (
+        build_bucketed_facts,
+        q3_shipping_priority_bucketed,
+    )
+    from thundercats_spark.queries.tpch import q3_shipping_priority
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        build_bucketed_facts(spark, sf_dir, num_buckets=8, prefix="tc_bkt_t")
+        out = q3_shipping_priority_bucketed(spark, sf_dir, prefix="tc_bkt_t")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        base = [tuple(r) for r in q3_shipping_priority(spark, sf_dir).collect()]
+        assert [tuple(r) for r in out.collect()] == base
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS tc_bkt_t_orders")
+        spark.sql("DROP TABLE IF EXISTS tc_bkt_t_lineitem")

@@ -29,6 +29,9 @@ SCALAR_BNLJ_OK = {
 PY_EVAL_OK = {
     "dedup_minhash_lsh", "dedup_minhash_oph", "dedup_simhash",
     "ann_ivf_topk",  # Arrow argmax assign kernel (ivf_assign)
+    # greedy merge-by-rank segmentation is a Python kernel by design:
+    # Arrow-batched with per-batch word memoization (bpe.py bpe_encode)
+    "doc_bpe_encode_persisted",
 }
 
 

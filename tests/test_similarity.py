@@ -309,3 +309,74 @@ def test_lsh_index_build_accepts_known_dim(emb, tmp_path_factory):
     sig_a = {(r["vec_id"], r["__sig"]) for r in spark.read.parquet(a).collect()}
     sig_b = {(r["vec_id"], r["__sig"]) for r in spark.read.parquet(b).collect()}
     assert sig_a == sig_b
+
+
+def test_quantized_index_recall_size_and_pruning(emb, tmp_path_factory):
+    """int8 IVF index: (a) probe plan is partition-pruned; (b) ranking
+    recall vs the FLOAT index at the same centroids stays high (the
+    only divergence is bounded quantization error); (c) the index is
+    materially smaller on disk than the float index."""
+    import os
+
+    spark = emb.sparkSession
+    base = tmp_path_factory.mktemp("annq8")
+    fidx, qidx = str(base / "float_idx"), str(base / "q8_idx")
+    cents = similarity.ann_index_build(emb, fidx, n_clusters=8)
+    assert similarity.ann_quantized_index_build(
+        emb, qidx, centroids=cents
+    ) == cents
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    qres = similarity.ann_topk_quantized_indexed(spark, qidx, qv, k=10, nprobe=3)
+    plan = qres._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cluster" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan
+
+    fl = [r["vec_id"] for r in
+          similarity.ann_topk_indexed(spark, fidx, qv, k=10, nprobe=3).collect()]
+    qt = [r["vec_id"] for r in qres.collect()]
+    overlap = len(set(fl) & set(qt)) / 10
+    assert overlap >= 0.8, f"quantized-vs-float top-10 overlap {overlap}"
+    assert qt[0] == 1  # the query's own vector still ranks first
+
+    def du(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path) for f in fs
+        )
+
+    assert du(qidx) < 0.6 * du(fidx), (du(qidx), du(fidx))
+
+
+def test_quantized_index_rejects_float_index_and_drifted_meta(emb, tmp_path_factory):
+    import pytest
+
+    spark = emb.sparkSession
+    base = tmp_path_factory.mktemp("annq8meta")
+    fidx, qidx = str(base / "float_idx"), str(base / "q8_idx")
+    similarity.ann_index_build(emb, fidx, n_clusters=4)
+    similarity.ann_quantized_index_build(emb, qidx, n_clusters=4)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    # probing a float index with the quantized prober fails loudly
+    with pytest.raises(ValueError, match="float IVF index"):
+        similarity.ann_topk_quantized_indexed(spark, fidx, qv)
+    # wrong query dim fails loudly
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_topk_quantized_indexed(spark, qidx, qv + [0.0])
+
+
+def test_quantized_query_codes_match_stored_rule(spark):
+    """The driver-side query quantization must follow the same
+    half-away-from-zero rule as quantize_embeddings, or query codes
+    would systematically disagree with stored codes at .5 boundaries."""
+    from thundercats_spark.operators.embeddings import quantize_embeddings
+
+    vec = [2.54, -2.54, 1.27, -1.27, 0.0, 5.08]  # scale = .04: exact .5 hits
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<double>")
+    stored = quantize_embeddings(df).first()
+    s = stored["q_scale"]
+    import math
+
+    qq = [int(math.copysign(math.floor(abs(x / s) + 0.5), x)) for x in vec]
+    assert qq == list(stored["q"])

@@ -254,3 +254,34 @@ def bpe_token_count(
     return bpe_encode(df, merges, text_col, "__toks").withColumn(
         "bpe_token_count", F.size("__toks")
     ).drop("__toks")
+
+
+# --------------------------------------------------------------------------
+# tokenizer artifact: persist/restore the merge list
+# --------------------------------------------------------------------------
+
+
+def bpe_save(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the learned merge list as a tiny rank-ordered parquet
+    artifact — the tokenizer the training pipeline ships alongside the
+    packed sequences, restorable on any Hadoop-visible filesystem (same
+    artifact discipline as the ANN index metadata). One file; the
+    vocabulary is ~100 KB-scale at any corpus size."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load(spark, path: str) -> list[tuple[str, str]]:
+    """Restore a merge list saved with ``bpe_save``. Rank order IS the
+    algorithm (merges apply lowest-rank-first), so a gap or duplicate
+    in the persisted ranks means a corrupt artifact — fail loudly
+    rather than tokenize differently than the training run did."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    if [r["rank"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"BPE artifact at {path!r} has non-contiguous ranks — corrupt "
+            "or partially written; rebuild with bpe_save"
+        )
+    return [(r["left"], r["right"]) for r in rows]

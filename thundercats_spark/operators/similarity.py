@@ -491,6 +491,136 @@ def ann_topk_indexed(
     return ann_topk_bruteforce(cells, query_vec, k, vec_col, id_col).select(id_col, "cos")
 
 
+def ann_quantized_index_build(
+    df: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Build the int8-quantized persisted IVF index — the serving shape
+    the quantization kernels exist for: train the coarse quantizer on
+    the FLOAT vectors (training quality is unaffected), then store only
+    ``(id, q_scale, q array<int>)`` per cell, parquet PARTITIONED BY
+    ``__cluster`` — ~4x smaller than the float index (the dominant
+    cost of replicating an embedding table into an index at 100 TB),
+    with the same planning-time partition pruning at probe.
+
+    Same layout contract as ``ann_index_build`` (centroids table at
+    ``<path>_centroids``, validated metadata at ``<path>_meta``) plus
+    ``quantized=1`` in the meta so the float prober and this one can't
+    be crossed silently. Build is one distributed pass (Arrow argmax
+    assign + JVM quantize expressions), no shuffle besides the write."""
+    from thundercats_spark.operators.embeddings import quantize_embeddings
+
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = ivf_train(df, n_clusters, vec_col, id_col, seed=seed)
+    assigned = ivf_assign(df, centroids, vec_col)
+    quantize_embeddings(
+        assigned, vec_col=vec_col, id_col=id_col, keep_cols=("__cluster",)
+    ).write.mode("overwrite").partitionBy("__cluster").parquet(path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+    _write_index_meta(
+        spark,
+        path,
+        {
+            "dim": len(centroids[0]),
+            "n_clusters": len(centroids),
+            "seed": seed,
+            "quantized": 1,
+        },
+    )
+    return centroids
+
+
+def ann_topk_quantized_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k against a persisted int8 IVF index (see
+    ``ann_quantized_index_build``): pick the ``nprobe`` nearest
+    centroids on the driver, scan ONLY those ``__cluster=`` partitions
+    (planning-time pruned), and rank by cosine computed entirely in the
+    quantized domain — the per-vector scales cancel in cosine, so the
+    score is ``sum(qa*qb) / (|qa| * |qb|)``: an exact integer dot over
+    int8 codes (JVM higher-order expressions, no Python, no shuffle)
+    with two float ops at the end. Ranking differs from the float index
+    only by the bounded quantization error (recall pinned in tests).
+    → (vec_id, cos)."""
+    meta = _check_index_meta(spark, path, "quantized-IVF", {"quantized": 1})
+    if int(meta.get("quantized", 0)) != 1:
+        raise ValueError(
+            f"index at {path!r} is a float IVF index — probe it with "
+            "ann_topk_indexed, or rebuild with ann_quantized_index_build"
+        )
+    if centroids is None:
+        centroids = ann_index_centroids(spark, path)
+    if len(query_vec) != len(centroids[0]):
+        raise ValueError(
+            f"query vector has dim {len(query_vec)} but the index at "
+            f"{path!r} was built for dim {len(centroids[0])}"
+        )
+    cmat = np.array(centroids, dtype=np.float64)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probe = [int(i) for i in np.argsort(-(cmat @ q))[:nprobe]]
+
+    # quantize the query on the driver with the same symmetric rule
+    s_q = float(np.max(np.abs(np.asarray(query_vec, dtype=np.float64)))) / 127.0
+    if s_q == 0.0:
+        qq = [0] * len(query_vec)
+    else:
+        # numpy rounds half-to-even; the stored codes use Spark/DuckDB
+        # half-away-from-zero — match it so query codes line up with
+        # what quantize_embeddings would emit for the same vector.
+        import math
+
+        qq = [
+            int(math.copysign(math.floor(abs(x / s_q) + 0.5), x))
+            for x in query_vec
+        ]
+    qlit = F.array(*[F.lit(int(x)) for x in qq])
+    qnorm = float(np.linalg.norm(np.asarray(qq, dtype=np.float64)))
+
+    cells = spark.read.parquet(path).where(F.col("__cluster").isin(probe))
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), qlit, lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    inorm = F.sqrt(
+        F.aggregate(
+            F.col("q"),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x.cast("long") * x.cast("long"),
+        ).cast("double")
+    )
+    denom = inorm * F.lit(qnorm)
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        idot.cast("double") / denom
+    )
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        cells.select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_batch_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -650,6 +780,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     iters: int = 3,
     seed: int = 7,
+    small_graph_rows: int | None = 500_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster embeddings with
     the IVF coarse quantizer, mine cosine>=threshold pairs within each
@@ -658,13 +789,14 @@ def semantic_dedup(
 
     Scale shape: k-means touches only (k x dim) on the driver; the
     pair space is cell-bounded (never n²); connected components works
-    on id pairs only. ``n_clusters=1`` degrades to the exact
+    on id pairs only (``small_graph_rows`` tunes/disables its driver
+    union-find fast path). ``n_clusters=1`` degrades to the exact
     brute-force pair rule (useful as its own oracle in tests)."""
     from thundercats_spark.operators.components import connected_components
 
     cents = ivf_train(df, n_clusters, vec_col, id_col, iters=iters, seed=seed)
     pairs = cosine_pairs_clustered(df, cents, threshold, vec_col, id_col)
-    comp = connected_components(pairs)  # (id, component)
+    comp = connected_components(pairs, small_graph_rows=small_graph_rows)
     drop = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

@@ -164,27 +164,34 @@ def ann_ivf_topk_q(spark, sf_dir):
     )
 
 
-def _cached_index_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
+def _cached_index_dir(
+    kind: str,
+    sf_dir: str,
+    table: str = "embeddings",
+    recipe: str = "exclude-vec0",
+) -> tuple[str, bool]:
     """Deterministic per-(sf_dir, kind) index location under the system
     temp dir, so repeated driver/pytest invocations reuse one build
     instead of littering fresh mkdtemp dirs and re-charging index
     construction to a query meant to showcase the cheap pruned probe.
     The build is fully seeded, so any run reproduces the same index.
     "Built" = the meta file's _SUCCESS marker exists (the meta is the
-    LAST artifact each builder writes)."""
+    LAST artifact each builder writes). ``table``/``recipe`` identify
+    the source table fingerprinted into the tag and the build
+    parameters (the ANN indexes build from embeddings minus vec 0; the
+    BPE artifact builds from documents)."""
     import glob
     import hashlib
     import os
     import tempfile
 
-    # Tag = sf_dir + a fingerprint of the embeddings parquet files
+    # Tag = sf_dir + a fingerprint of the source parquet files
     # (name/size/mtime) + the build recipe: regenerated data or a
     # changed build filter gets a FRESH cache dir instead of silently
-    # probing a stale index built from old vectors.
-    files = sorted(glob.glob(os.path.join(sf_dir, "embeddings.parquet", "*")))
+    # probing a stale index built from old rows.
+    files = sorted(glob.glob(os.path.join(sf_dir, f"{table}.parquet", "*")))
     stamp = [(os.path.basename(f), os.path.getsize(f), int(os.path.getmtime(f)))
              for f in files]
-    recipe = "exclude-vec0"  # all index queries build from vec_id != 0
     tag = hashlib.md5(
         f"{sf_dir.rstrip('/')}|{recipe}|{stamp}".encode()
     ).hexdigest()[:12]

@@ -349,3 +349,86 @@ def corpus_snapshot_diff_q(spark, sf_dir):
         )
     )
     return corpus_diff(a, b).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# int8-quantized PERSISTED IVF index — the serving shape the int8 work
+# exists for: the index partitions store only (id, q_scale, q) 4x
+# smaller than float, the probe is planning-time partition-pruned, and
+# ranking runs entirely in the integer domain (scales cancel in
+# cosine). Approximate by design (IVF probe + quantization error), so
+# rows-only here; recall-vs-float and the pruned plan are pytest-pinned
+# in tests/test_similarity.py.
+# --------------------------------------------------------------------------
+
+
+@register("ann_ivf_quantized", None)
+def ann_ivf_quantized_q(spark, sf_dir):
+    from thundercats_spark.operators import similarity
+    from thundercats_spark.queries.llm_ops import (
+        _cached_index_dir,
+        _publish_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    idx, built = _cached_index_dir("ivf_q8", sf_dir)
+    if not built:
+        _publish_index(
+            idx,
+            lambda d: similarity.ann_quantized_index_build(
+                e.where(F.col("vec_id") != 0), d, n_clusters=8
+            ),
+        )
+    return similarity.ann_topk_quantized_indexed(spark, idx, qv, k=10, nprobe=3)
+
+
+# --------------------------------------------------------------------------
+# Persisted-tokenizer encode: train-once/ship-everywhere BPE — the
+# merge list is saved as a parquet artifact and RESTORED from disk
+# before encoding, so the registered path exercises the same
+# artifact round-trip a training pipeline runs (tokenize with the
+# shipped tokenizer, never a retrained one). Rows-only: greedy BPE
+# segmentation is not SQL-expressible; save/load identity and
+# hand-computed merges are pytest-pinned (tests/test_bpe.py).
+# --------------------------------------------------------------------------
+
+
+@register("doc_bpe_encode_persisted", None)
+def doc_bpe_encode_persisted_q(spark, sf_dir):
+    from thundercats_spark.functions.bpe import (
+        bpe_encode,
+        bpe_load,
+        bpe_save,
+        bpe_train,
+    )
+    from thundercats_spark.operators.similarity import _write_index_meta
+    from thundercats_spark.queries.llm_ops import (
+        _cached_index_dir,
+        _publish_index,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    art, built = _cached_index_dir(
+        "bpe", sf_dir, table="documents", recipe="merges200"
+    )
+    if not built:
+        def build(p):
+            merges = bpe_train(d, n_merges=200)
+            bpe_save(spark, merges, p)
+            _write_index_meta(spark, p, {"n_merges": len(merges)})
+
+        _publish_index(art, build)
+    merges = bpe_load(spark, art)
+    return (
+        bpe_encode(d, merges)
+        .select(
+            "doc_id",
+            F.size("bpe_tokens").alias("n_bpe_tokens"),
+            F.array_join(F.slice("bpe_tokens", 1, 5), " ").alias("head_tokens"),
+        )
+        .orderBy("doc_id")
+    )

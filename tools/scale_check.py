@@ -458,6 +458,82 @@ def main():
         "tokens_per_sec": int(n_tok / max(enc_secs, 1e-9)),
     }
 
+    # round-5: int8-quantized persisted IVF index vs the float index —
+    # the serving trade: index bytes on disk (the replicated-storage
+    # cost at 100 TB) vs probe latency at the same nprobe.
+    f_dir = tempfile.mkdtemp(prefix="scale_ivf_f_")
+    q_dir = tempfile.mkdtemp(prefix="scale_ivf_q8_")
+    t0 = time.time()
+    cents = similarity.ann_index_build(emb_x, f_dir, n_clusters=16)
+    f_build = round(time.time() - t0, 3)
+    t0 = time.time()
+    similarity.ann_quantized_index_build(emb_x, q_dir, centroids=cents)
+    q_build = round(time.time() - t0, 3)
+
+    def du(path):
+        return sum(
+            os.path.getsize(os.path.join(r, fn))
+            for r, _, fs in os.walk(path)
+            for fn in fs
+        )
+
+    t0 = time.time()
+    similarity.ann_topk_indexed(spark, f_dir, qv, k=10, nprobe=4).collect()
+    f_probe = round(time.time() - t0, 3)
+    t0 = time.time()
+    similarity.ann_topk_quantized_indexed(spark, q_dir, qv, k=10, nprobe=4).collect()
+    q_probe = round(time.time() - t0, 3)
+    out["ivf_quantized_index"] = {
+        "n_vectors": emb.count() * replicas,
+        "float_bytes": du(f_dir),
+        "q8_bytes": du(q_dir),
+        "bytes_ratio": round(du(q_dir) / max(du(f_dir), 1), 3),
+        "float_build_secs": f_build,
+        "q8_build_secs": q_build,
+        "float_probe_secs": f_probe,
+        "q8_probe_secs": q_probe,
+    }
+    shutil.rmtree(f_dir, ignore_errors=True)
+    shutil.rmtree(q_dir, ignore_errors=True)
+
+    # round-5: bucketed fact-fact join rehearsal — the q3 headline
+    # shape with orders/lineitem pre-bucketed on orderkey. Records the
+    # exchange counts (bucketed plan must have zero) and wall-clock for
+    # both variants at x10 facts.
+    from thundercats_spark.queries.bucketed import (
+        build_bucketed_facts,
+        q3_shipping_priority_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        build_bucketed_facts(spark, tpch_dir, num_buckets=32, prefix="tc_bkt_scale")
+        bkt_build = round(time.time() - t0, 3)
+        bq3 = q3_shipping_priority_bucketed(spark, tpch_dir, prefix="tc_bkt_scale")
+        bkt_plan = bq3._jdf.queryExecution().executedPlan().toString()
+        t0 = time.time()
+        bq3.write.format("noop").mode("overwrite").save()
+        bkt_secs = round(time.time() - t0, 3)
+        plain = qs["q3_shipping_priority"].spark_fn(spark, tpch_dir)
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        t0 = time.time()
+        plain.write.format("noop").mode("overwrite").save()
+        plain_secs = round(time.time() - t0, 3)
+        out["bucketed_q3"] = {
+            "build_secs": bkt_build,
+            "bucketed_exchanges": bkt_plan.count("Exchange hashpartitioning"),
+            "plain_exchanges": plain_plan.count("Exchange hashpartitioning"),
+            "bucketed_q3_secs": bkt_secs,
+            "plain_q3_secs": plain_secs,
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS tc_bkt_scale_orders")
+        spark.sql("DROP TABLE IF EXISTS tc_bkt_scale_lineitem")
+
     fname = "scale_stats.json" if replicas == 10 else f"scale_stats_x{replicas}.json"
     dest = os.path.join(REPO, "tools", fname)
     with open(dest, "w") as f:
