@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "ann_quantized_topk",
     "corpus_manifest",
+    # round-5: persisted serving artifacts (index/tokenizer builds are
+    # cached per sf_dir, so these time the SERVING path — pruned int8
+    # probe, artifact-restored encode — not the one-time build)
+    "ann_ivf_quantized",
+    "doc_bpe_encode_persisted",
 ]
 
 
