@@ -161,3 +161,20 @@ def test_bpe_artifact_corrupt_ranks_fail_loudly(spark, tmp_path):
 
     with pytest.raises(ValueError, match="non-contiguous"):
         bpe_load(spark, path)
+
+
+def test_bpe_fertility_report(spark, sf_dir):
+    from thundercats_spark.functions.bpe import bpe_fertility, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80).cache()
+    merges = bpe_train(docs, n_merges=100, top_n=5000)
+    rep = {r["group"]: r for r in
+           bpe_fertility(docs, merges, group_col="lang").collect()}
+    assert sum(r["n_docs"] for r in rep.values()) == 80
+    for r in rep.values():
+        assert r["tokens_per_word"] >= 1.0  # a word costs >= 1 token
+        assert 0.0 <= r["char_token_frac"] <= 1.0
+        assert r["total_tokens"] > 0
+    # ungrouped: one row covering the corpus
+    [allrow] = bpe_fertility(docs, merges).collect()
+    assert allrow["group"] == "all" and allrow["n_docs"] == 80

@@ -471,3 +471,21 @@ def test_dedup_keep_best_int64_above_2_53(spark):
     [r] = dedup_keep_best(df, F.col("sc"), ids_only=True).collect()
     assert r["doc_id"] == "b"  # true max-score winner, not the min-id double-tie
     assert r["best_score"] == hi
+
+
+def test_dedup_rate_by_source(spark):
+    from thundercats_spark.operators.dedup import dedup_rate_by_source
+
+    df = spark.createDataFrame(
+        [(1, "web", "x"), (2, "web", "x"), (3, "web", "y"),
+         (4, "book", "z"), (5, "book", " Z  ")],  # normalizes equal
+        "doc_id long, source string, text string",
+    )
+    rep = {r["source"]: r for r in dedup_rate_by_source(df).collect()}
+    assert rep["web"]["n_docs"] == 3 and rep["web"]["n_distinct"] == 2
+    assert rep["web"]["n_dupes"] == 1 and abs(rep["web"]["dup_rate"] - 1/3) < 1e-6
+    assert rep["book"]["n_distinct"] == 1 and rep["book"]["n_dupes"] == 1
+    # normalize=False: ' Z  ' and 'z' distinct
+    raw = {r["source"]: r for r in
+           dedup_rate_by_source(df, normalize=False).collect()}
+    assert raw["book"]["n_dupes"] == 0

@@ -380,3 +380,57 @@ def test_quantized_query_codes_match_stored_rule(spark):
 
     qq = [int(math.copysign(math.floor(abs(x / s) + 0.5), x)) for x in vec]
     assert qq == list(stored["q"])
+
+
+def test_ann_index_append_matches_full_rebuild(emb, tmp_path_factory):
+    """Folding new vectors into a persisted index (frozen centroids,
+    touched-partition merge) must yield exactly the index a full
+    rebuild with the same centroids produces — for the float AND the
+    int8 layout — and replaying the same batch must be a no-op
+    (upsert-by-id idempotence)."""
+    spark = emb.sparkSession
+    base = tmp_path_factory.mktemp("annapp")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 2).first()["embedding"]]
+
+    for kind, build, probe in (
+        ("float", similarity.ann_index_build,
+         lambda p: similarity.ann_topk_indexed(spark, p, qv, k=10, nprobe=3)),
+        ("q8", similarity.ann_quantized_index_build,
+         lambda p: similarity.ann_topk_quantized_indexed(
+             spark, p, qv, k=10, nprobe=3)),
+    ):
+        inc, full = str(base / f"{kind}_inc"), str(base / f"{kind}_full")
+        cents = build(half_a, inc, n_clusters=4)
+        build(emb, full, centroids=cents)
+        n = similarity.ann_index_append(spark, half_b, inc)
+        assert n == half_b.count()
+        got = [(r["vec_id"], r["cos"]) for r in probe(inc).collect()]
+        want = [(r["vec_id"], r["cos"]) for r in probe(full).collect()]
+        assert got == want, kind
+        # replay the same batch: idempotent, index unchanged
+        similarity.ann_index_append(spark, half_b, inc)
+        rows_inc = sorted(
+            r["vec_id"] for r in spark.read.parquet(inc).collect()
+        )
+        rows_full = sorted(
+            r["vec_id"] for r in spark.read.parquet(full).collect()
+        )
+        assert rows_inc == rows_full, kind
+
+
+def test_ann_index_append_validates(emb, tmp_path_factory):
+    import pytest
+
+    spark = emb.sparkSession
+    idx = str(tmp_path_factory.mktemp("annappv") / "idx")
+    similarity.ann_index_build(emb, idx, n_clusters=4)
+    bad = emb.select("vec_id", F.slice("embedding", 1, 3).alias("embedding"))
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_index_append(spark, bad, idx)
+    # appending to a directory that isn't an index fails loudly
+    with pytest.raises(ValueError, match="no metadata"):
+        similarity.ann_index_append(
+            spark, emb, str(tmp_path_factory.mktemp("annappv") / "nope")
+        )

@@ -285,3 +285,43 @@ def bpe_load(spark, path: str) -> list[tuple[str, str]]:
             "or partially written; rebuild with bpe_save"
         )
     return [(r["left"], r["right"]) for r in rows]
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Tokenizer QA report — the numbers a training team checks before
+    committing to a vocabulary: per group (e.g. per lang/source),
+    ``tokens_per_word`` (fertility — how many BPE tokens a whitespace
+    word costs; high fertility on a language means the vocab
+    under-serves it), ``char_token_frac`` (fraction of emitted tokens
+    that are single characters — the fallback tail of words the merges
+    never learned), and token/doc totals.
+
+    One encode pass (the Arrow kernel) + one tiny group agg — the
+    report is group-cardinality-sized at any corpus scale."""
+    from thundercats_spark.functions.text_analysis import tokens
+
+    enc = bpe_encode(df, merges, text_col)
+    grp = (F.col(group_col) if group_col else F.lit("all")).alias("group")
+    per_doc = enc.select(
+        grp,
+        F.size("bpe_tokens").alias("__nt"),
+        F.size(tokens(F.col(text_col))).alias("__nw"),
+        F.size(
+            F.filter("bpe_tokens", lambda t: F.length(t) <= 1)
+        ).alias("__nc"),
+    )
+    return per_doc.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.round(
+            F.sum("__nt") / F.greatest(F.sum("__nw"), F.lit(1)).cast("double"), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            F.sum("__nc") / F.greatest(F.sum("__nt"), F.lit(1)).cast("double"), 6
+        ).alias("char_token_frac"),
+    )

@@ -1253,3 +1253,37 @@ def dedup_minhash_incremental(
     if commit:
         batch.commit()
     return batch.survivors
+
+
+def dedup_rate_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Dedup PLANNING report: per source, how much mass exact dedup
+    would remove — (n_docs, n_distinct, n_dupes, dup_rate). The number
+    a curation run publishes before deciding where to spend near-dup
+    budget. One group agg with a distinct-count partial; text never
+    shuffles (the distinct runs over the 64-bit fingerprint)."""
+    key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    per = df.select(F.col(source_col).alias("source"), F.xxhash64(key).alias("__fp"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__fp").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dupes"),
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct"))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

@@ -621,6 +621,85 @@ def ann_topk_quantized_indexed(
     )
 
 
+def ann_index_append(
+    spark,
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Fold a batch of new vectors into a persisted IVF index (float or
+    int8 — detected from the index's own metadata) WITHOUT a full
+    rebuild: assign the batch against the index's frozen centroids, and
+    merge only the cluster partitions the batch touches — the same
+    O(batch + touched partitions) maintenance shape as
+    ``rollup_update``/``dedup_*_incremental``. The corpus-scale index is
+    never rescanned.
+
+    Merge is an UPSERT on ``id_col`` (a re-sent id replaces its old
+    row), which makes replay idempotent: re-running the same batch
+    converges to the same index, so a crash between two partition swaps
+    is repaired by replaying the batch — no per-partition journal
+    needed (unlike sum-like rollups, where re-merging corrupts).
+
+    Centroids stay FROZEN (standard IVF practice — the coarse quantizer
+    is trained once; appending never moves cells, so old vectors never
+    need re-assigning). Under real distribution drift cell balance
+    degrades and the index should be rebuilt; compare cell-size skew
+    over time to decide. Returns the number of rows appended."""
+    import os
+    import shutil
+
+    from thundercats_spark.operators.incremental import _swap_dir
+
+    meta = _check_index_meta(spark, path, "IVF", {})
+    quantized = int(meta.get("quantized", 0)) == 1
+    centroids = ann_index_centroids(spark, path)
+    first = batch.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return 0
+    if first["d"] != int(meta["dim"]):
+        raise ValueError(
+            f"batch vectors have dim {first['d']} but the index at "
+            f"{path!r} was built for dim {meta['dim']}"
+        )
+    assigned = ivf_assign(batch, centroids, vec_col)
+    if quantized:
+        from thundercats_spark.operators.embeddings import quantize_embeddings
+
+        assigned = quantize_embeddings(
+            assigned, vec_col=vec_col, id_col=id_col, keep_cols=("__cluster",)
+        )
+    # one materialization: the touched-cluster collect and the staging
+    # write both consume the assignment (Arrow kernel — don't run twice)
+    assigned = assigned.persist()
+    try:
+        n_new = assigned.count()
+        if n_new == 0:
+            return 0
+        touched = [
+            r[0] for r in assigned.select("__cluster").distinct().collect()
+        ]
+        existing = spark.read.parquet(path).where(
+            F.col("__cluster").isin(touched)  # partition-pruned read-back
+        )
+        batch_ids = assigned.select(id_col).distinct()
+        merged = existing.join(batch_ids, id_col, "left_anti").unionByName(
+            assigned.select(*existing.columns)
+        )
+        staging = path.rstrip("/") + ".staging"
+        merged.write.mode("overwrite").partitionBy("__cluster").parquet(staging)
+        for entry in sorted(os.listdir(staging)):
+            if entry.startswith("__cluster=") and os.path.isdir(
+                os.path.join(staging, entry)
+            ):
+                _swap_dir(os.path.join(staging, entry), os.path.join(path, entry))
+        shutil.rmtree(staging, ignore_errors=True)
+        return n_new
+    finally:
+        assigned.unpersist()
+
+
 def ann_batch_topk(
     data: DataFrame,
     queries: DataFrame,

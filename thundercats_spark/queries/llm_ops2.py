@@ -432,3 +432,63 @@ def doc_bpe_encode_persisted_q(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup planning report: per-source exact-dup mass. Spark counts
+# distinct 64-bit fingerprints (text never shuffles); the oracle counts
+# distinct normalized text directly — identical up to xxhash64
+# collisions (~n²/2⁶⁵, irrelevant at any real corpus size and exact at
+# the gate's sf).
+# --------------------------------------------------------------------------
+
+DEDUP_RATE_SQL = """
+SELECT lang AS source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT LOWER(TRIM(text))) AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT LOWER(TRIM(text))) AS n_dupes,
+       ROUND((COUNT(*) - COUNT(DISTINCT LOWER(TRIM(text))))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM documents GROUP BY lang ORDER BY source
+"""
+
+
+@register("corpus_dedup_rate_by_source", DEDUP_RATE_SQL)
+def corpus_dedup_rate_by_source_q(spark, sf_dir):
+    from thundercats_spark.operators.dedup import dedup_rate_by_source
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return dedup_rate_by_source(d, source_col="lang").orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Tokenizer QA: per-lang fertility/fallback report with the PERSISTED
+# vocabulary (same artifact as doc_bpe_encode_persisted — built once
+# per sf_dir, restored from disk here). Rows-only: BPE segmentation is
+# not SQL-expressible; the report math is a plain group agg over the
+# pytest-pinned encoder.
+# --------------------------------------------------------------------------
+
+
+@register("corpus_tokenizer_fertility", None)
+def corpus_tokenizer_fertility_q(spark, sf_dir):
+    from thundercats_spark.functions.bpe import bpe_fertility, bpe_load, bpe_save, bpe_train
+    from thundercats_spark.operators.similarity import _write_index_meta
+    from thundercats_spark.queries.llm_ops import (
+        _cached_index_dir,
+        _publish_index,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    art, built = _cached_index_dir(
+        "bpe", sf_dir, table="documents", recipe="merges200"
+    )
+    if not built:
+        def build(p):
+            merges = bpe_train(d, n_merges=200)
+            bpe_save(spark, merges, p)
+            _write_index_meta(spark, p, {"n_merges": len(merges)})
+
+        _publish_index(art, build)
+    merges = bpe_load(spark, art)
+    return bpe_fertility(d, merges, group_col="lang").orderBy("group")

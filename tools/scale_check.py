@@ -493,6 +493,23 @@ def main():
         "float_probe_secs": f_probe,
         "q8_probe_secs": q_probe,
     }
+    # round-5: incremental index append — fold a 1-replica batch into
+    # the x(N-1)-replica float index; cost must track the BATCH (plus
+    # touched-partition rewrite), not the index size.
+    app_dir = tempfile.mkdtemp(prefix="scale_ivf_app_")
+    hist = emb_x.where(F.col("vec_id") % replicas != 0)
+    batch = emb_x.where(F.col("vec_id") % replicas == 0)
+    cents = similarity.ann_index_build(hist, app_dir, n_clusters=16)
+    t0 = time.time()
+    n_app = similarity.ann_index_append(spark, batch, app_dir)
+    out["ann_index_append"] = {
+        "index_rows_before": emb.count() * (replicas - 1),
+        "batch_rows": n_app,
+        "append_secs": round(time.time() - t0, 3),
+        "full_build_secs_same_data": f_build,  # from the block above
+    }
+    shutil.rmtree(app_dir, ignore_errors=True)
+
     shutil.rmtree(f_dir, ignore_errors=True)
     shutil.rmtree(q_dir, ignore_errors=True)
 
