@@ -489,3 +489,16 @@ def test_dedup_rate_by_source(spark):
     raw = {r["source"]: r for r in
            dedup_rate_by_source(df, normalize=False).collect()}
     assert raw["book"]["n_dupes"] == 0
+
+
+def test_dedup_rate_ignores_null_text_in_distinct(spark):
+    """NULL texts count as docs but never as distinct content —
+    matching SQL COUNT(DISTINCT) so the oracle agrees (review r05)."""
+    from thundercats_spark.operators.dedup import dedup_rate_by_source
+
+    df = spark.createDataFrame(
+        [(1, "web", "x"), (2, "web", None), (3, "web", None)],
+        "doc_id long, source string, text string",
+    )
+    [r] = dedup_rate_by_source(df).collect()
+    assert r["n_docs"] == 3 and r["n_distinct"] == 1 and r["n_dupes"] == 2

@@ -434,3 +434,37 @@ def test_ann_index_append_validates(emb, tmp_path_factory):
         similarity.ann_index_append(
             spark, emb, str(tmp_path_factory.mktemp("annappv") / "nope")
         )
+
+
+def test_ann_index_append_update_moves_cluster(spark, tmp_path_factory):
+    """A re-sent id whose UPDATED vector assigns to a different cluster
+    must not leave its stale row behind in the old cluster — the index
+    must never hold duplicate ids (review finding r05)."""
+    import numpy as np
+
+    # two well-separated directions -> two stable clusters
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(40):
+        base = [10.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 10.0, 0.0]
+        rows.append((i, [float(b + rng.uniform(-0.5, 0.5)) for b in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path_factory.mktemp("annmove") / "idx")
+    similarity.ann_index_build(df, idx, n_clusters=2)
+    before = spark.read.parquet(idx)
+    old_cluster = before.where("vec_id = 0").first()["__cluster"]
+
+    # re-send id 0 with a vector pointing the opposite direction of
+    # wherever it currently sits -> assigns to the other cluster
+    target = [0.0, 10.0, 0.0] if before.where("vec_id = 0").first()[
+        "embedding"][0] > 5 else [10.0, 0.0, 0.0]
+    moved = spark.createDataFrame(
+        [(0, target)], "vec_id long, embedding array<double>"
+    )
+    similarity.ann_index_append(spark, moved, idx)
+    after = spark.read.parquet(idx)
+    dup = after.groupBy("vec_id").count().where("count > 1").collect()
+    assert dup == [], dup  # no duplicate ids anywhere
+    got = after.where("vec_id = 0").collect()
+    assert len(got) == 1 and got[0]["__cluster"] != old_cluster
+    assert after.count() == 40  # nothing else lost

@@ -1266,9 +1266,16 @@ def dedup_rate_by_source(
     would remove — (n_docs, n_distinct, n_dupes, dup_rate). The number
     a curation run publishes before deciding where to spend near-dup
     budget. One group agg with a distinct-count partial; text never
-    shuffles (the distinct runs over the 64-bit fingerprint)."""
+    shuffles (the distinct runs over the 64-bit fingerprint).
+
+    NULL texts count toward ``n_docs`` but never toward ``n_distinct``
+    (they carry no content), matching SQL ``COUNT(DISTINCT text)``
+    semantics — the fingerprint is nulled for null keys, since
+    ``xxhash64(NULL)`` would otherwise mint a real hash and count the
+    null family as one distinct document."""
     key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
-    per = df.select(F.col(source_col).alias("source"), F.xxhash64(key).alias("__fp"))
+    fp = F.when(key.isNull(), F.lit(None)).otherwise(F.xxhash64(key))
+    per = df.select(F.col(source_col).alias("source"), fp.alias("__fp"))
     return (
         per.groupBy("source")
         .agg(

@@ -191,13 +191,25 @@ def rollup_update(
     corruption, not duplicate delivery) and completes only the
     missing ones. Replay correctness assumes the redelivered batch is
     identical, which Structured Streaming's checkpoint guarantees for
-    a given batch_id. Underscore-prefixed files are invisible to
-    Spark's parquet reads.
+    a given batch_id — and requires the doc to UNIQUELY identify the
+    batch: reusing one doc across different batches makes the guard
+    treat the later batch as a replay and skip it (an empty doc is
+    rejected outright for the same reason). Underscore-prefixed files
+    are invisible to Spark's parquet reads.
 
     Returns the merged rollup rows for the touched scope (the whole
     table when unpartitioned)."""
     if partition_col is not None and partition_col not in keys:
         raise ValueError("partition_col must be one of the group keys")
+    if state_doc is not None and not state_doc:
+        # an empty doc would compare equal to rollup_state()'s
+        # missing-journal {} and make the replay guard skip EVERY
+        # partition — silently dropping the batch. The doc must
+        # uniquely identify the batch (e.g. {"batch_id": n}).
+        raise ValueError(
+            "state_doc must be a non-empty dict uniquely identifying "
+            "the batch (e.g. {'batch_id': n}); got an empty dict"
+        )
 
     def write_state(target_dir: str) -> None:
         if state_doc is not None:

@@ -436,16 +436,24 @@ def ann_index_build(
         centroids = ivf_train(df, n_clusters, vec_col, id_col, seed=seed)
     assigned = ivf_assign(df, centroids, vec_col)
     assigned.write.mode("overwrite").partitionBy("__cluster").parquet(path)
+    _persist_ivf_artifacts(spark, path, centroids, seed)
+    return centroids
+
+
+def _persist_ivf_artifacts(
+    spark, path: str, centroids, seed: int, extra_meta: dict | None = None
+) -> None:
+    """The IVF index layout contract, in ONE place for every builder:
+    centroid table at ``<path>_centroids``, validated metadata at
+    ``<path>_meta`` (written LAST — it is the 'built' marker the cache
+    layer checks)."""
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
-    _write_index_meta(
-        spark,
-        path,
-        {"dim": len(centroids[0]), "n_clusters": len(centroids), "seed": seed},
-    )
-    return centroids
+    meta = {"dim": len(centroids[0]), "n_clusters": len(centroids), "seed": seed}
+    meta.update(extra_meta or {})
+    _write_index_meta(spark, path, meta)
 
 
 def ann_index_centroids(spark, path: str) -> list[list[float]]:
@@ -522,20 +530,7 @@ def ann_quantized_index_build(
     quantize_embeddings(
         assigned, vec_col=vec_col, id_col=id_col, keep_cols=("__cluster",)
     ).write.mode("overwrite").partitionBy("__cluster").parquet(path)
-    spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cluster int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
-    _write_index_meta(
-        spark,
-        path,
-        {
-            "dim": len(centroids[0]),
-            "n_clusters": len(centroids),
-            "seed": seed,
-            "quantized": 1,
-        },
-    )
+    _persist_ivf_artifacts(spark, path, centroids, seed, {"quantized": 1})
     return centroids
 
 
@@ -627,20 +622,27 @@ def ann_index_append(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assume_new_ids: bool = False,
 ) -> int:
     """Fold a batch of new vectors into a persisted IVF index (float or
     int8 — detected from the index's own metadata) WITHOUT a full
     rebuild: assign the batch against the index's frozen centroids, and
-    merge only the cluster partitions the batch touches — the same
+    rewrite only the cluster partitions that change — the same
     O(batch + touched partitions) maintenance shape as
-    ``rollup_update``/``dedup_*_incremental``. The corpus-scale index is
-    never rescanned.
+    ``rollup_update``/``dedup_*_incremental``. The corpus-scale vector
+    data is never rescanned.
 
     Merge is an UPSERT on ``id_col`` (a re-sent id replaces its old
     row), which makes replay idempotent: re-running the same batch
     converges to the same index, so a crash between two partition swaps
     is repaired by replaying the batch — no per-partition journal
-    needed (unlike sum-like rollups, where re-merging corrupts).
+    needed (unlike sum-like rollups, where re-merging corrupts). A
+    re-sent id whose UPDATED vector assigns to a different cluster is
+    handled: one column-pruned scan over the index's (id, __cluster)
+    pair — never the vectors — locates stale rows in other clusters,
+    and those clusters are rewritten too. ``assume_new_ids=True`` skips
+    that scan for strictly-append-only ingestion (fresh ids
+    guaranteed by the caller — e.g. monotonic ingest keys).
 
     Centroids stay FROZEN (standard IVF practice — the coarse quantizer
     is trained once; appending never moves cells, so old vectors never
@@ -677,23 +679,45 @@ def ann_index_append(
         n_new = assigned.count()
         if n_new == 0:
             return 0
-        touched = [
+        touched = {
             r[0] for r in assigned.select("__cluster").distinct().collect()
-        ]
+        }
+        batch_ids = assigned.select(id_col).distinct()
+        if not assume_new_ids:
+            # stale-row hunt: a re-sent id whose new vector assigns to a
+            # DIFFERENT cluster leaves its old row outside the batch's
+            # clusters; those clusters must be rewritten too or the index
+            # grows duplicate ids. Column-pruned scan — only the
+            # (id, __cluster) pair is read, never the vectors.
+            stale = (
+                spark.read.parquet(path)
+                .select(id_col, "__cluster")
+                .join(F.broadcast(batch_ids), id_col, "left_semi")
+                .select("__cluster")
+                .distinct()
+                .collect()
+            )
+            touched |= {r[0] for r in stale}
+        touched = sorted(touched)
         existing = spark.read.parquet(path).where(
             F.col("__cluster").isin(touched)  # partition-pruned read-back
         )
-        batch_ids = assigned.select(id_col).distinct()
         merged = existing.join(batch_ids, id_col, "left_anti").unionByName(
             assigned.select(*existing.columns)
         )
         staging = path.rstrip("/") + ".staging"
         merged.write.mode("overwrite").partitionBy("__cluster").parquet(staging)
-        for entry in sorted(os.listdir(staging)):
-            if entry.startswith("__cluster=") and os.path.isdir(
-                os.path.join(staging, entry)
-            ):
-                _swap_dir(os.path.join(staging, entry), os.path.join(path, entry))
+        # a cluster whose only rows were stale duplicates writes no
+        # staged dir; swap from the touched list so it still gets
+        # REPLACED (emptied), not left holding the stale rows.
+        for cluster in touched:
+            entry = f"__cluster={cluster}"
+            staged = os.path.join(staging, entry)
+            target = os.path.join(path, entry)
+            if os.path.isdir(staged):
+                _swap_dir(staged, target)
+            elif os.path.isdir(target):
+                shutil.rmtree(target)
         shutil.rmtree(staging, ignore_errors=True)
         return n_new
     finally:

@@ -397,21 +397,18 @@ def ann_ivf_quantized_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@register("doc_bpe_encode_persisted", None)
-def doc_bpe_encode_persisted_q(spark, sf_dir):
-    from thundercats_spark.functions.bpe import (
-        bpe_encode,
-        bpe_load,
-        bpe_save,
-        bpe_train,
-    )
+def _bpe_artifact(spark, sf_dir, d) -> list[tuple[str, str]]:
+    """Shared tokenizer artifact for every persisted-BPE query: build
+    the 200-merge vocabulary ONCE per sf_dir into the deterministic
+    cache slot, restore it from disk on every use. The recipe lives
+    only here — the queries sharing the cache slot can't drift apart."""
+    from thundercats_spark.functions.bpe import bpe_load, bpe_save, bpe_train
     from thundercats_spark.operators.similarity import _write_index_meta
     from thundercats_spark.queries.llm_ops import (
         _cached_index_dir,
         _publish_index,
     )
 
-    d = load(spark, sf_dir, "documents")["documents"]
     art, built = _cached_index_dir(
         "bpe", sf_dir, table="documents", recipe="merges200"
     )
@@ -422,7 +419,15 @@ def doc_bpe_encode_persisted_q(spark, sf_dir):
             _write_index_meta(spark, p, {"n_merges": len(merges)})
 
         _publish_index(art, build)
-    merges = bpe_load(spark, art)
+    return bpe_load(spark, art)
+
+
+@register("doc_bpe_encode_persisted", None)
+def doc_bpe_encode_persisted_q(spark, sf_dir):
+    from thundercats_spark.functions.bpe import bpe_encode
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    merges = _bpe_artifact(spark, sf_dir, d)
     return (
         bpe_encode(d, merges)
         .select(
@@ -472,23 +477,8 @@ def corpus_dedup_rate_by_source_q(spark, sf_dir):
 
 @register("corpus_tokenizer_fertility", None)
 def corpus_tokenizer_fertility_q(spark, sf_dir):
-    from thundercats_spark.functions.bpe import bpe_fertility, bpe_load, bpe_save, bpe_train
-    from thundercats_spark.operators.similarity import _write_index_meta
-    from thundercats_spark.queries.llm_ops import (
-        _cached_index_dir,
-        _publish_index,
-    )
+    from thundercats_spark.functions.bpe import bpe_fertility
 
     d = load(spark, sf_dir, "documents")["documents"]
-    art, built = _cached_index_dir(
-        "bpe", sf_dir, table="documents", recipe="merges200"
-    )
-    if not built:
-        def build(p):
-            merges = bpe_train(d, n_merges=200)
-            bpe_save(spark, merges, p)
-            _write_index_meta(spark, p, {"n_merges": len(merges)})
-
-        _publish_index(art, build)
-    merges = bpe_load(spark, art)
+    merges = _bpe_artifact(spark, sf_dir, d)
     return bpe_fertility(d, merges, group_col="lang").orderBy("group")
