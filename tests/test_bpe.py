@@ -178,3 +178,30 @@ def test_bpe_fertility_report(spark, sf_dir):
     # ungrouped: one row covering the corpus
     [allrow] = bpe_fertility(docs, merges).collect()
     assert allrow["group"] == "all" and allrow["n_docs"] == 80
+
+
+def test_word_counts_equals_window_formulation_and_no_sort_partition(spark, sf_dir):
+    """The histogram-threshold top-n must select exactly what the
+    row_number window selected (count desc, word asc), without putting
+    the vocabulary on a single sort partition."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120).cache()
+    for top_n in (5, 37, 100, 10**6):
+        got = word_counts(docs, top_n=top_n)
+        base = (
+            docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.orderBy(F.desc("n"), F.asc("word"))
+        want = base.withColumn("__r", F.row_number().over(w)).where(
+            F.col("__r") <= top_n
+        ).drop("__r")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), top_n
+    plan = word_counts(docs, top_n=37)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan.replace(
+        "TakeOrderedAndProject", ""
+    ), plan

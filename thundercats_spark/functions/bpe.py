@@ -48,13 +48,20 @@ def _pre_tokenize(text: str) -> list[str]:
 
 
 def word_counts(df: DataFrame, text_col: str = "text", top_n: int = 1_000_000) -> DataFrame:
-    """(word, n) for the ``top_n`` most frequent whitespace words.
-    One explode + one partial-agg shuffle on the word; the top-n cut is
-    a rank over the count column (count desc, word asc — fully
-    deterministic). The result is the trainer's working set: bounded by
-    vocabulary, not corpus size."""
-    from pyspark.sql import Window
+    """(word, n) for the ``top_n`` most frequent whitespace words,
+    selected by (count desc, word asc) — fully deterministic. One
+    explode + one partial-agg shuffle on the word; the result is the
+    trainer's working set, bounded by vocabulary, not corpus size.
 
+    The top-n cut never global-sorts the vocabulary (the old
+    row_number window put the whole distinct-word table on ONE
+    partition): instead the exact distinct-FREQUENCY histogram —
+    at most O(sqrt(total tokens)) rows, trivially collectable at any
+    corpus size — picks the threshold count t on the driver, every
+    word with n > t is kept by a scan filter, and only the n == t tie
+    bucket is ordered (TakeOrdered per-partition heap, no sort
+    partition) to fill the remainder. Same selection as the window
+    formulation (equality test-pinned)."""
     from thundercats_spark.functions.text_analysis import tokens
 
     counts = (
@@ -62,13 +69,31 @@ def word_counts(df: DataFrame, text_col: str = "text", top_n: int = 1_000_000) -
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("word"))
-    # rank window is a single-partition sort over the DISTINCT-word
-    # table (vocabulary-sized); at extreme vocabularies switch to an
-    # approx-quantile count threshold first, as select_token_budget does
-    return counts.withColumn("__r", F.row_number().over(w)).where(
-        F.col("__r") <= top_n
-    ).drop("__r")
+    # distinct-frequency histogram: sum over rows of 1/n distinct values
+    # means at most ~sqrt(2 * total_tokens) rows — driver-safe always.
+    hist = sorted(
+        (
+            (r["n"], r["k"])
+            for r in counts.groupBy("n").agg(F.count(F.lit(1)).alias("k")).collect()
+        ),
+        key=lambda t: -t[0],
+    )
+    cum = 0
+    thresh, before = None, 0
+    for n_val, k in hist:
+        if cum + k >= top_n:
+            thresh, before = n_val, cum
+            break
+        cum += k
+    if thresh is None:
+        return counts  # vocabulary fits entirely within top_n
+    kept = counts.where(F.col("n") > thresh)
+    boundary = (
+        counts.where(F.col("n") == thresh)
+        .orderBy(F.asc("word"))
+        .limit(top_n - before)
+    )
+    return kept.unionByName(boundary)
 
 
 # --------------------------------------------------------------------------
