@@ -32,6 +32,7 @@ PY_EVAL_OK = {
     # greedy merge-by-rank segmentation is a Python kernel by design:
     # Arrow-batched with per-batch word memoization (bpe.py bpe_encode)
     "doc_bpe_encode_persisted",
+    "corpus_tokenizer_fertility",  # same bpe_encode kernel
 }
 
 
@@ -181,3 +182,15 @@ def test_grouped_token_budget_plan_sorts_within_groups_only(plans):
     # the edge window sorts within hash-partitioned groups; a global
     # sort would show as a rangepartitioning exchange
     assert "rangepartitioning" not in p, p
+
+
+def test_rank_queries_avoid_single_sort_partition(plans):
+    """The rank-family queries must number through the distributed
+    bucket window (hashpartitioning on __b), never a no-partition
+    window that drags the table onto one sort partition."""
+    for name in ("customer_balance_rank_dist", "customer_balance_quartiles"):
+        p = plans[name]
+        assert "hashpartitioning(__b" in p, name
+        # the only single-partition exchange allowed is the final
+        # presentation sort's range exchange — no SinglePartition
+        assert "Exchange SinglePartition" not in p, name

@@ -1,0 +1,86 @@
+"""Distributed global ranking (operators/ranking.py): exact equality
+with the single-partition window formulations, without the sort
+partition."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from thundercats_spark.operators.ranking import (
+    global_row_number,
+    grouped_row_number,
+    ntile_from_rn,
+)
+
+
+@pytest.fixture(scope="module")
+def rnd(spark):
+    # adversarial shape: heavy ties on the primary sort key, unique
+    # tie-break, sizes that do NOT divide evenly into partitions
+    return spark.range(0, 10007).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 37).alias("v"),
+        (F.col("id") % 5).cast("string").alias("g"),
+    ).persist()
+
+
+def test_global_row_number_equals_window(rnd):
+    got = {
+        r["k"]: (r["rn"], r["n"])
+        for r in global_row_number(rnd, ["v", "k"], total_col="n").collect()
+    }
+    w = Window.orderBy("v", "k")
+    want = {
+        r["k"]: r["rn"]
+        for r in rnd.withColumn("rn", F.row_number().over(w).cast("long")).collect()
+    }
+    assert len(got) == 10007
+    assert all(got[k] == (want[k], 10007) for k in want)
+
+
+def test_global_row_number_no_sort_partition(rnd):
+    df = global_row_number(rnd, ["v", "k"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the whole point: the numbering window shuffles on the bucket id,
+    # never onto a single sort partition
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(__b" in plan, plan
+
+
+def test_global_row_number_empty(spark):
+    e = spark.createDataFrame([], "k long, v long")
+    assert global_row_number(e, ["v", "k"]).count() == 0
+
+
+def test_grouped_row_number_equals_window(rnd):
+    got = {
+        r["k"]: (r["rn"], r["n"])
+        for r in grouped_row_number(
+            rnd, ["g"], ["v", "k"], total_col="n"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "k")
+    want = {
+        (r["k"]): (r["rn"], r["n"])
+        for r in rnd.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n,k", [(10, 4), (12, 4), (3, 5), (100, 7), (1, 1)])
+def test_ntile_from_rn_matches_sql_ntile(spark, n, k):
+    df = spark.range(1, n + 1).select(F.col("id").alias("rn"))
+    got = [
+        r["t"]
+        for r in df.select(
+            ntile_from_rn(F.col("rn"), F.lit(n).cast("long"), k).alias("t")
+        ).orderBy("rn").collect()
+    ]
+    w = Window.orderBy("rn")
+    want = [
+        r["t"]
+        for r in df.withColumn("t", F.ntile(k).over(w)).orderBy("rn").collect()
+    ]
+    assert got == want, (n, k)

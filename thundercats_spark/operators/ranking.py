@@ -1,0 +1,210 @@
+"""Distributed global ranking — exact row numbers / rank-derived
+statistics by a TOTAL order without the classic Spark scale trap: a
+``Window.orderBy(...)`` with no partition key moves the ENTIRE table
+onto one sort partition. At 100 TB that single partition is the job.
+
+The scalable formulation is the textbook two-phase rank, made
+layout-independent: a seeded driver-side sample of the order keys
+picks ~``n_partitions`` range-boundary tuples which become LITERALS in
+the plan, every row gets a bucket id as a pure function of its own key
+(count of boundaries ≤ key, via ordered struct comparisons), buckets
+sort independently under a PARTITIONED window, and tiny per-bucket
+counts turn into driver-computed offsets. Because the bucket id is a
+function of the row — not of the physical partition layout — every
+pass and every recompute agrees by construction. (The tempting
+alternative, ``repartitionByRange`` + ``spark_partition_id()``, is NOT
+stable across jobs: RangePartitioner re-samples per action, so the
+counts pass and the numbering pass can disagree — caught by test.)
+
+``order_cols`` must be a total order over non-null keys (include a
+unique tie-break key, e.g. the primary key). With a unique order,
+``row_number == rank == dense_rank``, ``percent_rank = (rn-1)/(n-1)``
+and ``cume_dist = rn/n`` — every rank-family statistic derives from
+this one operator (see ``queries/analytics2.py`` for oracle-pinned
+consumers). Bucket balance follows the sample: heavy skew concentrates
+in a bucket only when the key itself has few distinct values, which a
+unique tie-break column prevents.
+
+Reference parity: no counterpart (the reference has no window layer);
+this is Spark-scale infrastructure for the analytics the brief adds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket_expr(
+    df: DataFrame, order_cols: Sequence[str], boundaries: list[tuple]
+) -> F.Column:
+    """Bucket id = number of boundary tuples <= the row's key tuple —
+    a pure row-local expression (ordered struct comparison per
+    boundary; boundary count ~ partition count, so the expression stays
+    small). Boundary literals are cast to the key columns' exact types
+    (struct comparison rejects mismatched field types)."""
+    types = [df.schema[c].dataType for c in order_cols]
+    key = F.struct(*[F.col(c) for c in order_cols])
+    b = F.lit(0)
+    for tup in boundaries:
+        lit_tup = F.struct(
+            *[F.lit(v).cast(t) for v, t in zip(tup, types)]
+        )
+        b = b + F.when(key >= lit_tup, 1).otherwise(0)
+    return b
+
+
+def _sample_boundaries(
+    df: DataFrame, order_cols: Sequence[str], total: int, n_parts: int
+) -> list[tuple]:
+    """Seeded sample of order-key tuples -> up to n_parts-1 evenly
+    spaced, deduplicated boundary tuples (collected once; they enter
+    the plan as literals, so no cross-job consistency is needed)."""
+    target = n_parts * 100
+    frac = min(1.0, target / max(total, 1))
+    samp = sorted(
+        tuple(r) for r in df.select(*order_cols).sample(frac, seed=42).collect()
+    )
+    if not samp:
+        return []
+    step = max(1, len(samp) // n_parts)
+    bounds: list[tuple] = []
+    for i in range(step, len(samp), step):
+        if not bounds or samp[i] != bounds[-1]:
+            bounds.append(samp[i])
+        if len(bounds) >= n_parts - 1:
+            break
+    return bounds
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "rn",
+    total_col: str | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Add exact 1-based global row numbers by ``order_cols`` (a total
+    order over non-null keys) without a single-partition sort.
+    ``total_col`` optionally adds the total row count as a literal
+    column (known for free from the counting pass — saves callers a
+    second job for ratios like percent_rank). Three passes over the
+    input (count, boundary sample, per-bucket counts) plus the
+    numbering consumption; all are scan+agg shaped, none global-sorts.
+    Output row order is unspecified (sort at the edge if needed)."""
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    total = df.count()
+    if total == 0:
+        out = df.withColumn(out_col, F.lit(None).cast("long"))
+        if total_col is not None:
+            out = out.withColumn(total_col, F.lit(0).cast("long"))
+        return out
+    bounds = _sample_boundaries(df, order_cols, total, n_parts)
+    bucketed = df.withColumn("__b", _bucket_expr(df, order_cols, bounds))
+    counts = {
+        r["__b"]: r["n"]
+        for r in bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):  # bucket ids ascend with the key order
+        offsets[b] = acc
+        acc += counts[b]
+    omap = F.create_map(
+        *[x for b, off in sorted(offsets.items()) for x in (F.lit(b), F.lit(off))]
+    )
+    w = Window.partitionBy("__b").orderBy(*order_cols)
+    out = bucketed.withColumn(
+        out_col, F.row_number().over(w).cast("long") + omap[F.col("__b")]
+    ).drop("__b")
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(total).cast("long"))
+    return out
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    out_col: str = "rn",
+    total_col: str | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group twin of ``global_row_number`` for LOW-cardinality
+    groups whose members are too numerous for a per-group sort
+    partition (the ``Window.partitionBy(seg).orderBy(...)`` trap: one
+    sort partition per segment). Buckets range over the combined
+    (group, order) key, so a group's rows split across ordered buckets
+    and number independently; per-(bucket, group) offsets join back
+    broadcast. ``total_col`` adds each group's row count. Use the
+    plain window for high-cardinality groups, where per-group counts
+    are small and this machinery is unnecessary."""
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    keys = [*group_cols, *order_cols]
+    total = df.count()
+    if total == 0:
+        out = df.withColumn(out_col, F.lit(None).cast("long"))
+        if total_col is not None:
+            out = out.withColumn(total_col, F.lit(None).cast("long"))
+        return out
+    bounds = _sample_boundaries(df, keys, total, n_parts)
+    bucketed = df.withColumn("__b", _bucket_expr(df, keys, bounds))
+    rows = (
+        bucketed.groupBy("__b", *group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    by_group: dict = {}
+    for r in sorted(rows, key=lambda r: r["__b"]):
+        g = tuple(r[c] for c in group_cols)
+        by_group.setdefault(g, []).append((r["__b"], r["__n"]))
+    off_rows, totals = [], {}
+    for g, parts in by_group.items():
+        acc = 0
+        for b, n in parts:
+            off_rows.append((int(b), *g, acc))
+            acc += n
+        totals[g] = acc
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    gfields = df.select(*group_cols).schema.fields  # exact group types
+    off_schema = StructType(
+        [StructField("__b", IntegerType(), False), *gfields,
+         StructField("__off", LongType(), False)]
+    )
+    off_df = spark.createDataFrame(off_rows, off_schema)
+    tot_schema = StructType([*gfields, StructField("__tot", LongType(), False)])
+    tot_df = spark.createDataFrame(
+        [(*g, int(n)) for g, n in totals.items()], tot_schema
+    )
+    w = Window.partitionBy("__b", *group_cols).orderBy(*order_cols)
+    out = (
+        bucketed.withColumn("__wrn", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(off_df), ["__b", *group_cols])
+        .withColumn(out_col, F.col("__wrn") + F.col("__off"))
+        .drop("__wrn", "__off", "__b")
+    )
+    if total_col is not None:
+        out = out.join(F.broadcast(tot_df), list(group_cols)).withColumnRenamed(
+            "__tot", total_col
+        )
+    return out
+
+
+def ntile_from_rn(rn, n, k: int):
+    """SQL NTILE(k) from a 1-based row number ``rn`` and group size
+    ``n`` (Columns): the first ``n % k`` buckets hold ``n//k + 1``
+    rows, the rest ``n//k`` — the exact window-function distribution,
+    as a plain expression (no window needed once rn exists)."""
+    q = (n / k).cast("long")  # floor for non-negative
+    r = n - q * F.lit(k)
+    big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    return (
+        F.when(q == 0, rn)  # fewer rows than buckets: one row per bucket
+        .when(rn <= big, F.ceil(rn / (q + 1)))
+        .otherwise(r + F.ceil((rn - big) / q))
+        .cast("int")
+    )

@@ -425,9 +425,14 @@ def q15_top_supplier(spark, sf_dir):
             )
         )
     )
-    # rank-over-empty-partition keeps it one pass (vs scalar-subquery rescan)
-    w = Window.orderBy(F.desc("total_revenue"))
-    top = rev.withColumn("__r", F.rank().over(w)).where(F.col("__r") == 1).drop("__r")
+    # argmax via scalar max + filter over the persisted aggregate (rank
+    # over a no-partition window would put the whole per-supplier table
+    # on one sort partition; the persist costs one supplier-sized cache
+    # and keeps the lineitem scan single-pass). Ties all survive, as in
+    # the correlated-subquery spec.
+    rev = rev.persist()
+    m = rev.agg(F.max("total_revenue").alias("m")).first()["m"]
+    top = rev.where(F.col("total_revenue") == m)
     return (
         t["supplier"]
         .join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))

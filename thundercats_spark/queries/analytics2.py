@@ -240,11 +240,28 @@ ORDER BY c_mktsegment, quartile
 
 @register("customer_balance_quartiles", QUARTILE_SQL)
 def customer_balance_quartiles(spark, sf_dir):
+    # NTILE over 5 segments = 5 sort partitions, each O(customers/5) —
+    # the low-cardinality-group window trap. grouped_row_number splits
+    # every segment across ordered buckets (distributed sort), and the
+    # exact NTILE bucket derives from (rn, group size) as a plain
+    # expression. Identical output to the window formulation (oracle-
+    # and pytest-pinned).
+    from thundercats_spark.operators.ranking import (
+        grouped_row_number,
+        ntile_from_rn,
+    )
+
     c = load(spark, sf_dir, "customer")["customer"]
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    numbered = grouped_row_number(
+        c.select("c_mktsegment", "c_acctbal", "c_custkey"),
+        ["c_mktsegment"],
+        ["c_acctbal", "c_custkey"],
+        total_col="__n",
+    )
     return (
-        c.select("c_mktsegment", "c_acctbal", "c_custkey")
-        .withColumn("quartile", F.ntile(4).over(w))
+        numbered.withColumn(
+            "quartile", ntile_from_rn(F.col("rn"), F.col("__n"), 4)
+        )
         .groupBy("c_mktsegment", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -457,17 +474,29 @@ ORDER BY c_custkey
 
 @register("customer_balance_rank_dist", RANK_DIST_SQL)
 def customer_balance_rank_dist(spark, sf_dir):
+    # percent_rank/cume_dist over a no-partition window = the whole
+    # segment on ONE sort partition. With the unique (acctbal, custkey)
+    # total order, both statistics derive exactly from the distributed
+    # global row number: pr = (rn-1)/(n-1), cd = rn/n — the same int
+    # ratios the window functions compute, bit-identical doubles.
+    from thundercats_spark.operators.ranking import global_row_number
+
     c = load(spark, sf_dir, "customer")["customer"]
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        c.where(F.col("c_mktsegment") == "BUILDING")
-        .select(
-            "c_custkey",
-            F.percent_rank().over(w).alias("pr"),
-            F.cume_dist().over(w).alias("cd"),
-        )
-        .orderBy("c_custkey")
+    numbered = global_row_number(
+        c.where(F.col("c_mktsegment") == "BUILDING").select(
+            "c_custkey", "c_acctbal"
+        ),
+        ["c_acctbal", "c_custkey"],
+        total_col="__n",
     )
+    rn, n = F.col("rn"), F.col("__n")
+    return numbered.select(
+        "c_custkey",
+        F.when(n == 1, F.lit(0.0))
+        .otherwise((rn - 1) / (n - 1))
+        .alias("pr"),
+        (rn / n).alias("cd"),
+    ).orderBy("c_custkey")
 
 
 # --------------------------------------------------------------------------
