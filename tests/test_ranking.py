@@ -84,3 +84,17 @@ def test_ntile_from_rn_matches_sql_ntile(spark, n, k):
         for r in df.withColumn("t", F.ntile(k).over(w)).orderBy("rn").collect()
     ]
     assert got == want, (n, k)
+
+
+def test_null_ranking_keys_raise(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, "a"), (2, None, "a"), (3, 3.0, None)],
+        "k long, v double, g string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        global_row_number(df, ["v", "k"])
+    with pytest.raises(ValueError, match="NULL"):
+        grouped_row_number(df.where("v is not null"), ["g"], ["v", "k"])
+    # clean subset ranks fine
+    clean = df.where("v is not null and g is not null")
+    assert global_row_number(clean, ["v", "k"]).count() == 1

@@ -468,3 +468,18 @@ def test_ann_index_append_update_moves_cluster(spark, tmp_path_factory):
     got = after.where("vec_id = 0").collect()
     assert len(got) == 1 and got[0]["__cluster"] != old_cluster
     assert after.count() == 40  # nothing else lost
+
+
+def test_ann_index_append_rejects_in_batch_duplicate_ids(emb, tmp_path_factory):
+    import pytest
+
+    spark = emb.sparkSession
+    idx = str(tmp_path_factory.mktemp("anndup") / "idx")
+    similarity.ann_index_build(emb, idx, n_clusters=4)
+    row = emb.where("vec_id = 1").first()
+    dup_batch = spark.createDataFrame(
+        [(999, list(row["embedding"]), 0), (999, list(row["embedding"]), 0)],
+        emb.schema,
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        similarity.ann_index_append(spark, dup_batch, idx)

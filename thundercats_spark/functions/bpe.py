@@ -49,9 +49,14 @@ def _pre_tokenize(text: str) -> list[str]:
 
 def word_counts(df: DataFrame, text_col: str = "text", top_n: int = 1_000_000) -> DataFrame:
     """(word, n) for the ``top_n`` most frequent whitespace words,
-    selected by (count desc, word asc) — fully deterministic. One
-    explode + one partial-agg shuffle on the word; the result is the
-    trainer's working set, bounded by vocabulary, not corpus size.
+    selected by (count desc, word asc) — fully deterministic. ONE
+    corpus explode + partial-agg shuffle: the vocabulary aggregate is
+    persisted, so the histogram pass and the returned filter both read
+    the vocabulary-sized cache, never the corpus again (plan
+    construction runs that job eagerly — a build-time operator, like
+    the index builders; the cache is vocabulary-sized, LRU-evicted).
+    The result is the trainer's working set, bounded by vocabulary,
+    not corpus size.
 
     The top-n cut never global-sorts the vocabulary (the old
     row_number window put the whole distinct-word table on ONE
@@ -68,7 +73,7 @@ def word_counts(df: DataFrame, text_col: str = "text", top_n: int = 1_000_000) -
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
+    ).persist()
     # distinct-frequency histogram: sum over rows of 1/n distinct values
     # means at most ~sqrt(2 * total_tokens) rows — driver-safe always.
     hist = sorted(

@@ -79,6 +79,26 @@ def _sample_boundaries(
     return bounds
 
 
+def _count_and_check_nulls(df: DataFrame, key_cols: Sequence[str]) -> int:
+    """One agg: total row count + loud rejection of NULL ranking keys.
+    A NULL key would silently vanish through the offset equi-joins (and
+    break the driver-side boundary sort), so it is an error here — the
+    window formulations treat NULL as an ordinary value, this operator
+    does not. Filter or impute upstream."""
+    anynull = F.col(key_cols[0]).isNull()
+    for c in key_cols[1:]:
+        anynull = anynull | F.col(c).isNull()
+    nulls = F.sum(F.when(anynull, 1).otherwise(0))
+    row = df.agg(F.count(F.lit(1)).alias("n"), nulls.alias("k")).first()
+    if row["k"]:
+        raise ValueError(
+            f"{row['k']} rows have NULL in ranking key columns "
+            f"{list(key_cols)}; distributed ranking requires non-null "
+            "keys (filter or impute upstream)"
+        )
+    return row["n"]
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -87,41 +107,49 @@ def global_row_number(
     n_partitions: int | None = None,
 ) -> DataFrame:
     """Add exact 1-based global row numbers by ``order_cols`` (a total
-    order over non-null keys) without a single-partition sort.
-    ``total_col`` optionally adds the total row count as a literal
-    column (known for free from the counting pass — saves callers a
-    second job for ratios like percent_rank). Three passes over the
-    input (count, boundary sample, per-bucket counts) plus the
-    numbering consumption; all are scan+agg shaped, none global-sorts.
-    Output row order is unspecified (sort at the edge if needed)."""
+    order over non-null keys — NULLs raise) without a single-partition
+    sort. ``total_col`` optionally adds the total row count as a
+    literal column (known for free from the counting pass — saves
+    callers a second job for ratios like percent_rank). The input is
+    persisted across the three internal passes (count+null check,
+    boundary sample, per-bucket counts) and unpersisted before return,
+    so an expensive upstream plan computes twice in total (once for
+    the passes, once at consumption) — pre-persist caller-side to make
+    it once. Output row order is unspecified (sort at the edge)."""
     spark = df.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
-    total = df.count()
-    if total == 0:
-        out = df.withColumn(out_col, F.lit(None).cast("long"))
+    df = df.persist()
+    try:
+        total = _count_and_check_nulls(df, order_cols)
+        if total == 0:
+            out = df.withColumn(out_col, F.lit(None).cast("long"))
+            if total_col is not None:
+                out = out.withColumn(total_col, F.lit(0).cast("long"))
+            return out
+        bounds = _sample_boundaries(df, order_cols, total, n_parts)
+        bucketed = df.withColumn("__b", _bucket_expr(df, order_cols, bounds))
+        counts = {
+            r["__b"]: r["n"]
+            for r in bucketed.groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for b in sorted(counts):  # bucket ids ascend with the key order
+            offsets[b] = acc
+            acc += counts[b]
+        omap = F.create_map(
+            *[x for b, off in sorted(offsets.items()) for x in (F.lit(b), F.lit(off))]
+        )
+        w = Window.partitionBy("__b").orderBy(*order_cols)
+        out = bucketed.withColumn(
+            out_col, F.row_number().over(w).cast("long") + omap[F.col("__b")]
+        ).drop("__b")
         if total_col is not None:
-            out = out.withColumn(total_col, F.lit(0).cast("long"))
+            out = out.withColumn(total_col, F.lit(total).cast("long"))
         return out
-    bounds = _sample_boundaries(df, order_cols, total, n_parts)
-    bucketed = df.withColumn("__b", _bucket_expr(df, order_cols, bounds))
-    counts = {
-        r["__b"]: r["n"]
-        for r in bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in sorted(counts):  # bucket ids ascend with the key order
-        offsets[b] = acc
-        acc += counts[b]
-    omap = F.create_map(
-        *[x for b, off in sorted(offsets.items()) for x in (F.lit(b), F.lit(off))]
-    )
-    w = Window.partitionBy("__b").orderBy(*order_cols)
-    out = bucketed.withColumn(
-        out_col, F.row_number().over(w).cast("long") + omap[F.col("__b")]
-    ).drop("__b")
-    if total_col is not None:
-        out = out.withColumn(total_col, F.lit(total).cast("long"))
-    return out
+    finally:
+        df.unpersist()
 
 
 def grouped_row_number(
@@ -138,60 +166,68 @@ def grouped_row_number(
     sort partition per segment). Buckets range over the combined
     (group, order) key, so a group's rows split across ordered buckets
     and number independently; per-(bucket, group) offsets join back
-    broadcast. ``total_col`` adds each group's row count. Use the
-    plain window for high-cardinality groups, where per-group counts
-    are small and this machinery is unnecessary."""
+    broadcast. ``total_col`` adds each group's row count. Group keys
+    must be non-null too (NULLs raise — they would silently vanish
+    through the offset equi-joins). Use the plain window for
+    high-cardinality groups, where per-group counts are small and
+    this machinery is unnecessary. The input is persisted across the
+    internal passes and unpersisted before return; pre-persist
+    caller-side if the upstream plan is expensive."""
     spark = df.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
     keys = [*group_cols, *order_cols]
-    total = df.count()
-    if total == 0:
-        out = df.withColumn(out_col, F.lit(None).cast("long"))
-        if total_col is not None:
-            out = out.withColumn(total_col, F.lit(None).cast("long"))
-        return out
-    bounds = _sample_boundaries(df, keys, total, n_parts)
-    bucketed = df.withColumn("__b", _bucket_expr(df, keys, bounds))
-    rows = (
-        bucketed.groupBy("__b", *group_cols)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .collect()
-    )
-    by_group: dict = {}
-    for r in sorted(rows, key=lambda r: r["__b"]):
-        g = tuple(r[c] for c in group_cols)
-        by_group.setdefault(g, []).append((r["__b"], r["__n"]))
-    off_rows, totals = [], {}
-    for g, parts in by_group.items():
-        acc = 0
-        for b, n in parts:
-            off_rows.append((int(b), *g, acc))
-            acc += n
-        totals[g] = acc
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
-
-    gfields = df.select(*group_cols).schema.fields  # exact group types
-    off_schema = StructType(
-        [StructField("__b", IntegerType(), False), *gfields,
-         StructField("__off", LongType(), False)]
-    )
-    off_df = spark.createDataFrame(off_rows, off_schema)
-    tot_schema = StructType([*gfields, StructField("__tot", LongType(), False)])
-    tot_df = spark.createDataFrame(
-        [(*g, int(n)) for g, n in totals.items()], tot_schema
-    )
-    w = Window.partitionBy("__b", *group_cols).orderBy(*order_cols)
-    out = (
-        bucketed.withColumn("__wrn", F.row_number().over(w).cast("long"))
-        .join(F.broadcast(off_df), ["__b", *group_cols])
-        .withColumn(out_col, F.col("__wrn") + F.col("__off"))
-        .drop("__wrn", "__off", "__b")
-    )
-    if total_col is not None:
-        out = out.join(F.broadcast(tot_df), list(group_cols)).withColumnRenamed(
-            "__tot", total_col
+    df = df.persist()
+    try:
+        total = _count_and_check_nulls(df, keys)
+        if total == 0:
+            out = df.withColumn(out_col, F.lit(None).cast("long"))
+            if total_col is not None:
+                out = out.withColumn(total_col, F.lit(None).cast("long"))
+            return out
+        bounds = _sample_boundaries(df, keys, total, n_parts)
+        bucketed = df.withColumn("__b", _bucket_expr(df, keys, bounds))
+        rows = (
+            bucketed.groupBy("__b", *group_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
         )
-    return out
+        by_group: dict = {}
+        for r in sorted(rows, key=lambda r: r["__b"]):
+            g = tuple(r[c] for c in group_cols)
+            by_group.setdefault(g, []).append((r["__b"], r["__n"]))
+        off_rows, totals = [], {}
+        for g, parts in by_group.items():
+            acc = 0
+            for b, n in parts:
+                off_rows.append((int(b), *g, acc))
+                acc += n
+            totals[g] = acc
+        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+        gfields = df.select(*group_cols).schema.fields  # exact group types
+        off_schema = StructType(
+            [StructField("__b", IntegerType(), False), *gfields,
+             StructField("__off", LongType(), False)]
+        )
+        off_df = spark.createDataFrame(off_rows, off_schema)
+        tot_schema = StructType([*gfields, StructField("__tot", LongType(), False)])
+        tot_df = spark.createDataFrame(
+            [(*g, int(n)) for g, n in totals.items()], tot_schema
+        )
+        w = Window.partitionBy("__b", *group_cols).orderBy(*order_cols)
+        out = (
+            bucketed.withColumn("__wrn", F.row_number().over(w).cast("long"))
+            .join(F.broadcast(off_df), ["__b", *group_cols])
+            .withColumn(out_col, F.col("__wrn") + F.col("__off"))
+            .drop("__wrn", "__off", "__b")
+        )
+        if total_col is not None:
+            out = out.join(F.broadcast(tot_df), list(group_cols)).withColumnRenamed(
+                "__tot", total_col
+            )
+        return out
+    finally:
+        df.unpersist()
 
 
 def ntile_from_rn(rn, n, k: int):

@@ -679,6 +679,22 @@ def ann_index_append(
         n_new = assigned.count()
         if n_new == 0:
             return 0
+        # an id sent twice IN ONE batch is ambiguous (which vector
+        # wins?) and would re-introduce the duplicate-id corruption the
+        # upsert exists to prevent — reject loudly; dedup upstream.
+        dup = (
+            assigned.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"batch contains duplicate {id_col} values (e.g. "
+                f"{dup[0][id_col]!r}); deduplicate the batch before "
+                "ann_index_append — which copy wins is ambiguous"
+            )
         touched = {
             r[0] for r in assigned.select("__cluster").distinct().collect()
         }

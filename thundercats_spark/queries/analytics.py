@@ -425,14 +425,21 @@ def q15_top_supplier(spark, sf_dir):
             )
         )
     )
-    # argmax via scalar max + filter over the persisted aggregate (rank
-    # over a no-partition window would put the whole per-supplier table
-    # on one sort partition; the persist costs one supplier-sized cache
-    # and keeps the lineitem scan single-pass). Ties all survive, as in
-    # the correlated-subquery spec.
+    # argmax via scalar max + filter over the briefly-persisted
+    # aggregate (rank over a no-partition window would put the whole
+    # per-supplier table on one sort partition). The winners — the
+    # max-revenue tie set, a handful of rows — are collected and
+    # re-lifted as a literal frame so the cache can be RELEASED before
+    # return (no per-invocation cache leak) and the broadcast join
+    # needs no lineitem rescan. Ties all survive, as in the
+    # correlated-subquery spec.
     rev = rev.persist()
-    m = rev.agg(F.max("total_revenue").alias("m")).first()["m"]
-    top = rev.where(F.col("total_revenue") == m)
+    try:
+        m = rev.agg(F.max("total_revenue").alias("m")).first()["m"]
+        top_rows = rev.where(F.col("total_revenue") == m).collect()
+    finally:
+        rev.unpersist()
+    top = spark.createDataFrame(top_rows, rev.schema)
     return (
         t["supplier"]
         .join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
