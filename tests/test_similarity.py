@@ -483,3 +483,25 @@ def test_ann_index_append_rejects_in_batch_duplicate_ids(emb, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="duplicate"):
         similarity.ann_index_append(spark, dup_batch, idx)
+
+
+def test_ann_index_stats_reports_health(emb, tmp_path_factory):
+    spark = emb.sparkSession
+    idx = str(tmp_path_factory.mktemp("annstats") / "idx")
+    similarity.ann_index_build(emb, idx, n_clusters=4)
+    s = similarity.ann_index_stats(spark, idx)
+    assert s["n_vectors"] == emb.count()
+    assert s["n_cells"] + s["empty_cells"] == 4 == s["declared_clusters"]
+    assert sum(s["cells"].values()) == s["n_vectors"]
+    assert s["skew_ratio"] >= 1.0 and not s["quantized"]
+    # append shifts the counts the report sees
+    extra = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    similarity.ann_index_append(spark, extra, idx, assume_new_ids=True)
+    s2 = similarity.ann_index_stats(spark, idx)
+    assert s2["n_vectors"] == 2 * emb.count()
+    # quantized twin carries the flag
+    qidx = str(tmp_path_factory.mktemp("annstats") / "qidx")
+    similarity.ann_quantized_index_build(emb, qidx, n_clusters=4)
+    assert similarity.ann_index_stats(spark, qidx)["quantized"]

@@ -740,6 +740,41 @@ def ann_index_append(
         assigned.unpersist()
 
 
+def ann_index_stats(spark, path: str) -> dict:
+    """Index health report — the rebuild-cadence signal the append
+    docstring points at: per-cell row counts from a column-pruned scan
+    (only the partition column is read; vectors never load), balance
+    ratios, and the index's own metadata. An index maintained by
+    ``ann_index_append`` under distribution drift shows its skew here
+    (``max_cell / mean_cell`` growing); rebuild when probes slow down
+    or the ratio drifts far from the build-time value. Driver cost is
+    one row per cell."""
+    meta = _check_index_meta(spark, path, "IVF", {})
+    counts = sorted(
+        (r["__cluster"], r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("__cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ns = [n for _, n in counts]
+    total = sum(ns)
+    mean = total / len(ns) if ns else 0.0
+    return {
+        "n_vectors": total,
+        "n_cells": len(ns),
+        "declared_clusters": int(meta["n_clusters"]),
+        "empty_cells": int(meta["n_clusters"]) - len(ns),
+        "min_cell": min(ns) if ns else 0,
+        "max_cell": max(ns) if ns else 0,
+        "mean_cell": round(mean, 2),
+        "skew_ratio": round(max(ns) / mean, 3) if ns and mean else 0.0,
+        "dim": int(meta["dim"]),
+        "quantized": bool(int(meta.get("quantized", 0))),
+        "cells": dict(counts),
+    }
+
+
 def ann_batch_topk(
     data: DataFrame,
     queries: DataFrame,
