@@ -456,3 +456,30 @@ def test_custom_transformer_persistence_roundtrip(spark, tmp_path):
     assert sc.getOrDefault(sc.logScale) is True
     se = back.stages[2]
     assert se.getOrDefault(se.numBuckets) == 1 << 10
+
+
+def test_auc_score_rounding_caps_curve_and_approximates_exact(spark):
+    """score_round_digits: the binned curve has at most ~10^d+1 points
+    and the AUC stays within the rounding granularity of exact — the
+    scale control for continuous-score evals."""
+    import random
+    from types import SimpleNamespace
+
+    from thundercats_spark.ml.measure import ClassificationMeasure, _AUC
+
+    rng = random.Random(11)
+    rows = [
+        (rng.random(), 1.0 if rng.random() < 0.5 + 0.3 * (i % 2) else 0.0)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "pred double, label double")
+    spec = SimpleNamespace(output_col="pred", label_col="label")
+    exact = _AUC().score(df, spec).get
+    approx = _AUC(score_round_digits=2).score(df, spec).get
+    assert abs(exact - approx) < 0.02, (exact, approx)
+    curve_n = ClassificationMeasure._curve(df, spec, 2).count()
+    assert curve_n <= 101  # 2 digits -> at most 101 distinct thresholds
+    # default singletons stay exact
+    from thundercats_spark.ml.measure import AUC as AUC_singleton
+
+    assert AUC_singleton.score_round_digits is None

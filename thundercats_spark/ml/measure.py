@@ -44,10 +44,24 @@ class ClassificationMeasure(Measure):
 
     The score is the positive-class probability (or raw margin): we
     take ``probability[1]`` when the specimen's pipeline produced one,
-    else the raw prediction column."""
+    else the raw prediction column.
+
+    ``score_round_digits`` (constructor arg, default None = exact)
+    rounds the score before the threshold curve is built — the scale
+    control for HUGE evaluation sets: the curve is distinct-score-sized
+    and its cumulative pass is a single ordered window, so a continuous
+    score over 10^9 rows would put 10^9 curve points on one sort
+    partition. Rounding to d digits caps the curve at ~10^d+1 points
+    (an exact ROC evaluated at the rounded thresholds — points still
+    exact, only the threshold granularity coarsens). E.g.
+    ``_AUC(score_round_digits=4)`` for web-scale evals; the exported
+    default singletons stay exact."""
+
+    def __init__(self, score_round_digits: int | None = None):
+        self.score_round_digits = score_round_digits
 
     @staticmethod
-    def scored(df: DataFrame, specimen) -> DataFrame:
+    def scored(df: DataFrame, specimen, round_digits: int | None = None) -> DataFrame:
         raw = f"{specimen.output_col}_raw"
         if "probability" in df.columns:
             score = vector_to_array(F.col("probability")).getItem(1)
@@ -57,16 +71,19 @@ class ClassificationMeasure(Measure):
             score = vector_to_array(F.col("rawPrediction")).getItem(1)
         else:
             score = F.col(specimen.output_col).cast("double")
+        if round_digits is not None:
+            score = F.round(score, round_digits)
         return df.select(
             score.alias("__score"), F.col(specimen.label_col).cast("double").alias("__label")
         )
 
     @staticmethod
-    def _curve(df: DataFrame, specimen) -> DataFrame:
+    def _curve(df: DataFrame, specimen, round_digits: int | None = None) -> DataFrame:
         """Per-distinct-threshold cumulative TP/FP (global ordered
-        window — inherently a sorted scan, same as mllib's sortByKey;
-        for huge curves downsample scores to quantile bins first)."""
-        scored = ClassificationMeasure.scored(df, specimen)
+        window over the DISTINCT-SCORE table — same construction as
+        mllib's sortByKey; pass ``round_digits`` to cap the curve size
+        for huge continuous-score evals, see class docstring)."""
+        scored = ClassificationMeasure.scored(df, specimen, round_digits)
         npos_nneg = scored.agg(
             F.sum("__label").alias("P"), F.count(F.lit(1)).alias("N")
         ).first()
@@ -152,7 +169,9 @@ class _AUC(ClassificationMeasure):
         def run():
             # Trapezoidal area under (FPR, TPR), threshold-descending —
             # the standard construction, as one window pass.
-            curve = ClassificationMeasure._curve(df, specimen)
+            curve = ClassificationMeasure._curve(
+                df, specimen, self.score_round_digits
+            )
             n_row = curve.agg(F.max("PP").alias("N"), F.max("P").alias("P")).first()
             n, p = float(n_row["N"]), float(n_row["P"])
             neg = n - p
@@ -175,7 +194,9 @@ class _AUCPR(ClassificationMeasure):
 
     def score(self, df, specimen):
         def run():
-            curve = ClassificationMeasure._curve(df, specimen)
+            curve = ClassificationMeasure._curve(
+                df, specimen, self.score_round_digits
+            )
             pts = curve.select(
                 "threshold",
                 (F.col("TP") / F.col("P")).alias("recall"),
@@ -212,7 +233,9 @@ class _ThresholdMeasure(ClassificationMeasure):
 
     def threshold_scores(self, df, specimen):
         def run():
-            curve = ClassificationMeasure._curve(df, specimen)
+            curve = ClassificationMeasure._curve(
+                df, specimen, self.score_round_digits
+            )
             out = curve.select("threshold", self._metric(curve).alias("v")).collect()
             return {r["threshold"]: r["v"] for r in out}
 
