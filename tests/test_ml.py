@@ -465,7 +465,7 @@ def test_auc_score_rounding_caps_curve_and_approximates_exact(spark):
     import random
     from types import SimpleNamespace
 
-    from thundercats_spark.ml.measure import ClassificationMeasure, _AUC
+    from thundercats_spark.ml.measure import _AUC
 
     rng = random.Random(11)
     rows = [
@@ -477,9 +477,34 @@ def test_auc_score_rounding_caps_curve_and_approximates_exact(spark):
     exact = _AUC().score(df, spec).get
     approx = _AUC(score_round_digits=2).score(df, spec).get
     assert abs(exact - approx) < 0.02, (exact, approx)
-    curve_n = ClassificationMeasure._curve(df, spec, 2).count()
-    assert curve_n <= 101  # 2 digits -> at most 101 distinct thresholds
+    curve, p, n = _AUC(score_round_digits=2)._curve(df, spec)
+    assert curve.count() <= 101  # 2 digits -> at most 101 bins
+    assert n == 2000 and 0 < p < 2000
     # default singletons stay exact
     from thundercats_spark.ml.measure import AUC as AUC_singleton
 
     assert AUC_singleton.score_round_digits is None
+
+
+def test_auc_binning_is_range_relative(spark):
+    """Binning normalizes the observed range, so concentrated or
+    unbounded scores (raw margins, sub-0.01 probabilities) keep their
+    resolution — the fixed-decimal rounding failure mode where a
+    perfect rare-event classifier collapsed to AUC 0.5."""
+    from types import SimpleNamespace
+
+    from thundercats_spark.ml.measure import _AUC
+
+    # perfectly separable scores concentrated in [0.001, 0.004]
+    rows = [(0.004 + i * 1e-6, 1.0) for i in range(50)] + [
+        (0.001 + i * 1e-6, 0.0) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "pred double, label double")
+    spec = SimpleNamespace(output_col="pred", label_col="label")
+    assert _AUC(score_round_digits=2).score(df, spec).get > 0.99
+    # unbounded raw-margin-style scores too
+    rows2 = [(float(40 + i), 1.0) for i in range(50)] + [
+        (float(-40 - i), 0.0) for i in range(50)
+    ]
+    df2 = spark.createDataFrame(rows2, "pred double, label double")
+    assert _AUC(score_round_digits=2).score(df2, spec).get > 0.99

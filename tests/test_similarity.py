@@ -505,3 +505,13 @@ def test_ann_index_stats_reports_health(emb, tmp_path_factory):
     qidx = str(tmp_path_factory.mktemp("annstats") / "qidx")
     similarity.ann_quantized_index_build(emb, qidx, n_clusters=4)
     assert similarity.ann_index_stats(spark, qidx)["quantized"]
+
+
+def test_ann_index_stats_rejects_lsh_layout(emb, tmp_path_factory):
+    import pytest
+
+    spark = emb.sparkSession
+    lsh = str(tmp_path_factory.mktemp("annstatslsh") / "lsh")
+    similarity.ann_lsh_index_build(emb, lsh)
+    with pytest.raises(ValueError, match="not an IVF layout"):
+        similarity.ann_index_stats(spark, lsh)

@@ -47,13 +47,19 @@ class ClassificationMeasure(Measure):
     else the raw prediction column.
 
     ``score_round_digits`` (constructor arg, default None = exact)
-    rounds the score before the threshold curve is built — the scale
-    control for HUGE evaluation sets: the curve is distinct-score-sized
-    and its cumulative pass is a single ordered window, so a continuous
-    score over 10^9 rows would put 10^9 curve points on one sort
-    partition. Rounding to d digits caps the curve at ~10^d+1 points
-    (an exact ROC evaluated at the rounded thresholds — points still
-    exact, only the threshold granularity coarsens). E.g.
+    bins the score into equi-width cells over its OBSERVED [min, max]
+    range before the threshold curve is built — the scale control for
+    HUGE evaluation sets: the curve is distinct-score-sized and its
+    cumulative pass is a single ordered window, so a continuous score
+    over 10^9 rows would put 10^9 curve points on one sort partition.
+    d digits caps the curve at ~10^d+1 points regardless of the
+    score's units or range (raw margins included — the range is
+    normalized out). Curve points stay exact counts at the binned
+    thresholds; the AUC error is bounded by the fraction of
+    (positive, negative) pairs whose scores fall in the SAME bin — not
+    a universal 10^-d, so a distribution concentrated into a sliver of
+    its own range (e.g. one extreme outlier stretching [lo, hi]) still
+    degrades; quantile-bin or clip the score upstream for those. E.g.
     ``_AUC(score_round_digits=4)`` for web-scale evals; the exported
     default singletons stay exact."""
 
@@ -61,7 +67,7 @@ class ClassificationMeasure(Measure):
         self.score_round_digits = score_round_digits
 
     @staticmethod
-    def scored(df: DataFrame, specimen, round_digits: int | None = None) -> DataFrame:
+    def scored(df: DataFrame, specimen) -> DataFrame:
         raw = f"{specimen.output_col}_raw"
         if "probability" in df.columns:
             score = vector_to_array(F.col("probability")).getItem(1)
@@ -71,34 +77,45 @@ class ClassificationMeasure(Measure):
             score = vector_to_array(F.col("rawPrediction")).getItem(1)
         else:
             score = F.col(specimen.output_col).cast("double")
-        if round_digits is not None:
-            score = F.round(score, round_digits)
         return df.select(
             score.alias("__score"), F.col(specimen.label_col).cast("double").alias("__label")
         )
 
-    @staticmethod
-    def _curve(df: DataFrame, specimen, round_digits: int | None = None) -> DataFrame:
+    def _curve(self, df: DataFrame, specimen) -> tuple[DataFrame, float, float]:
         """Per-distinct-threshold cumulative TP/FP (global ordered
         window over the DISTINCT-SCORE table — same construction as
-        mllib's sortByKey; pass ``round_digits`` to cap the curve size
-        for huge continuous-score evals, see class docstring)."""
-        scored = ClassificationMeasure.scored(df, specimen, round_digits)
-        npos_nneg = scored.agg(
-            F.sum("__label").alias("P"), F.count(F.lit(1)).alias("N")
+        mllib's sortByKey) → ``(curve, P, N)``. P (positives) and N
+        (total rows) come from the SAME stats pass that reads the
+        score range — callers must not re-aggregate the data to
+        recover them. Binning per ``self.score_round_digits`` (class
+        docstring); thresholds stay in original score units (each
+        bin's representative value)."""
+        scored = ClassificationMeasure.scored(df, specimen)
+        stats = scored.agg(
+            F.sum("__label").alias("P"),
+            F.count(F.lit(1)).alias("N"),
+            F.min("__score").alias("lo"),
+            F.max("__score").alias("hi"),
         ).first()
-        per_t = scored.groupBy("__score").agg(
+        p, n = float(stats["P"] or 0.0), float(stats["N"])
+        d = self.score_round_digits
+        key = F.col("__score")
+        if d is not None and stats["hi"] is not None and stats["hi"] > stats["lo"]:
+            lo, hi = float(stats["lo"]), float(stats["hi"])
+            # equi-width bins over the observed range, mapped back to
+            # score units (bin representative) so thresholds stay
+            # meaningful in threshold_scores maps
+            key = F.round((key - lo) / (hi - lo), d) * (hi - lo) + lo
+        per_t = scored.groupBy(key.alias("__score")).agg(
             F.sum("__label").alias("tp_here"), F.count(F.lit(1)).alias("n_here")
         )
         w = Window.orderBy(F.desc("__score")).rowsBetween(Window.unboundedPreceding, 0)
-        return (
-            per_t.select(
-                F.col("__score").alias("threshold"),
-                F.sum("tp_here").over(w).alias("TP"),
-                F.sum("n_here").over(w).alias("PP"),
-            )
-            .withColumn("P", F.lit(float(npos_nneg["P"])))
-        )
+        curve = per_t.select(
+            F.col("__score").alias("threshold"),
+            F.sum("tp_here").over(w).alias("TP"),
+            F.sum("n_here").over(w).alias("PP"),
+        ).withColumn("P", F.lit(p))
+        return curve, p, n
 
     def threshold_scores(self, df: DataFrame, specimen) -> MayFail[dict[float, float]]:
         raise NotImplementedError
@@ -168,12 +185,10 @@ class _AUC(ClassificationMeasure):
     def score(self, df, specimen):
         def run():
             # Trapezoidal area under (FPR, TPR), threshold-descending —
-            # the standard construction, as one window pass.
-            curve = ClassificationMeasure._curve(
-                df, specimen, self.score_round_digits
-            )
-            n_row = curve.agg(F.max("PP").alias("N"), F.max("P").alias("P")).first()
-            n, p = float(n_row["N"]), float(n_row["P"])
+            # the standard construction, as one window pass. P and N
+            # ride along from _curve's stats pass (re-aggregating the
+            # curve would re-execute the whole scan+window pipeline).
+            curve, p, n = self._curve(df, specimen)
             neg = n - p
             pts = curve.select(
                 (F.col("TP") / p).alias("tpr"),
@@ -194,9 +209,7 @@ class _AUCPR(ClassificationMeasure):
 
     def score(self, df, specimen):
         def run():
-            curve = ClassificationMeasure._curve(
-                df, specimen, self.score_round_digits
-            )
+            curve, _p, _n = self._curve(df, specimen)
             pts = curve.select(
                 "threshold",
                 (F.col("TP") / F.col("P")).alias("recall"),
@@ -233,9 +246,7 @@ class _ThresholdMeasure(ClassificationMeasure):
 
     def threshold_scores(self, df, specimen):
         def run():
-            curve = ClassificationMeasure._curve(
-                df, specimen, self.score_round_digits
-            )
+            curve, _p, _n = self._curve(df, specimen)
             out = curve.select("threshold", self._metric(curve).alias("v")).collect()
             return {r["threshold"]: r["v"] for r in out}
 

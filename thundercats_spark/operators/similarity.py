@@ -750,6 +750,12 @@ def ann_index_stats(spark, path: str) -> dict:
     or the ratio drifts far from the build-time value. Driver cost is
     one row per cell."""
     meta = _check_index_meta(spark, path, "IVF", {})
+    if "n_clusters" not in meta:
+        raise ValueError(
+            f"index at {path!r} is not an IVF layout (metadata has no "
+            f"n_clusters — an LSH index partitions by __sig, not "
+            "__cluster); ann_index_stats supports the IVF builders only"
+        )
     counts = sorted(
         (r["__cluster"], r["n"])
         for r in spark.read.parquet(path)
