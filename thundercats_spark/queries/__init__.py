@@ -148,6 +148,31 @@ _VERIFIED_R04 = {
     "order_by", "q1_pricing_summary", "q3_shipping_priority",
 }
 
+# Names whose latest driver row is round 5 (CORRECTNESS_r05.json): all
+# 50 window entries were green (47 hash-match + 3 rows-only by design),
+# so the whole window advances to the r05 tier.
+_VERIFIED_R05 = {
+    "embedding_quantize", "ann_ivf_quantized", "doc_bpe_encode_persisted",
+    "corpus_dedup_rate_by_source", "corpus_tokenizer_fertility",
+    "agg_by_key", "select_rename", "text_trim", "events_json_extract",
+    "q8_market_share", "q11_important_parts", "q13_order_distribution",
+    "q16_supplier_variety", "q17_small_quantity", "q19_disjunctive_revenue",
+    "q20_volume_suppliers", "q21_waiting_suppliers", "q22_idle_customers",
+    "q5_local_supplier", "q10_returned_items", "events_daily_rollup",
+    "events_user_topk", "events_sessionize", "asof_join_events_orders",
+    "q6_forecast_revenue", "q4_priority_semi", "customers_no_recent_orders",
+    "q14_promo_share", "q18_large_orders", "events_rollup_hierarchy",
+    "customer_running_total", "doc_word_frequencies",
+    "customer_balance_stats", "supplier_name_distance",
+    "q12_priority_classes", "events_resample_ffill", "q15_top_supplier",
+    "q2_cheapest_supplier", "customer_cohorts_setops",
+    "orders_above_segment_avg", "q7_nation_volume", "q9_product_profit",
+    "doc_tfidf_top_terms", "events_range_join", "orders_cube_summary",
+    "orders_pivot_by_priority", "customer_balance_quartiles",
+    "customer_order_gaps", "events_funnel_conversion",
+    "events_retention_cohorts",
+}
+
 # Oldest-first round lists; a name's effective round is the LAST list
 # containing it. Append future rounds' sets here.
 #
@@ -157,7 +182,10 @@ _VERIFIED_R04 = {
 # Between driver windows, EVERY query still runs each round in pytest
 # (schema/determinism) and tools/verify_oracle.py (full value parity —
 # re-run in full this round: 106 exact + 7 rows-only, 0 fail).
-_ROUNDS = [_VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03, _VERIFIED_R04]
+_ROUNDS = [
+    _VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03, _VERIFIED_R04,
+    _VERIFIED_R05,
+]
 
 
 def all_queries() -> dict[str, Query]:
