@@ -205,3 +205,18 @@ def test_word_counts_equals_window_formulation_and_no_sort_partition(spark, sf_d
     assert "Exchange SinglePartition" not in plan.replace(
         "TakeOrderedAndProject", ""
     ), plan
+
+
+def test_bpe_train_releases_vocabulary_cache(spark, sf_dir):
+    """The trainer's vocabulary aggregate is persisted for the
+    histogram + filter passes but must be RELEASED once the merge loop
+    has collected its working set (r05 advice: the per-invocation
+    cache-leak class) — repeated trainings leave no cached frames
+    behind."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        merges = bpe_train(docs, n_merges=20, top_n=500)
+        assert merges
+    assert jsc.getPersistentRDDs().size() == before

@@ -244,3 +244,62 @@ def test_rollup_partitioned_crash_between_swaps_recovers(spark, tmp_path, monkey
         for r in spark.read.parquet(path).collect()
     }
     assert got2 == _expected(spark, batches[:2])
+
+
+def test_mid_swap_crash_restores_old_backup(spark, tmp_path):
+    """The r05 advice crash window: dying INSIDE _swap_dir between
+    os.rename(target, backup) and os.rename(new, target) leaves the
+    rollup's only history in ``.old``. The next rollup_update must
+    restore the backup BEFORE merging — otherwise the merge reads a
+    missing target and the swap's cleanup deletes the only copy
+    (permanent history loss). Covers the unpartitioned root and a
+    partition dir of the partitioned layout."""
+    import os
+    import shutil
+
+    batches = _batches(spark)
+
+    # unpartitioned root
+    path = str(tmp_path / "flat")
+    rollup_update(spark, batches[0], path, ["day", "k"], METRICS,
+                  state_doc={"batch_id": 0})
+    # simulate the mid-swap crash: history parked in .old, target gone
+    os.rename(path, path + ".old")
+    rollup_update(spark, batches[1], path, ["day", "k"], METRICS,
+                  state_doc={"batch_id": 1})
+    got = {
+        (r["day"], r["k"]): (r["n"], r["total"], r["lo"], r["hi"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == _expected(spark, batches[:2])
+    assert not os.path.exists(path + ".old")
+
+    # partitioned layout: one partition dir mid-swap
+    ppath = str(tmp_path / "part")
+    rollup_update(spark, batches[0], ppath, ["day", "k"], METRICS,
+                  partition_col="day", state_doc={"batch_id": 0})
+    d2 = os.path.join(ppath, "day=d2")
+    os.rename(d2, d2 + ".old")
+    rollup_update(spark, batches[1], ppath, ["day", "k"], METRICS,
+                  partition_col="day", state_doc={"batch_id": 1})
+    pgot = {
+        (r["day"], r["k"]): (r["n"], r["total"], r["lo"], r["hi"])
+        for r in spark.read.parquet(ppath).collect()
+    }
+    assert pgot == _expected(spark, batches[:2])
+    assert not os.path.exists(d2 + ".old")
+
+    # completed-swap leftover (target present AND stale .old): the
+    # recovery must drop the stale backup, not resurrect it
+    stale = str(tmp_path / "stale")
+    rollup_update(spark, batches[0], stale, ["day", "k"], METRICS,
+                  state_doc={"batch_id": 0})
+    shutil.copytree(stale, stale + ".old")
+    rollup_update(spark, batches[1], stale, ["day", "k"], METRICS,
+                  state_doc={"batch_id": 1})
+    sgot = {
+        (r["day"], r["k"]): (r["n"], r["total"], r["lo"], r["hi"])
+        for r in spark.read.parquet(stale).collect()
+    }
+    assert sgot == _expected(spark, batches[:2])
+    assert not os.path.exists(stale + ".old")

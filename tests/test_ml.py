@@ -508,3 +508,81 @@ def test_auc_binning_is_range_relative(spark):
     ]
     df2 = spark.createDataFrame(rows2, "pred double, label double")
     assert _AUC(score_round_digits=2).score(df2, spec).get > 0.99
+
+
+def test_auc_quantile_binning_survives_outlier(spark):
+    """One extreme outlier stretches the observed range so equi-width
+    bins dump the real mass into a single cell (AUC collapses toward
+    chance); quantile bins hold ~equal mass per cell and keep the AUC
+    bound — the r05 advice case score_bins='quantile' exists for."""
+    import random
+    from types import SimpleNamespace
+
+    from thundercats_spark.ml.measure import _AUC
+
+    rng = random.Random(3)
+    rows = [(rng.uniform(0.6, 1.0), 1.0) for _ in range(500)] + [
+        (rng.uniform(0.0, 0.4), 0.0) for _ in range(500)
+    ]
+    rows.append((1e9, 1.0))  # the range-stretching outlier
+    df = spark.createDataFrame(rows, "pred double, label double")
+    spec = SimpleNamespace(output_col="pred", label_col="label")
+    exact = _AUC().score(df, spec).get
+    assert exact > 0.99
+    width = _AUC(score_round_digits=2).score(df, spec).get
+    assert width < 0.75, width  # equi-width visibly degrades here
+    quant = _AUC(score_round_digits=2, score_bins="quantile").score(df, spec).get
+    assert abs(quant - exact) < 0.02, (quant, exact)
+    # curve stays capped: ~10^d cells either way
+    curve, _, _ = _AUC(score_round_digits=2, score_bins="quantile")._curve(
+        df, spec
+    )
+    assert curve.count() <= 101
+
+
+def test_auc_quantile_binning_matches_width_on_clean_scores(spark):
+    """No outlier: both geometries stay within the granularity bound of
+    exact (quantile is a safety upgrade, not a semantics change)."""
+    import random
+    from types import SimpleNamespace
+
+    from thundercats_spark.ml.measure import _AUC
+
+    rng = random.Random(7)
+    rows = [
+        (rng.random(), 1.0 if rng.random() < 0.5 + 0.3 * (i % 2) else 0.0)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "pred double, label double")
+    spec = SimpleNamespace(output_col="pred", label_col="label")
+    exact = _AUC().score(df, spec).get
+    quant = _AUC(score_round_digits=2, score_bins="quantile").score(df, spec).get
+    assert abs(exact - quant) < 0.02, (exact, quant)
+    # near-constant scores: quantile edges collapse -> falls back, still sane
+    flat = spark.createDataFrame(
+        [(0.5, 1.0)] * 40 + [(0.5 - 1e-12, 0.0)] * 40, "pred double, label double"
+    )
+    assert 0.0 <= _AUC(
+        score_round_digits=2, score_bins="quantile"
+    ).score(flat, spec).get <= 1.0
+
+
+def test_auc_nan_scores_raise_when_binning(spark):
+    """NaN poisons the observed range and would silently DISABLE
+    binning (the huge-curve trap resurfaces unguarded) — reject loudly
+    instead. The exact path is untouched; bad score_bins values too."""
+    from types import SimpleNamespace
+
+    import pytest as _pytest
+
+    from thundercats_spark.ml.measure import _AUC
+
+    rows = [(0.9, 1.0), (0.1, 0.0), (float("nan"), 1.0)]
+    df = spark.createDataFrame(rows, "pred double, label double")
+    spec = SimpleNamespace(output_col="pred", label_col="label")
+    with _pytest.raises(ValueError, match="NaN"):
+        _AUC(score_round_digits=2)._curve(df, spec)
+    # through the MayFail-wrapped scoring surface it lands as a failure
+    assert _AUC(score_round_digits=2).score(df, spec).is_failing
+    with _pytest.raises(ValueError, match="score_bins"):
+        _AUC(score_bins="log")

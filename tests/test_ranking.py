@@ -98,3 +98,65 @@ def test_null_ranking_keys_raise(spark):
     # clean subset ranks fine
     clean = df.where("v is not null and g is not null")
     assert global_row_number(clean, ["v", "k"]).count() == 1
+
+
+def test_grouped_row_number_max_groups_guard(spark):
+    """High-cardinality groups must fail LOUDLY (the offset rows are
+    O(buckets x groups) on the driver), pointing at the plain window —
+    not crawl toward a driver OOM. Raising the bound explicitly works."""
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 200).cast("string").alias("g"),
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        grouped_row_number(df, ["g"], ["k"], max_groups=100)
+    out = grouped_row_number(df, ["g"], ["k"], max_groups=200)
+    assert out.count() == 500
+
+
+def test_sample_boundaries_respects_bucket_count(rnd):
+    """n_partitions=1 means ONE bucket -> zero boundaries (the r05
+    advice off-by-one appended one), and no request ever yields more
+    than n_parts-1 boundaries."""
+    from thundercats_spark.operators.ranking import _sample_boundaries
+
+    total = rnd.count()
+    assert _sample_boundaries(rnd, ["v", "k"], total, 1) == []
+    for n_parts in (2, 3, 8):
+        bounds = _sample_boundaries(rnd, ["v", "k"], total, n_parts)
+        assert len(bounds) <= n_parts - 1, n_parts
+    # and the full operator stays exact with a single requested bucket
+    got = [
+        r["rn"]
+        for r in global_row_number(rnd, ["v", "k"], n_partitions=1)
+        .orderBy("rn").collect()
+    ]
+    assert got == list(range(1, rnd.count() + 1))
+
+
+def test_ntile_from_rn_exact_beyond_double_resolution(spark):
+    """ntile arithmetic must stay in the integer domain: near 2^60 a
+    double-precision quotient can cross an integer boundary and
+    misassign a bucket. Pin exactness against Python's arbitrary-
+    precision integers at the bucket edges, where fp error bites."""
+    n = (1 << 60) + 7
+    k = 7
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+
+    def expect(rn):
+        if q == 0:
+            return rn
+        if rn <= big:
+            return -(-rn // (q + 1))  # ceil
+        return r + -(-(rn - big) // q)
+
+    probes = [1, q, q + 1, big - 1, big, big + 1, big + q, n - 1, n]
+    df = spark.createDataFrame([(int(p),) for p in probes], "rn long")
+    got = {
+        r2["rn"]: r2["t"]
+        for r2 in df.select(
+            "rn", ntile_from_rn(F.col("rn"), F.lit(n), k).alias("t")
+        ).collect()
+    }
+    assert got == {p: expect(p) for p in probes}

@@ -507,11 +507,197 @@ def test_ann_index_stats_reports_health(emb, tmp_path_factory):
     assert similarity.ann_index_stats(spark, qidx)["quantized"]
 
 
-def test_ann_index_stats_rejects_lsh_layout(emb, tmp_path_factory):
+def test_ann_index_stats_covers_both_layouts(emb, tmp_path_factory):
+    """ann_index_stats reads the LSH ``__sig`` layout too (r05 verdict:
+    it used to reject it) — cell universe 2^n_planes, same balance
+    report; IVF indexes keep reporting as before."""
+    spark = emb.sparkSession
+    base = tmp_path_factory.mktemp("annstats2")
+    lsh = str(base / "lsh")
+    similarity.ann_lsh_index_build(emb, lsh, n_planes=6)
+    s = similarity.ann_index_stats(spark, lsh)
+    assert s["layout"] == "lsh"
+    assert s["declared_clusters"] == 2**6
+    assert s["n_vectors"] == emb.count()
+    assert sum(s["cells"].values()) == s["n_vectors"]
+    ivf = str(base / "ivf")
+    similarity.ann_index_build(emb, ivf, n_clusters=4)
+    assert similarity.ann_index_stats(spark, ivf)["layout"] == "ivf"
+
+
+def test_ann_lsh_index_append_matches_full_rebuild(emb, tmp_path_factory):
+    """LSH persisted-index append: signatures are pure functions of
+    (vector, n_planes, seed), so appending half the corpus into an
+    index built from the other half must reproduce the full-build index
+    EXACTLY — same (id, __sig) rows, same probe results — and replaying
+    the batch must be a no-op (upsert idempotence)."""
+    spark = emb.sparkSession
+    base = tmp_path_factory.mktemp("lshapp")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 2).first()["embedding"]]
+    inc, full = str(base / "inc"), str(base / "full")
+    similarity.ann_lsh_index_build(half_a, inc)
+    similarity.ann_lsh_index_build(emb, full)
+    n = similarity.ann_lsh_index_append(spark, half_b, inc)
+    assert n == half_b.count()
+    got = [
+        (r["vec_id"], r["cos"])
+        for r in similarity.ann_topk_lsh_indexed(spark, inc, qv, k=10).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cos"])
+        for r in similarity.ann_topk_lsh_indexed(spark, full, qv, k=10).collect()
+    ]
+    assert got == want
+    similarity.ann_lsh_index_append(spark, half_b, inc)  # replay
+    pairs = lambda p: sorted(  # noqa: E731
+        (r["vec_id"], r["__sig"]) for r in spark.read.parquet(p).collect()
+    )
+    assert pairs(inc) == pairs(full)
+
+
+def test_ann_lsh_index_append_update_moves_bucket_and_validates(
+    emb, tmp_path_factory
+):
+    """A re-sent id whose updated vector hashes to a DIFFERENT bucket
+    must not leave its stale row behind (same stale-row hunt as the IVF
+    append); layout/dim mismatches fail loudly."""
     import pytest
 
     spark = emb.sparkSession
-    lsh = str(tmp_path_factory.mktemp("annstatslsh") / "lsh")
+    base = tmp_path_factory.mktemp("lshmove")
+    idx = str(base / "idx")
+    similarity.ann_lsh_index_build(emb, idx)
+    row = emb.where("vec_id = 5").first()
+    old_sig = (
+        spark.read.parquet(idx).where("vec_id = 5").first()["__sig"]
+    )
+    # negating the vector flips every hyperplane sign bit -> a
+    # guaranteed different signature
+    moved = spark.createDataFrame(
+        [(5, [-float(x) for x in row["embedding"]], int(row["label"]))],
+        emb.schema,
+    )
+    similarity.ann_lsh_index_append(spark, moved, idx)
+    after = spark.read.parquet(idx)
+    assert after.groupBy("vec_id").count().where("count > 1").collect() == []
+    got = after.where("vec_id = 5").collect()
+    assert len(got) == 1 and got[0]["__sig"] != old_sig
+    assert after.count() == emb.count()
+
+    bad = emb.select("vec_id", F.slice("embedding", 1, 3).alias("embedding"))
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_lsh_index_append(spark, bad, idx)
+    # cross-layout appends are rejected in both directions
+    ivf = str(base / "ivf")
+    similarity.ann_index_build(emb, ivf, n_clusters=4)
+    with pytest.raises(ValueError, match="IVF layout"):
+        similarity.ann_lsh_index_append(spark, emb, ivf)
+    with pytest.raises(ValueError, match="LSH layout"):
+        similarity.ann_index_append(spark, emb, idx)
+
+
+def test_ann_batch_topk_indexed_parity_and_single_scan(emb, tmp_path_factory):
+    """The batch probe must return, per query, exactly the per-query
+    prober's rows (float AND int8 layouts) while planning ONE
+    partition-pruned scan of the index for the whole batch."""
+    spark = emb.sparkSession
+    base = tmp_path_factory.mktemp("annbatch")
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(0, 3, 7)).collect()
+    ]
+    for kind, build, probe_one in (
+        ("float", similarity.ann_index_build,
+         lambda p, v: similarity.ann_topk_indexed(spark, p, v, k=5, nprobe=2)),
+        ("q8", similarity.ann_quantized_index_build,
+         lambda p, v: similarity.ann_topk_quantized_indexed(
+             spark, p, v, k=5, nprobe=2)),
+    ):
+        idx = str(base / kind)
+        build(emb, idx, n_clusters=4)
+        out = similarity.ann_batch_topk_indexed(spark, idx, qs, k=5, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1, (kind, plan)
+        assert "PartitionFilters" in plan and "__cluster" in plan.split(
+            "PartitionFilters", 1
+        )[1][:200], (kind, plan)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["q_id"], []).append(
+                (r["rank"], r["vec_id"], r["cos"])
+            )
+        for qid, v in qs:
+            per = probe_one(idx, v).collect()
+            expect = [(i + 1, r["vec_id"], r["cos"]) for i, r in enumerate(per)]
+            assert sorted(got[qid]) == expect, (kind, qid)
+
+
+def test_ann_batch_topk_indexed_validates(emb, tmp_path_factory):
+    import pytest
+
+    spark = emb.sparkSession
+    base = tmp_path_factory.mktemp("annbatchv")
+    idx = str(base / "idx")
+    similarity.ann_index_build(emb, idx, n_clusters=4)
+    qv = [float(x) for x in emb.first()["embedding"]]
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.ann_batch_topk_indexed(
+            spark, idx, [(i, qv) for i in range(5)], max_queries=3
+        )
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_batch_topk_indexed(spark, idx, [(0, qv[:3])])
+    # DataFrame-shaped query batches work too (same schema as
+    # ann_batch_topk's query side)
+    q_df = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.ann_batch_topk_indexed(spark, idx, q_df, k=3, nprobe=4)
+    assert {r["q_id"] for r in out.collect()} == {0, 1}
+    lsh = str(base / "lsh")
     similarity.ann_lsh_index_build(emb, lsh)
-    with pytest.raises(ValueError, match="not an IVF layout"):
-        similarity.ann_index_stats(spark, lsh)
+    with pytest.raises(ValueError, match="LSH layout"):
+        similarity.ann_batch_topk_indexed(spark, lsh, [(0, qv)])
+
+
+def test_maintain_ann_index_rebuilds_on_drift(spark, tmp_path_factory):
+    """Appending a drifted batch (all mass in a direction the original
+    centroids never saw) degrades cell balance past the threshold; the
+    maintenance operator must detect it, rebuild with retrained
+    centroids from the source, and the post-rebuild stats must
+    recover. Without a source it only flags."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base_rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(200)
+    ]
+    # drifted batch: a tight far-away cluster the quantizer never saw
+    drift_rows = [
+        (1000 + i, [float(x + 50.0) for x in rng.normal(0, 1.0, 8)])
+        for i in range(600)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    base_df = spark.createDataFrame(base_rows, schema)
+    drift_df = spark.createDataFrame(drift_rows, schema)
+    idx = str(tmp_path_factory.mktemp("maint") / "idx")
+    similarity.ann_index_build(base_df, idx, n_clusters=8)
+
+    source = base_df.unionByName(drift_df)
+    flagged = similarity.maintain_ann_index(
+        spark, drift_df, idx, source=None, max_skew_ratio=2.0,
+        assume_new_ids=True,
+    )
+    assert flagged["appended"] == 600 and flagged["degraded"]
+    assert not flagged["rebuilt"]
+
+    report = similarity.maintain_ann_index(
+        spark, None, idx, source=source, max_skew_ratio=2.0
+    )
+    assert report["degraded"] and report["rebuilt"]
+    assert report["stats_after"]["n_vectors"] == 800
+    assert report["stats_after"]["skew_ratio"] < report["stats"]["skew_ratio"]
+    # healthy index + no batch -> pure no-op report
+    calm = similarity.maintain_ann_index(spark, None, idx, source=source)
+    assert not calm["degraded"] and not calm["rebuilt"] and calm["appended"] == 0

@@ -47,26 +47,16 @@ def _pre_tokenize(text: str) -> list[str]:
 # --------------------------------------------------------------------------
 
 
-def word_counts(df: DataFrame, text_col: str = "text", top_n: int = 1_000_000) -> DataFrame:
-    """(word, n) for the ``top_n`` most frequent whitespace words,
-    selected by (count desc, word asc) — fully deterministic. ONE
-    corpus explode + partial-agg shuffle: the vocabulary aggregate is
-    persisted, so the histogram pass and the returned filter both read
-    the vocabulary-sized cache, never the corpus again (plan
-    construction runs that job eagerly — a build-time operator, like
-    the index builders; the cache is vocabulary-sized, LRU-evicted).
-    The result is the trainer's working set, bounded by vocabulary,
-    not corpus size.
-
-    The top-n cut never global-sorts the vocabulary (the old
-    row_number window put the whole distinct-word table on ONE
-    partition): instead the exact distinct-FREQUENCY histogram —
-    at most O(sqrt(total tokens)) rows, trivially collectable at any
-    corpus size — picks the threshold count t on the driver, every
-    word with n > t is kept by a scan filter, and only the n == t tie
-    bucket is ordered (TakeOrdered per-partition heap, no sort
-    partition) to fill the remainder. Same selection as the window
-    formulation (equality test-pinned)."""
+def _word_counts_build(
+    df: DataFrame, text_col: str, top_n: int
+) -> tuple[DataFrame, DataFrame]:
+    """``word_counts`` with the persisted vocabulary aggregate exposed:
+    returns ``(result, cached_handle)`` so a consumer that materializes
+    the result ONCE (``bpe_train``'s collect) can ``unpersist`` the
+    handle afterwards instead of pinning a vocabulary-sized cache entry
+    per trainer invocation for the session lifetime (review finding
+    r05 — the same per-invocation cache-leak class as q15). Selection
+    algorithm documented on ``word_counts``."""
     from thundercats_spark.functions.text_analysis import tokens
 
     counts = (
@@ -91,14 +81,42 @@ def word_counts(df: DataFrame, text_col: str = "text", top_n: int = 1_000_000) -
             break
         cum += k
     if thresh is None:
-        return counts  # vocabulary fits entirely within top_n
+        return counts, counts  # vocabulary fits entirely within top_n
     kept = counts.where(F.col("n") > thresh)
     boundary = (
         counts.where(F.col("n") == thresh)
         .orderBy(F.asc("word"))
         .limit(top_n - before)
     )
-    return kept.unionByName(boundary)
+    return kept.unionByName(boundary), counts
+
+
+def word_counts(df: DataFrame, text_col: str = "text", top_n: int = 1_000_000) -> DataFrame:
+    """(word, n) for the ``top_n`` most frequent whitespace words,
+    selected by (count desc, word asc) — fully deterministic. ONE
+    corpus explode + partial-agg shuffle: the vocabulary aggregate is
+    persisted, so the histogram pass and the returned filter both read
+    the vocabulary-sized cache, never the corpus again (plan
+    construction runs that job eagerly — a build-time operator, like
+    the index builders; the cache is vocabulary-sized, LRU-evicted).
+    The result is the trainer's working set, bounded by vocabulary,
+    not corpus size. The returned frame's lineage reads the cached
+    aggregate, so the cache entry stays live as long as the frame —
+    one-shot consumers that only need the collected rows should use
+    ``bpe_train`` (which releases the cache) or ``_word_counts_build``
+    directly.
+
+    The top-n cut never global-sorts the vocabulary (the old
+    row_number window put the whole distinct-word table on ONE
+    partition): instead the exact distinct-FREQUENCY histogram —
+    at most O(sqrt(total tokens)) rows, trivially collectable at any
+    corpus size — picks the threshold count t on the driver, every
+    word with n > t is kept by a scan filter, and only the n == t tie
+    bucket is ordered (TakeOrdered per-partition heap, no sort
+    partition) to fill the remainder. Same selection as the window
+    formulation (equality test-pinned)."""
+    result, _counts = _word_counts_build(df, text_col, top_n)
+    return result
 
 
 # --------------------------------------------------------------------------
@@ -212,8 +230,15 @@ def bpe_train(
 ) -> list[tuple[str, str]]:
     """End-to-end: distributed word-count table -> driver merge loop.
     The collect is bounded by ``top_n`` (the standard trainer working
-    set), never by corpus rows."""
-    rows = word_counts(df, text_col, top_n).collect()
+    set), never by corpus rows. The vocabulary aggregate cached during
+    selection is RELEASED once the collect lands — repeated trainer
+    invocations in one session leave no cached frames behind
+    (unpersist-after-consume, test-pinned)."""
+    result, counts = _word_counts_build(df, text_col, top_n)
+    try:
+        rows = result.collect()
+    finally:
+        counts.unpersist()
     return bpe_train_from_counts([(r["word"], r["n"]) for r in rows], n_merges)
 
 

@@ -47,24 +47,41 @@ class ClassificationMeasure(Measure):
     else the raw prediction column.
 
     ``score_round_digits`` (constructor arg, default None = exact)
-    bins the score into equi-width cells over its OBSERVED [min, max]
-    range before the threshold curve is built — the scale control for
-    HUGE evaluation sets: the curve is distinct-score-sized and its
-    cumulative pass is a single ordered window, so a continuous score
-    over 10^9 rows would put 10^9 curve points on one sort partition.
-    d digits caps the curve at ~10^d+1 points regardless of the
-    score's units or range (raw margins included — the range is
-    normalized out). Curve points stay exact counts at the binned
-    thresholds; the AUC error is bounded by the fraction of
-    (positive, negative) pairs whose scores fall in the SAME bin — not
-    a universal 10^-d, so a distribution concentrated into a sliver of
-    its own range (e.g. one extreme outlier stretching [lo, hi]) still
-    degrades; quantile-bin or clip the score upstream for those. E.g.
-    ``_AUC(score_round_digits=4)`` for web-scale evals; the exported
-    default singletons stay exact."""
+    bins the score into cells before the threshold curve is built —
+    the scale control for HUGE evaluation sets: the curve is
+    distinct-score-sized and its cumulative pass is a single ordered
+    window, so a continuous score over 10^9 rows would put 10^9 curve
+    points on one sort partition. d digits caps the curve at ~10^d+1
+    points regardless of the score's units or range (raw margins
+    included — the range is normalized out). Curve points stay exact
+    counts at the binned thresholds; the AUC error is bounded by the
+    fraction of (positive, negative) pairs whose scores fall in the
+    SAME bin. NaN scores are rejected loudly when binning is on (a NaN
+    would poison the observed range and silently DISABLE binning —
+    resurfacing the huge-curve trap the option exists to prevent).
 
-    def __init__(self, score_round_digits: int | None = None):
+    ``score_bins`` picks the binning geometry: ``"width"`` (default) =
+    equi-width cells over the observed [min, max] — cheapest, but one
+    extreme outlier stretching the range concentrates the real mass
+    into a few cells and degrades the curve; ``"quantile"`` = cell
+    edges from approxQuantile, so every cell holds ~equal mass and the
+    error bound survives outliers (one extra driver-side quantile
+    pass; thresholds are each cell's lower edge in score units). E.g.
+    ``_AUC(score_round_digits=4, score_bins="quantile")`` for
+    web-scale evals with unbounded margins; the exported default
+    singletons stay exact."""
+
+    def __init__(
+        self,
+        score_round_digits: int | None = None,
+        score_bins: str = "width",
+    ):
+        if score_bins not in ("width", "quantile"):
+            raise ValueError(
+                f"score_bins must be 'width' or 'quantile', got {score_bins!r}"
+            )
         self.score_round_digits = score_round_digits
+        self.score_bins = score_bins
 
     @staticmethod
     def scored(df: DataFrame, specimen) -> DataFrame:
@@ -96,19 +113,40 @@ class ClassificationMeasure(Measure):
             F.count(F.lit(1)).alias("N"),
             F.min("__score").alias("lo"),
             F.max("__score").alias("hi"),
+            F.sum(
+                F.when(F.isnan(F.col("__score")), 1).otherwise(0)
+            ).alias("nanK"),
         ).first()
         p, n = float(stats["P"] or 0.0), float(stats["N"])
         d = self.score_round_digits
         key = F.col("__score")
+        if d is not None and stats["nanK"]:
+            # NaN makes max() NaN and every range comparison False —
+            # binning would silently switch off and the huge-curve
+            # single-sort-partition scenario resurfaces unguarded.
+            raise ValueError(
+                f"{stats['nanK']} NaN scores with score_round_digits="
+                f"{d}: NaN poisons the observed score range, silently "
+                "disabling binning — filter or impute NaN scores before "
+                "building a binned threshold curve"
+            )
+        per_t = None
         if d is not None and stats["hi"] is not None and stats["hi"] > stats["lo"]:
             lo, hi = float(stats["lo"]), float(stats["hi"])
-            # equi-width bins over the observed range, mapped back to
-            # score units (bin representative) so thresholds stay
-            # meaningful in threshold_scores maps
-            key = F.round((key - lo) / (hi - lo), d) * (hi - lo) + lo
-        per_t = scored.groupBy(key.alias("__score")).agg(
-            F.sum("__label").alias("tp_here"), F.count(F.lit(1)).alias("n_here")
-        )
+            if self.score_bins == "quantile":
+                per_t = self._quantile_binned(scored, lo, hi, 10 ** d)
+            if per_t is None:
+                # equi-width bins over the observed range, mapped back
+                # to score units (bin representative) so thresholds
+                # stay meaningful in threshold_scores maps. Also the
+                # fallback when quantile edges collapse (near-constant
+                # score distribution — tiny curve either way).
+                key = F.round((key - lo) / (hi - lo), d) * (hi - lo) + lo
+        if per_t is None:
+            per_t = scored.groupBy(key.alias("__score")).agg(
+                F.sum("__label").alias("tp_here"),
+                F.count(F.lit(1)).alias("n_here"),
+            )
         w = Window.orderBy(F.desc("__score")).rowsBetween(Window.unboundedPreceding, 0)
         curve = per_t.select(
             F.col("__score").alias("threshold"),
@@ -116,6 +154,41 @@ class ClassificationMeasure(Measure):
             F.sum("n_here").over(w).alias("PP"),
         ).withColumn("P", F.lit(p))
         return curve, p, n
+
+    @staticmethod
+    def _quantile_binned(scored: DataFrame, lo: float, hi: float, nbins: int):
+        """Equal-mass binning: cell edges from approxQuantile (one
+        driver pass, error 1/(4*nbins) of rank), assigned JVM-side by
+        Bucketizer's binary search, each cell keyed by its LOWER edge
+        in score units. Returns the per-threshold partial-count frame,
+        or None when the edges collapse (score nearly constant —
+        caller falls back to equi-width)."""
+        from pyspark.ml.feature import Bucketizer
+
+        probs = [i / nbins for i in range(1, nbins)]
+        qs = scored.approxQuantile("__score", probs, 1.0 / (4 * nbins))
+        splits = sorted({float(q) for q in qs if lo < q < hi})
+        if not splits:
+            return None
+        buck = Bucketizer(
+            splits=[float("-inf"), *splits, float("inf")],
+            inputCol="__score",
+            outputCol="__bin",
+        )
+        per_bin = (
+            buck.transform(scored)
+            .groupBy("__bin")
+            .agg(
+                F.sum("__label").alias("tp_here"),
+                F.count(F.lit(1)).alias("n_here"),
+            )
+        )
+        reps = [lo, *splits]  # bin i's lower edge; strictly increasing
+        rep_df = scored.sparkSession.createDataFrame(
+            [(float(i), float(r)) for i, r in enumerate(reps)],
+            "__bin double, __score double",
+        )
+        return per_bin.join(F.broadcast(rep_df), "__bin").drop("__bin")
 
     def threshold_scores(self, df: DataFrame, specimen) -> MayFail[dict[float, float]]:
         raise NotImplementedError

@@ -128,10 +128,20 @@ def hll_estimate(df: DataFrame, *sketch_cols: str) -> DataFrame:
 def _swap_dir(new: str, target: str) -> None:
     """Replace ``target`` with ``new`` keeping a ``.old`` backup until
     the swap completes (same recovery discipline as
-    ``Write.compact_delete``)."""
+    ``Write.compact_delete``). A crash between the two renames leaves
+    the target's only history in ``.old`` — every reader of a
+    swap-maintained directory must run ``_recover_swap`` /
+    ``_recover_partition_swaps`` BEFORE reading, or a post-crash merge
+    reads an empty target while the history sits in the backup."""
     import shutil
 
     backup = target + ".old"
+    if not os.path.exists(target) and os.path.isdir(backup):
+        # an interrupted earlier swap parked the history in .old and
+        # died before publishing its replacement; restore it rather
+        # than deleting the only copy below. (The caller's staged data
+        # still wins — it is renamed over target right after.)
+        os.rename(backup, target)
     if os.path.exists(backup):
         shutil.rmtree(backup)
     if os.path.exists(target):
@@ -139,6 +149,35 @@ def _swap_dir(new: str, target: str) -> None:
     os.rename(new, target)
     if os.path.exists(backup):
         shutil.rmtree(backup)
+
+
+def _recover_swap(target: str) -> None:
+    """Repair an interrupted ``_swap_dir`` on ``target``: restore the
+    ``.old`` backup when the crash left target missing (the backup is
+    the only history), drop the stale backup when the swap had already
+    published. Idempotent; call before READING a swap-maintained dir —
+    the merge/replay paths read target first, so recovery inside
+    ``_swap_dir`` alone would be too late (review finding r05)."""
+    import shutil
+
+    backup = target + ".old"
+    if not os.path.isdir(backup):
+        return
+    if os.path.exists(target):
+        shutil.rmtree(backup)  # swap completed; cleanup died
+    else:
+        os.rename(backup, target)  # swap died between the two renames
+
+
+def _recover_partition_swaps(root: str) -> None:
+    """Run ``_recover_swap`` over every partition dir under ``root``
+    that left a ``.old`` backup behind (partitioned rollups, persisted
+    ANN indexes)."""
+    if not os.path.isdir(root):
+        return
+    for entry in sorted(os.listdir(root)):
+        if entry.endswith(".old") and os.path.isdir(os.path.join(root, entry)):
+            _recover_swap(os.path.join(root, entry[: -len(".old")]))
 
 
 def rollup_state(rollup_path: str) -> dict:
@@ -215,6 +254,14 @@ def rollup_update(
         if state_doc is not None:
             with open(os.path.join(target_dir, "_rollup_state.json"), "w") as f:
                 json.dump(state_doc, f)
+
+    # repair any swap a previous run left half-done BEFORE reading the
+    # rollup back — a crash between _swap_dir's two renames parks the
+    # only history in .old, and merging against the missing/empty
+    # target would lose it permanently.
+    _recover_swap(rollup_path)
+    if partition_col is not None:
+        _recover_partition_swaps(rollup_path)
 
     partial = batch.groupBy(*keys).agg(*_rollup_aggs(metrics, init=True))
     exists = os.path.exists(rollup_path)

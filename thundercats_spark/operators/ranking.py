@@ -62,6 +62,8 @@ def _sample_boundaries(
     """Seeded sample of order-key tuples -> up to n_parts-1 evenly
     spaced, deduplicated boundary tuples (collected once; they enter
     the plan as literals, so no cross-job consistency is needed)."""
+    if n_parts <= 1:
+        return []  # one bucket: no boundaries (never over-split)
     target = n_parts * 100
     frac = min(1.0, target / max(total, 1))
     samp = sorted(
@@ -72,31 +74,42 @@ def _sample_boundaries(
     step = max(1, len(samp) // n_parts)
     bounds: list[tuple] = []
     for i in range(step, len(samp), step):
+        if len(bounds) >= n_parts - 1:
+            break  # checked BEFORE appending: exactly n_parts buckets max
         if not bounds or samp[i] != bounds[-1]:
             bounds.append(samp[i])
-        if len(bounds) >= n_parts - 1:
-            break
     return bounds
 
 
-def _count_and_check_nulls(df: DataFrame, key_cols: Sequence[str]) -> int:
-    """One agg: total row count + loud rejection of NULL ranking keys.
-    A NULL key would silently vanish through the offset equi-joins (and
-    break the driver-side boundary sort), so it is an error here — the
-    window formulations treat NULL as an ordinary value, this operator
-    does not. Filter or impute upstream."""
+def _count_and_check_nulls(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    group_cols: Sequence[str] | None = None,
+) -> int | tuple[int, int]:
+    """One agg: total row count + loud rejection of NULL ranking keys
+    (+ the distinct-group count when ``group_cols`` is given — folded
+    into the same pass so the guard costs no extra job). A NULL key
+    would silently vanish through the offset equi-joins (and break the
+    driver-side boundary sort), so it is an error here — the window
+    formulations treat NULL as an ordinary value, this operator does
+    not. Filter or impute upstream."""
     anynull = F.col(key_cols[0]).isNull()
     for c in key_cols[1:]:
         anynull = anynull | F.col(c).isNull()
     nulls = F.sum(F.when(anynull, 1).otherwise(0))
-    row = df.agg(F.count(F.lit(1)).alias("n"), nulls.alias("k")).first()
+    aggs = [F.count(F.lit(1)).alias("n"), nulls.alias("k")]
+    if group_cols is not None:
+        aggs.append(
+            F.count_distinct(*[F.col(c) for c in group_cols]).alias("g")
+        )
+    row = df.agg(*aggs).first()
     if row["k"]:
         raise ValueError(
             f"{row['k']} rows have NULL in ranking key columns "
             f"{list(key_cols)}; distributed ranking requires non-null "
             "keys (filter or impute upstream)"
         )
-    return row["n"]
+    return row["n"] if group_cols is None else (row["n"], row["g"])
 
 
 def global_row_number(
@@ -159,6 +172,7 @@ def grouped_row_number(
     out_col: str = "rn",
     total_col: str | None = None,
     n_partitions: int | None = None,
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """Per-group twin of ``global_row_number`` for LOW-cardinality
     groups whose members are too numerous for a per-group sort
@@ -170,15 +184,29 @@ def grouped_row_number(
     must be non-null too (NULLs raise — they would silently vanish
     through the offset equi-joins). Use the plain window for
     high-cardinality groups, where per-group counts are small and
-    this machinery is unnecessary. The input is persisted across the
-    internal passes and unpersisted before return; pre-persist
-    caller-side if the upstream plan is expensive."""
+    this machinery is unnecessary — the O(buckets x groups) offset
+    rows collect to the driver, so a frame with more than
+    ``max_groups`` distinct groups raises loudly (counted in the same
+    pass as the null check — no extra job) instead of silently driving
+    toward a driver OOM. The input is persisted across the internal
+    passes and unpersisted before return; pre-persist caller-side if
+    the upstream plan is expensive."""
     spark = df.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
     keys = [*group_cols, *order_cols]
     df = df.persist()
     try:
-        total = _count_and_check_nulls(df, keys)
+        total, n_groups = _count_and_check_nulls(df, keys, group_cols)
+        if n_groups > max_groups:
+            raise ValueError(
+                f"{n_groups} distinct groups exceed max_groups="
+                f"{max_groups}: grouped_row_number collects O(buckets x "
+                "groups) offset rows to the driver and is built for "
+                "LOW-cardinality groups — use a plain "
+                "Window.partitionBy(...).orderBy(...) row_number for "
+                "high-cardinality groups (per-group partitions are "
+                "small there), or raise max_groups explicitly"
+            )
         if total == 0:
             out = df.withColumn(out_col, F.lit(None).cast("long"))
             if total_col is not None:
@@ -230,17 +258,32 @@ def grouped_row_number(
         df.unpersist()
 
 
+def _idiv(a, b):
+    """Exact integer floor-division for non-negative long Columns.
+    Plain ``/`` goes through double, which loses integer resolution
+    above 2^53; ``a - pmod(a, b)`` is an exact multiple of ``b``, and
+    decimal division of an exact multiple is exact at any long."""
+    return ((a - F.pmod(a, b)).cast("decimal(38,0)") / b).cast("long")
+
+
 def ntile_from_rn(rn, n, k: int):
     """SQL NTILE(k) from a 1-based row number ``rn`` and group size
     ``n`` (Columns): the first ``n % k`` buckets hold ``n//k + 1``
     rows, the rest ``n//k`` — the exact window-function distribution,
-    as a plain expression (no window needed once rn exists)."""
-    q = (n / k).cast("long")  # floor for non-negative
-    r = n - q * F.lit(k)
+    as a plain expression (no window needed once rn exists). All
+    arithmetic stays in the integer domain (``_idiv``), honoring the
+    module's exact-at-any-scale contract — fp quotients can cross an
+    integer boundary above 2^53 rows."""
+    rn = rn.cast("long")
+    n = n.cast("long")
+    klit = F.lit(k).cast("long")
+    q = _idiv(n, klit)
+    r = n - q * klit
     big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
     return (
         F.when(q == 0, rn)  # fewer rows than buckets: one row per bucket
-        .when(rn <= big, F.ceil(rn / (q + 1)))
-        .otherwise(r + F.ceil((rn - big) / q))
+        # ceil(a/d) == (a + d - 1) div d, exactly, in integers
+        .when(rn <= big, _idiv(rn + q, q + 1))
+        .otherwise(r + _idiv(rn - big + q - F.lit(1), q))
         .cast("int")
     )

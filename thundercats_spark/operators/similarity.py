@@ -405,11 +405,7 @@ def ann_topk_ivf(
     gracefully to exact search."""
     if centroids is None:
         centroids = ivf_train(df, n_clusters, vec_col, id_col, seed=seed)
-    cmat = np.array(centroids, dtype=np.float64)
-    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q /= max(np.linalg.norm(q), 1e-12)
-    probe = [int(i) for i in np.argsort(-(cmat @ q))[:nprobe]]
+    probe = _nearest_cells(centroids, query_vec, nprobe)
 
     cells = ivf_assign(df, centroids, vec_col).where(F.col("__cluster").isin(probe))
     return ann_topk_bruteforce(cells, query_vec, k, vec_col, id_col).select(id_col, "cos")
@@ -456,6 +452,38 @@ def _persist_ivf_artifacts(
     _write_index_meta(spark, path, meta)
 
 
+def _nearest_cells(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` centroid indices nearest the query by cosine —
+    ONE implementation shared by every IVF prober (single-query, batch,
+    ad-hoc), so batch and per-query paths probe byte-identical cell
+    sets (their parity is test-pinned on that)."""
+    cmat = np.array(centroids, dtype=np.float64)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    return [int(i) for i in np.argsort(-(cmat @ q))[:nprobe]]
+
+
+def _quantize_query(query_vec: list[float]) -> tuple[list[int], float]:
+    """Driver-side int8 codes + code-vector norm for a query, using the
+    SAME symmetric half-away-from-zero rule as the stored codes (numpy
+    rounds half-to-even; Spark/DuckDB round half away from zero — query
+    codes must line up with what quantize_embeddings emits)."""
+    import math
+
+    s_q = float(np.max(np.abs(np.asarray(query_vec, dtype=np.float64)))) / 127.0
+    if s_q == 0.0:
+        qq = [0] * len(query_vec)
+    else:
+        qq = [
+            int(math.copysign(math.floor(abs(x / s_q) + 0.5), x))
+            for x in query_vec
+        ]
+    return qq, float(np.linalg.norm(np.asarray(qq, dtype=np.float64)))
+
+
 def ann_index_centroids(spark, path: str) -> list[list[float]]:
     rows = (
         spark.read.parquet(path.rstrip("/") + "_centroids")
@@ -489,11 +517,7 @@ def ann_topk_indexed(
             f"query vector has dim {len(query_vec)} but the IVF index at "
             f"{path!r} was built for dim {len(centroids[0])}"
         )
-    cmat = np.array(centroids, dtype=np.float64)
-    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q /= max(np.linalg.norm(q), 1e-12)
-    probe = [int(i) for i in np.argsort(-(cmat @ q))[:nprobe]]
+    probe = _nearest_cells(centroids, query_vec, nprobe)
 
     cells = spark.read.parquet(path).where(F.col("__cluster").isin(probe))
     return ann_topk_bruteforce(cells, query_vec, k, vec_col, id_col).select(id_col, "cos")
@@ -567,28 +591,12 @@ def ann_topk_quantized_indexed(
             f"query vector has dim {len(query_vec)} but the index at "
             f"{path!r} was built for dim {len(centroids[0])}"
         )
-    cmat = np.array(centroids, dtype=np.float64)
-    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q /= max(np.linalg.norm(q), 1e-12)
-    probe = [int(i) for i in np.argsort(-(cmat @ q))[:nprobe]]
+    probe = _nearest_cells(centroids, query_vec, nprobe)
 
-    # quantize the query on the driver with the same symmetric rule
-    s_q = float(np.max(np.abs(np.asarray(query_vec, dtype=np.float64)))) / 127.0
-    if s_q == 0.0:
-        qq = [0] * len(query_vec)
-    else:
-        # numpy rounds half-to-even; the stored codes use Spark/DuckDB
-        # half-away-from-zero — match it so query codes line up with
-        # what quantize_embeddings would emit for the same vector.
-        import math
-
-        qq = [
-            int(math.copysign(math.floor(abs(x / s_q) + 0.5), x))
-            for x in query_vec
-        ]
+    # quantize the query on the driver with the same symmetric rule as
+    # the stored codes (see _quantize_query)
+    qq, qnorm = _quantize_query(query_vec)
     qlit = F.array(*[F.lit(int(x)) for x in qq])
-    qnorm = float(np.linalg.norm(np.asarray(qq, dtype=np.float64)))
 
     cells = spark.read.parquet(path).where(F.col("__cluster").isin(probe))
     idot = F.aggregate(
@@ -649,12 +657,12 @@ def ann_index_append(
     need re-assigning). Under real distribution drift cell balance
     degrades and the index should be rebuilt; compare cell-size skew
     over time to decide. Returns the number of rows appended."""
-    import os
-    import shutil
-
-    from thundercats_spark.operators.incremental import _swap_dir
-
     meta = _check_index_meta(spark, path, "IVF", {})
+    if "n_clusters" not in meta:
+        raise ValueError(
+            f"index at {path!r} is an LSH layout (metadata has no "
+            "n_clusters); append to it with ann_lsh_index_append"
+        )
     quantized = int(meta.get("quantized", 0)) == 1
     centroids = ann_index_centroids(spark, path)
     first = batch.select(F.size(vec_col).alias("d")).first()
@@ -672,7 +680,38 @@ def ann_index_append(
         assigned = quantize_embeddings(
             assigned, vec_col=vec_col, id_col=id_col, keep_cols=("__cluster",)
         )
-    # one materialization: the touched-cluster collect and the staging
+    return _upsert_partitions(
+        spark, assigned, path, "__cluster", id_col, assume_new_ids
+    )
+
+
+def _upsert_partitions(
+    spark,
+    assigned: DataFrame,
+    path: str,
+    part_col: str,
+    id_col: str,
+    assume_new_ids: bool,
+) -> int:
+    """Shared upsert-into-touched-partitions engine behind both
+    persisted-index appends (IVF ``__cluster`` and LSH ``__sig``
+    layouts): ``assigned`` is the batch with its partition key already
+    computed as a pure function of the vector. Merge is an UPSERT on
+    ``id_col`` over ONLY the touched partitions (plus a column-pruned
+    stale-row hunt unless ``assume_new_ids``); per-partition atomic
+    swap; replay-idempotent by construction."""
+    import os
+    import shutil
+
+    from thundercats_spark.operators.incremental import (
+        _recover_partition_swaps,
+        _swap_dir,
+    )
+
+    # repair any interrupted prior swap BEFORE reading the index back —
+    # a crash mid-_swap_dir leaves a partition's only history in .old
+    _recover_partition_swaps(path)
+    # one materialization: the touched-partition collect and the staging
     # write both consume the assignment (Arrow kernel — don't run twice)
     assigned = assigned.persist()
     try:
@@ -693,41 +732,41 @@ def ann_index_append(
             raise ValueError(
                 f"batch contains duplicate {id_col} values (e.g. "
                 f"{dup[0][id_col]!r}); deduplicate the batch before "
-                "ann_index_append — which copy wins is ambiguous"
+                "appending — which copy wins is ambiguous"
             )
         touched = {
-            r[0] for r in assigned.select("__cluster").distinct().collect()
+            r[0] for r in assigned.select(part_col).distinct().collect()
         }
         batch_ids = assigned.select(id_col).distinct()
         if not assume_new_ids:
-            # stale-row hunt: a re-sent id whose new vector assigns to a
-            # DIFFERENT cluster leaves its old row outside the batch's
-            # clusters; those clusters must be rewritten too or the index
-            # grows duplicate ids. Column-pruned scan — only the
-            # (id, __cluster) pair is read, never the vectors.
+            # stale-row hunt: a re-sent id whose new vector lands in a
+            # DIFFERENT partition leaves its old row outside the batch's
+            # partitions; those must be rewritten too or the index grows
+            # duplicate ids. Column-pruned scan — only the
+            # (id, partition key) pair is read, never the vectors.
             stale = (
                 spark.read.parquet(path)
-                .select(id_col, "__cluster")
+                .select(id_col, part_col)
                 .join(F.broadcast(batch_ids), id_col, "left_semi")
-                .select("__cluster")
+                .select(part_col)
                 .distinct()
                 .collect()
             )
             touched |= {r[0] for r in stale}
         touched = sorted(touched)
         existing = spark.read.parquet(path).where(
-            F.col("__cluster").isin(touched)  # partition-pruned read-back
+            F.col(part_col).isin(touched)  # partition-pruned read-back
         )
         merged = existing.join(batch_ids, id_col, "left_anti").unionByName(
             assigned.select(*existing.columns)
         )
         staging = path.rstrip("/") + ".staging"
-        merged.write.mode("overwrite").partitionBy("__cluster").parquet(staging)
-        # a cluster whose only rows were stale duplicates writes no
+        merged.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+        # a partition whose only rows were stale duplicates writes no
         # staged dir; swap from the touched list so it still gets
         # REPLACED (emptied), not left holding the stale rows.
-        for cluster in touched:
-            entry = f"__cluster={cluster}"
+        for value in touched:
+            entry = f"{part_col}={value}"
             staged = os.path.join(staging, entry)
             target = os.path.join(path, entry)
             if os.path.isdir(staged):
@@ -740,26 +779,77 @@ def ann_index_append(
         assigned.unpersist()
 
 
+def ann_lsh_index_append(
+    spark,
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assume_new_ids: bool = False,
+) -> int:
+    """Fold a batch of new vectors into a persisted LSH index (see
+    ``ann_lsh_index_build``) WITHOUT a full rebuild — the ``__sig``
+    twin of ``ann_index_append``, and structurally SIMPLER: the
+    signature is a pure function of (vector, n_planes, seed), all read
+    from the index's own metadata, so there is no centroid-freeze
+    question at all — appended vectors hash into exactly the buckets a
+    full rebuild would put them in. Upsert on ``id_col`` into only the
+    touched ``__sig=`` partitions (plus the column-pruned stale-row
+    hunt for re-sent ids whose updated vector lands in a different
+    bucket; ``assume_new_ids=True`` skips it for append-only ingest).
+    Replay-idempotent. Returns the number of rows appended."""
+    meta = _check_index_meta(spark, path, "LSH", {})
+    if "n_planes" not in meta:
+        raise ValueError(
+            f"index at {path!r} is an IVF layout (metadata has no "
+            "n_planes); append to it with ann_index_append"
+        )
+    first = batch.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return 0
+    if first["d"] != int(meta["dim"]):
+        raise ValueError(
+            f"batch vectors have dim {first['d']} but the LSH index at "
+            f"{path!r} was built for dim {meta['dim']}"
+        )
+    sig = hyperplane_signature(
+        F.col(vec_col), int(meta["dim"]), int(meta["n_planes"]), int(meta["seed"])
+    )
+    assigned = batch.withColumn("__sig", sig)
+    return _upsert_partitions(spark, assigned, path, "__sig", id_col, assume_new_ids)
+
+
 def ann_index_stats(spark, path: str) -> dict:
     """Index health report — the rebuild-cadence signal the append
-    docstring points at: per-cell row counts from a column-pruned scan
+    docstrings point at: per-cell row counts from a column-pruned scan
     (only the partition column is read; vectors never load), balance
-    ratios, and the index's own metadata. An index maintained by
-    ``ann_index_append`` under distribution drift shows its skew here
+    ratios, and the index's own metadata. Supports BOTH persisted
+    layouts, detected from the metadata: IVF (``__cluster`` partitions,
+    cell universe = ``n_clusters``) and LSH (``__sig`` partitions, cell
+    universe = ``2^n_planes`` — LSH buckets are naturally sparse, so
+    ``empty_cells`` is informational there, not a drift signal; watch
+    ``skew_ratio`` instead). An index maintained by the append
+    operators under distribution drift shows its skew here
     (``max_cell / mean_cell`` growing); rebuild when probes slow down
     or the ratio drifts far from the build-time value. Driver cost is
-    one row per cell."""
-    meta = _check_index_meta(spark, path, "IVF", {})
-    if "n_clusters" not in meta:
+    one row per occupied cell. ``layout`` in the report says which
+    family the index is."""
+    meta = _check_index_meta(spark, path, "ANN", {})
+    if "n_clusters" in meta:
+        layout, part_col = "ivf", "__cluster"
+        universe = int(meta["n_clusters"])
+    elif "n_planes" in meta:
+        layout, part_col = "lsh", "__sig"
+        universe = 2 ** int(meta["n_planes"])
+    else:
         raise ValueError(
-            f"index at {path!r} is not an IVF layout (metadata has no "
-            f"n_clusters — an LSH index partitions by __sig, not "
-            "__cluster); ann_index_stats supports the IVF builders only"
+            f"index at {path!r} has neither n_clusters nor n_planes in "
+            "its metadata — not a layout ann_index_stats understands"
         )
     counts = sorted(
-        (r["__cluster"], r["n"])
+        (r[part_col], r["n"])
         for r in spark.read.parquet(path)
-        .groupBy("__cluster")
+        .groupBy(part_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
@@ -767,10 +857,11 @@ def ann_index_stats(spark, path: str) -> dict:
     total = sum(ns)
     mean = total / len(ns) if ns else 0.0
     return {
+        "layout": layout,
         "n_vectors": total,
         "n_cells": len(ns),
-        "declared_clusters": int(meta["n_clusters"]),
-        "empty_cells": int(meta["n_clusters"]) - len(ns),
+        "declared_clusters": universe,
+        "empty_cells": universe - len(ns),
         "min_cell": min(ns) if ns else 0,
         "max_cell": max(ns) if ns else 0,
         "mean_cell": round(mean, 2),
@@ -779,6 +870,210 @@ def ann_index_stats(spark, path: str) -> dict:
         "quantized": bool(int(meta.get("quantized", 0))),
         "cells": dict(counts),
     }
+
+
+def ann_batch_topk_indexed(
+    spark,
+    path: str,
+    queries,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    nprobe: int = 4,
+    round_digits: int | None = 6,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Serving-throughput probe: N query vectors against a persisted
+    IVF index (float OR int8 — detected from the index metadata) in ONE
+    job. Per-query probe cells come from the same driver-side
+    ``_nearest_cells`` the single-query probers use; their UNION drives
+    ONE planning-time partition-pruned scan, the (q_id, cell) pairs
+    broadcast-hash-join the scanned rows on the partition column (each
+    data row meets only the queries probing its cell — never a nested
+    loop), and a per-query window keeps the top k. Result rows are
+    identical to calling ``ann_topk_indexed`` /
+    ``ann_topk_quantized_indexed`` once per query (parity test-pinned);
+    the scan cost is amortized across the whole batch instead of paid
+    per query. → (q_id, vec_id, cos, rank).
+
+    ``queries`` is a list of ``(q_id, vector)`` tuples or a small
+    DataFrame with (``q_id_col``, ``vec_col``); either way the batch is
+    driver-resident (it becomes probe literals + a broadcast table), so
+    batches above ``max_queries`` are rejected loudly — shard the query
+    set and run several calls, or use the exact ``ann_batch_topk``."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    meta = _check_index_meta(spark, path, "IVF", {})
+    if "n_clusters" not in meta:
+        raise ValueError(
+            f"index at {path!r} is an LSH layout; the batch prober "
+            "supports the IVF builders (probe LSH per-query with "
+            "ann_topk_lsh_indexed)"
+        )
+    quantized = int(meta.get("quantized", 0)) == 1
+    if isinstance(queries, DataFrame):
+        qid_type = queries.schema[q_id_col].dataType
+        rows = queries.select(q_id_col, vec_col).limit(max_queries + 1).collect()
+        if len(rows) > max_queries:
+            raise ValueError(
+                f"query batch exceeds max_queries={max_queries}; shard "
+                "the batch or raise the bound explicitly (the batch is "
+                "driver-resident and broadcast)"
+            )
+        qlist = [(r[q_id_col], [float(x) for x in r[vec_col]]) for r in rows]
+    else:
+        qlist = [(qid, [float(x) for x in v]) for qid, v in queries]
+        if len(qlist) > max_queries:
+            raise ValueError(
+                f"query batch of {len(qlist)} exceeds "
+                f"max_queries={max_queries}; shard the batch"
+            )
+        qid_type = (
+            LongType()
+            if qlist and isinstance(qlist[0][0], int)
+            else StringType()
+        )
+    dim = int(meta["dim"])
+    for qid, v in qlist:
+        if len(v) != dim:
+            raise ValueError(
+                f"query {qid!r} has dim {len(v)} but the index at "
+                f"{path!r} was built for dim {dim}"
+            )
+    centroids = ann_index_centroids(spark, path)
+
+    # driver-side: per-query probe cells (identical to the per-query
+    # probers) pre-exploded into (q_id, cell, query payload) rows
+    qrows, cells = [], set()
+    for qid, v in qlist:
+        probe = _nearest_cells(centroids, v, nprobe)
+        cells.update(probe)
+        if quantized:
+            qq, qnorm = _quantize_query(v)
+            payload = (qq, qnorm)
+        else:
+            payload = (v,)
+        qrows.extend((qid, int(c), *payload) for c in probe)
+    payload_fields = (
+        [
+            StructField("__qq", ArrayType(IntegerType()), False),
+            StructField("__qnorm", DoubleType(), False),
+        ]
+        if quantized
+        else [StructField("__qv", ArrayType(DoubleType()), False)]
+    )
+    q_schema = StructType(
+        [
+            StructField(q_id_col, qid_type, False),
+            StructField("__cluster", IntegerType(), False),
+            *payload_fields,
+        ]
+    )
+    q_df = spark.createDataFrame(qrows, q_schema)
+
+    pred = (
+        F.col("__cluster").isin(sorted(cells)) if cells else F.lit(False)
+    )
+    scanned = spark.read.parquet(path).where(pred)  # ONE pruned scan
+    joined = scanned.join(F.broadcast(q_df), "__cluster")
+    if quantized:
+        idot = F.aggregate(
+            F.zip_with(
+                F.col("q"), F.col("__qq"),
+                lambda a, b: a.cast("long") * b.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+        inorm = F.sqrt(
+            F.aggregate(
+                F.col("q"),
+                F.lit(0).cast("long"),
+                lambda s, x: s + x.cast("long") * x.cast("long"),
+            ).cast("double")
+        )
+        denom = inorm * F.col("__qnorm")
+        cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            idot.cast("double") / denom
+        )
+    else:
+        cos = vcos(F.col(vec_col), F.col("__qv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = joined.select(F.col(q_id_col), F.col(id_col), cos.alias("cos"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def maintain_ann_index(
+    spark,
+    batch: DataFrame | None,
+    path: str,
+    source: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_skew_ratio: float = 4.0,
+    max_empty_frac: float = 0.25,
+    assume_new_ids: bool = False,
+    seed: int = 7,
+) -> dict:
+    """Append-then-decide index maintenance for the persisted IVF
+    layouts: fold ``batch`` into the index (``ann_index_append``), read
+    the cell-balance report (``ann_index_stats``), and when drift has
+    degraded the index past the thresholds — ``skew_ratio`` above
+    ``max_skew_ratio`` or more than ``max_empty_frac`` of the declared
+    cells empty — REBUILD it with centroids retrained on ``source``
+    (the full corpus including the appended rows; training reads float
+    vectors, so a rebuild needs the source table — the int8 index
+    stores only codes). With ``source=None`` the report still flags
+    ``degraded`` but no rebuild runs (wire the corpus in for the
+    automated path). The rebuild overwrites the index in place —
+    single-maintenance-writer assumption, same as the append path.
+
+    Returns ``{"appended", "stats", "degraded", "rebuilt"}`` plus
+    ``"stats_after"`` when a rebuild ran."""
+    appended = 0
+    if batch is not None:
+        appended = ann_index_append(
+            spark, batch, path, vec_col, id_col, assume_new_ids
+        )
+    stats = ann_index_stats(spark, path)
+    universe = stats["declared_clusters"]
+    degraded = stats["skew_ratio"] > max_skew_ratio or (
+        universe > 0 and stats["empty_cells"] / universe > max_empty_frac
+    )
+    report = {
+        "appended": appended,
+        "stats": stats,
+        "degraded": degraded,
+        "rebuilt": False,
+    }
+    if degraded and source is not None:
+        build = (
+            ann_quantized_index_build if stats["quantized"] else ann_index_build
+        )
+        cents = ivf_train(
+            source, universe, vec_col, id_col, seed=seed
+        )
+        build(
+            source, path, n_clusters=universe, vec_col=vec_col,
+            id_col=id_col, seed=seed, centroids=cents,
+        )
+        report["rebuilt"] = True
+        report["stats_after"] = ann_index_stats(spark, path)
+    return report
 
 
 def ann_batch_topk(

@@ -387,6 +387,40 @@ def ann_ivf_quantized_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Batch probe against the persisted int8 index — the serving-throughput
+# shape: N query vectors amortize ONE partition-pruned scan (union of
+# their probe cells), per-query exact rerank. Rows-only: approximate by
+# design; per-query parity with ann_topk_quantized_indexed and the
+# single-pruned-scan plan are pytest-pinned (tests/test_similarity.py).
+# --------------------------------------------------------------------------
+
+
+@register("ann_batch_indexed", None)
+def ann_batch_indexed_q(spark, sf_dir):
+    from thundercats_spark.operators import similarity
+    from thundercats_spark.queries.llm_ops import (
+        _cached_index_dir,
+        _publish_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+    idx, built = _cached_index_dir("ivf_q8", sf_dir)
+    if not built:
+        _publish_index(
+            idx,
+            lambda d: similarity.ann_quantized_index_build(
+                e.where(F.col("vec_id") != 0), d, n_clusters=8
+            ),
+        )
+    out = similarity.ann_batch_topk_indexed(spark, idx, qs, k=5, nprobe=3)
+    return out.orderBy("q_id", "rank")
+
+
+# --------------------------------------------------------------------------
 # Persisted-tokenizer encode: train-once/ship-everywhere BPE — the
 # merge list is saved as a parquet artifact and RESTORED from disk
 # before encoding, so the registered path exercises the same
