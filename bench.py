@@ -67,6 +67,11 @@ BENCH_QUERIES = [
     # probe, artifact-restored encode — not the one-time build)
     "ann_ivf_quantized",
     "doc_bpe_encode_persisted",
+    # round-6: distributed exact ranking (no single sort partition) and
+    # the batch serving probe (N queries amortizing ONE pruned scan)
+    "customer_balance_quartiles",
+    "customer_balance_rank_dist",
+    "ann_batch_indexed",
 ]
 
 
@@ -102,6 +107,31 @@ def main():
         run_once(name)  # warmup (shuffle files, codegen, broadcast caches)
         samples = sorted(run_once(name) for _ in range(reps))
         timings[name] = round(samples[len(samples) // 2], 3)
+
+    # bucketed q3: the ingest-side bucketed layout is built ONCE
+    # (amortized, untimed — paid per table lifetime, not per query) and
+    # the probe is timed like every registry query. Tracks the
+    # zero-exchange fact-fact join path round-over-round.
+    try:
+        from thundercats_spark.queries.bucketed import (
+            build_bucketed_facts,
+            q3_shipping_priority_bucketed,
+        )
+
+        build_bucketed_facts(spark, sf_dir)
+
+        def run_bucketed() -> float:
+            t0 = time.time()
+            q3_shipping_priority_bucketed(spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            return time.time() - t0
+
+        run_bucketed()  # warmup
+        samples = sorted(run_bucketed() for _ in range(reps))
+        timings["q3_bucketed"] = round(samples[len(samples) // 2], 3)
+    except Exception as e:  # never let the rehearsal sink the bench
+        print(f"bucketed q3 bench skipped: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -5,8 +5,12 @@ the r05 LLM-pipeline surface):
 1. build an int8-quantized IVF ANN index from the embeddings table,
 2. fold a late-arriving batch in WITHOUT a rebuild (ann_index_append),
 3. read the cell-balance health report (rebuild-cadence signal),
-4. serve a partition-pruned integer-domain top-k probe,
-5. train a BPE tokenizer, persist it as a parquet artifact, restore it
+4. serve a partition-pruned integer-domain top-k probe — then the
+   THROUGHPUT shape: a whole query batch amortizing ONE pruned scan
+   (ann_batch_topk_indexed),
+5. run the automated maintenance loop (maintain_ann_index): append,
+   check drift, rebuild with retrained centroids only when degraded,
+6. train a BPE tokenizer, persist it as a parquet artifact, restore it
    from disk, and encode + QA-report the corpus with the SHIPPED
    vocabulary (never a retrained one).
 
@@ -63,7 +67,29 @@ def main():
     print("top-5 neighbors:")
     top.show(truncate=False)
 
-    # 5. tokenizer: train once, ship the artifact, encode from disk
+    # 4b. serving throughput: N queries -> ONE partition-pruned scan
+    # (union of their probe cells), per-query exact rerank
+    qbatch = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    ]
+    batched = similarity.ann_batch_topk_indexed(spark, idx, qbatch, k=3, nprobe=3)
+    print(f"batch probe: {batched.count()} result rows for {len(qbatch)} queries")
+
+    # 5. automated maintenance: append-then-decide. A healthy index
+    # just reports; past the skew/empty thresholds it rebuilds with
+    # centroids retrained on the full corpus (the float source — the
+    # int8 index stores only codes).
+    report = similarity.maintain_ann_index(
+        spark, None, idx, source=emb, max_skew_ratio=4.0
+    )
+    print(
+        f"maintenance: degraded={report['degraded']} "
+        f"rebuilt={report['rebuilt']} "
+        f"skew={report['stats']['skew_ratio']}"
+    )
+
+    # 6. tokenizer: train once, ship the artifact, encode from disk
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tok = f"{work}/tokenizer.parquet"
     bpe_save(spark, bpe_train(docs, n_merges=200), tok)

@@ -510,6 +510,49 @@ def main():
     }
     shutil.rmtree(app_dir, ignore_errors=True)
 
+    # round-6: batch probe vs the one-at-a-time loop on the x-replica
+    # int8 index — the serving-throughput claim: N queries amortize ONE
+    # partition-pruned scan instead of paying a scan each.
+    qvecs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.limit(32).collect()
+    ]
+    t0 = time.time()
+    for _qid, v in qvecs:
+        similarity.ann_topk_quantized_indexed(
+            spark, q_dir, v, k=10, nprobe=4
+        ).collect()
+    loop_secs = round(time.time() - t0, 3)
+    t0 = time.time()
+    similarity.ann_batch_topk_indexed(
+        spark, q_dir, qvecs, k=10, nprobe=4
+    ).collect()
+    batch_secs = round(time.time() - t0, 3)
+    out["ann_batch_probe"] = {
+        "n_queries": len(qvecs),
+        "per_query_loop_secs": loop_secs,
+        "batch_secs": batch_secs,
+        "loop_qps": round(len(qvecs) / max(loop_secs, 1e-9), 2),
+        "batch_qps": round(len(qvecs) / max(batch_secs, 1e-9), 2),
+        "speedup": round(loop_secs / max(batch_secs, 1e-9), 2),
+    }
+
+    # round-6: LSH persisted-index append — the __sig twin of the IVF
+    # append; cost must track the batch, not the index.
+    lsh_dir = tempfile.mkdtemp(prefix="scale_lsh_app_")
+    t0 = time.time()
+    similarity.ann_lsh_index_build(hist, lsh_dir)
+    lsh_build = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_lsh = similarity.ann_lsh_index_append(spark, batch, lsh_dir)
+    out["ann_lsh_index_append"] = {
+        "index_rows_before": emb.count() * (replicas - 1),
+        "batch_rows": n_lsh,
+        "append_secs": round(time.time() - t0, 3),
+        "full_build_secs_same_data": lsh_build,
+    }
+    shutil.rmtree(lsh_dir, ignore_errors=True)
+
     shutil.rmtree(f_dir, ignore_errors=True)
     shutil.rmtree(q_dir, ignore_errors=True)
 
