@@ -701,3 +701,32 @@ def test_maintain_ann_index_rebuilds_on_drift(spark, tmp_path_factory):
     # healthy index + no batch -> pure no-op report
     calm = similarity.maintain_ann_index(spark, None, idx, source=source)
     assert not calm["degraded"] and not calm["rebuilt"] and calm["appended"] == 0
+
+
+def test_ann_index_append_auto_dispatches_by_layout(emb, tmp_path_factory):
+    """The auto appender routes on the index's own metadata: IVF paths
+    behave exactly like ann_index_append, LSH paths exactly like
+    ann_lsh_index_append, and a metadata doc naming neither layout is
+    a loud error (never a guessed fallback)."""
+    spark = emb.sparkSession
+    base = tmp_path_factory.mktemp("annauto")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+
+    ivf = str(base / "ivf")
+    similarity.ann_index_build(half_a, ivf, n_clusters=4)
+    assert similarity.ann_index_append_auto(spark, half_b, ivf) == half_b.count()
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(ivf).select("vec_id").collect()
+    ) == sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+
+    lsh = str(base / "lsh")
+    similarity.ann_lsh_index_build(half_a, lsh, n_planes=6)
+    assert similarity.ann_index_append_auto(spark, half_b, lsh) == half_b.count()
+    assert spark.read.parquet(lsh).count() == emb.count()
+
+    bogus = str(base / "bogus")
+    spark.range(1).write.parquet(bogus)
+    similarity._write_index_meta(spark, bogus, {"dim": 8})
+    with pytest.raises(ValueError, match="neither"):
+        similarity.ann_index_append_auto(spark, half_b, bogus)

@@ -474,3 +474,58 @@ def test_stream_rollup_skips_replayed_batch(spark, tmp_path):
     rollup_update(spark, b, rollup, ["source"], metrics, state_doc={"batch_id": 1})
     got = spark.read.parquet(rollup).first()
     assert got["total"] == 10 and rollup_state(rollup)["batch_id"] == 1
+
+
+def test_stream_ann_index_keeps_index_fresh(spark, tmp_path):
+    """stream_ann_index folds micro-batches of embeddings into a
+    persisted IVF index via the replay-idempotent upsert: after the
+    stream drains, the index is row-for-row the one a full rebuild
+    with the same frozen centroids produces, exact in-batch duplicate
+    rows collapse instead of erroring, and probes agree."""
+    from thundercats_spark.operators import similarity
+    from thundercats_spark.streaming.windows import stream_ann_index
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [
+                (i, [float(i % 5), float((i * 3) % 7), float(i % 2), 1.0])
+                for i in ids
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    src = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    full = str(tmp_path / "full")
+    chk = str(tmp_path / "chk")
+
+    cents = similarity.ann_index_build(vecs(range(20)), idx, n_clusters=2)
+    # batch 1: ids 20..29 with id 25 duplicated VERBATIM in-batch (an
+    # at-least-once source redelivering inside one micro-batch) — the
+    # sink must collapse it, not trip the ambiguous-duplicate error
+    vecs(list(range(20, 30)) + [25]).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    q = stream_ann_index(stream, idx, checkpoint=chk)
+    try:
+        q.processAllAvailable()
+        vecs(range(30, 40)).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    similarity.ann_index_build(vecs(range(40)), full, centroids=cents)
+    got = sorted(r["vec_id"] for r in spark.read.parquet(idx).collect())
+    want = sorted(r["vec_id"] for r in spark.read.parquet(full).collect())
+    assert got == want == list(range(40))
+    qv = [3.0, 2.0, 1.0, 1.0]
+    got_p = [
+        (r["vec_id"], r["cos"])
+        for r in similarity.ann_topk_indexed(spark, idx, qv, k=5, nprobe=2).collect()
+    ]
+    want_p = [
+        (r["vec_id"], r["cos"])
+        for r in similarity.ann_topk_indexed(spark, full, qv, k=5, nprobe=2).collect()
+    ]
+    assert got_p == want_p

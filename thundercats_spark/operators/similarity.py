@@ -819,6 +819,37 @@ def ann_lsh_index_append(
     return _upsert_partitions(spark, assigned, path, "__sig", id_col, assume_new_ids)
 
 
+def ann_index_append_auto(
+    spark,
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assume_new_ids: bool = False,
+) -> int:
+    """Layout-dispatching append: read the index's own metadata and
+    route to ``ann_index_append`` (IVF float/int8, ``n_clusters``) or
+    ``ann_lsh_index_append`` (``n_planes``). The single entry point for
+    callers that maintain an index they didn't build — notably the
+    streaming sink (``streaming.windows.stream_ann_index``), which must
+    keep working if the serving team swaps the index layout under it."""
+    meta = _check_index_meta(spark, path, "ANN", {})
+    if "n_clusters" in meta:
+        fn = ann_index_append
+    elif "n_planes" in meta:
+        fn = ann_lsh_index_append
+    else:
+        raise ValueError(
+            f"index at {path!r} has neither n_clusters nor n_planes in "
+            "its metadata — not a persisted layout the appenders "
+            "understand"
+        )
+    return fn(
+        spark, batch, path, vec_col=vec_col, id_col=id_col,
+        assume_new_ids=assume_new_ids,
+    )
+
+
 def ann_index_stats(spark, path: str) -> dict:
     """Index health report — the rebuild-cadence signal the append
     docstrings point at: per-cell row counts from a column-pruned scan

@@ -350,3 +350,49 @@ def stream_rollup_parquet(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def stream_ann_index(
+    stream: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assume_new_ids: bool = False,
+    checkpoint: str | None = None,
+):
+    """Keep a persisted ANN index fresh from a stream of embeddings:
+    each micro-batch folds into the index via the layout-dispatching
+    ``ann_index_append_auto`` (IVF float/int8 or LSH — detected from
+    the index's own metadata), so the serving index trails ingestion by
+    one micro-batch instead of one rebuild cycle. The batch twin of the
+    serving story in ``examples/serving_artifacts.py``.
+
+    Replay safety: the append is an UPSERT on ``id_col`` — re-running a
+    redelivered micro-batch converges to the identical index (no
+    journal needed, unlike sum-like rollups). Exact duplicate rows
+    WITHIN one micro-batch (an at-least-once source redelivering inside
+    the batch) are collapsed here on (id, vector); two DIFFERENT
+    vectors under one id in one batch stay a loud error from the
+    upsert engine — which copy wins is ambiguous and silently picking
+    one would corrupt the index.
+
+    Scale: cost per micro-batch is O(batch + touched cells) — the
+    corpus-scale index is never rescanned; set ``assume_new_ids=True``
+    for append-only ingest keys to also skip the column-pruned
+    stale-row scan. Returns the started StreamingQuery."""
+    from thundercats_spark.operators.similarity import ann_index_append_auto
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        ann_index_append_auto(
+            batch.sparkSession,
+            batch.dropDuplicates([id_col, vec_col]),
+            index_path,
+            vec_col=vec_col,
+            id_col=id_col,
+            assume_new_ids=assume_new_ids,
+        )
+
+    w = stream.writeStream.foreachBatch(fold).outputMode("update")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
