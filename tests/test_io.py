@@ -463,3 +463,29 @@ def test_bucketed_q3_zero_exchange_and_parity(spark, sf_dir):
         )
         spark.sql("DROP TABLE IF EXISTS tc_bkt_t_orders")
         spark.sql("DROP TABLE IF EXISTS tc_bkt_t_lineitem")
+
+
+def test_bucketed_write_reclaims_orphaned_warehouse_dir(spark):
+    """saveAsTable(overwrite) can't reclaim a warehouse location the
+    in-memory catalog has forgotten (dead session leaves the files) —
+    Bucketed.write must clear the straggler instead of dying with
+    'location is not empty', for EVERY caller, not just one query
+    module."""
+    import os
+    from urllib.parse import urlparse
+
+    from thundercats_spark.physical.io import Bucketed
+
+    name = "tc_orphan_reclaim"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = os.path.join(wh, name)
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "stale.parquet"), "w") as f:
+        f.write("not a real parquet file")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    try:
+        Bucketed.write(df, name, ["k"], num_buckets=2).get
+        assert spark.table(name).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -586,3 +586,19 @@ def test_auc_nan_scores_raise_when_binning(spark):
     assert _AUC(score_round_digits=2).score(df, spec).is_failing
     with _pytest.raises(ValueError, match="score_bins"):
         _AUC(score_bins="log")
+
+
+def test_quantile_bins_reject_nonpositive_digits():
+    """nbins = 10**digits: digits < 1 under quantile binning is a
+    construction-time ValueError, not a TypeError buried in MayFail
+    (equi-width keeps accepting negative digits — F.round to tens is
+    meaningful there)."""
+    import pytest
+
+    from thundercats_spark.ml.measure import _AUC
+
+    with pytest.raises(ValueError, match="score_round_digits >= 1"):
+        _AUC(score_round_digits=-1, score_bins="quantile")
+    with pytest.raises(ValueError, match="score_round_digits >= 1"):
+        _AUC(score_round_digits=0, score_bins="quantile")
+    _AUC(score_round_digits=-1, score_bins="width")  # still fine

@@ -730,3 +730,37 @@ def test_ann_index_append_auto_dispatches_by_layout(emb, tmp_path_factory):
     similarity._write_index_meta(spark, bogus, {"dim": 8})
     with pytest.raises(ValueError, match="neither"):
         similarity.ann_index_append_auto(spark, half_b, bogus)
+
+
+def test_maintain_ann_index_rejects_lsh_layout(emb, tmp_path_factory):
+    """The maintenance automation retrains IVF centroids; pointed at an
+    LSH index (whose natural bucket sparsity would trip the empty-cell
+    threshold on EVERY healthy index) it must refuse loudly rather than
+    silently overwrite the LSH layout with an IVF rebuild."""
+    spark = emb.sparkSession
+    lsh = str(tmp_path_factory.mktemp("maintlsh") / "lsh")
+    similarity.ann_lsh_index_build(emb, lsh, n_planes=6)
+    before = sorted(r["vec_id"] for r in spark.read.parquet(lsh).collect())
+    with pytest.raises(ValueError, match="not an IVF layout"):
+        similarity.maintain_ann_index(spark, None, lsh, source=emb)
+    # the index is untouched
+    after = sorted(r["vec_id"] for r in spark.read.parquet(lsh).collect())
+    assert after == before
+
+
+def test_ann_batch_topk_indexed_rejects_duplicate_q_ids(emb, tmp_path_factory):
+    """Two vectors under one q_id would rank the union of both
+    candidate sets in a single window — ambiguous, so rejected loudly
+    (same rule as the upsert engine's in-batch duplicate ids)."""
+    spark = emb.sparkSession
+    idx = str(tmp_path_factory.mktemp("batchdup") / "idx")
+    similarity.ann_index_build(emb, idx, n_clusters=4)
+    v1 = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    v2 = [float(x) for x in emb.where(F.col("vec_id") == 2).first()["embedding"]]
+    with pytest.raises(ValueError, match="duplicate q_id"):
+        similarity.ann_batch_topk_indexed(spark, idx, [(7, v1), (7, v2)], k=3)
+    dup_df = spark.createDataFrame(
+        [(7, v1), (7, v2)], "q_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="duplicate q_id"):
+        similarity.ann_batch_topk_indexed(spark, idx, dup_df, k=3)

@@ -80,6 +80,21 @@ class ClassificationMeasure(Measure):
             raise ValueError(
                 f"score_bins must be 'width' or 'quantile', got {score_bins!r}"
             )
+        if (
+            score_bins == "quantile"
+            and score_round_digits is not None
+            and score_round_digits < 1
+        ):
+            # equi-width tolerates negative digits (F.round to tens);
+            # quantile derives nbins = 10**digits, where digits < 1
+            # means "fewer than 10 cells" at best and a float bin count
+            # at worst — fail at construction, not as a TypeError
+            # buried in a MayFail.
+            raise ValueError(
+                "score_bins='quantile' needs score_round_digits >= 1 "
+                f"(got {score_round_digits}): the bin count is "
+                "10**score_round_digits"
+            )
         self.score_round_digits = score_round_digits
         self.score_bins = score_bins
 

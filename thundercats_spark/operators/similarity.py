@@ -452,6 +452,23 @@ def _persist_ivf_artifacts(
     _write_index_meta(spark, path, meta)
 
 
+def _normalize_rows(centroids: list[list[float]]) -> "np.ndarray":
+    cmat = np.array(centroids, dtype=np.float64)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    return cmat
+
+
+def _nearest_cells_normed(
+    cmat: "np.ndarray", query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Core of ``_nearest_cells`` over a PRE-normalized centroid matrix
+    — the batch prober normalizes once and probes N times (the matrix
+    never changes between queries)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    return [int(i) for i in np.argsort(-(cmat @ q))[:nprobe]]
+
+
 def _nearest_cells(
     centroids: list[list[float]], query_vec: list[float], nprobe: int
 ) -> list[int]:
@@ -459,11 +476,7 @@ def _nearest_cells(
     ONE implementation shared by every IVF prober (single-query, batch,
     ad-hoc), so batch and per-query paths probe byte-identical cell
     sets (their parity is test-pinned on that)."""
-    cmat = np.array(centroids, dtype=np.float64)
-    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q /= max(np.linalg.norm(q), 1e-12)
-    return [int(i) for i in np.argsort(-(cmat @ q))[:nprobe]]
+    return _nearest_cells_normed(_normalize_rows(centroids), query_vec, nprobe)
 
 
 def _quantize_query(query_vec: list[float]) -> tuple[list[int], float]:
@@ -975,19 +988,32 @@ def ann_batch_topk_indexed(
             else StringType()
         )
     dim = int(meta["dim"])
+    seen_ids = set()
     for qid, v in qlist:
         if len(v) != dim:
             raise ValueError(
                 f"query {qid!r} has dim {len(v)} but the index at "
                 f"{path!r} was built for dim {dim}"
             )
+        if qid in seen_ids:
+            # two vectors under one q_id would rank the UNION of both
+            # candidate sets in one window — silently-merged garbage.
+            # Same loud-rejection rule as the upsert engine's dup ids.
+            raise ValueError(
+                f"query batch contains duplicate {q_id_col}={qid!r}; "
+                "query ids must be unique — which vector owns the "
+                "result rows is ambiguous"
+            )
+        seen_ids.add(qid)
     centroids = ann_index_centroids(spark, path)
 
     # driver-side: per-query probe cells (identical to the per-query
-    # probers) pre-exploded into (q_id, cell, query payload) rows
+    # probers, over the once-normalized centroid matrix) pre-exploded
+    # into (q_id, cell, query payload) rows
+    cmat = _normalize_rows(centroids)
     qrows, cells = [], set()
     for qid, v in qlist:
-        probe = _nearest_cells(centroids, v, nprobe)
+        probe = _nearest_cells_normed(cmat, v, nprobe)
         cells.update(probe)
         if quantized:
             qq, qnorm = _quantize_query(v)
@@ -1073,8 +1099,24 @@ def maintain_ann_index(
     automated path). The rebuild overwrites the index in place —
     single-maintenance-writer assumption, same as the append path.
 
+    IVF layouts only: an LSH index has no centroids to retrain (its
+    buckets are a fixed function of the hyperplanes) and its empty-cell
+    fraction is naturally high, so the drift thresholds here would
+    flag every healthy LSH index and a "rebuild" would overwrite it
+    with an IVF layout — rejected loudly instead; maintain LSH indexes
+    with ``ann_lsh_index_append`` + the ``skew_ratio`` from
+    ``ann_index_stats``.
+
     Returns ``{"appended", "stats", "degraded", "rebuilt"}`` plus
     ``"stats_after"`` when a rebuild ran."""
+    meta = _check_index_meta(spark, path, "IVF", {})
+    if "n_clusters" not in meta:
+        raise ValueError(
+            f"index at {path!r} is not an IVF layout; "
+            "maintain_ann_index retrains centroids, which LSH has "
+            "none of — append with ann_lsh_index_append and watch "
+            "ann_index_stats skew_ratio instead"
+        )
     appended = 0
     if batch is not None:
         appended = ann_index_append(

@@ -890,6 +890,22 @@ class Bucketed:
         overwrite: bool = True,
     ) -> MayFail[DataFrame]:
         def run():
+            if overwrite:
+                # saveAsTable(overwrite) only reclaims a location the
+                # CATALOG knows about; a warehouse dir orphaned by a
+                # dead session (the in-memory catalog dies with it, the
+                # files don't) fails the CREATE with "location is not
+                # empty" — drop stragglers first.
+                import os
+                import shutil
+                from urllib.parse import urlparse
+
+                spark = df.sparkSession
+                spark.sql(f"DROP TABLE IF EXISTS {table}")
+                wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+                leftover = os.path.join(wh, table.lower())
+                if os.path.isdir(leftover):
+                    shutil.rmtree(leftover, ignore_errors=True)
             w = df.write.bucketBy(num_buckets, *bucket_cols)
             if sort_cols:
                 w = w.sortBy(*sort_cols)

@@ -18,8 +18,6 @@ driver-verified) is pinned in pytest instead.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,19 +42,6 @@ def build_bucketed_facts(
     from thundercats_spark.physical.io import Bucketed
 
     ot, lt = f"{prefix}_orders", f"{prefix}_lineitem"
-    # saveAsTable(mode=overwrite) only reclaims a location the CATALOG
-    # knows about; a warehouse dir orphaned by a previous session (the
-    # in-memory catalog dies with it, the files don't) makes the CREATE
-    # fail with "location is not empty" — drop stragglers first.
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for name in (ot, lt):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        leftover = os.path.join(wh, name.lower())
-        if os.path.isdir(leftover):
-            shutil.rmtree(leftover, ignore_errors=True)
     Bucketed.write(
         t["orders"], ot, ["o_orderkey"], num_buckets, sort_cols=["o_orderkey"]
     ).get
