@@ -764,3 +764,49 @@ def test_ann_batch_topk_indexed_rejects_duplicate_q_ids(emb, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="duplicate q_id"):
         similarity.ann_batch_topk_indexed(spark, idx, dup_df, k=3)
+
+
+def test_ann_batch_topk_lsh_indexed_parity_and_single_scan(emb, tmp_path_factory):
+    """The LSH batch probe must return, per query, exactly the
+    per-query LSH prober's rows while planning ONE partition-pruned
+    scan of the __sig index for the whole batch; layout crosses are
+    loud errors in both directions."""
+    spark = emb.sparkSession
+    base = tmp_path_factory.mktemp("annbatchlsh")
+    idx = str(base / "lsh")
+    similarity.ann_lsh_index_build(emb, idx, n_planes=8)
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(0, 3, 7)).collect()
+    ]
+    out = similarity.ann_batch_topk_lsh_indexed(
+        spark, idx, qs, k=5, multiprobe_bits=1
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "PartitionFilters" in plan and "__sig" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    for qid, v in qs:
+        per = similarity.ann_topk_lsh_indexed(
+            spark, idx, v, k=5, multiprobe_bits=1
+        ).collect()
+        expect = [(i + 1, r["vec_id"], r["cos"]) for i, r in enumerate(per)]
+        assert sorted(got[qid]) == expect, qid
+    # shared validation: duplicate q_ids and dim mismatches are loud
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate q_id"):
+        similarity.ann_batch_topk_lsh_indexed(
+            spark, idx, [(1, qs[0][1]), (1, qs[1][1])]
+        )
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_batch_topk_lsh_indexed(spark, idx, [(0, qs[0][1][:3])])
+    # pointing the LSH batch prober at an IVF index is a loud error
+    ivf = str(base / "ivf")
+    similarity.ann_index_build(emb, ivf, n_clusters=4)
+    with pytest.raises(ValueError, match="IVF layout"):
+        similarity.ann_batch_topk_lsh_indexed(spark, ivf, qs)

@@ -81,12 +81,12 @@ def ann_topk_bruteforce(
     )
 
 
-def _lsh_probe_set(
-    query_vec: list[float], n_planes: int, seed: int, multiprobe_bits: int
+def _probe_set_from_planes(
+    planes: list[list[float]], query_vec: list[float], multiprobe_bits: int
 ) -> set[int]:
-    """Driver-side probe buckets: the query's signature plus all
-    signatures within ``multiprobe_bits`` sign flips (multiprobe)."""
-    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    """Core of ``_lsh_probe_set`` over PRE-computed hyperplanes — the
+    batch prober derives the planes once and probes N times."""
+    n_planes = len(planes)
     qsig = 0
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, p)) > 0:
@@ -101,6 +101,15 @@ def _lsh_probe_set(
             for j in range(i + 1, n_planes)
         }
     return probe
+
+
+def _lsh_probe_set(
+    query_vec: list[float], n_planes: int, seed: int, multiprobe_bits: int
+) -> set[int]:
+    """Driver-side probe buckets: the query's signature plus all
+    signatures within ``multiprobe_bits`` sign flips (multiprobe)."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    return _probe_set_from_planes(planes, query_vec, multiprobe_bits)
 
 
 def ann_topk_lsh(
@@ -916,6 +925,59 @@ def ann_index_stats(spark, path: str) -> dict:
     }
 
 
+def _parse_query_batch(
+    queries, vec_col: str, q_id_col: str, max_queries: int, dim: int, path: str
+):
+    """Shared driver-side batch parsing/validation for BOTH persisted
+    batch probers: accepts a list of ``(q_id, vector)`` tuples or a
+    small DataFrame with (``q_id_col``, ``vec_col``); enforces the
+    ``max_queries`` bound (the batch becomes probe literals + a
+    broadcast table), the index's ``dim``, and q_id uniqueness — two
+    vectors under one q_id would rank the UNION of both candidate sets
+    in one window, silently-merged garbage, so it's a loud error (same
+    rule as the upsert engine's in-batch dup ids). Returns
+    ``(qlist, qid_type)``."""
+    from pyspark.sql.types import LongType, StringType
+
+    if isinstance(queries, DataFrame):
+        qid_type = queries.schema[q_id_col].dataType
+        rows = queries.select(q_id_col, vec_col).limit(max_queries + 1).collect()
+        if len(rows) > max_queries:
+            raise ValueError(
+                f"query batch exceeds max_queries={max_queries}; shard "
+                "the batch or raise the bound explicitly (the batch is "
+                "driver-resident and broadcast)"
+            )
+        qlist = [(r[q_id_col], [float(x) for x in r[vec_col]]) for r in rows]
+    else:
+        qlist = [(qid, [float(x) for x in v]) for qid, v in queries]
+        if len(qlist) > max_queries:
+            raise ValueError(
+                f"query batch of {len(qlist)} exceeds "
+                f"max_queries={max_queries}; shard the batch"
+            )
+        qid_type = (
+            LongType()
+            if qlist and isinstance(qlist[0][0], int)
+            else StringType()
+        )
+    seen_ids = set()
+    for qid, v in qlist:
+        if len(v) != dim:
+            raise ValueError(
+                f"query {qid!r} has dim {len(v)} but the index at "
+                f"{path!r} was built for dim {dim}"
+            )
+        if qid in seen_ids:
+            raise ValueError(
+                f"query batch contains duplicate {q_id_col}={qid!r}; "
+                "query ids must be unique — which vector owns the "
+                "result rows is ambiguous"
+            )
+        seen_ids.add(qid)
+    return qlist, qid_type
+
+
 def ann_batch_topk_indexed(
     spark,
     path: str,
@@ -951,8 +1013,6 @@ def ann_batch_topk_indexed(
         ArrayType,
         DoubleType,
         IntegerType,
-        LongType,
-        StringType,
         StructField,
         StructType,
     )
@@ -965,46 +1025,9 @@ def ann_batch_topk_indexed(
             "ann_topk_lsh_indexed)"
         )
     quantized = int(meta.get("quantized", 0)) == 1
-    if isinstance(queries, DataFrame):
-        qid_type = queries.schema[q_id_col].dataType
-        rows = queries.select(q_id_col, vec_col).limit(max_queries + 1).collect()
-        if len(rows) > max_queries:
-            raise ValueError(
-                f"query batch exceeds max_queries={max_queries}; shard "
-                "the batch or raise the bound explicitly (the batch is "
-                "driver-resident and broadcast)"
-            )
-        qlist = [(r[q_id_col], [float(x) for x in r[vec_col]]) for r in rows]
-    else:
-        qlist = [(qid, [float(x) for x in v]) for qid, v in queries]
-        if len(qlist) > max_queries:
-            raise ValueError(
-                f"query batch of {len(qlist)} exceeds "
-                f"max_queries={max_queries}; shard the batch"
-            )
-        qid_type = (
-            LongType()
-            if qlist and isinstance(qlist[0][0], int)
-            else StringType()
-        )
-    dim = int(meta["dim"])
-    seen_ids = set()
-    for qid, v in qlist:
-        if len(v) != dim:
-            raise ValueError(
-                f"query {qid!r} has dim {len(v)} but the index at "
-                f"{path!r} was built for dim {dim}"
-            )
-        if qid in seen_ids:
-            # two vectors under one q_id would rank the UNION of both
-            # candidate sets in one window — silently-merged garbage.
-            # Same loud-rejection rule as the upsert engine's dup ids.
-            raise ValueError(
-                f"query batch contains duplicate {q_id_col}={qid!r}; "
-                "query ids must be unique — which vector owns the "
-                "result rows is ambiguous"
-            )
-        seen_ids.add(qid)
+    qlist, qid_type = _parse_query_batch(
+        queries, vec_col, q_id_col, max_queries, int(meta["dim"]), path
+    )
     centroids = ann_index_centroids(spark, path)
 
     # driver-side: per-query probe cells (identical to the per-query
@@ -1065,6 +1088,83 @@ def ann_batch_topk_indexed(
         )
     else:
         cos = vcos(F.col(vec_col), F.col("__qv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = joined.select(F.col(q_id_col), F.col(id_col), cos.alias("cos"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def ann_batch_topk_lsh_indexed(
+    spark,
+    path: str,
+    queries,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    multiprobe_bits: int = 2,
+    round_digits: int | None = 6,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """LSH twin of ``ann_batch_topk_indexed``: N query vectors against
+    a persisted ``__sig``-partitioned index in ONE job. Per-query probe
+    buckets come from the same ``_lsh_probe_set`` arithmetic as
+    ``ann_topk_lsh_indexed`` (hyperplanes derived once for the batch —
+    they are a pure function of (dim, n_planes, seed) from the index's
+    own metadata); the UNION of all probe signatures drives ONE
+    planning-time partition-pruned scan, the (q_id, __sig, query
+    vector) rows broadcast-hash-join the scanned rows on the partition
+    column (a stored row meets only the queries probing its bucket),
+    and a per-query window keeps the top k — result rows identical to
+    the per-query prober (parity test-pinned).
+    → (q_id, vec_id, cos, rank).
+
+    Batch limits and validation are shared with the IVF prober
+    (``_parse_query_batch``): driver-resident batch, loud rejection of
+    oversize batches, dim mismatches, and duplicate q_ids."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    meta = _check_index_meta(spark, path, "LSH", {})
+    if "n_planes" not in meta:
+        raise ValueError(
+            f"index at {path!r} is an IVF layout; batch-probe it with "
+            "ann_batch_topk_indexed"
+        )
+    dim = int(meta["dim"])
+    qlist, qid_type = _parse_query_batch(
+        queries, vec_col, q_id_col, max_queries, dim, path
+    )
+    planes = _hyperplanes(dim, int(meta["n_planes"]), int(meta["seed"]))
+
+    qrows, cells = [], set()
+    for qid, v in qlist:
+        probe = _probe_set_from_planes(planes, v, multiprobe_bits)
+        cells.update(probe)
+        qrows.extend((qid, int(s), v) for s in probe)
+    q_schema = StructType(
+        [
+            StructField(q_id_col, qid_type, False),
+            # long, not int: a signature is an n_planes-bit value
+            StructField("__sig", LongType(), False),
+            StructField("__qv", ArrayType(DoubleType()), False),
+        ]
+    )
+    q_df = spark.createDataFrame(qrows, q_schema)
+
+    pred = F.col("__sig").isin(sorted(cells)) if cells else F.lit(False)
+    scanned = spark.read.parquet(path).where(pred)  # ONE pruned scan
+    joined = scanned.join(F.broadcast(q_df), "__sig")
+    cos = vcos(F.col(vec_col), F.col("__qv"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     scored = joined.select(F.col(q_id_col), F.col(id_col), cos.alias("cos"))

@@ -420,6 +420,37 @@ def ann_batch_indexed_q(spark, sf_dir):
     return out.orderBy("q_id", "rank")
 
 
+@register("ann_batch_lsh_indexed", None)
+def ann_batch_lsh_indexed_q(spark, sf_dir):
+    """LSH twin of ann_batch_indexed: N queries against the persisted
+    __sig-partitioned index in one job — union of multiprobe buckets
+    drives ONE pruned scan, per-query exact rerank. Rows-only:
+    approximate by design; per-query parity with ann_topk_lsh_indexed
+    and the single-pruned-scan plan are pytest-pinned
+    (tests/test_similarity.py)."""
+    from thundercats_spark.operators import similarity
+    from thundercats_spark.queries.llm_ops import (
+        _cached_index_dir,
+        _publish_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+    idx, built = _cached_index_dir("lsh", sf_dir)
+    if not built:
+        _publish_index(
+            idx,
+            lambda d: similarity.ann_lsh_index_build(
+                e.where(F.col("vec_id") != 0), d
+            ),
+        )
+    out = similarity.ann_batch_topk_lsh_indexed(spark, idx, qs, k=5)
+    return out.orderBy("q_id", "rank")
+
+
 # --------------------------------------------------------------------------
 # Persisted-tokenizer encode: train-once/ship-everywhere BPE — the
 # merge list is saved as a parquet artifact and RESTORED from disk

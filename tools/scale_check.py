@@ -551,6 +551,23 @@ def main():
         "append_secs": round(time.time() - t0, 3),
         "full_build_secs_same_data": lsh_build,
     }
+    # round-6: LSH batch probe vs the per-query loop on the same index
+    # (multiprobe union of all 32 queries' buckets → one pruned scan)
+    t0 = time.time()
+    for _qid, v in qvecs:
+        similarity.ann_topk_lsh_indexed(spark, lsh_dir, v, k=10).collect()
+    lsh_loop_secs = round(time.time() - t0, 3)
+    t0 = time.time()
+    similarity.ann_batch_topk_lsh_indexed(spark, lsh_dir, qvecs, k=10).collect()
+    lsh_batch_secs = round(time.time() - t0, 3)
+    out["ann_lsh_batch_probe"] = {
+        "n_queries": len(qvecs),
+        "per_query_loop_secs": lsh_loop_secs,
+        "batch_secs": lsh_batch_secs,
+        "loop_qps": round(len(qvecs) / max(lsh_loop_secs, 1e-9), 2),
+        "batch_qps": round(len(qvecs) / max(lsh_batch_secs, 1e-9), 2),
+        "speedup": round(lsh_loop_secs / max(lsh_batch_secs, 1e-9), 2),
+    }
     shutil.rmtree(lsh_dir, ignore_errors=True)
 
     shutil.rmtree(f_dir, ignore_errors=True)
