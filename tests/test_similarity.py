@@ -810,3 +810,27 @@ def test_ann_batch_topk_lsh_indexed_parity_and_single_scan(emb, tmp_path_factory
     similarity.ann_index_build(emb, ivf, n_clusters=4)
     with pytest.raises(ValueError, match="IVF layout"):
         similarity.ann_batch_topk_lsh_indexed(spark, ivf, qs)
+
+
+def test_ann_index_stats_bounds_driver_cost(emb, tmp_path_factory):
+    """With more occupied cells than max_cells, the report's scalars
+    stay exact (computed distributed) while `cells` truncates to the
+    HEAVIEST max_cells and says so — the LSH occupied-bucket count
+    tracks corpus size, so the full dict can't always come back."""
+    spark = emb.sparkSession
+    lsh = str(tmp_path_factory.mktemp("annstats3") / "lsh")
+    similarity.ann_lsh_index_build(emb, lsh, n_planes=8)
+    full = similarity.ann_index_stats(spark, lsh)
+    assert full["cells_complete"]
+    capped = similarity.ann_index_stats(spark, lsh, max_cells=5)
+    assert not capped["cells_complete"]
+    assert len(capped["cells"]) == 5
+    # scalar stats identical to the complete report
+    for k in ("n_vectors", "n_cells", "min_cell", "max_cell",
+              "mean_cell", "skew_ratio", "empty_cells"):
+        assert capped[k] == full[k], k
+    # the capped dict is exactly the heaviest 5 of the full dict
+    heaviest = sorted(
+        full["cells"].items(), key=lambda kv: (-kv[1], kv[0])
+    )[:5]
+    assert capped["cells"] == dict(heaviest)

@@ -872,7 +872,7 @@ def ann_index_append_auto(
     )
 
 
-def ann_index_stats(spark, path: str) -> dict:
+def ann_index_stats(spark, path: str, max_cells: int = 4096) -> dict:
     """Index health report — the rebuild-cadence signal the append
     docstrings point at: per-cell row counts from a column-pruned scan
     (only the partition column is read; vectors never load), balance
@@ -884,9 +884,17 @@ def ann_index_stats(spark, path: str) -> dict:
     ``skew_ratio`` instead). An index maintained by the append
     operators under distribution drift shows its skew here
     (``max_cell / mean_cell`` growing); rebuild when probes slow down
-    or the ratio drifts far from the build-time value. Driver cost is
-    one row per occupied cell. ``layout`` in the report says which
-    family the index is."""
+    or the ratio drifts far from the build-time value. ``layout`` in
+    the report says which family the index is.
+
+    Driver cost is BOUNDED: the balance scalars come from a
+    distributed two-level aggregation (one row to the driver), and the
+    per-cell breakdown in ``cells`` is complete only up to
+    ``max_cells`` occupied cells — beyond that (easy for LSH, whose
+    occupied-bucket count tracks corpus size) it holds the
+    ``max_cells`` HEAVIEST cells and ``cells_complete`` is False (the
+    hot tail is what rebuild decisions look at; IVF layouts are
+    bounded by n_clusters and stay complete)."""
     meta = _check_index_meta(spark, path, "ANN", {})
     if "n_clusters" in meta:
         layout, part_col = "ivf", "__cluster"
@@ -899,29 +907,44 @@ def ann_index_stats(spark, path: str) -> dict:
             f"index at {path!r} has neither n_clusters nor n_planes in "
             "its metadata — not a layout ann_index_stats understands"
         )
-    counts = sorted(
-        (r[part_col], r["n"])
-        for r in spark.read.parquet(path)
+    per_cell = (
+        spark.read.parquet(path)
         .groupBy(part_col)
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
-    ns = [n for _, n in counts]
-    total = sum(ns)
-    mean = total / len(ns) if ns else 0.0
+    # balance scalars via a second-level agg: ONE row to the driver
+    # regardless of how many cells are occupied
+    agg = per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+        F.min("n").alias("mn"),
+        F.max("n").alias("mx"),
+    ).first()
+    n_cells, total = int(agg["n_cells"]), int(agg["total"])
+    mean = total / n_cells if n_cells else 0.0
+    # per-cell breakdown: complete when it fits, else the heaviest
+    # max_cells (TakeOrdered — per-partition heap, no global sort)
+    complete = n_cells <= max_cells
+    cell_rows = (
+        per_cell.collect()
+        if complete
+        else per_cell.orderBy(F.desc("n"), F.asc(part_col)).limit(max_cells).collect()
+    )
+    counts = sorted((r[part_col], r["n"]) for r in cell_rows)
     return {
         "layout": layout,
         "n_vectors": total,
-        "n_cells": len(ns),
+        "n_cells": n_cells,
         "declared_clusters": universe,
-        "empty_cells": universe - len(ns),
-        "min_cell": min(ns) if ns else 0,
-        "max_cell": max(ns) if ns else 0,
+        "empty_cells": universe - n_cells,
+        "min_cell": int(agg["mn"]) if n_cells else 0,
+        "max_cell": int(agg["mx"]) if n_cells else 0,
         "mean_cell": round(mean, 2),
-        "skew_ratio": round(max(ns) / mean, 3) if ns and mean else 0.0,
+        "skew_ratio": round(int(agg["mx"]) / mean, 3) if n_cells and mean else 0.0,
         "dim": int(meta["dim"]),
         "quantized": bool(int(meta.get("quantized", 0))),
         "cells": dict(counts),
+        "cells_complete": complete,
     }
 
 
