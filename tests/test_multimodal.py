@@ -330,3 +330,60 @@ def test_pgm_decodes_for_real():
     w, h, mode, vec = decode_pgm(payload)
     assert (w, h, mode) == (3, 2, "PGM")
     assert vec.tolist() == [9, 8, 7, 6, 5, 4]
+
+
+def test_png_decodes_for_real(spark):
+    """8-bit non-interlaced PNG is a REAL decoder (stdlib zlib, no
+    imaging lib): every PNG filter type round-trips exact pixels for
+    every channel count, and the Spark op reports mode PNG — not stub
+    output."""
+    import numpy as np
+
+    from thundercats_spark.multimodal.binary import (
+        decode_image_features,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for channels in (1, 2, 3, 4):
+        for filter_type in range(5):
+            w, h = 13, 9
+            px = rng.integers(0, 256, size=(h, w * channels), dtype=np.uint8)
+            payload = encode_png(w, h, px, channels=channels, filter_type=filter_type)
+            got = decode_png(payload)
+            assert got is not None, (channels, filter_type)
+            gw, gh, mode, vec = got
+            assert (gw, gh, mode) == (w, h, "PNG")
+            assert np.array_equal(
+                vec.reshape(h, w * channels).astype(np.uint8), px
+            ), (channels, filter_type)
+    # end-to-end through the Spark op
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 6)
+    payload = encode_png(2, 2, px, channels=3, filter_type=4)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = decode_image_features(df).first()
+    assert (row["width"], row["height"], row["mode"]) == (2, 2, "PNG")
+    assert row["feature"] == [float(x) for x in px.ravel()]
+
+
+def test_png_unsupported_variants_return_none():
+    """Palette / 16-bit / interlaced / truncated PNGs fall through
+    (None) to the codec-lib-or-stub path rather than mis-decoding."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from thundercats_spark.multimodal.binary import decode_png, encode_png
+
+    assert decode_png(b"not a png at all") is None
+    good = encode_png(4, 4, np.zeros((4, 12), np.uint8))
+    assert decode_png(good[:20]) is None  # truncated
+    # rewrite IHDR to claim palette color (type 3): must return None
+    ihdr = _struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    crc = _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    palette = good[:8] + _struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + crc + good[8 + 12 + 13:]
+    assert decode_png(palette) is None

@@ -3,11 +3,13 @@
 Media travels as an opaque ``binary`` payload + typed metadata struct;
 decode / resize / frame-sample / feature-extract run as Arrow-batched
 ``mapInPandas`` stages. The Spark-side plumbing — schema, batch shape,
-partition sizing — is real and tested; the actual codecs (PIL, ffmpeg,
-torchaudio) are NOT in this container, so each decoder resolves at
-runtime: real library if importable, else a clearly-marked
-deterministic stub (see ``_decoder``). Swapping in the real codec
-changes no Spark code.
+partition sizing — is real and tested. Decoders that need no codec
+library are REAL here: BMP/PPM/PGM/WAV header parsing and 8-bit
+non-interlaced PNG (DEFLATE via stdlib zlib + per-row unfiltering).
+The remaining codecs (JPEG via PIL, audio/video via ffmpeg) are NOT in
+this container, so each resolves at runtime: real library if
+importable, else a clearly-marked deterministic stub (see
+``_decoder``). Swapping in the real codec changes no Spark code.
 
 Scale notes:
 - Binary payloads are large: repartition by size target before heavy
@@ -124,19 +126,172 @@ def decode_pgm(data: bytes):
     return w, h, "PGM", arr.astype(np.float32)
 
 
+def _png_unfilter(raw: bytes, h: int, stride: int, channels: int):
+    """Undo PNG per-row filtering (spec filters 0-4). Sub is a running
+    sum over each channel lane (vectorized as a cumsum mod 256); Up is
+    a vector add against the prior row; Average/Paeth carry a
+    per-pixel sequential dependency, so they loop — this is the
+    correctness path, not the throughput path (PIL takes over when
+    importable)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, np.uint8, stride, pos).copy()
+        pos += stride
+        if f == 1:  # Sub: recon[i] = raw[i] + recon[i-ch] → lane cumsum
+            lanes = row.reshape(-1, channels)
+            row = (np.cumsum(lanes, axis=0, dtype=np.int64) % 256).astype(
+                np.uint8
+            ).reshape(-1)
+        elif f == 2:  # Up (uint8 add wraps mod 256 by itself)
+            row = row + prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - channels]) if i >= channels else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        elif f != 0:
+            return None
+        out[y] = row
+        prev = row
+    return out
+
+
+def decode_png(data: bytes):
+    """REAL decoder for non-interlaced 8-bit PNG (gray / gray+alpha /
+    RGB / RGBA) — the DEFLATE stream is stdlib ``zlib``, the rest is
+    chunk walking + per-row unfiltering, so no imaging library is
+    needed. Palette, 16-bit, and interlaced variants return None and
+    fall through to PIL when importable (or the stub). Returns
+    (width, height, 'PNG', float32 pixels, raw 0-255 — same scale
+    convention as every other decoder here)."""
+    import zlib
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            return None
+        if ctype == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or depth != 8 or interlace != 0 or not idat:
+        return None
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:  # palette (3) and exotic types → codec lib
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = _png_unfilter(raw, h, stride, channels)
+    if out is None:
+        return None
+    return w, h, "PNG", out.astype(np.float32).ravel()
+
+
+def encode_png(
+    w: int, h: int, pixels: np.ndarray, channels: int = 3, filter_type: int = 0
+) -> bytes:
+    """Minimal PNG writer (stdlib zlib) for tests/synthetic corpora —
+    the encode twin of ``decode_png``. ``filter_type`` applies that
+    PNG filter to EVERY row, so each unfilter branch of the decoder
+    can be exercised against ground-truth pixels."""
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(h, w * channels)
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    lines = []
+    prev = np.zeros(w * channels, dtype=np.int64)
+    for y in range(h):
+        row = arr[y].astype(np.int64)
+        left = np.concatenate([np.zeros(channels, dtype=np.int64), row[:-channels]])
+        upleft = np.concatenate([np.zeros(channels, dtype=np.int64), prev[:-channels]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = row - pred
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        lines.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decoder():
-    """Decoder chain: REAL header-parsing decoders for self-describing
-    uncompressed formats (BMP, PPM — no libs needed), then the imaging
-    lib for compressed formats if importable, else the deterministic
-    stub. The second return value reports whether a REAL path decoded
-    compressed formats too."""
+    """Decoder chain: REAL no-lib decoders first — header-parsing for
+    self-describing uncompressed formats (BMP, PPM, PGM) and the
+    stdlib-zlib PNG path (8-bit non-interlaced) — then the imaging lib
+    for the remaining compressed formats if importable, else the
+    deterministic stub. The second return value reports whether a REAL
+    path decodes those remaining formats too."""
+
+    def decode_nolib(payload: bytes):
+        return (
+            decode_bmp(payload)
+            or decode_ppm(payload)
+            or decode_pgm(payload)
+            or decode_png(payload)
+        )
+
     try:  # pragma: no cover - lib absent in this container
         import io
 
         from PIL import Image
 
         def decode(payload: bytes):
-            got = decode_bmp(payload) or decode_ppm(payload) or decode_pgm(payload)
+            got = decode_nolib(payload)
             if got is not None:
                 return got
             im = Image.open(io.BytesIO(payload))
@@ -145,10 +300,11 @@ def _decoder():
         return decode, True
     except ImportError:
         def decode_stub(payload: bytes):
-            got = decode_bmp(payload) or decode_ppm(payload) or decode_pgm(payload)
+            got = decode_nolib(payload)
             if got is not None:  # REAL decode — format needs no codec lib
                 return got
-            # STUB for compressed formats only (JPEG/PNG/...):
+            # STUB for the remaining compressed formats only
+            # (JPEG / palette- or 16-bit PNG / ...):
             # deterministic pseudo-decode from payload bytes. Real
             # pipelines get these via the PIL branch above; everything
             # downstream is unchanged. Feature scale is raw 0-255, the
