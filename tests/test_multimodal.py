@@ -387,3 +387,27 @@ def test_png_unsupported_variants_return_none():
     crc = _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     palette = good[:8] + _struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + crc + good[8 + 12 + 13:]
     assert decode_png(palette) is None
+
+
+def test_png_palette_decodes_for_real():
+    """Color-type-3 PNGs decode through the PLTE lookup (RGB), and a
+    tRNS chunk adds per-palette-entry alpha (RGBA); indices past the
+    palette are corrupt → None."""
+    import numpy as np
+
+    from thundercats_spark.multimodal.binary import decode_png, encode_png_palette
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    w, h, mode, vec = decode_png(encode_png_palette(2, 2, idx, palette))
+    assert (w, h, mode) == (2, 2, "PNG")
+    assert vec.reshape(4, 3).astype(int).tolist() == [
+        [255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 0, 0]]
+    # tRNS: entry 0 transparent, others default opaque
+    w, h, mode, vec = decode_png(
+        encode_png_palette(2, 2, idx, palette, trns=[0])
+    )
+    assert vec.reshape(4, 4).astype(int).tolist() == [
+        [255, 0, 0, 0], [0, 255, 0, 255], [0, 0, 255, 255], [255, 0, 0, 0]]
+    # index 3 with a 3-entry palette is corrupt
+    assert decode_png(encode_png_palette(2, 2, idx + 1, palette)) is None

@@ -170,9 +170,10 @@ def _png_unfilter(raw: bytes, h: int, stride: int, channels: int):
 
 def decode_png(data: bytes):
     """REAL decoder for non-interlaced 8-bit PNG (gray / gray+alpha /
-    RGB / RGBA) — the DEFLATE stream is stdlib ``zlib``, the rest is
-    chunk walking + per-row unfiltering, so no imaging library is
-    needed. Palette, 16-bit, and interlaced variants return None and
+    RGB / RGBA / palette, incl. tRNS palette alpha) — the DEFLATE
+    stream is stdlib ``zlib``, the rest is chunk walking + per-row
+    unfiltering (+ a PLTE lookup for palette images), so no imaging
+    library is needed. 16-bit and interlaced variants return None and
     fall through to PIL when importable (or the stub). Returns
     (width, height, 'PNG', float32 pixels, raw 0-255 — same scale
     convention as every other decoder here)."""
@@ -180,7 +181,7 @@ def decode_png(data: bytes):
 
     if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    pos, w, idat = 8, None, []
+    pos, w, idat, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
@@ -191,6 +192,10 @@ def decode_png(data: bytes):
             w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(chunk, np.uint8)
         elif ctype == b"IDAT":
             idat.append(chunk)
         elif ctype == b"IEND":
@@ -198,8 +203,8 @@ def decode_png(data: bytes):
         pos += 12 + length
     if w is None or depth != 8 or interlace != 0 or not idat:
         return None
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None:  # palette (3) and exotic types → codec lib
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None or (color_type == 3 and plte is None):
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
@@ -211,6 +216,17 @@ def decode_png(data: bytes):
     out = _png_unfilter(raw, h, stride, channels)
     if out is None:
         return None
+    if color_type == 3:  # palette indices → RGB (or RGBA with tRNS)
+        idx = out.reshape(-1)
+        if int(idx.max(initial=0)) >= len(plte):
+            return None  # index past the palette — corrupt
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            out = np.concatenate([rgb, alpha[idx, None]], axis=1)
+        else:
+            out = rgb
     return w, h, "PNG", out.astype(np.float32).ravel()
 
 
@@ -267,6 +283,32 @@ def encode_png(
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+def encode_png_palette(
+    w: int, h: int, indices: np.ndarray, palette: np.ndarray, trns=None
+) -> bytes:
+    """Palette (color type 3) twin of ``encode_png`` for tests: raw
+    index rows (filter 0), a PLTE chunk, optional tRNS alpha."""
+    import zlib
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    idx = np.asarray(indices, dtype=np.uint8).reshape(h, w)
+    lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    )
+    out += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b"")
 
 
 def _decoder():
