@@ -334,3 +334,62 @@ def test_temperature_fractions_properties(spark, counts, temp):
             for s in pos:
                 if pos[s] <= pos[largest]:
                     assert fr[s] <= fr[largest] + 1e-12
+
+
+@given(
+    st.integers(1, 300),  # group size n
+    st.integers(1, 12),   # k buckets
+)
+@settings(**SETTINGS)
+def test_ntile_from_rn_matches_python_model(spark, n, k):
+    """ntile_from_rn must reproduce SQL NTILE(k) exactly for any
+    (group size, bucket count): the first n%k buckets hold n//k+1
+    rows, the rest n//k — checked against the direct Python model,
+    all in integer arithmetic."""
+    from thundercats_spark.operators.ranking import ntile_from_rn
+
+    df = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+    got = {
+        r["rn"]: r["t"]
+        for r in df.select(
+            "rn", ntile_from_rn(F.col("rn"), F.lit(n), k).alias("t")
+        ).collect()
+    }
+    q, r = divmod(n, k)
+    expect, rn = {}, 1
+    for b in range(1, k + 1):
+        size = q + (1 if b <= r else 0)
+        for _ in range(size):
+            expect[rn] = b
+            rn += 1
+    assert got == expect
+
+
+@st.composite
+def png_case(draw):
+    w = draw(st.integers(1, 24))
+    h = draw(st.integers(1, 16))
+    channels = draw(st.sampled_from([1, 2, 3, 4]))
+    filter_type = draw(st.integers(0, 4))
+    seed = draw(st.integers(0, 2**31 - 1))
+    return w, h, channels, filter_type, seed
+
+
+@given(png_case())
+@settings(**SETTINGS)
+def test_png_roundtrip_property(case):
+    """encode_png -> decode_png is pixel-exact for any size, channel
+    count, and per-row filter type (no Spark involved — the codec is
+    pure bytes)."""
+    import numpy as np
+
+    from thundercats_spark.multimodal.binary import decode_png, encode_png
+
+    w, h, channels, filter_type, seed = case
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w * channels), dtype=np.uint8)
+    got = decode_png(encode_png(w, h, px, channels=channels, filter_type=filter_type))
+    assert got is not None
+    gw, gh, mode, vec = got
+    assert (gw, gh, mode) == (w, h, "PNG")
+    assert np.array_equal(vec.reshape(h, w * channels).astype(np.uint8), px)
