@@ -714,3 +714,43 @@ def test_sample_to_fractions_clamps_tiny_positive_fraction(spark):
     assert 0 < n < 50
     # exact zero still means drop
     assert sample_to_fractions(df, {"big": 0.0}, buckets=1000).count() == 0
+
+
+def test_decontamination_report_per_item_counts(spark):
+    """Per-benchmark-item leakage QA: exact doc/gram hit counts per
+    eval item, zero rows for clean items, min_hits raising the bar."""
+    from thundercats_spark.operators.curation import decontamination_report
+
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "one two three four five six seven eight nine"),
+            (102, "clean item with completely unshared benchmark tokens x y"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # hits item 100's single 8-gram
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            # also hits item 100 (same 8-gram), so 100 has 2 docs
+            (2, "pad alpha beta gamma delta epsilon zeta eta theta"),
+            # hits item 101's both 8-grams
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "totally different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_docs_hit"], r["n_shared_grams"])
+        for r in decontamination_report(corpus, bench, n=8).collect()
+    }
+    assert out[100] == (2, 1)   # one shared 8-gram, found in two docs
+    assert out[101] == (1, 2)   # both of its 8-grams in one doc
+    assert out[102] == (0, 0)   # clean item still reported
+    # raising min_hits drops item 100's single-gram matches
+    strict = {
+        r["doc_id"]: r["n_docs_hit"]
+        for r in decontamination_report(corpus, bench, n=8, min_hits=2).collect()
+    }
+    assert strict[100] == 0 and strict[101] == 1

@@ -117,6 +117,64 @@ def decontaminate(
     return out.withColumn("contaminated", F.col("n_contaminated") >= min_hits)
 
 
+def decontamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str | None = None,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-benchmark-ITEM leakage QA — the report twin of
+    ``decontaminate``, answering "which eval items leak into the
+    training corpus, and how widely" BEFORE deciding what to drop:
+    for every benchmark row, how many training docs share at least
+    ``min_hits`` distinct word ``n``-grams with it (``n_docs_hit``)
+    and how many of its distinct n-grams appear anywhere in the corpus
+    (``n_shared_grams``). Items with zero hits are reported (zeros),
+    so the output is one row per benchmark item.
+
+    Scale shape: same as ``decontaminate`` — both sides reduce to
+    8-byte hashed n-grams in the scan stage (text never shuffles),
+    the eval-set side is tiny so AQE broadcasts it, and the joined
+    (bench_id, doc_id, gram) triples feed two small aggregations."""
+    from thundercats_spark.operators.dedup import ensure_parallelism
+
+    bid = bench_id_col or id_col
+    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    doc_grams = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("__did"), F.explode(grams).alias("__g")
+    ).select("__did", F.xxhash64("__g").alias("__gh"))
+    bench_grams = benchmark.select(
+        F.col(bid).alias("__bid"), F.explode(grams).alias("__g")
+    ).select("__bid", F.xxhash64("__g").alias("__gh")).distinct()
+    pairs = bench_grams.join(doc_grams, "__gh")
+    docs_hit = (
+        pairs.groupBy("__bid", "__did")
+        .agg(F.count_distinct("__gh").alias("__n"))
+        .where(F.col("__n") >= min_hits)
+        .groupBy("__bid")
+        .agg(F.count(F.lit(1)).alias("n_docs_hit"))
+    )
+    grams_hit = pairs.groupBy("__bid").agg(
+        F.count_distinct("__gh").alias("n_shared_grams")
+    )
+    return (
+        benchmark.select(F.col(bid).alias("__bid"))
+        .distinct()
+        .join(docs_hit, "__bid", "left")
+        .join(grams_hit, "__bid", "left")
+        .select(
+            F.col("__bid").alias(bid),
+            F.coalesce(F.col("n_docs_hit"), F.lit(0)).alias("n_docs_hit"),
+            F.coalesce(F.col("n_shared_grams"), F.lit(0)).alias(
+                "n_shared_grams"
+            ),
+        )
+    )
+
+
 def decontaminate_fuzzy(
     df: DataFrame,
     benchmark: DataFrame,

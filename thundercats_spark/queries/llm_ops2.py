@@ -547,3 +547,55 @@ def corpus_tokenizer_fertility_q(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
     merges = _bpe_artifact(spark, sf_dir, d)
     return bpe_fertility(d, merges, group_col="lang").orderBy("group")
+
+
+# --------------------------------------------------------------------------
+# Per-benchmark-item leakage report — the QA view run BEFORE deciding
+# what decontamination drops: for every eval item, how many training
+# docs share >=1 distinct 8-gram with it and how many of its 8-grams
+# appear anywhere in the corpus. Zero-hit items are reported as zeros.
+# Exact integer counts over the same hashed-n-gram machinery as
+# doc_decontaminate (curation.py), so the DuckDB oracle mirrors that
+# query's gram construction.
+# --------------------------------------------------------------------------
+
+DECON_REPORT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t)-6)]) AS gs
+  FROM toks WHERE len(t) >= 8
+), bench AS (
+  SELECT doc_id AS bench_id, unnest(gs) AS g FROM grams WHERE source = 'src0'
+), corpus AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE source <> 'src0'
+), hits AS (
+  SELECT b.bench_id,
+         CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_docs_hit,
+         CAST(COUNT(DISTINCT b.g) AS BIGINT) AS n_shared_grams
+  FROM bench b JOIN corpus c USING (g)
+  GROUP BY b.bench_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_docs_hit, 0) AS n_docs_hit,
+       COALESCE(h.n_shared_grams, 0) AS n_shared_grams
+FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+LEFT JOIN hits h ON d.doc_id = h.bench_id
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_decontamination_report", DECON_REPORT_SQL)
+def doc_decontamination_report_q(spark, sf_dir):
+    from thundercats_spark.operators.curation import decontamination_report
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    bench = d.where(F.col("source") == "src0")
+    corpus = d.where(F.col("source") != "src0")
+    out = decontamination_report(corpus, bench, "text", "doc_id", n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_docs_hit").cast("long").alias("n_docs_hit"),
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+    ).orderBy("doc_id")
