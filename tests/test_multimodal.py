@@ -411,3 +411,47 @@ def test_png_palette_decodes_for_real():
         [255, 0, 0, 0], [0, 255, 0, 255], [0, 0, 255, 255], [255, 0, 0, 0]]
     # index 3 with a 3-entry palette is corrupt
     assert decode_png(encode_png_palette(2, 2, idx + 1, palette)) is None
+
+
+def test_png_malformed_payloads_return_none_not_raise():
+    """Corrupt PNGs must fall through the decoder chain (None), never
+    kill the mapInPandas task; a crafted decompression bomb must not
+    materialize beyond what the declared image needs."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from thundercats_spark.multimodal.binary import decode_png, encode_png
+
+    def chunk(ctype, payload):
+        return (
+            _struct.pack(">I", len(payload)) + ctype + payload
+            + _struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    good = encode_png(4, 4, np.zeros((4, 12), np.uint8))
+    # IHDR with wrong declared length
+    bad_ihdr = sig + chunk(b"IHDR", _struct.pack(">IIBBB", 4, 4, 8, 2, 0)) + good[8 + 25:]
+    assert decode_png(bad_ihdr) is None
+    # PLTE not a multiple of 3
+    ihdr3 = chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    idat = chunk(b"IDAT", _zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+    assert decode_png(sig + ihdr3 + chunk(b"PLTE", b"\x01\x02") + idat) is None
+    # tRNS longer than the palette
+    plte = chunk(b"PLTE", bytes(6))
+    assert decode_png(sig + ihdr3 + plte + chunk(b"tRNS", bytes(5)) + idat) is None
+    # decompression bomb: tiny IDAT declaring a 4x4 image but deflating
+    # to 64 MB — decode must bound its read to the declared image size
+    # (the oversize stream just means the row check fails -> None, and
+    # at no point does the full 64 MB materialize)
+    bomb_raw = b"\x00" * (64 * 1024 * 1024)
+    bomb = (
+        sig
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(bomb_raw))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(bomb)  # reads only 4*(12+1)=52 bytes of the bomb
+    assert got is not None and got[:3] == (4, 4, "PNG")

@@ -189,10 +189,17 @@ def decode_png(data: bytes):
         if len(chunk) < length:
             return None
         if ctype == b"IHDR":
+            # malformed chunks return None like every decoder in the
+            # chain — one corrupt file must fall through to the
+            # codec-lib/stub path, not kill the whole mapInPandas task
+            if length != 13:
+                return None
             w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
         elif ctype == b"PLTE":
+            if length == 0 or length % 3:
+                return None
             plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
             trns = np.frombuffer(chunk, np.uint8)
@@ -206,12 +213,20 @@ def decode_png(data: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None or (color_type == 3 and plte is None):
         return None
+    if color_type == 3 and trns is not None and len(trns) > len(plte):
+        return None  # tRNS longer than the palette — corrupt
+    stride = w * channels
+    need = h * (stride + 1)
+    if need <= 0 or w > 1 << 24 or h > 1 << 24:
+        return None
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bounded decompress: a few-KB crafted IDAT can deflate to GBs
+        # (decompression bomb) — never materialize more than the image
+        # actually needs
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+    if len(raw) < need:
         return None
     out = _png_unfilter(raw, h, stride, channels)
     if out is None:
@@ -346,7 +361,7 @@ def _decoder():
             if got is not None:  # REAL decode — format needs no codec lib
                 return got
             # STUB for the remaining compressed formats only
-            # (JPEG / palette- or 16-bit PNG / ...):
+            # (JPEG / 16-bit or interlaced PNG / ...):
             # deterministic pseudo-decode from payload bytes. Real
             # pipelines get these via the PIL branch above; everything
             # downstream is unchanged. Feature scale is raw 0-255, the

@@ -137,8 +137,12 @@ def decontamination_report(
 
     Scale shape: same as ``decontaminate`` — both sides reduce to
     8-byte hashed n-grams in the scan stage (text never shuffles),
-    the eval-set side is tiny so AQE broadcasts it, and the joined
-    (bench_id, doc_id, gram) triples feed two small aggregations."""
+    the eval-set side is tiny so AQE broadcasts it. With the default
+    ``min_hits=1`` both counts are distinct-aggregates of one groupBy,
+    so the corpus-scale gram explode runs ONCE; a higher ``min_hits``
+    needs the per-(item, doc) gram counts and pays the explode twice
+    (two aggregation subtrees over the same join — Spark plans no
+    reused exchange there)."""
     from thundercats_spark.operators.dedup import ensure_parallelism
 
     bid = bench_id_col or id_col
@@ -150,21 +154,27 @@ def decontamination_report(
         F.col(bid).alias("__bid"), F.explode(grams).alias("__g")
     ).select("__bid", F.xxhash64("__g").alias("__gh")).distinct()
     pairs = bench_grams.join(doc_grams, "__gh")
-    docs_hit = (
-        pairs.groupBy("__bid", "__did")
-        .agg(F.count_distinct("__gh").alias("__n"))
-        .where(F.col("__n") >= min_hits)
-        .groupBy("__bid")
-        .agg(F.count(F.lit(1)).alias("n_docs_hit"))
-    )
-    grams_hit = pairs.groupBy("__bid").agg(
-        F.count_distinct("__gh").alias("n_shared_grams")
-    )
+    if min_hits <= 1:
+        hits = pairs.groupBy("__bid").agg(
+            F.count_distinct("__did").alias("n_docs_hit"),
+            F.count_distinct("__gh").alias("n_shared_grams"),
+        )
+    else:
+        docs_hit = (
+            pairs.groupBy("__bid", "__did")
+            .agg(F.count_distinct("__gh").alias("__n"))
+            .where(F.col("__n") >= min_hits)
+            .groupBy("__bid")
+            .agg(F.count(F.lit(1)).alias("n_docs_hit"))
+        )
+        grams_hit = pairs.groupBy("__bid").agg(
+            F.count_distinct("__gh").alias("n_shared_grams")
+        )
+        hits = grams_hit.join(docs_hit, "__bid", "left")
     return (
         benchmark.select(F.col(bid).alias("__bid"))
         .distinct()
-        .join(docs_hit, "__bid", "left")
-        .join(grams_hit, "__bid", "left")
+        .join(hits, "__bid", "left")
         .select(
             F.col("__bid").alias(bid),
             F.coalesce(F.col("n_docs_hit"), F.lit(0)).alias("n_docs_hit"),

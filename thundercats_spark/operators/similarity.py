@@ -912,24 +912,34 @@ def ann_index_stats(spark, path: str, max_cells: int = 4096) -> dict:
         .groupBy(part_col)
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # balance scalars via a second-level agg: ONE row to the driver
-    # regardless of how many cells are occupied
-    agg = per_cell.agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
-        F.min("n").alias("mn"),
-        F.max("n").alias("mx"),
-    ).first()
-    n_cells, total = int(agg["n_cells"]), int(agg["total"])
+    # one probing job first: if every occupied cell fits under
+    # max_cells (all IVF layouts, small LSH), the scalars derive
+    # driver-side from the complete rows — the pre-r06 one-job cost
+    probe_rows = per_cell.limit(max_cells + 1).collect()
+    complete = len(probe_rows) <= max_cells
+    if complete:
+        ns = [int(r["n"]) for r in probe_rows]
+        n_cells, total = len(ns), sum(ns)
+        mn, mx = (min(ns), max(ns)) if ns else (0, 0)
+        cell_rows = probe_rows
+    else:
+        # truncated: exact balance scalars via a second-level agg (ONE
+        # row to the driver) + the heaviest max_cells (TakeOrdered —
+        # per-partition heap, no global sort)
+        agg = per_cell.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+            F.min("n").alias("mn"),
+            F.max("n").alias("mx"),
+        ).first()
+        n_cells, total = int(agg["n_cells"]), int(agg["total"])
+        mn, mx = int(agg["mn"]), int(agg["mx"])
+        cell_rows = (
+            per_cell.orderBy(F.desc("n"), F.asc(part_col))
+            .limit(max_cells)
+            .collect()
+        )
     mean = total / n_cells if n_cells else 0.0
-    # per-cell breakdown: complete when it fits, else the heaviest
-    # max_cells (TakeOrdered — per-partition heap, no global sort)
-    complete = n_cells <= max_cells
-    cell_rows = (
-        per_cell.collect()
-        if complete
-        else per_cell.orderBy(F.desc("n"), F.asc(part_col)).limit(max_cells).collect()
-    )
     counts = sorted((r[part_col], r["n"]) for r in cell_rows)
     return {
         "layout": layout,
@@ -937,10 +947,10 @@ def ann_index_stats(spark, path: str, max_cells: int = 4096) -> dict:
         "n_cells": n_cells,
         "declared_clusters": universe,
         "empty_cells": universe - n_cells,
-        "min_cell": int(agg["mn"]) if n_cells else 0,
-        "max_cell": int(agg["mx"]) if n_cells else 0,
+        "min_cell": mn if n_cells else 0,
+        "max_cell": mx if n_cells else 0,
         "mean_cell": round(mean, 2),
-        "skew_ratio": round(int(agg["mx"]) / mean, 3) if n_cells and mean else 0.0,
+        "skew_ratio": round(mx / mean, 3) if n_cells and mean else 0.0,
         "dim": int(meta["dim"]),
         "quantized": bool(int(meta.get("quantized", 0))),
         "cells": dict(counts),
@@ -1043,9 +1053,8 @@ def ann_batch_topk_indexed(
     meta = _check_index_meta(spark, path, "IVF", {})
     if "n_clusters" not in meta:
         raise ValueError(
-            f"index at {path!r} is an LSH layout; the batch prober "
-            "supports the IVF builders (probe LSH per-query with "
-            "ann_topk_lsh_indexed)"
+            f"index at {path!r} is an LSH layout; batch-probe it with "
+            "ann_batch_topk_lsh_indexed"
         )
     quantized = int(meta.get("quantized", 0)) == 1
     qlist, qid_type = _parse_query_batch(
