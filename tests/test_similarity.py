@@ -834,3 +834,96 @@ def test_ann_index_stats_bounds_driver_cost(emb, tmp_path_factory):
         full["cells"].items(), key=lambda kv: (-kv[1], kv[0])
     )[:5]
     assert capped["cells"] == dict(heaviest)
+
+
+def test_lsh_quantized_index_recall_size_pruning_and_rejections(
+    emb, tmp_path_factory
+):
+    """int8 LSH index — the last corner of the float/int8 x IVF/LSH
+    layout matrix: (a) probe plan partition-pruned on __sig; (b) its
+    candidate set is BY CONSTRUCTION the float LSH prober's (same
+    float-vector signatures), so top-10 overlap stays high with only
+    quantization-error rank divergence; (c) materially smaller on
+    disk; (d) float/int8 probers reject each other's layouts."""
+    import os
+
+    spark = emb.sparkSession
+    base = tmp_path_factory.mktemp("lshq8")
+    fidx, qidx = str(base / "float_lsh"), str(base / "q8_lsh")
+    similarity.ann_lsh_index_build(emb, fidx, n_planes=8)
+    similarity.ann_lsh_quantized_index_build(emb, qidx, n_planes=8)
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    qres = similarity.ann_topk_lsh_quantized_indexed(spark, qidx, qv, k=10)
+    plan = qres._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__sig" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan
+
+    fl = [r["vec_id"] for r in
+          similarity.ann_topk_lsh_indexed(spark, fidx, qv, k=10).collect()]
+    qt = [r["vec_id"] for r in qres.collect()]
+    overlap = len(set(fl) & set(qt)) / 10
+    assert overlap >= 0.8, f"int8-vs-float LSH top-10 overlap {overlap}"
+    assert qt[0] == 1  # the query's own vector still ranks first
+
+    def du(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path) for f in fs
+        )
+
+    # size: measure on a COARSE bucket layout (n_planes=4 → ~16
+    # buckets) where payload bytes dominate — at 8 planes these 500
+    # rows fragment over ~250 tiny files and parquet per-file overhead
+    # swamps the int8 saving (at corpus scale the payload dominates)
+    fc, qc = str(base / "float_coarse"), str(base / "q8_coarse")
+    similarity.ann_lsh_index_build(emb, fc, n_planes=4)
+    similarity.ann_lsh_quantized_index_build(emb, qc, n_planes=4)
+    assert du(qc) < 0.6 * du(fc), (du(qc), du(fc))
+    # layout crosses fail loudly in both directions
+    with pytest.raises(ValueError, match="float LSH"):
+        similarity.ann_topk_lsh_quantized_indexed(spark, fidx, qv)
+    with pytest.raises(ValueError, match="int8 LSH"):
+        similarity.ann_topk_lsh_indexed(spark, qidx, qv)
+
+
+def test_lsh_quantized_append_and_batch_probe_parity(emb, tmp_path_factory):
+    """ann_lsh_index_append detects the int8 layout (quantizes the
+    batch, signatures from the float vectors) — append equals a full
+    rebuild, replay is a no-op — and the batch prober ranks int8 rows
+    identically to the per-query quantized prober."""
+    spark = emb.sparkSession
+    base = tmp_path_factory.mktemp("lshq8app")
+    inc, full = str(base / "inc"), str(base / "full")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    similarity.ann_lsh_quantized_index_build(half_a, inc, n_planes=8)
+    similarity.ann_lsh_quantized_index_build(emb, full, n_planes=8)
+    n = similarity.ann_lsh_index_append(spark, half_b, inc)
+    assert n == half_b.count()
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 2).first()["embedding"]]
+    got = [(r["vec_id"], r["cos"]) for r in
+           similarity.ann_topk_lsh_quantized_indexed(spark, inc, qv, k=10).collect()]
+    want = [(r["vec_id"], r["cos"]) for r in
+            similarity.ann_topk_lsh_quantized_indexed(spark, full, qv, k=10).collect()]
+    assert got == want
+    # replay: idempotent
+    similarity.ann_lsh_index_append(spark, half_b, inc)
+    assert sorted(r["vec_id"] for r in spark.read.parquet(inc).collect()) == \
+        sorted(r["vec_id"] for r in spark.read.parquet(full).collect())
+    # batch probe over the int8 LSH layout: per-query parity
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(0, 3, 7)).collect()
+    ]
+    out = similarity.ann_batch_topk_lsh_indexed(spark, full, qs, k=5)
+    grouped = {}
+    for r in out.collect():
+        grouped.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    for qid, v in qs:
+        per = similarity.ann_topk_lsh_quantized_indexed(
+            spark, full, v, k=5
+        ).collect()
+        expect = [(i + 1, r["vec_id"], r["cos"]) for i, r in enumerate(per)]
+        assert sorted(grouped[qid]) == expect, qid

@@ -247,6 +247,11 @@ def ann_topk_lsh_indexed(
     meta = _check_index_meta(
         spark, path, "LSH", {"n_planes": n_planes, "seed": seed}
     )
+    if int(meta.get("quantized", 0)) == 1:
+        raise ValueError(
+            f"index at {path!r} is an int8 LSH index (stores codes, not "
+            "float vectors) — probe it with ann_topk_lsh_quantized_indexed"
+        )
     if len(query_vec) != meta["dim"]:
         raise ValueError(
             f"query vector has dim {len(query_vec)} but the LSH index at "
@@ -258,6 +263,92 @@ def ann_topk_lsh_indexed(
     cells = spark.read.parquet(path).where(F.col("__sig").isin(*sorted(probe)))
     return ann_topk_bruteforce(cells, query_vec, k, vec_col, id_col).select(
         id_col, "cos"
+    )
+
+
+def ann_lsh_quantized_index_build(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> int:
+    """int8 twin of ``ann_lsh_index_build`` — completes the serving
+    layout matrix (float/int8 x IVF/LSH): the signature is computed on
+    the FLOAT vector (bucketing quality unaffected), then only
+    ``(id, q_scale, q array<int>)`` is stored per ``__sig`` partition —
+    the same ~0.4x bytes trade as the int8 IVF index, with the same
+    planning-time partition pruning at probe. Meta carries
+    ``quantized=1`` so the float prober/appender and this layout can't
+    be crossed silently. Probe with ``ann_topk_lsh_quantized_indexed``;
+    maintain with ``ann_lsh_index_append`` (layout auto-detected)."""
+    from thundercats_spark.operators.embeddings import quantize_embeddings
+
+    if dim is None:
+        row = df.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError(
+                "cannot build an LSH index from an empty frame without "
+                "an explicit dim= (nothing to discover the width from)"
+            )
+        dim = row["d"]
+    sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
+    quantize_embeddings(
+        df.withColumn("__sig", sig),
+        vec_col=vec_col,
+        id_col=id_col,
+        keep_cols=("__sig",),
+    ).write.mode("overwrite").partitionBy("__sig").parquet(path)
+    _write_index_meta(
+        df.sparkSession,
+        path,
+        {"dim": dim, "n_planes": n_planes, "seed": seed, "quantized": 1},
+    )
+    return dim
+
+
+def ann_topk_lsh_quantized_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    multiprobe_bits: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Probe a persisted int8 LSH index (``ann_lsh_quantized_index_build``):
+    the probe-bucket set is the same driver-side arithmetic as the
+    float prober (signatures come from the float query vector), the
+    scan is partition-pruned to those ``__sig=`` buckets, and ranking
+    happens entirely in the quantized domain via the shared integer
+    cosine (scales cancel). → (vec_id, cos)."""
+    meta = _check_index_meta(spark, path, "quantized-LSH", {"quantized": 1})
+    if int(meta.get("quantized", 0)) != 1:
+        raise ValueError(
+            f"index at {path!r} is a float LSH index — probe it with "
+            "ann_topk_lsh_indexed, or rebuild with "
+            "ann_lsh_quantized_index_build"
+        )
+    if len(query_vec) != meta["dim"]:
+        raise ValueError(
+            f"query vector has dim {len(query_vec)} but the LSH index at "
+            f"{path!r} was built for dim {meta['dim']}"
+        )
+    probe = _lsh_probe_set(
+        query_vec, int(meta["n_planes"]), int(meta["seed"]), multiprobe_bits
+    )
+    qq, qnorm = _quantize_query(query_vec)
+    qlit = F.array(*[F.lit(int(x)) for x in qq])
+    cells = spark.read.parquet(path).where(F.col("__sig").isin(*sorted(probe)))
+    cos = _int8_cos(qlit, F.lit(qnorm))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        cells.select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
     )
 
 
@@ -506,6 +597,30 @@ def _quantize_query(query_vec: list[float]) -> tuple[list[int], float]:
     return qq, float(np.linalg.norm(np.asarray(qq, dtype=np.float64)))
 
 
+def _int8_cos(qq_col, qnorm_col):
+    """Cosine between a stored code vector (column ``q``) and a query's
+    int8 codes/code-norm given as Column expressions — the per-vector
+    scales cancel in cosine, so this is an exact integer dot over int8
+    codes with two float ops at the end. ONE implementation shared by
+    every quantized prober (single-query IVF/LSH, batch IVF/LSH)."""
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), qq_col, lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    inorm = F.sqrt(
+        F.aggregate(
+            F.col("q"),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x.cast("long") * x.cast("long"),
+        ).cast("double")
+    )
+    denom = inorm * qnorm_col
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        idot.cast("double") / denom
+    )
+
+
 def ann_index_centroids(spark, path: str) -> list[list[float]]:
     rows = (
         spark.read.parquet(path.rstrip("/") + "_centroids")
@@ -621,22 +736,7 @@ def ann_topk_quantized_indexed(
     qlit = F.array(*[F.lit(int(x)) for x in qq])
 
     cells = spark.read.parquet(path).where(F.col("__cluster").isin(probe))
-    idot = F.aggregate(
-        F.zip_with(F.col("q"), qlit, lambda a, b: a.cast("long") * b.cast("long")),
-        F.lit(0).cast("long"),
-        lambda s, x: s + x,
-    )
-    inorm = F.sqrt(
-        F.aggregate(
-            F.col("q"),
-            F.lit(0).cast("long"),
-            lambda s, x: s + x.cast("long") * x.cast("long"),
-        ).cast("double")
-    )
-    denom = inorm * F.lit(qnorm)
-    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        idot.cast("double") / denom
-    )
+    cos = _int8_cos(qlit, F.lit(qnorm))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     return (
@@ -809,8 +909,10 @@ def ann_lsh_index_append(
     id_col: str = "vec_id",
     assume_new_ids: bool = False,
 ) -> int:
-    """Fold a batch of new vectors into a persisted LSH index (see
-    ``ann_lsh_index_build``) WITHOUT a full rebuild — the ``__sig``
+    """Fold a batch of new vectors into a persisted LSH index (float
+    or int8 — detected from the index's own metadata; see
+    ``ann_lsh_index_build`` / ``ann_lsh_quantized_index_build``)
+    WITHOUT a full rebuild — the ``__sig``
     twin of ``ann_index_append``, and structurally SIMPLER: the
     signature is a pure function of (vector, n_planes, seed), all read
     from the index's own metadata, so there is no centroid-freeze
@@ -838,6 +940,14 @@ def ann_lsh_index_append(
         F.col(vec_col), int(meta["dim"]), int(meta["n_planes"]), int(meta["seed"])
     )
     assigned = batch.withColumn("__sig", sig)
+    if int(meta.get("quantized", 0)) == 1:
+        # int8 layout: signature from the float vector (same as build),
+        # then store only the codes
+        from thundercats_spark.operators.embeddings import quantize_embeddings
+
+        assigned = quantize_embeddings(
+            assigned, vec_col=vec_col, id_col=id_col, keep_cols=("__sig",)
+        )
     return _upsert_partitions(spark, assigned, path, "__sig", id_col, assume_new_ids)
 
 
@@ -1099,25 +1209,7 @@ def ann_batch_topk_indexed(
     scanned = spark.read.parquet(path).where(pred)  # ONE pruned scan
     joined = scanned.join(F.broadcast(q_df), "__cluster")
     if quantized:
-        idot = F.aggregate(
-            F.zip_with(
-                F.col("q"), F.col("__qq"),
-                lambda a, b: a.cast("long") * b.cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda s, x: s + x,
-        )
-        inorm = F.sqrt(
-            F.aggregate(
-                F.col("q"),
-                F.lit(0).cast("long"),
-                lambda s, x: s + x.cast("long") * x.cast("long"),
-            ).cast("double")
-        )
-        denom = inorm * F.col("__qnorm")
-        cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-            idot.cast("double") / denom
-        )
+        cos = _int8_cos(F.col("__qq"), F.col("__qnorm"))
     else:
         cos = vcos(F.col(vec_col), F.col("__qv"))
     if round_digits is not None:
@@ -1142,7 +1234,9 @@ def ann_batch_topk_lsh_indexed(
     max_queries: int = 100_000,
 ) -> DataFrame:
     """LSH twin of ``ann_batch_topk_indexed``: N query vectors against
-    a persisted ``__sig``-partitioned index in ONE job. Per-query probe
+    a persisted ``__sig``-partitioned index (float OR int8 — detected
+    from the index metadata; int8 rows rank via the shared integer
+    cosine) in ONE job. Per-query probe
     buckets come from the same ``_lsh_probe_set`` arithmetic as
     ``ann_topk_lsh_indexed`` (hyperplanes derived once for the batch —
     they are a pure function of (dim, n_planes, seed) from the index's
@@ -1161,6 +1255,7 @@ def ann_batch_topk_lsh_indexed(
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
+        IntegerType,
         LongType,
         StructField,
         StructType,
@@ -1172,6 +1267,7 @@ def ann_batch_topk_lsh_indexed(
             f"index at {path!r} is an IVF layout; batch-probe it with "
             "ann_batch_topk_indexed"
         )
+    quantized = int(meta.get("quantized", 0)) == 1
     dim = int(meta["dim"])
     qlist, qid_type = _parse_query_batch(
         queries, vec_col, q_id_col, max_queries, dim, path
@@ -1182,13 +1278,26 @@ def ann_batch_topk_lsh_indexed(
     for qid, v in qlist:
         probe = _probe_set_from_planes(planes, v, multiprobe_bits)
         cells.update(probe)
-        qrows.extend((qid, int(s), v) for s in probe)
+        if quantized:
+            qq, qnorm = _quantize_query(v)
+            payload = (qq, qnorm)
+        else:
+            payload = (v,)
+        qrows.extend((qid, int(s), *payload) for s in probe)
+    payload_fields = (
+        [
+            StructField("__qq", ArrayType(IntegerType()), False),
+            StructField("__qnorm", DoubleType(), False),
+        ]
+        if quantized
+        else [StructField("__qv", ArrayType(DoubleType()), False)]
+    )
     q_schema = StructType(
         [
             StructField(q_id_col, qid_type, False),
             # long, not int: a signature is an n_planes-bit value
             StructField("__sig", LongType(), False),
-            StructField("__qv", ArrayType(DoubleType()), False),
+            *payload_fields,
         ]
     )
     q_df = spark.createDataFrame(qrows, q_schema)
@@ -1196,7 +1305,10 @@ def ann_batch_topk_lsh_indexed(
     pred = F.col("__sig").isin(sorted(cells)) if cells else F.lit(False)
     scanned = spark.read.parquet(path).where(pred)  # ONE pruned scan
     joined = scanned.join(F.broadcast(q_df), "__sig")
-    cos = vcos(F.col(vec_col), F.col("__qv"))
+    if quantized:
+        cos = _int8_cos(F.col("__qq"), F.col("__qnorm"))
+    else:
+        cos = vcos(F.col(vec_col), F.col("__qv"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     scored = joined.select(F.col(q_id_col), F.col(id_col), cos.alias("cos"))
