@@ -599,3 +599,33 @@ def doc_decontamination_report_q(spark, sf_dir):
         F.col("n_docs_hit").cast("long").alias("n_docs_hit"),
         F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
     ).orderBy("doc_id")
+
+
+@register("ann_lsh_quantized", None)
+def ann_lsh_quantized_q(spark, sf_dir):
+    """int8 LSH serving probe — the last corner of the float/int8 x
+    IVF/LSH layout matrix: build the quantized __sig-partitioned index
+    once per sf_dir, probe partition-pruned, rank by the shared
+    integer-domain cosine. Rows-only: approximate by design; recall
+    vs the float LSH index, plan pruning, and cross-layout rejection
+    are pytest-pinned (tests/test_similarity.py)."""
+    from thundercats_spark.operators import similarity
+    from thundercats_spark.queries.llm_ops import (
+        _cached_index_dir,
+        _publish_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    idx, built = _cached_index_dir("lsh_q8", sf_dir)
+    if not built:
+        _publish_index(
+            idx,
+            lambda d: similarity.ann_lsh_quantized_index_build(
+                e.where(F.col("vec_id") != 0), d
+            ),
+        )
+    return similarity.ann_topk_lsh_quantized_indexed(spark, idx, qv, k=10)
