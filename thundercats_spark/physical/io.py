@@ -723,6 +723,22 @@ class Write:
         return MayFail.of(run)
 
     @staticmethod
+    def parquet_zorder(
+        df: DataFrame,
+        path: str,
+        cols: list[str],
+        **kw,
+    ) -> MayFail[dict]:
+        """Multi-column clustered write (Morton/Z-order curve) — the
+        completion of ``parquet_sorted`` for workloads that filter on
+        MORE than one column: every clustered column gets footer
+        min/max locality, so selective scans prune on any of them.
+        Delegates to physical/layout.py; returns the boundary map."""
+        from thundercats_spark.physical.layout import write_parquet_zorder_mf
+
+        return write_parquet_zorder_mf(df, path, cols, **kw)
+
+    @staticmethod
     def parquet_sorted(
         df: DataFrame,
         path: str,

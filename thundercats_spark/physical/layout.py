@@ -1,0 +1,319 @@
+"""Multi-column data layout — Z-order clustered writes and a
+distributed parquet footer-stats pruning report.
+
+Completes the clustering story started by ``Write.parquet_sorted``
+(physical/io.py — optimal for ONE sort key, degenerate for the
+others): a Z-order (Morton) curve interleaves the bits of per-column
+equi-depth bucket ids, so EVERY clustered column gets locality in the
+written files and parquet min/max footer stats prune selective scans
+on any of them — the standard lakehouse layout technique (public:
+Morton 1966; Delta/Iceberg OPTIMIZE ZORDER) re-expressed on plain
+open-source Spark primitives, no table format required.
+
+Scale design (100 TB posture):
+- Bucket boundaries come from ONE ``approxQuantile`` pass over all
+  clustering columns together (Greenwald-Khanna, driver gets
+  n_buckets-1 scalars per column — bounded, never row data).
+- The z-value is a pure JVM expression over the boundary literals
+  (sum-of-when bucketing, shift/AND/OR bit interleave) — no Python in
+  the row path, no window functions, no single-sort-partition trap
+  (cf. operators/ranking.py).
+- The write is the same range-exchange + in-partition sort shape as
+  ``parquet_sorted``: one shuffle on an 8-byte z column.
+- The pruning report reads ONLY parquet footers, distributed via
+  ``mapInPandas`` over the file list (footer reads scale with the
+  executor count, never through the driver); row data is never read.
+
+Reference parity note: the reference engine has no layout optimizer
+(its Write coalesces to one file, IO.scala:191); this module is
+net-new capability for the 100 TB target.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from thundercats_spark.functional.maybe import MayFail
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _check_numeric(df: DataFrame, cols: Sequence[str]) -> None:
+    """Z-order needs a total order with numeric quantiles on every
+    clustering column — reject anything else loudly (hashing a string
+    column would DESTROY locality, the opposite of clustering; cast
+    dates to epoch days/seconds upstream)."""
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    bad = []
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"zorder column {c!r} not in frame: {sorted(by_name)}")
+        if not isinstance(by_name[c], _NUMERIC_TYPES):
+            bad.append(f"{c}: {by_name[c].simpleString()}")
+    if bad:
+        raise TypeError(
+            "zorder columns must be numeric (approxQuantile boundaries + "
+            "ordered bucketing); got [" + ", ".join(bad) + "]. Cast "
+            "date/timestamp to epoch numbers upstream; string keys have "
+            "no meaningful linear order to cluster on."
+        )
+
+
+def zorder_bounds(
+    df: DataFrame, cols: Sequence[str], n_buckets: int = 64,
+    relative_error: float = 0.001,
+) -> dict[str, list[float]]:
+    """Equi-depth bucket boundaries for every clustering column in ONE
+    ``approxQuantile`` pass (nulls ignored by the sketch; they bucket
+    to 0 at assignment). Boundaries are deduplicated per column — a
+    heavily repeated value collapses its buckets, which only coarsens
+    that column's contribution, never corrupts the curve."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    quants = df.approxQuantile(list(cols), probs, relative_error)
+    out: dict[str, list[float]] = {}
+    for c, qs in zip(cols, quants):
+        dedup: list[float] = []
+        for q in qs:
+            if not dedup or q > dedup[-1]:
+                dedup.append(q)
+        out[c] = dedup
+    return out
+
+
+def _bucket_expr(col: str, bounds: Sequence[float]) -> Column:
+    """Bucket id = count of boundaries <= value, as a sum-of-when
+    chain over the boundary literals (same job-stable
+    boundary-literal device as operators/ranking.py — the ids are a
+    pure function of the value, identical across jobs and retries).
+    NULL buckets to 0, i.e. clusters with the lowest values."""
+    b: Column = F.lit(0)
+    for v in bounds:
+        b = b + F.when(F.col(col) >= F.lit(v), 1).otherwise(0)
+    return b
+
+
+def zorder_expr(bounds: Mapping[str, Sequence[float]]) -> Column:
+    """Morton z-value over the per-column bucket ids: bit j of column
+    c lands at position ``j * n_cols + c`` (column 0 owns the most
+    significant bit within each group, so ties break on the first
+    column — matching multi-key sort intuition). All shift/AND/OR
+    arithmetic is JVM-side; the result is a non-negative long.
+
+    Bit budget: every column is padded to the WIDEST column's bit
+    count so the interleave is uniform; total bits = n_cols * max_bits
+    must fit a long (<= 62), which caps out far above any useful
+    n_buckets (e.g. 4 columns x 1024 buckets = 40 bits)."""
+    cols = list(bounds)
+    k = len(cols)
+    if k == 0:
+        raise ValueError("zorder_expr needs at least one column")
+    # max bucket id per column is len(bounds[c]) (n_boundaries+1 buckets)
+    max_bits = max(max(1, len(bounds[c]).bit_length()) for c in cols)
+    if k * max_bits > 62:
+        raise ValueError(
+            f"zorder bit budget {k}*{max_bits} exceeds a long; lower "
+            "n_buckets or cluster fewer columns"
+        )
+    z: Column = F.lit(0).cast("long")
+    for c_idx, c in enumerate(cols):
+        bucket = _bucket_expr(c, bounds[c]).cast("long")
+        for j in range(max_bits):
+            bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))
+            # column 0 gets the highest position within each bit group
+            pos = j * k + (k - 1 - c_idx)
+            z = z.bitwiseOR(F.shiftleft(bit, pos))
+    return z
+
+
+def write_parquet_zorder(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_buckets: int = 64,
+    n_files: int | None = None,
+    overwrite: bool = False,
+    relative_error: float = 0.001,
+) -> dict[str, list[float]]:
+    """Z-order clustered parquet write: bucket each clustering column
+    equi-depth, interleave the bucket bits into a Morton z-value,
+    range-partition + sort the frame on it, write WITHOUT the helper
+    column. Returns the boundary map (the layout's tiny metadata —
+    persist it if probes want to compute which files a box predicate
+    can touch without reading footers).
+
+    Cost: one quantile pass + one range exchange on an 8-byte z
+    column, the same write-time shape as ``parquet_sorted``. Pays back
+    on every selective scan over ANY clustered column via footer
+    min/max skipping; ``parquet_sorted`` remains the better choice
+    when only one column is ever filtered."""
+    _check_numeric(df, cols)
+    bounds = zorder_bounds(df, cols, n_buckets, relative_error)
+    z = zorder_expr(bounds)
+    parts = [n_files] if n_files else []
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(*parts, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")  # projection after sort keeps the row order
+    )
+    clustered.write.mode("overwrite" if overwrite else "error").parquet(path)
+    return bounds
+
+
+def write_parquet_zorder_mf(
+    df: DataFrame, path: str, cols: Sequence[str], **kw
+) -> MayFail[dict]:
+    """Monadic surface, composing like the other writers."""
+    return MayFail.of(lambda: write_parquet_zorder(df, path, cols, **kw))
+
+
+# --------------------------------------------------------------------------
+# footer-stats pruning report
+
+
+_REPORT_SCHEMA = (
+    "path string, row_groups long, may_match_row_groups long, "
+    "rows long, may_match_rows long, bytes long, may_match_bytes long"
+)
+
+
+def _normalize_predicates(
+    predicates: Mapping[str, tuple],
+) -> dict[str, tuple]:
+    out = {}
+    for c, rng in predicates.items():
+        if len(rng) != 2:
+            raise ValueError(f"predicate for {c!r} must be (lo, hi), got {rng!r}")
+        lo, hi = rng
+        if lo is not None and hi is not None and lo > hi:
+            raise ValueError(f"predicate for {c!r} is empty: lo {lo} > hi {hi}")
+        out[c] = (lo, hi)
+    return out
+
+
+def scan_pruning_report(
+    spark: SparkSession,
+    path: str,
+    predicates: Mapping[str, tuple],
+    file_parallelism: int | None = None,
+) -> DataFrame:
+    """Per-file parquet footer-stats report for a closed-interval box
+    predicate ``{col: (lo, hi)}`` (``None`` = unbounded side): which
+    row groups COULD contain matching rows, judged purely from the
+    footer min/max statistics — exactly the skipping decision the
+    parquet reader makes, surfaced as data so layouts can be compared
+    and regressions caught in CI.
+
+    Distribution: the file list (strings, driver-side — the same
+    listing every scan plan performs) fans out over ``mapInPandas``;
+    each task reads ONLY the footers of its files via pyarrow. Row
+    data is never touched, so the report costs O(files) footer reads
+    spread across the cluster.
+
+    A row group with no stats for a predicate column (or a null-only
+    one against a bounded predicate) counts as may-match —
+    conservative, like the reader."""
+    preds = _normalize_predicates(predicates)
+    files = spark.read.parquet(path).inputFiles()
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    n_tasks = file_parallelism or min(
+        len(files), spark.sparkContext.defaultParallelism
+    )
+    paths_df = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(n_tasks)
+
+    def read_footers(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for uri in pdf["path"]:
+                local = uri[5:] if uri.startswith("file:") else uri
+                meta = pq.ParquetFile(local).metadata
+                names = {meta.schema.column(i).path: i for i in range(meta.num_columns)}
+                missing = [c for c in preds if c not in names]
+                if missing:
+                    raise ValueError(
+                        f"predicate columns {missing} not in parquet schema "
+                        f"of {uri}: {sorted(names)}"
+                    )
+                n_rg = meta.num_row_groups
+                match_rg = match_rows = match_bytes = 0
+                tot_rows = tot_bytes = 0
+                for g in range(n_rg):
+                    rg = meta.row_group(g)
+                    tot_rows += rg.num_rows
+                    tot_bytes += rg.total_byte_size
+                    may = True
+                    for c, (lo, hi) in preds.items():
+                        st = rg.column(names[c]).statistics
+                        if st is None or not st.has_min_max:
+                            continue  # no stats: cannot prune on c
+                        if (hi is not None and st.min is not None and st.min > hi) or (
+                            lo is not None and st.max is not None and st.max < lo
+                        ):
+                            may = False
+                            break
+                    if may:
+                        match_rg += 1
+                        match_rows += rg.num_rows
+                        match_bytes += rg.total_byte_size
+                rows.append(
+                    (uri, n_rg, match_rg, tot_rows, match_rows, tot_bytes, match_bytes)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "row_groups", "may_match_row_groups", "rows",
+                    "may_match_rows", "bytes", "may_match_bytes",
+                ],
+            )
+
+    return paths_df.mapInPandas(read_footers, _REPORT_SCHEMA)
+
+
+def pruning_summary(report: DataFrame) -> dict:
+    """Collapse a ``scan_pruning_report`` frame to the scalar numbers a
+    layout comparison wants: total/may-match row groups, rows, bytes,
+    and the skipped fractions. One small agg; the collect is one row."""
+    r = report.agg(
+        F.sum("row_groups").alias("rg"),
+        F.sum("may_match_row_groups").alias("rg_m"),
+        F.sum("rows").alias("rows"),
+        F.sum("may_match_rows").alias("rows_m"),
+        F.sum("bytes").alias("bytes"),
+        F.sum("may_match_bytes").alias("bytes_m"),
+        F.count(F.lit(1)).alias("files"),
+        F.sum(
+            F.when(F.col("may_match_row_groups") == 0, 1).otherwise(0)
+        ).alias("files_skipped"),
+    ).collect()[0]
+    return {
+        "files": r["files"],
+        "files_skipped": r["files_skipped"],
+        "row_groups": r["rg"],
+        "may_match_row_groups": r["rg_m"],
+        "rows": r["rows"],
+        "may_match_rows": r["rows_m"],
+        "bytes": r["bytes"],
+        "may_match_bytes": r["bytes_m"],
+        "row_group_skip_fraction": (
+            1.0 - r["rg_m"] / r["rg"] if r["rg"] else 0.0
+        ),
+        "byte_skip_fraction": (
+            1.0 - r["bytes_m"] / r["bytes"] if r["bytes"] else 0.0
+        ),
+    }
