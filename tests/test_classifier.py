@@ -172,3 +172,26 @@ def test_temperature_sample_with_null_sources(spark):
     rows = out.collect()
     assert rows  # no crash; named sources survive
     assert all(r["lang"] is not None for r in rows)  # null sources dropped
+
+
+def test_classifier_artifact_roundtrip(spark, labeled, tmp_path):
+    """Train-once/score-everywhere: the fitted quality pipeline
+    persists through ml/pipe save/load (the same artifact lifecycle as
+    the BPE tokenizer, bpe_save/bpe_load) and the restored model
+    produces BIT-IDENTICAL scores — a serving job never retrains."""
+    from thundercats_spark.ml import pipe as P
+
+    model = train_quality_classifier(labeled, n_features=1 << 12, max_iter=15)
+    path = str(tmp_path / "quality_clf")
+    P.save(path, model).get
+    back = P.load(path).get
+
+    before = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(model, labeled).collect()
+    }
+    after = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(back, labeled).collect()
+    }
+    assert before == after  # exact float equality: same weights, same plan
