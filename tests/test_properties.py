@@ -393,3 +393,60 @@ def test_png_roundtrip_property(case):
     gw, gh, mode, vec = got
     assert (gw, gh, mode) == (w, h, "PNG")
     assert np.array_equal(vec.reshape(h, w * channels).astype(np.uint8), px)
+
+
+@st.composite
+def zorder_case(draw):
+    k = draw(st.integers(1, 3))
+    bounds = {}
+    for c in range(k):
+        bs = sorted(
+            set(draw(st.lists(st.integers(-50, 50), min_size=1, max_size=12)))
+        )
+        bounds[f"c{c}"] = [float(b) for b in bs]
+    n = draw(st.integers(1, 25))
+    rows = [
+        tuple(float(draw(st.integers(-60, 60))) for _ in range(k))
+        for _ in range(n)
+    ]
+    return bounds, rows
+
+
+@given(zorder_case())
+@settings(**SETTINGS)
+def test_zorder_expr_matches_python_model(spark, case):
+    """zorder_expr == the obvious pure-Python Morton model (bisect
+    bucket + bit interleave) on arbitrary boundaries and values —
+    one Spark job evaluates every row of the example at once."""
+    from bisect import bisect_right
+
+    from thundercats_spark.physical.layout import zorder_expr
+
+    bounds, rows = case
+    cols = list(bounds)
+    k = len(cols)
+    max_bits = max(max(1, len(bounds[c]).bit_length()) for c in cols)
+
+    def model(row):
+        z = 0
+        for ci, c in enumerate(cols):
+            b = bisect_right(bounds[c], row[ci])
+            for j in range(max_bits):
+                z |= ((b >> j) & 1) << (j * k + (k - 1 - ci))
+        return z
+
+    df = spark.createDataFrame(
+        rows, ", ".join(f"{c} double" for c in cols)
+    )
+    got = [
+        r["z"] for r in df.select(zorder_expr(bounds).alias("z")).collect()
+    ]
+    assert sorted(got) == sorted(model(r) for r in rows)
+    # the curve is order-preserving per column: raising one coordinate
+    # never lowers z when the others are fixed at bucket 0
+    lo = tuple(-60.0 for _ in cols)
+    probe = [lo] + [
+        tuple(60.0 if i == j else -60.0 for i in range(k)) for j in range(k)
+    ]
+    zs = [model(r) for r in probe]
+    assert all(z >= zs[0] for z in zs[1:])
