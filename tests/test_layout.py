@@ -155,3 +155,61 @@ def test_zorder_bit_budget_guard():
     bounds = {f"c{i}": list(range(1, 70_000)) for i in range(4)}
     with pytest.raises(ValueError, match="bit budget"):
         zorder_expr({k: [float(x) for x in v] for k, v in bounds.items()})
+
+
+def test_file_minmax_report_exact_bounds(spark, tmp_path):
+    path = str(tmp_path / "mm")
+    spark.createDataFrame(
+        [(i, 100 - i) for i in range(50)], "x long, y long"
+    ).coalesce(1).write.parquet(path)
+    from thundercats_spark.physical.layout import file_minmax_report
+
+    r = file_minmax_report(spark, path, ["x", "y"]).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["x_min"], row["x_max"]) == (0.0, 49.0)
+    assert (row["y_min"], row["y_max"]) == (51.0, 100.0)
+    assert row["rows"] == 50
+
+
+def test_maintain_zorder_rebuilds_on_append_degradation(spark, tmp_path):
+    from thundercats_spark.physical.layout import (
+        clustering_health,
+        file_minmax_report,
+        maintain_zorder,
+    )
+
+    df = _grid_df(spark, 20_000)
+    path = str(tmp_path / "d")
+    write_parquet_zorder(df, path, ["a", "b"], n_buckets=64, n_files=32)
+    fresh = clustering_health(file_minmax_report(spark, path, ["a", "b"]), ["a", "b"])
+    assert fresh["mean_box_volume"] < 0.15, fresh
+
+    # below threshold: no-op, files untouched
+    before_files = set(spark.read.parquet(path).inputFiles())
+    res = maintain_zorder(spark, path, ["a", "b"], rebuild_above=0.25)
+    assert res["rebuilt"] is False
+    assert set(spark.read.parquet(path).inputFiles()) == before_files
+
+    # unclustered appends degrade health (each appended file is a
+    # full-width box)
+    extra = _grid_df(spark, 20_000, seed=99).withColumn(
+        "id", F.col("id") + 1_000_000
+    )
+    extra.repartition(32).write.mode("append").parquet(path)
+    degraded = clustering_health(
+        file_minmax_report(spark, path, ["a", "b"]), ["a", "b"]
+    )
+    assert degraded["mean_box_volume"] > fresh["mean_box_volume"] * 2
+
+    res2 = maintain_zorder(
+        spark, path, ["a", "b"], rebuild_above=0.25, n_files=32
+    )
+    assert res2["rebuilt"] is True
+    assert res2["health_after"]["mean_box_volume"] < 0.15
+    back = spark.read.parquet(path)
+    assert back.count() == 40_000
+    # every row survived the rebuild, appended ones included
+    assert (
+        df.unionByName(extra).exceptAll(back.select(*df.columns)).count() == 0
+    )

@@ -31,7 +31,6 @@ net-new capability for the 100 TB target.
 
 from __future__ import annotations
 
-import math
 from typing import Iterable, Mapping, Sequence
 
 import pandas as pd
@@ -317,3 +316,153 @@ def pruning_summary(report: DataFrame) -> dict:
             1.0 - r["bytes_m"] / r["bytes"] if r["bytes"] else 0.0
         ),
     }
+
+
+# --------------------------------------------------------------------------
+# clustering health + rebuild-on-degradation maintenance
+
+
+def file_minmax_report(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    file_parallelism: int | None = None,
+) -> DataFrame:
+    """Per-FILE bounding box over ``cols`` from parquet footers (row
+    groups folded per file), distributed exactly like
+    ``scan_pruning_report``: O(files) footer reads across executors,
+    row data never touched. Values surface as doubles. A file with no
+    stats for a column gets NULL bounds (callers treat it as covering
+    everything — conservative)."""
+    cols = list(cols)
+    files = spark.read.parquet(path).inputFiles()
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    n_tasks = file_parallelism or min(
+        len(files), spark.sparkContext.defaultParallelism
+    )
+    paths_df = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(n_tasks)
+    schema = "path string, rows long, bytes long, " + ", ".join(
+        f"{c}_min double, {c}_max double" for c in cols
+    )
+
+    def read_footers(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for uri in pdf["path"]:
+                local = uri[5:] if uri.startswith("file:") else uri
+                meta = pq.ParquetFile(local).metadata
+                names = {
+                    meta.schema.column(i).path: i for i in range(meta.num_columns)
+                }
+                missing = [c for c in cols if c not in names]
+                if missing:
+                    raise ValueError(
+                        f"columns {missing} not in parquet schema of {uri}: "
+                        f"{sorted(names)}"
+                    )
+                tot_rows = tot_bytes = 0
+                lo: dict[str, float | None] = {c: None for c in cols}
+                hi: dict[str, float | None] = {c: None for c in cols}
+                stats_ok = {c: True for c in cols}
+                for g in range(meta.num_row_groups):
+                    rg = meta.row_group(g)
+                    tot_rows += rg.num_rows
+                    tot_bytes += rg.total_byte_size
+                    for c in cols:
+                        st = rg.column(names[c]).statistics
+                        if st is None or not st.has_min_max:
+                            stats_ok[c] = False
+                            continue
+                        mn, mx = float(st.min), float(st.max)
+                        lo[c] = mn if lo[c] is None else min(lo[c], mn)
+                        hi[c] = mx if hi[c] is None else max(hi[c], mx)
+                row: list = [uri, tot_rows, tot_bytes]
+                for c in cols:
+                    row += [
+                        lo[c] if stats_ok[c] else None,
+                        hi[c] if stats_ok[c] else None,
+                    ]
+                rows.append(tuple(row))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "rows", "bytes"]
+                + [f"{c}_{s}" for c in cols for s in ("min", "max")],
+            )
+
+    return paths_df.mapInPandas(read_footers, schema)
+
+
+def clustering_health(report: DataFrame, cols: Sequence[str]) -> dict:
+    """How clustered is the layout, judged from the per-file bounding
+    boxes: ``mean_box_volume`` is the average fraction of the dataset's
+    value space a single file's box covers (product over columns of
+    normalized widths) — ~1/files for a fresh Z-order layout, →1.0 as
+    unclustered appends accumulate; ``expected_may_match_files`` =
+    files × mean volume is what a uniform point query must open.
+    NULL bounds (no stats) count as full-width — conservative, like
+    the pruning report. Constant columns (zero global width) count as
+    width 1 so they neither rescue nor poison the metric. One small
+    agg over the O(files) report frame."""
+    cols = list(cols)
+    g = report.agg(
+        *[F.min(f"{c}_min").alias(f"g_{c}_min") for c in cols],
+        *[F.max(f"{c}_max").alias(f"g_{c}_max") for c in cols],
+    ).collect()[0]
+    vol: Column = F.lit(1.0)
+    for c in cols:
+        glo, ghi = g[f"g_{c}_min"], g[f"g_{c}_max"]
+        if glo is None or ghi is None or ghi <= glo:
+            continue  # no stats anywhere, or constant column: width 1
+        width = (F.col(f"{c}_max") - F.col(f"{c}_min")) / F.lit(ghi - glo)
+        vol = vol * F.coalesce(width, F.lit(1.0))
+    r = report.agg(
+        F.avg(vol).alias("mean_vol"), F.count(F.lit(1)).alias("files")
+    ).collect()[0]
+    mean_vol = float(r["mean_vol"])
+    return {
+        "files": r["files"],
+        "mean_box_volume": mean_vol,
+        "expected_may_match_files": mean_vol * r["files"],
+    }
+
+
+def maintain_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    rebuild_above: float = 0.25,
+    n_buckets: int = 64,
+    n_files: int | None = None,
+) -> dict:
+    """Append-then-rebuild-on-degradation maintenance for a Z-ordered
+    dataset — the layout twin of ``maintain_ann_index``: plain
+    appends keep ingestion cheap but each appended file is an
+    unclustered full-width box that selective scans can't skip; when
+    ``mean_box_volume`` crosses ``rebuild_above`` the whole dataset is
+    re-clustered in place through the same write-sibling / swap /
+    validate / drop-backup crash contract as ``compact_parquet``
+    (never run concurrently with a writer on the same path). Returns
+    the decision with before/after health so maintenance jobs can log
+    their trigger."""
+    from thundercats_spark.physical.io import Write
+
+    before = clustering_health(file_minmax_report(spark, path, cols), cols)
+    out = {"health_before": before, "rebuilt": False}
+    if before["mean_box_volume"] <= rebuild_above:
+        return out
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".zorder"
+    write_parquet_zorder(
+        df, tmp, cols, n_buckets=n_buckets, n_files=n_files, overwrite=True
+    )
+    Write._swap_validate(spark, path, tmp)
+    out["rebuilt"] = True
+    out["health_after"] = clustering_health(
+        file_minmax_report(spark, path, cols), cols
+    )
+    return out
