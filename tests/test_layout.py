@@ -75,6 +75,38 @@ def test_zorder_rejects_non_numeric_loudly(spark):
         write_parquet_zorder(df, "/tmp/never", ["a", "s"])
     with pytest.raises(ValueError, match="not in frame"):
         write_parquet_zorder(df, "/tmp/never", ["nope"])
+    # helper-name collision refuses instead of silently dropping data
+    clash = spark.createDataFrame([(1, 2, 3)], "a int, b int, __z int")
+    with pytest.raises(ValueError, match="helper column"):
+        write_parquet_zorder(clash, "/tmp/never", ["a", "b"])
+
+
+def test_zorder_sidecar_records_layout(spark, tmp_path):
+    from thundercats_spark.physical.layout import read_layout_meta
+
+    df = _grid_df(spark, 3_000)
+    path = str(tmp_path / "meta")
+    bounds = write_parquet_zorder(df, path, ["a", "b"], n_buckets=16, n_files=4)
+    meta = read_layout_meta(spark, path)
+    assert meta["cols"] == ["a", "b"] and meta["n_buckets"] == 16
+    assert meta["n_files"] == len(spark.read.parquet(path).inputFiles()) == 4
+    assert meta["bounds"]["a"] == bounds["a"]
+    # the sidecar is invisible to Spark's parquet scan
+    assert spark.read.parquet(path).count() == 3_000
+    # absent on datasets this module didn't write
+    plain = str(tmp_path / "plain")
+    df.write.parquet(plain)
+    assert read_layout_meta(spark, plain) is None
+
+
+def test_maintain_zorder_degenerate_health_never_rebuilds(spark, tmp_path):
+    from thundercats_spark.physical.layout import maintain_zorder
+
+    path = str(tmp_path / "const")
+    df = spark.createDataFrame([(5.0, 5.0)] * 100, "a double, b double")
+    write_parquet_zorder(df, path, ["a", "b"], n_buckets=4, n_files=2)
+    res = maintain_zorder(spark, path, rebuild_above=0.25)
+    assert res["rebuilt"] is False and "degenerate" in res["reason"]
 
 
 def test_pruning_report_exact_on_handmade_file(spark, tmp_path):
@@ -202,11 +234,12 @@ def test_maintain_zorder_rebuilds_on_append_degradation(spark, tmp_path):
     )
     assert degraded["mean_box_volume"] > fresh["mean_box_volume"] * 2
 
-    res2 = maintain_zorder(
-        spark, path, ["a", "b"], rebuild_above=0.25, n_files=32
-    )
+    # bare call: cols/n_buckets/n_files all come from the sidecar, so
+    # the rebuild reproduces the ORIGINAL granularity
+    res2 = maintain_zorder(spark, path, rebuild_above=0.25)
     assert res2["rebuilt"] is True
     assert res2["health_after"]["mean_box_volume"] < 0.15
+    assert len(spark.read.parquet(path).inputFiles()) == 32
     back = spark.read.parquet(path)
     assert back.count() == 40_000
     # every row survived the rebuild, appended ones included

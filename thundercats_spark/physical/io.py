@@ -728,12 +728,14 @@ class Write:
         path: str,
         cols: list[str],
         **kw,
-    ) -> MayFail[dict]:
+    ) -> MayFail[DataFrame]:
         """Multi-column clustered write (Morton/Z-order curve) — the
         completion of ``parquet_sorted`` for workloads that filter on
         MORE than one column: every clustered column gets footer
         min/max locality, so selective scans prune on any of them.
-        Delegates to physical/layout.py; returns the boundary map."""
+        Delegates to physical/layout.py; yields the input frame like
+        every other writer (the boundary map persists in the dataset's
+        ``_zorder_layout.json`` sidecar, ``read_layout_meta``)."""
         from thundercats_spark.physical.layout import write_parquet_zorder_mf
 
         return write_parquet_zorder_mf(df, path, cols, **kw)

@@ -613,8 +613,16 @@ def main():
 
     fname = "scale_stats.json" if replicas == 10 else f"scale_stats_x{replicas}.json"
     dest = os.path.join(REPO, "tools", fname)
+    # merge-preserve: other rehearsal tools (layout_stats.py) own keys in
+    # the same file — a fresh overwrite would silently wipe them from the
+    # BENCH record. Same formatting as layout_stats to keep diffs small.
+    merged = {}
+    if os.path.exists(dest):
+        with open(dest) as f:
+            merged = json.load(f)
+    merged.update(out)
     with open(dest, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(merged, f, indent=2, sort_keys=True)
     print(json.dumps(out))
 
 
