@@ -82,6 +82,35 @@ def main():
 
     final = spark.read.parquet(corpus)
     print(f"corpus total: {final.count()} (unique source docs: {n})")
+
+    # nightly layout maintenance: the per-day appends left the corpus
+    # unclustered (every file a full-width box for selective scans);
+    # re-cluster on the queryable numeric dimensions when health has
+    # degraded, then show what a box predicate can now skip from the
+    # parquet footers alone
+    from thundercats_spark.physical.layout import (
+        maintain_zorder,
+        pruning_summary,
+        scan_pruning_report,
+    )
+
+    cols = ["n_chars", "doc_id"]
+    res = maintain_zorder(
+        spark, corpus, cols, rebuild_above=0.10, n_buckets=32, n_files=8
+    )
+    print(
+        f"layout: rebuilt={res['rebuilt']} "
+        f"mean_box_volume {res['health_before']['mean_box_volume']:.2f}"
+        + (
+            f" -> {res['health_after']['mean_box_volume']:.2f}"
+            if res["rebuilt"]
+            else ""
+        )
+    )
+    skip = pruning_summary(
+        scan_pruning_report(spark, corpus, {"n_chars": (0, 400)})
+    )["row_group_skip_fraction"]
+    print(f"short-doc box predicate skips {skip:.0%} of row groups via footers")
     shutil.rmtree(work, ignore_errors=True)
 
 
