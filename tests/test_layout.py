@@ -246,3 +246,64 @@ def test_maintain_zorder_rebuilds_on_append_degradation(spark, tmp_path):
     assert (
         df.unionByName(extra).exceptAll(back.select(*df.columns)).count() == 0
     )
+
+
+def test_parquet_bloom_writes_filter_blocks(spark, tmp_path):
+    """The bloom block is pinned via the file-size delta (container
+    pyarrow predates bloom-offset metadata): same data, bloom on the
+    hash column costs ~1.25 bytes/NDV more; blooming BOTH columns
+    costs more again; rows round-trip; bad columns fail loudly."""
+    from thundercats_spark.physical.io import Write
+
+    df = spark.range(100_000).selectExpr(
+        "id", "xxhash64(cast(id as string)) as fp"
+    )
+
+    def size_of(p):
+        import glob
+        import os
+
+        return sum(
+            os.path.getsize(f) for f in glob.glob(p + "/*.parquet")
+        )
+
+    p0 = str(tmp_path / "plain")
+    df.coalesce(1).write.parquet(p0)
+    p1 = str(tmp_path / "bloom_fp")
+    Write.parquet_bloom(df.coalesce(1), p1, {"fp": 100_000}).get
+    p2 = str(tmp_path / "bloom_both")
+    Write.parquet_bloom(df.coalesce(1), p2, ["fp", "id"]).get  # auto-NDV
+
+    s0, s1, s2 = size_of(p0), size_of(p1), size_of(p2)
+    assert s1 > s0 + 50_000, (s0, s1)  # ~130 KB bloom block at 100k NDV
+    assert s2 > s1 + 50_000, (s1, s2)  # second column adds its own block
+    assert spark.read.parquet(p1).count() == 100_000
+    back = spark.read.parquet(p2)
+    assert back.where("fp = 0 and id = -1").count() == 0  # probe path runs
+
+    # monadic failure, like every sibling writer
+    res = Write.parquet_bloom(df, str(tmp_path / "x"), ["nope"])
+    assert res.is_failing and "not in frame" in res.get_error()
+
+
+def test_parquet_bloom_with_sorted_layout(spark, tmp_path):
+    """sort_cols layers range clustering under the bloom filters: the
+    files are range-disjoint on the sort key (footer-verified) AND
+    carry the bloom block."""
+    from thundercats_spark.physical.io import Write
+    from thundercats_spark.physical.layout import file_minmax_report
+
+    df = spark.range(50_000).selectExpr(
+        "id", "xxhash64(cast(id as string)) as fp"
+    )
+    p = str(tmp_path / "sb")
+    Write.parquet_bloom(
+        df, p, {"fp": 50_000}, sort_cols=["id"], n_files=4
+    ).get
+    boxes = sorted(
+        (r["id_min"], r["id_max"])
+        for r in file_minmax_report(spark, p, ["id"]).collect()
+    )
+    assert len(boxes) == 4
+    for (lo1, hi1), (lo2, _) in zip(boxes, boxes[1:]):
+        assert hi1 < lo2  # disjoint ranges: the sort really happened
