@@ -754,3 +754,35 @@ def test_decontamination_report_per_item_counts(spark):
         for r in decontamination_report(corpus, bench, n=8, min_hits=2).collect()
     }
     assert strict[100] == 0 and strict[101] == 1
+
+
+def test_packing_efficiency_report_hand_computed(spark):
+    from thundercats_spark.operators.curation import packing_efficiency_report
+
+    # token counts 5, 5, 12 at L=4: full chunks 1+1+3=5, remainders
+    # 1, 1, 0 -> remainder_tokens 2, n_remainders 2
+    docs = spark.createDataFrame(
+        [(1, "a a a a a"), (2, "b b b b b"), (3, " ".join("c" * 1 for _ in range(12)))],
+        "doc_id long, text string",
+    )
+    r = {
+        row["seq_len"]: row
+        for row in packing_efficiency_report(docs, seq_lens=[4, 100]).collect()
+    }
+    at4 = r[4]
+    assert at4["n_docs"] == 3 and at4["total_tokens"] == 22
+    assert at4["full_chunks"] == 5 and at4["remainder_tokens"] == 2
+    assert at4["n_remainders"] == 2
+    assert at4["min_seqs"] == 6  # 5 full + ceil(2/4)=1
+    assert at4["max_seqs"] == 7  # 5 full + 2 unpacked remainders
+    assert at4["min_padding_frac"] == round(1 - 22 / (6 * 4), 6)
+    assert at4["max_padding_frac"] == round(1 - 22 / (7 * 4), 6)
+    # L=100: everything is remainder; perfect packing needs 1 seq
+    at100 = r[100]
+    assert at100["full_chunks"] == 0 and at100["min_seqs"] == 1
+    assert at100["max_seqs"] == 3
+
+    with pytest.raises(ValueError, match="non-empty"):
+        packing_efficiency_report(docs, seq_lens=[])
+    with pytest.raises(ValueError, match="positive"):
+        packing_efficiency_report(docs, seq_lens=[0])

@@ -611,6 +611,68 @@ def _token_count(text: Column) -> Column:
     return token_count(text)
 
 
+def packing_efficiency_report(
+    df: DataFrame,
+    seq_lens: Sequence[int] = (512, 1024, 2048, 4096),
+    text_col: str = "text",
+    token_col: Column | None = None,
+) -> DataFrame:
+    """Padding-waste planner for choosing the training sequence
+    length — the report twin of ``pack_sequences``/``chunk_documents``,
+    answering "what does each candidate ``seq_len`` cost in padding"
+    BEFORE committing a corpus to one. For a doc of ``t`` tokens and
+    length ``L``: ``t DIV L`` FULL chunks are free (zero padding) and
+    the ``t MOD L`` remainder is what packing fights over. Rather than
+    simulate a packer, the report bounds every packer at once:
+    ``min_seqs`` assumes perfect remainder packing
+    (``full_chunks + ceil(remainder_tokens / L)``), ``max_seqs``
+    assumes none (one padded sequence per remainder); the padding
+    fractions derive. All arithmetic stays in the integer domain
+    until the final rounded fractions.
+
+    Scale shape: ONE narrow explode of the candidate list
+    (``|seq_lens|`` rows per doc — token counts only, text never
+    leaves the scan stage) and one groupBy over ``|seq_lens|`` keys —
+    the only shuffle, ~|seq_lens| x 6 longs. Output is
+    ``|seq_lens|`` rows, ordered by ``seq_len``."""
+    if not seq_lens:
+        raise ValueError("seq_lens must be non-empty")
+    if any(int(s) <= 0 for s in seq_lens):
+        raise ValueError(f"seq_lens must be positive, got {list(seq_lens)}")
+    toks = token_col if token_col is not None else _token_count(F.col(text_col))
+    lens = F.array(*[F.lit(int(s)) for s in sorted(set(int(s) for s in seq_lens))])
+    e = df.select(toks.cast("long").alias("__t")).select(
+        "__t", F.explode(lens).alias("seq_len")
+    )
+    agg = e.groupBy("seq_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").alias("total_tokens"),
+        F.sum(F.expr("__t DIV seq_len")).alias("full_chunks"),
+        F.sum(F.expr("__t % seq_len")).alias("remainder_tokens"),
+        F.sum(F.when(F.expr("__t % seq_len") > 0, 1).otherwise(0)).alias(
+            "n_remainders"
+        ),
+    )
+    min_seqs = F.col("full_chunks") + F.expr(
+        "(remainder_tokens + seq_len - 1) DIV seq_len"
+    )
+    max_seqs = F.col("full_chunks") + F.col("n_remainders")
+    frac = lambda seqs: F.round(  # noqa: E731
+        F.when(
+            seqs > 0,
+            1.0 - F.col("total_tokens") / (seqs * F.col("seq_len")),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        agg.withColumn("min_seqs", min_seqs)
+        .withColumn("max_seqs", max_seqs)
+        .withColumn("min_padding_frac", frac(F.col("min_seqs")))
+        .withColumn("max_padding_frac", frac(F.col("max_seqs")))
+        .orderBy("seq_len")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int,

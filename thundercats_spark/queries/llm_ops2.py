@@ -629,3 +629,51 @@ def ann_lsh_quantized_q(spark, sf_dir):
             ),
         )
     return similarity.ann_topk_lsh_quantized_indexed(spark, idx, qv, k=10)
+
+
+# --------------------------------------------------------------------------
+# Sequence-length planning: padding-waste bounds per candidate seq_len
+# (operators/curation.py packing_efficiency_report) — the planning
+# report run BEFORE committing a corpus to one training sequence
+# length. Integer-exact everywhere (DIV/MOD), fractions rounded.
+# --------------------------------------------------------------------------
+
+PACKING_EFF_SQL = r"""
+WITH t AS (
+  SELECT len(regexp_split_to_array(TRIM(text), '\s+')) AS t FROM documents
+), e AS (
+  SELECT t.t, L.seq_len
+  FROM t CROSS JOIN (VALUES (512), (1024), (2048), (4096)) AS L(seq_len)
+), a AS (
+  SELECT seq_len,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(t) AS BIGINT) AS total_tokens,
+         CAST(SUM(t // seq_len) AS BIGINT) AS full_chunks,
+         CAST(SUM(t % seq_len) AS BIGINT) AS remainder_tokens,
+         CAST(SUM(CASE WHEN t % seq_len > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_remainders
+  FROM e GROUP BY seq_len
+), s AS (
+  SELECT *,
+         full_chunks + (remainder_tokens + seq_len - 1) // seq_len AS min_seqs,
+         full_chunks + n_remainders AS max_seqs
+  FROM a
+)
+SELECT seq_len, n_docs, total_tokens, full_chunks, remainder_tokens,
+       n_remainders, min_seqs, max_seqs,
+       ROUND(CASE WHEN min_seqs > 0
+             THEN 1.0 - total_tokens * 1.0 / (min_seqs * seq_len)
+             ELSE 0.0 END, 6) AS min_padding_frac,
+       ROUND(CASE WHEN max_seqs > 0
+             THEN 1.0 - total_tokens * 1.0 / (max_seqs * seq_len)
+             ELSE 0.0 END, 6) AS max_padding_frac
+FROM s ORDER BY seq_len
+"""
+
+
+@register("corpus_packing_efficiency", PACKING_EFF_SQL)
+def corpus_packing_efficiency_q(spark, sf_dir):
+    from thundercats_spark.operators.curation import packing_efficiency_report
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return packing_efficiency_report(d)
