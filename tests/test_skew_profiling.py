@@ -94,3 +94,39 @@ def test_null_ratio(spark):
     df = spark.createDataFrame([(1, None), (2, "x"), (3, None)], "a int, b string")
     r = null_ratio(df).first()
     assert r["a"] == 0.0 and abs(r["b"] - 2 / 3) < 1e-9
+
+
+def test_key_skew_report_hand_computed(skewed):
+    from thundercats_spark.operators.skew import key_skew_report
+
+    # 1000 rows total; 'hot' = 900. At P=10 the ideal partition holds
+    # 100 rows, so hot needs ceil(900*10/1000) = 9 shards; every k{i}
+    # key holds 1 row -> salt 1.
+    r = key_skew_report(skewed, ["k"], n_partitions=10, top=3).collect()
+    assert [row["k"] for row in r] == ["hot", "k0", "k1"]  # tie-broken asc
+    hot = r[0]
+    assert hot["n"] == 900 and hot["share"] == 0.9
+    assert hot["suggested_salt"] == 9
+    assert r[1]["n"] == 1 and r[1]["suggested_salt"] == 1
+    # exact ceil: a key at exactly one ideal partition suggests 1
+    assert r[1]["share"] == 0.001
+
+
+def test_key_skew_report_multi_key_and_defaults(spark):
+    from thundercats_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 1)], "k string, j int"
+    )
+    r = key_skew_report(df, ["k", "j"], n_partitions=4, top=10).collect()
+    assert (r[0]["k"], r[0]["j"], r[0]["n"]) == ("a", 1, 2)
+    assert r[0]["suggested_salt"] == 2  # ceil(2*4/4) = 2
+    # defaults pull P from the session conf without erroring
+    assert key_skew_report(df, ["k"]).count() == 2
+
+    with pytest.raises(ValueError, match="non-empty"):
+        key_skew_report(df, [])
+    with pytest.raises(ValueError, match="top"):
+        key_skew_report(df, ["k"], top=0)
+    with pytest.raises(ValueError, match="positive"):
+        key_skew_report(df, ["k"], n_partitions=0)

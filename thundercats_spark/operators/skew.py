@@ -34,6 +34,63 @@ def _salt_col(df: DataFrame, salt_on: str | Column | None, buckets: int) -> Colu
     return F.pmod(F.xxhash64(*src), F.lit(buckets))
 
 
+def key_skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    n_partitions: int | None = None,
+    top: int = 20,
+) -> DataFrame:
+    """Measure key skew BEFORE reaching for ``salted_agg`` /
+    ``salted_join`` — at scale you can't eyeball which keys are hot,
+    and salting a uniform key only adds a shuffle stage. Reports the
+    ``top`` heaviest key values with:
+
+    - ``n`` — exact row count for the key,
+    - ``share`` — ``n / total`` (rounded 6),
+    - ``suggested_salt`` — ``ceil(n * P / total)`` in exact integer
+      arithmetic: how many ideal-partition-sized shards this key needs,
+      where ``P`` is ``n_partitions`` (defaults to the session's
+      ``spark.sql.shuffle.partitions``). 1 = the key fits one ideal
+      partition (no salting needed); k>1 = pass ``buckets>=k`` to the
+      salted operators, or rely on AQE's skew split if it's a join.
+
+    Scale shape: ONE groupBy on the keys — identical to the shuffle the
+    skewed aggregation itself would run, but map-side partial combine
+    means the wire carries ~|distinct keys| (key, long) pairs, not
+    rows. The grand total comes from a broadcast cross-join of the
+    1-row re-aggregate (never a no-partition window over the counts
+    frame, which can be wide for high-cardinality keys); the top-N is
+    a TakeOrdered, not a global sort. Ties are broken by the key
+    columns ascending so the cut is deterministic."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if top <= 0:
+        raise ValueError(f"top must be positive, got {top}")
+    p = int(
+        n_partitions
+        if n_partitions is not None
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    if p <= 0:
+        raise ValueError(f"n_partitions must be positive, got {p}")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            # ceil(n*P/total) = (n*P + total - 1) DIV total, exactly in longs
+            F.expr(f"(n * {p} + __total - 1) DIV __total").alias(
+                "suggested_salt"
+            ),
+        )
+        .orderBy(F.desc("n"), *[F.asc(k) for k in keys])
+        .limit(top)
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

@@ -149,3 +149,36 @@ def orders_top_per_segment(spark, sf_dir):
         )
         .orderBy("c_mktsegment", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew diagnosis: the measurement that decides WHETHER to salt. Exact
+# per-key counts (one map-side-combined groupBy — the wire carries
+# (key, long) pairs, not rows), grand total via a broadcast cross-join
+# of the 1-row re-aggregate, integer-exact suggested_salt =
+# ceil(n * P / total) at a pinned P=32 so the oracle is
+# session-independent. Top-20 cut is tie-broken by key, so it is
+# deterministic even though order counts collide heavily.
+# --------------------------------------------------------------------------
+
+KEY_SKEW_SQL = """
+WITH c AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+), t AS (
+  SELECT SUM(n) AS total FROM c
+)
+SELECT o_custkey, n,
+       ROUND(n * 1.0 / total, 6) AS share,
+       CAST((n * 32 + total - 1) // total AS BIGINT) AS suggested_salt
+FROM c, t
+ORDER BY n DESC, o_custkey
+LIMIT 20
+"""
+
+
+@register("orders_key_skew", KEY_SKEW_SQL)
+def orders_key_skew(spark, sf_dir):
+    from thundercats_spark.operators.skew import key_skew_report
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    return key_skew_report(o, ["o_custkey"], n_partitions=32, top=20)
