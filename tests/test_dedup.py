@@ -502,3 +502,38 @@ def test_dedup_rate_ignores_null_text_in_distinct(spark):
     )
     [r] = dedup_rate_by_source(df).collect()
     assert r["n_docs"] == 3 and r["n_distinct"] == 1 and r["n_dupes"] == 2
+
+
+def test_dedup_lineage_full_map(docs):
+    m = {
+        r["doc_id"]: (r["kept_id"], r["group_size"])
+        for r in dedup.dedup_lineage(docs).collect()
+    }
+    # 1,2,3 collapse under lower+trim; 4 and 5 map to themselves
+    assert m == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3), 4: (4, 1), 5: (5, 1)
+    }
+
+
+def test_dedup_lineage_dups_only_and_consistency(docs):
+    out = dedup.dedup_lineage(docs, dups_only=True).collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 3}
+    assert all(r["kept_id"] == 1 and r["group_size"] == 3 for r in out)
+    # the kept ids are exactly what dedup_exact keeps, on every group
+    kept_ids = {
+        r["doc_id"]
+        for r in dedup.dedup_exact(docs, ids_only=True).collect()
+    }
+    full = dedup.dedup_lineage(docs).collect()
+    assert {r["kept_id"] for r in full} == kept_ids
+
+
+def test_dedup_lineage_custom_key(docs):
+    # group on the first word: everything but doc 5 starts with 'the'
+    key = F.lower(F.split(F.trim(F.col("text")), r"\s+").getItem(0))
+    m = {
+        r["doc_id"]: (r["kept_id"], r["group_size"])
+        for r in dedup.dedup_lineage(docs, key=key).collect()
+    }
+    assert m[5] == (5, 1)
+    assert all(m[i] == (1, 4) for i in (1, 2, 3, 4))

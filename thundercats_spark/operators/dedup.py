@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -175,6 +175,46 @@ def dedup_keep_best(
     if ids_only:
         return keep
     return df.join(keep, id_col, "inner")
+
+
+def dedup_lineage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    dups_only: bool = False,
+    key: Column | None = None,
+) -> DataFrame:
+    """Provenance map for exact dedup: every document → the id that
+    survives ``dedup_exact`` (min id per distinct normalized text),
+    as ``(id_col, kept_id, group_size)``. ``key`` overrides the
+    grouping expression (e.g. a prefix or a canonicalized URL) for
+    lineage under a custom identity — ``normalize`` is ignored then. ``dedup_exact`` answers
+    "which rows remain"; this answers the audit/debug question "where
+    did row X GO" — joinable against downstream corpora, eval sets, or
+    user-facing citations without re-running the dedup.
+    ``dups_only=True`` keeps just the rows whose group collapsed
+    (group_size >= 2), which is the useful manifest at web scale where
+    most documents are unique.
+
+    Scale shape: the text is fingerprinted in the scan stage and only
+    (id, fp) pairs — 16 bytes/row — shuffle: once for the group agg,
+    once for the map-back join on the 8-byte fingerprint (AQE
+    broadcasts the group side when the duplicate population is small).
+    Same collision stance as ``dedup_exact``: groups are keyed by the
+    64-bit xxhash of the normalized text."""
+    if key is None:
+        key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    pairs = df.select(F.col(id_col), F.xxhash64(key).alias("__fp"))
+    groups = pairs.groupBy("__fp").agg(
+        F.min(id_col).alias("kept_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    if dups_only:
+        groups = groups.where(F.col("group_size") >= 2)
+    return pairs.join(groups, "__fp", "inner").select(
+        id_col, "kept_id", "group_size"
+    )
 
 
 # --------------------------------------------------------------------------

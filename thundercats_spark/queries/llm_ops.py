@@ -41,6 +41,37 @@ def dedup_exact_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Dedup provenance: every collapsed document mapped to its surviving
+# representative. The synthetic corpus has no FULL-text duplicates, so
+# the registered identity is a 40-char normalized prefix (23 real
+# groups at sf0.01) — exercising the custom-key lineage path a URL- or
+# title-keyed production run would use. Only (id, 8-byte fp) ever
+# shuffles; text stays in the scan stage.
+# --------------------------------------------------------------------------
+
+DEDUP_LINEAGE_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (
+           PARTITION BY SUBSTR(LOWER(TRIM(text)), 1, 40)) AS kept_id,
+         COUNT(*) OVER (
+           PARTITION BY SUBSTR(LOWER(TRIM(text)), 1, 40)) AS group_size
+  FROM documents
+)
+SELECT doc_id, kept_id, group_size FROM g WHERE group_size >= 2
+"""
+
+
+@register("corpus_dedup_lineage", DEDUP_LINEAGE_SQL)
+def corpus_dedup_lineage_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    prefix_key = F.substring(F.lower(F.trim(F.col("text"))), 1, 40)
+    return dedup.dedup_lineage(
+        d, "text", "doc_id", dups_only=True, key=prefix_key
+    )
+
+
+# --------------------------------------------------------------------------
 # exact n-gram Jaccard near-dup pairs (inverted index)
 # --------------------------------------------------------------------------
 
