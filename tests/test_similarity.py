@@ -927,3 +927,58 @@ def test_lsh_quantized_append_and_batch_probe_parity(emb, tmp_path_factory):
         ).collect()
         expect = [(i + 1, r["vec_id"], r["cos"]) for i, r in enumerate(per)]
         assert sorted(grouped[qid]) == expect, qid
+
+
+def test_cluster_corpus_map_hand_built(spark):
+    import math
+
+    # two tight 2-D clusters around (1,0) and (0,1); labels mostly
+    # track the cluster, with one dissenter in cluster A
+    a = [(i, [1.0, 0.05 * i], "news") for i in range(4)]
+    a[3] = (3, [1.0, 0.15], "web")  # dissenter
+    b = [(10 + i, [0.05 * i, 1.0], "web") for i in range(3)]
+    df = spark.createDataFrame(
+        a + b, "vec_id long, embedding array<float>, label string"
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = similarity.cluster_corpus_map(
+        df, label_col="label", centroids=cents
+    ).collect()
+    assert [r["cluster"] for r in out] == [0, 1]  # n desc, 4 vs 3
+    c0, c1 = out
+    assert c0["n_vecs"] == 4 and c1["n_vecs"] == 3
+    assert abs(c0["share"] - 4 / 7) < 1e-6 and abs(c1["share"] - 3 / 7) < 1e-6
+    assert (c0["dominant_label"], c1["dominant_label"]) == ("news", "web")
+    assert abs(c0["label_purity"] - 0.75) < 1e-6
+    assert abs(c1["label_purity"] - 1.0) < 1e-6
+    # cohesion = mean cos to the assigned centroid, hand-computed
+    want0 = sum(1.0 / math.hypot(1.0, y) for y in (0.0, 0.05, 0.1, 0.15)) / 4
+    assert abs(c0["cohesion"] - want0) < 1e-4
+    # unlabeled variant drops the label columns
+    cols = similarity.cluster_corpus_map(df, centroids=cents).columns
+    assert "dominant_label" not in cols and "label_purity" not in cols
+    assert {"cluster", "n_vecs", "cohesion", "share"} <= set(cols)
+
+
+def test_cluster_corpus_map_dominant_tie_breaks_min_label(spark):
+    rows = [(1, [1.0, 0.0], "b"), (2, [1.0, 0.01], "a"),
+            (3, [0.0, 1.0], "z")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = similarity.cluster_corpus_map(
+        df, label_col="label", centroids=[[1.0, 0.0], [0.0, 1.0]]
+    ).collect()
+    assert out[0]["dominant_label"] == "a"  # 1-1 tie -> min label
+    assert abs(out[0]["label_purity"] - 0.5) < 1e-6
+
+
+def test_ivf_assign_with_cos_matches_plain_assignment(emb):
+    cents = similarity.ivf_train(emb, n_clusters=4)
+    plain = {
+        r["vec_id"]: r["__cluster"]
+        for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    rich = similarity.ivf_assign(emb, cents, with_cos=True).collect()
+    assert {r["vec_id"]: r["__cluster"] for r in rich} == plain
+    assert all(-1.0 - 1e-9 <= r["__cos"] <= 1.0 + 1e-9 for r in rich)

@@ -466,23 +466,113 @@ def ivf_train(
 
 
 def ivf_assign(
-    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    with_cos: bool = False,
 ) -> DataFrame:
     """Add ``__cluster`` = argmax cosine(v, centroid). Vectorized Arrow
     kernel: one matmul per batch against the (small) centroid matrix
-    captured in the UDF closure — no shuffle, no per-row Python."""
+    captured in the UDF closure — no shuffle, no per-row Python.
+    ``with_cos=True`` additionally emits ``__cos`` — the cosine to the
+    ASSIGNED centroid, read off the same matmul for free (cluster
+    cohesion for the map/stats reports)."""
     from pyspark.sql.functions import pandas_udf
 
     cmat = np.array(centroids, dtype=np.float64)
     cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
 
-    @pandas_udf("int")
-    def nearest(v: pd.Series) -> pd.Series:
+    if not with_cos:
+
+        @pandas_udf("int")
+        def nearest(v: pd.Series) -> pd.Series:
+            m = np.stack(v.apply(lambda x: np.asarray(x, dtype=np.float64)))
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(m @ cmat.T, axis=1).astype("int32"))
+
+        return df.withColumn("__cluster", nearest(F.col(vec_col)))
+
+    @pandas_udf("__cluster int, __cos double")
+    def nearest_cos(v: pd.Series) -> pd.DataFrame:
         m = np.stack(v.apply(lambda x: np.asarray(x, dtype=np.float64)))
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ cmat.T, axis=1).astype("int32"))
+        sims = m @ cmat.T
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "__cluster": best.astype("int32"),
+                "__cos": sims[np.arange(len(best)), best],
+            }
+        )
 
-    return df.withColumn("__cluster", nearest(F.col(vec_col)))
+    out = df.withColumn("__a", nearest_cos(F.col(vec_col)))
+    return out.select(
+        *df.columns, F.col("__a.__cluster").alias("__cluster"),
+        F.col("__a.__cos").alias("__cos")
+    )
+
+
+def cluster_corpus_map(
+    df: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str | None = None,
+    iters: int = 5,
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Domain discovery over an embedded corpus: k-means the vectors
+    (deterministic seeded ``ivf_train``) and report one row per
+    non-empty cluster — ``n_vecs``, corpus ``share``, ``cohesion``
+    (mean cosine to the assigned centroid: low cohesion = a grab-bag
+    cluster worth re-splitting), and, when ``label_col`` is given
+    (source / lang / topic tags), the ``dominant_label`` and its
+    ``label_purity`` — how well the unsupervised clusters recover the
+    labeled structure. The report answers "what IS in this corpus"
+    before choosing mixture weights.
+
+    Scale shape: assignment is the zero-shuffle Arrow matmul kernel;
+    the only shuffles are map-side-combined group aggs whose wire rows
+    are bounded by k (and k x |labels| for the purity leg — labels are
+    categorical tags, not free text); the grand total for ``share`` is
+    a broadcast cross-join of the 1-row re-aggregate. Vectors never
+    shuffle. Deterministic: seeded init, tie-broken dominant label
+    (max count, then min label)."""
+    if centroids is None:
+        centroids = ivf_train(
+            df, n_clusters, vec_col, id_col, iters=iters, seed=seed
+        )
+    assigned = ivf_assign(df, centroids, vec_col, with_cos=True)
+    per = assigned.groupBy("__cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("__cos"), 6).alias("cohesion"),
+    )
+    if label_col is not None:
+        lab = assigned.groupBy("__cluster", label_col).agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        # dominant = max count, ties -> min label (struct orders
+        # ascending, so negate the count; labels compare natively)
+        pick = F.struct(
+            (-F.col("__cnt")).alias("nc"), F.col(label_col).alias("l")
+        )
+        dom = lab.groupBy("__cluster").agg(
+            F.min_by(F.col(label_col), pick).alias("dominant_label"),
+            F.max("__cnt").alias("__dom_cnt"),
+        )
+        per = per.join(dom, "__cluster").withColumn(
+            "label_purity",
+            F.round(F.col("__dom_cnt") / F.col("n_vecs"), 6),
+        ).drop("__dom_cnt")
+    total = per.agg(F.sum("n_vecs").alias("__total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_vecs") / F.col("__total"), 6))
+        .drop("__total")
+        .withColumnRenamed("__cluster", "cluster")
+        .orderBy(F.desc("n_vecs"), F.asc("cluster"))
+    )
 
 
 def ann_topk_ivf(

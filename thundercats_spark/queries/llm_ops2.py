@@ -677,3 +677,20 @@ def corpus_packing_efficiency_q(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")["documents"]
     return packing_efficiency_report(d)
+
+
+# --------------------------------------------------------------------------
+# Embedding-space corpus map: k-means domain discovery with cohesion
+# and label purity (operators/similarity.py cluster_corpus_map).
+# Rows-only: k-means is not SQL-expressible; the report math (counts,
+# share, purity, dominant-label tie-breaks) is pytest-pinned on
+# hand-built clusters, and determinism comes from the seeded init.
+# --------------------------------------------------------------------------
+
+
+@register("corpus_embedding_clusters", None)
+def corpus_embedding_clusters_q(spark, sf_dir):
+    from thundercats_spark.operators.similarity import cluster_corpus_map
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    return cluster_corpus_map(e, n_clusters=8, label_col="label")
