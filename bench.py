@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "customer_balance_quartiles",
     "customer_balance_rank_dist",
     "ann_batch_indexed",
+    # round-6 planning/QA reports: one-groupBy shapes whose cost tracks
+    # the scan, not the analysis — kept in the record so a regression
+    # in the shared scan/agg path shows up here first
+    "orders_key_skew",
+    "corpus_packing_efficiency",
 ]
 
 
