@@ -24,6 +24,8 @@ SCALAR_BNLJ_OK = {
     "ann_batch_topk",  # broadcast query-vector table (a handful of rows)
     "dedup_simhash",  # 1-row mean-bucket-size stats for the auto hot-band cap
     "ann_quantized_topk",  # broadcast 1-row quantized query vector
+    "orders_key_skew",  # 1-row grand total for the share denominator
+    "corpus_embedding_clusters",  # 1-row grand total for cluster share
 }
 # Arrow-kernel operators are allowed (designed) Python-boundary nodes
 PY_EVAL_OK = {
@@ -33,6 +35,7 @@ PY_EVAL_OK = {
     # Arrow-batched with per-batch word memoization (bpe.py bpe_encode)
     "doc_bpe_encode_persisted",
     "corpus_tokenizer_fertility",  # same bpe_encode kernel
+    "corpus_embedding_clusters",  # Arrow argmax+cos assign kernel (ivf_assign)
 }
 
 

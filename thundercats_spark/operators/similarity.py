@@ -544,27 +544,38 @@ def cluster_corpus_map(
             df, n_clusters, vec_col, id_col, iters=iters, seed=seed
         )
     assigned = ivf_assign(df, centroids, vec_col, with_cos=True)
-    per = assigned.groupBy("__cluster").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("__cos"), 6).alias("cohesion"),
-    )
-    if label_col is not None:
+    if label_col is None:
+        per = assigned.groupBy("__cluster").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("__cos"), 6).alias("cohesion"),
+        )
+    else:
+        # one pass over the assign kernel: aggregate at (cluster,
+        # label) grain, then roll up — the kernel (the expensive leg)
+        # runs once instead of once per report facet
         lab = assigned.groupBy("__cluster", label_col).agg(
-            F.count(F.lit(1)).alias("__cnt")
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum("__cos").alias("__sc"),
         )
         # dominant = max count, ties -> min label (struct orders
         # ascending, so negate the count; labels compare natively)
         pick = F.struct(
             (-F.col("__cnt")).alias("nc"), F.col(label_col).alias("l")
         )
-        dom = lab.groupBy("__cluster").agg(
-            F.min_by(F.col(label_col), pick).alias("dominant_label"),
-            F.max("__cnt").alias("__dom_cnt"),
+        per = (
+            lab.groupBy("__cluster")
+            .agg(
+                F.sum("__cnt").alias("n_vecs"),
+                F.round(F.sum("__sc") / F.sum("__cnt"), 6).alias("cohesion"),
+                F.min_by(F.col(label_col), pick).alias("dominant_label"),
+                F.max("__cnt").alias("__dom_cnt"),
+            )
+            .withColumn(
+                "label_purity",
+                F.round(F.col("__dom_cnt") / F.col("n_vecs"), 6),
+            )
+            .drop("__dom_cnt")
         )
-        per = per.join(dom, "__cluster").withColumn(
-            "label_purity",
-            F.round(F.col("__dom_cnt") / F.col("n_vecs"), 6),
-        ).drop("__dom_cnt")
     total = per.agg(F.sum("n_vecs").alias("__total"))
     return (
         per.crossJoin(F.broadcast(total))

@@ -611,6 +611,47 @@ def main():
         spark.sql("DROP TABLE IF EXISTS tc_bkt_scale_orders")
         spark.sql("DROP TABLE IF EXISTS tc_bkt_scale_lineitem")
 
+    # round-6 late additions: the planning/provenance reports. Each is
+    # one groupBy / one Arrow matmul over the scan, so the xN
+    # wall-clock IS the scale story — any superlinear bend here means a
+    # shuffle crept into the report path.
+    from thundercats_spark.operators.curation import packing_efficiency_report
+    from thundercats_spark.operators.skew import key_skew_report
+    from thundercats_spark.operators.similarity import cluster_corpus_map
+
+    t0 = time.time()
+    packing_efficiency_report(d).write.format("noop").mode("overwrite").save()
+    packing_secs = round(time.time() - t0, 3)
+
+    # the replica corpus has true exact-dup multiplicity (verbatim
+    # copies at r % 3 == 0), so the default full-text lineage is real
+    t0 = time.time()
+    lineage_rows = dedup.dedup_lineage(d, dups_only=True).count()
+    lineage_secs = round(time.time() - t0, 3)
+
+    orders_x = spark.read.parquet(f"{tpch_dir}/orders.parquet")
+    t0 = time.time()
+    skew_top = key_skew_report(
+        orders_x, ["o_custkey"], n_partitions=32
+    ).collect()
+    skew_secs = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    cmap = cluster_corpus_map(emb_x, n_clusters=16).collect()
+    cmap_secs = round(time.time() - t0, 3)
+    out["r06_reports"] = {
+        "n_docs": n_docs,
+        "packing_efficiency_secs": packing_secs,
+        "dedup_lineage_secs": lineage_secs,
+        "dedup_lineage_rows": int(lineage_rows),
+        "key_skew_orders_rows": orders_x.count(),
+        "key_skew_secs": skew_secs,
+        "key_skew_max_suggested_salt": int(skew_top[0]["suggested_salt"]),
+        "cluster_map_n_vectors": emb_x.count(),
+        "cluster_map_secs": cmap_secs,
+        "cluster_map_clusters": len(cmap),
+    }
+
     fname = "scale_stats.json" if replicas == 10 else f"scale_stats_x{replicas}.json"
     dest = os.path.join(REPO, "tools", fname)
     # merge-preserve: other rehearsal tools (layout_stats.py) own keys in
