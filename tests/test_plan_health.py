@@ -26,6 +26,7 @@ SCALAR_BNLJ_OK = {
     "ann_quantized_topk",  # broadcast 1-row quantized query vector
     "orders_key_skew",  # 1-row grand total for the share denominator
     "corpus_embedding_clusters",  # 1-row grand total for cluster share
+    "embedding_cluster_drift",  # 1-row totals for both snapshot shares
 }
 # Arrow-kernel operators are allowed (designed) Python-boundary nodes
 PY_EVAL_OK = {
@@ -36,6 +37,7 @@ PY_EVAL_OK = {
     "doc_bpe_encode_persisted",
     "corpus_tokenizer_fertility",  # same bpe_encode kernel
     "corpus_embedding_clusters",  # Arrow argmax+cos assign kernel (ivf_assign)
+    "embedding_cluster_drift",  # same assign kernel, both snapshots
 }
 
 

@@ -982,3 +982,35 @@ def test_ivf_assign_with_cos_matches_plain_assignment(emb):
     rich = similarity.ivf_assign(emb, cents, with_cos=True).collect()
     assert {r["vec_id"]: r["__cluster"] for r in rich} == plain
     assert all(-1.0 - 1e-9 <= r["__cos"] <= 1.0 + 1e-9 for r in rich)
+
+
+def test_cluster_share_drift_hand_built(spark):
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    # old: 3 in c0, 1 in c1, 1 in c2; new: 1 in c0, 3 in c1, c2 VANISHED
+    old = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(3)]
+        + [(3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [(10, [1.0, 0.1])] + [(11 + i, [0.1, 1.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["cluster"]: r
+        for r in similarity.cluster_share_drift(old, new, cents).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert (out[0]["n_old"], out[0]["n_new"]) == (3, 1)
+    assert abs(out[0]["share_old"] - 0.6) < 1e-6
+    assert abs(out[0]["share_new"] - 0.25) < 1e-6
+    assert abs(out[0]["delta"] + 0.35) < 1e-6
+    # vanished cluster: zero-filled, full share lost
+    assert (out[2]["n_new"], out[2]["share_new"]) == (0, 0.0)
+    assert abs(out[2]["delta"] + 0.2) < 1e-6
+    # TVD from the frame = 0.5 * sum |delta|
+    tvd = 0.5 * sum(abs(r["delta"]) for r in out.values())
+    assert abs(tvd - 0.55) < 1e-6  # 0.5 * (0.35 + 0.55 + 0.2)
+    # no drift against itself
+    self_drift = similarity.cluster_share_drift(old, old, cents).collect()
+    assert all(r["delta"] == 0.0 for r in self_drift)

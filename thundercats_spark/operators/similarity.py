@@ -586,6 +586,61 @@ def cluster_corpus_map(
     )
 
 
+def cluster_share_drift(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots: assign BOTH
+    against the same FROZEN centroids (train once — on the reference
+    snapshot or the union — or reuse a persisted index's centroids via
+    ``ann_index_centroids``) and compare per-cluster shares. Catches
+    distribution shift that source/lang tags can't see (a crawl that
+    quietly went 2x code-heavy has identical tags and a very different
+    cluster histogram). Freezing matters: retraining on the new
+    snapshot would let the clusters chase the drift and hide it.
+
+    One row per cluster present in either snapshot:
+    ``(cluster, n_old, n_new, share_old, share_new, delta)`` with
+    ``delta = share_new - share_old`` (rounded 6); total variation
+    distance is ``0.5 * sum(abs(delta))`` if a scalar is wanted.
+    Scale shape: two zero-shuffle Arrow assigns, two k-bounded group
+    aggs, totals via broadcast cross-joins of 1-row re-aggregates, one
+    k-row outer join."""
+
+    def shares(df: DataFrame, n_name: str, s_name: str) -> DataFrame:
+        per = (
+            ivf_assign(df, centroids, vec_col)
+            .groupBy("__cluster")
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+        total = per.agg(F.sum(n_name).alias("__t"))
+        return per.crossJoin(F.broadcast(total)).select(
+            "__cluster",
+            n_name,
+            (F.col(n_name) / F.col("__t")).alias(s_name),
+        )
+
+    old = shares(df_old, "n_old", "__so")
+    new = shares(df_new, "n_new", "__sn")
+    joined = old.join(new, "__cluster", "full_outer").select(
+        F.col("__cluster").alias("cluster"),
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.coalesce("__so", F.lit(0.0)).alias("__so"),
+        F.coalesce("__sn", F.lit(0.0)).alias("__sn"),
+    )
+    return joined.select(
+        "cluster",
+        "n_old",
+        "n_new",
+        F.round("__so", 6).alias("share_old"),
+        F.round("__sn", 6).alias("share_new"),
+        F.round(F.col("__sn") - F.col("__so"), 6).alias("delta"),
+    ).orderBy("cluster")
+
+
 def ann_topk_ivf(
     df: DataFrame,
     query_vec: list[float],

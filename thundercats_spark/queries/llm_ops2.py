@@ -694,3 +694,26 @@ def corpus_embedding_clusters_q(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     return cluster_corpus_map(e, n_clusters=8, label_col="label")
+
+
+# --------------------------------------------------------------------------
+# Embedding-space drift between two snapshots (similarity.py
+# cluster_share_drift): both halves of the embeddings table assigned
+# against centroids FROZEN on the reference half, per-cluster share
+# deltas. Rows-only (k-means); the share/delta/outer-join math is
+# pytest-pinned on hand-built snapshots with a vanished cluster.
+# --------------------------------------------------------------------------
+
+
+@register("embedding_cluster_drift", None)
+def embedding_cluster_drift_q(spark, sf_dir):
+    from thundercats_spark.operators.similarity import (
+        cluster_share_drift,
+        ivf_train,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    old = e.where(F.col("vec_id") % 2 == 0)
+    new = e.where(F.col("vec_id") % 2 == 1)
+    cents = ivf_train(old, n_clusters=8)
+    return cluster_share_drift(old, new, cents)
