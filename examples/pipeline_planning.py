@@ -54,9 +54,11 @@ def main():
     # need salting? suggested_salt == 1 everywhere -> skip the salted
     # operators entirely (they add a merge stage for nothing).
     print("== key skew (orders.o_custkey) ==")
-    skew = key_skew_report(orders, ["o_custkey"], top=5)
-    skew.show(5, truncate=False)
-    max_salt = max(r["suggested_salt"] for r in skew.collect())
+    # collect ONCE and derive everything from the rows — .show() then
+    # .collect() on the same frame would run the report job twice
+    skew = key_skew_report(orders, ["o_custkey"], top=5).toPandas()
+    print(skew.to_string(index=False))
+    max_salt = int(skew["suggested_salt"].max())
     print(f"max suggested_salt={max_salt} -> "
           f"{'salting needed' if max_salt > 1 else 'plain groupBy is fine'}")
 
@@ -90,9 +92,9 @@ def main():
     print("== snapshot drift (frozen centroids) ==")
     old = emb.where(F.col("vec_id") % 2 == 0)
     new = emb.where(F.col("vec_id") % 2 == 1)
-    drift = cluster_share_drift(old, new, cents)
-    drift.show(8)
-    tvd = 0.5 * sum(abs(r["delta"]) for r in drift.collect())
+    drift = cluster_share_drift(old, new, cents).toPandas()
+    print(drift.to_string(index=False))
+    tvd = 0.5 * float(drift["delta"].abs().sum())
     print(f"total variation distance: {tvd:.4f} -> "
           f"{'investigate before appending' if tvd > 0.1 else 'shapes match'}")
 

@@ -1014,3 +1014,25 @@ def test_cluster_share_drift_hand_built(spark):
     # no drift against itself
     self_drift = similarity.cluster_share_drift(old, old, cents).collect()
     assert all(r["delta"] == 0.0 for r in self_drift)
+
+
+def test_cluster_corpus_map_null_labels_never_dominate(spark):
+    # cluster 0: 1 untagged + 1 'a' (tie by count) -> 'a' must win;
+    # cluster 1: fully untagged -> NULL dominant, NULL purity
+    rows = [(1, [1.0, 0.0], None), (2, [1.0, 0.01], "a"),
+            (3, [0.0, 1.0], None)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = {
+        r["cluster"]: r
+        for r in similarity.cluster_corpus_map(
+            df, label_col="label", centroids=[[1.0, 0.0], [0.0, 1.0]]
+        ).collect()
+    }
+    assert out[0]["dominant_label"] == "a"
+    # purity over the TAGGED population: 1 of 1 tagged rows
+    assert abs(out[0]["label_purity"] - 1.0) < 1e-6
+    assert out[0]["n_vecs"] == 2  # untagged still counted
+    assert out[1]["dominant_label"] is None
+    assert out[1]["label_purity"] is None

@@ -130,3 +130,13 @@ def test_key_skew_report_multi_key_and_defaults(spark):
         key_skew_report(df, ["k"], top=0)
     with pytest.raises(ValueError, match="positive"):
         key_skew_report(df, ["k"], n_partitions=0)
+
+
+def test_key_skew_report_guards_reserved_names(spark):
+    from thundercats_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame([(1, "x")], "n int, k string")
+    with pytest.raises(ValueError, match="collide"):
+        key_skew_report(df, ["n"])
+    with pytest.raises(ValueError, match="collide"):
+        key_skew_report(df, ["k", "n"])

@@ -529,8 +529,11 @@ def cluster_corpus_map(
     cluster worth re-splitting), and, when ``label_col`` is given
     (source / lang / topic tags), the ``dominant_label`` and its
     ``label_purity`` — how well the unsupervised clusters recover the
-    labeled structure. The report answers "what IS in this corpus"
-    before choosing mixture weights.
+    labeled structure. Untagged rows (NULL label) count toward
+    ``n_vecs``/``cohesion`` but never compete for dominance, and purity
+    is measured over the tagged population (a fully-untagged cluster
+    reports NULL for both). The report answers "what IS in this
+    corpus" before choosing mixture weights.
 
     Scale shape: assignment is the zero-shuffle Arrow matmul kernel;
     the only shuffles are map-side-combined group aggs whose wire rows
@@ -557,28 +560,40 @@ def cluster_corpus_map(
             F.count(F.lit(1)).alias("__cnt"),
             F.sum("__cos").alias("__sc"),
         )
-        # dominant = max count, ties -> min label (struct orders
-        # ascending, so negate the count; labels compare natively)
+        # dominant = max count among REAL tags, ties -> min label
+        # (struct orders ascending, so negate the count). Untagged rows
+        # (NULL label) count toward n_vecs/cohesion but never compete
+        # for dominance — a null label would sort before every real tag
+        # and "win" ties otherwise. Purity is measured over the TAGGED
+        # population; a fully-untagged cluster reports NULL for both.
+        tagged = F.col(label_col).isNotNull()
         pick = F.struct(
-            (-F.col("__cnt")).alias("nc"), F.col(label_col).alias("l")
+            F.when(tagged, -F.col("__cnt"))
+            .otherwise(F.lit(2**63 - 1))
+            .alias("nc"),
+            F.col(label_col).alias("l"),
         )
         per = (
             lab.groupBy("__cluster")
             .agg(
                 F.sum("__cnt").alias("n_vecs"),
                 F.round(F.sum("__sc") / F.sum("__cnt"), 6).alias("cohesion"),
-                F.min_by(F.col(label_col), pick).alias("dominant_label"),
-                F.max("__cnt").alias("__dom_cnt"),
+                F.min_by(
+                    F.when(tagged, F.col(label_col)), pick
+                ).alias("dominant_label"),
+                F.max(F.when(tagged, F.col("__cnt"))).alias("__dom_cnt"),
+                F.sum(F.when(tagged, F.col("__cnt"))).alias("__n_tagged"),
             )
             .withColumn(
                 "label_purity",
-                F.round(F.col("__dom_cnt") / F.col("n_vecs"), 6),
+                F.round(F.col("__dom_cnt") / F.col("__n_tagged"), 6),
             )
-            .drop("__dom_cnt")
+            .drop("__dom_cnt", "__n_tagged")
         )
-    total = per.agg(F.sum("n_vecs").alias("__total"))
+    from thundercats_spark.physical.util import with_grand_total
+
     return (
-        per.crossJoin(F.broadcast(total))
+        with_grand_total(per, "n_vecs", "__total")
         .withColumn("share", F.round(F.col("n_vecs") / F.col("__total"), 6))
         .drop("__total")
         .withColumnRenamed("__cluster", "cluster")
@@ -609,14 +624,15 @@ def cluster_share_drift(
     aggs, totals via broadcast cross-joins of 1-row re-aggregates, one
     k-row outer join."""
 
+    from thundercats_spark.physical.util import with_grand_total
+
     def shares(df: DataFrame, n_name: str, s_name: str) -> DataFrame:
         per = (
             ivf_assign(df, centroids, vec_col)
             .groupBy("__cluster")
             .agg(F.count(F.lit(1)).alias(n_name))
         )
-        total = per.agg(F.sum(n_name).alias("__t"))
-        return per.crossJoin(F.broadcast(total)).select(
+        return with_grand_total(per, n_name, "__t").select(
             "__cluster",
             n_name,
             (F.col(n_name) / F.col("__t")).alias(s_name),

@@ -66,6 +66,12 @@ def key_skew_report(
         raise ValueError("keys must be non-empty")
     if top <= 0:
         raise ValueError(f"top must be positive, got {top}")
+    reserved = {"n", "share", "suggested_salt"} & set(keys)
+    if reserved:
+        raise ValueError(
+            f"key column(s) {sorted(reserved)} collide with the report's "
+            "output columns (n/share/suggested_salt) — rename them first"
+        )
     p = int(
         n_partitions
         if n_partitions is not None
@@ -73,16 +79,17 @@ def key_skew_report(
     )
     if p <= 0:
         raise ValueError(f"n_partitions must be positive, got {p}")
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-    total = counts.agg(F.sum("n").alias("__total"))
+    from thundercats_spark.physical.util import with_grand_total
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
     return (
-        counts.crossJoin(F.broadcast(total))
+        with_grand_total(counts, "__n", "__total")
         .select(
             *keys,
-            "n",
-            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.col("__n").alias("n"),
+            F.round(F.col("__n") / F.col("__total"), 6).alias("share"),
             # ceil(n*P/total) = (n*P + total - 1) DIV total, exactly in longs
-            F.expr(f"(n * {p} + __total - 1) DIV __total").alias(
+            F.expr(f"(__n * {p} + __total - 1) DIV __total").alias(
                 "suggested_salt"
             ),
         )

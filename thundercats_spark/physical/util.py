@@ -36,6 +36,19 @@ def epoch_us(col) -> F.Column:
     return F.unix_micros(F.to_timestamp_ltz(c))
 
 
+def with_grand_total(df: DataFrame, count_col: str, total_col: str) -> DataFrame:
+    """Attach the grand total of ``count_col`` to every row as
+    ``total_col`` — via a broadcast cross-join of the 1-row
+    re-aggregate, NEVER a no-partition window (which would pull the
+    whole frame onto one sort partition; ``df`` here is often a
+    per-key counts frame that can be wide at high key cardinality).
+    The shared implementation of the share-denominator pattern used by
+    the report operators; callers derive shares/ratios from
+    ``count_col / total_col`` in whatever type/rounding they need."""
+    total = df.agg(F.sum(count_col).alias(total_col))
+    return df.crossJoin(F.broadcast(total))
+
+
 def sum_of_sqr_diff(df: DataFrame, col_a: str, col_b: str) -> float:
     """Σ (a-b)² over the frame (Util.scala:42) — one agg pass."""
     d = F.col(col_a).cast("double") - F.col(col_b).cast("double")

@@ -640,7 +640,11 @@ def ann_lsh_quantized_q(spark, sf_dir):
 
 PACKING_EFF_SQL = r"""
 WITH t AS (
-  SELECT len(regexp_split_to_array(TRIM(text), '\s+')) AS t FROM documents
+  -- blank-doc guard (repo convention, see CLASSIFIER_SCORE_SQL):
+  -- DuckDB splits '' into [''] (1 token) where Spark counts 0
+  SELECT CASE WHEN TRIM(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS t
+  FROM documents
 ), e AS (
   SELECT t.t, L.seq_len
   FROM t CROSS JOIN (VALUES (512), (1024), (2048), (4096)) AS L(seq_len)
