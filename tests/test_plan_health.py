@@ -38,6 +38,7 @@ PY_EVAL_OK = {
     "corpus_tokenizer_fertility",  # same bpe_encode kernel
     "corpus_embedding_clusters",  # Arrow argmax+cos assign kernel (ivf_assign)
     "embedding_cluster_drift",  # same assign kernel, both snapshots
+    "corpus_cluster_exemplars",  # same assign kernel + per-cluster window
 }
 
 

@@ -1036,3 +1036,24 @@ def test_cluster_corpus_map_null_labels_never_dominate(spark):
     assert out[0]["n_vecs"] == 2  # untagged still counted
     assert out[1]["dominant_label"] is None
     assert out[1]["label_purity"] is None
+
+
+def test_cluster_exemplars_hand_built(spark):
+    # cluster 0: cos to centroid orders 1 > 2 > 3; id 4 alone in c1
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.1]), (3, [1.0, 0.3]),
+            (4, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = similarity.cluster_exemplars(df, cents, k=2).collect()
+    got = [(r["cluster"], r["rank"], r["vec_id"]) for r in out]
+    assert got == [(0, 1, 1), (0, 2, 2), (1, 1, 4)]
+    assert abs(out[0]["centroid_cos"] - 1.0) < 1e-6
+    # ties broken by min id: two identical vectors
+    tie = spark.createDataFrame(
+        [(9, [1.0, 0.0]), (5, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    t = similarity.cluster_exemplars(tie, cents, k=1).collect()
+    assert [(r["rank"], r["vec_id"]) for r in t] == [(1, 5)]
+    with pytest.raises(ValueError, match="positive"):
+        similarity.cluster_exemplars(df, cents, k=0)

@@ -721,3 +721,23 @@ def embedding_cluster_drift_q(spark, sf_dir):
     new = e.where(F.col("vec_id") % 2 == 1)
     cents = ivf_train(old, n_clusters=8)
     return cluster_share_drift(old, new, cents)
+
+
+# --------------------------------------------------------------------------
+# Cluster exemplars: the k most central vectors per discovered domain
+# (similarity.py cluster_exemplars) — what a human reads to NAME the
+# clusters the corpus map found. Rows-only (k-means); exemplar
+# selection is pytest-pinned on hand-built clusters.
+# --------------------------------------------------------------------------
+
+
+@register("corpus_cluster_exemplars", None)
+def corpus_cluster_exemplars_q(spark, sf_dir):
+    from thundercats_spark.operators.similarity import (
+        cluster_exemplars,
+        ivf_train,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = ivf_train(e, n_clusters=8)
+    return cluster_exemplars(e, cents, k=3)
