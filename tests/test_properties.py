@@ -450,3 +450,67 @@ def test_zorder_expr_matches_python_model(spark, case):
     ]
     zs = [model(r) for r in probe]
     assert all(z >= zs[0] for z in zs[1:])
+
+
+@given(
+    st.lists(st.integers(0, 300), min_size=1, max_size=40),
+    st.lists(st.integers(1, 64), min_size=1, max_size=4, unique=True),
+)
+@settings(**SETTINGS)
+def test_packing_efficiency_matches_model(spark, toks, lens):
+    import math
+
+    from thundercats_spark.operators.curation import packing_efficiency_report
+
+    df = spark.createDataFrame([(t,) for t in toks], "t long")
+    got = {
+        r["seq_len"]: r
+        for r in packing_efficiency_report(
+            df, seq_lens=lens, token_col=F.col("t")
+        ).collect()
+    }
+    assert set(got) == set(lens)
+    for L in lens:
+        full = sum(t // L for t in toks)
+        rem = sum(t % L for t in toks)
+        nrem = sum(1 for t in toks if t % L)
+        r = got[L]
+        assert r["n_docs"] == len(toks) and r["total_tokens"] == sum(toks)
+        assert r["full_chunks"] == full and r["remainder_tokens"] == rem
+        assert r["n_remainders"] == nrem
+        assert r["min_seqs"] == full + math.ceil(rem / L)
+        assert r["max_seqs"] == full + nrem
+        for col, seqs in (("min_padding_frac", r["min_seqs"]),
+                          ("max_padding_frac", r["max_seqs"])):
+            want = 0.0 if seqs == 0 else round(1 - sum(toks) / (seqs * L), 6)
+            assert abs(r[col] - want) < 1e-9, (L, col)
+
+
+@given(
+    st.lists(st.tuples(st.integers(1, 5), st.integers(1, 30)),
+             min_size=1, max_size=8),
+    st.integers(1, 64),
+)
+@settings(**SETTINGS)
+def test_key_skew_matches_model(spark, dist, p):
+    import math
+
+    from thundercats_spark.operators.skew import key_skew_report
+
+    # dist: (key, count) pairs; duplicate keys merge in the model
+    model = {}
+    for k, c in dist:
+        model[k] = model.get(k, 0) + c
+    rows = [(k,) for k, c in model.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "k int")
+    total = sum(model.values())
+    got = key_skew_report(df, ["k"], n_partitions=p, top=1000).collect()
+    assert len(got) == len(model)
+    # ordered by n desc then key asc
+    order = [(-r["n"], r["k"]) for r in got]
+    assert order == sorted(order)
+    for r in got:
+        n = model[r["k"]]
+        assert r["n"] == n
+        assert abs(r["share"] - round(n / total, 6)) < 1e-9
+        assert r["suggested_salt"] == math.ceil(n * p / total)

@@ -1057,3 +1057,9 @@ def test_cluster_exemplars_hand_built(spark):
     assert [(r["rank"], r["vec_id"]) for r in t] == [(1, 5)]
     with pytest.raises(ValueError, match="positive"):
         similarity.cluster_exemplars(df, cents, k=0)
+
+
+def test_ivf_train_empty_input_fails_loudly(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no rows"):
+        similarity.ivf_train(empty, n_clusters=4)

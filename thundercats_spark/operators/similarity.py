@@ -425,6 +425,10 @@ def ivf_train(
         .limit(n_clusters)
         .collect()
     )
+    if not init:
+        raise ValueError(
+            "ivf_train: no rows to train on (empty input frame)"
+        )
     centroids = np.array([list(r[vec_col]) for r in init], dtype=np.float64)
     centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     if recenter == "auto":
