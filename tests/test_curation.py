@@ -786,3 +786,47 @@ def test_packing_efficiency_report_hand_computed(spark):
         packing_efficiency_report(docs, seq_lens=[])
     with pytest.raises(ValueError, match="positive"):
         packing_efficiency_report(docs, seq_lens=[0])
+
+
+def test_assign_balanced_shards_equal_weights(spark):
+    from thundercats_spark.operators.curation import assign_balanced_shards
+
+    df = spark.createDataFrame([(i, 1) for i in range(80)], "doc_id long, w int")
+    out = assign_balanced_shards(df, 8, "w").collect()
+    sizes = {}
+    for r in out:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    # unit weights, k | n -> perfectly equal shards
+    assert sizes == {i: 10 for i in range(8)}
+    # deterministic across invocations
+    again = {
+        r["doc_id"]: r["shard"]
+        for r in assign_balanced_shards(df, 8, "w").collect()
+    }
+    assert again == {r["doc_id"]: r["shard"] for r in out}
+
+
+def test_assign_balanced_shards_mass_balance_and_bounds(spark):
+    from thundercats_spark.operators.curation import assign_balanced_shards
+
+    # skewed weights incl. zeros and one giant
+    rows = [(i, (i * 13) % 29) for i in range(300)] + [(1000, 500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = assign_balanced_shards(df, 4, "w").collect()
+    total = sum(w for _, w in rows)
+    mass = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        mass[r["shard"]] = mass.get(r["shard"], 0) + r["w"]
+    assert len(out) == len(rows)
+    ideal = total / 4
+    maxw = 500
+    # each contiguous cut deviates from ideal by < max row weight
+    assert all(abs(m - ideal) < maxw + 1 for m in mass.values()), mass
+    # all-zero weights: everything lands in shard 0, no div-by-zero
+    z = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, w long")
+    zo = assign_balanced_shards(z, 4, "w").collect()
+    assert all(r["shard"] == 0 for r in zo)
+
+    with pytest.raises(ValueError, match="positive"):
+        assign_balanced_shards(df, 0, "w")

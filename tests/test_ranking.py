@@ -160,3 +160,53 @@ def test_ntile_from_rn_exact_beyond_double_resolution(spark):
         ).collect()
     }
     assert got == {p: expect(p) for p in probes}
+
+
+def test_global_running_sum_matches_window(spark):
+    from pyspark.sql import Window
+
+    from thundercats_spark.operators.ranking import global_running_sum
+
+    rows = [(i, (i * 37) % 101, (i * 7) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k long, w long").repartition(7)
+    got = {
+        r["id"]: (r["cum_sum"], r["t"])
+        for r in global_running_sum(
+            df, ["k", "id"], "w", total_col="t", n_partitions=5
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: r["c"]
+        for r in df.withColumn("c", F.sum("w").over(w)).collect()
+    }
+    total = sum(r[2] for r in rows)
+    assert got.keys() == want.keys()
+    for i in want:
+        assert got[i] == (want[i], total), i
+
+
+def test_global_running_sum_guards_and_edges(spark):
+    from thundercats_spark.operators.ranking import global_running_sum
+
+    empty = spark.createDataFrame([], "id long, w long")
+    out = global_running_sum(empty, ["id"], "w", total_col="t")
+    assert out.count() == 0
+    withnull = spark.createDataFrame([(1, None)], "id long, w long")
+    with pytest.raises(ValueError, match="NULL"):
+        global_running_sum(withnull, ["id"], "w").collect()
+    # fractional weights: double accumulation, approx vs sequential
+    frac = spark.createDataFrame(
+        [(i, 0.1 * (i % 5)) for i in range(50)], "id long, w double"
+    )
+    got = {
+        r["id"]: r["cum_sum"]
+        for r in global_running_sum(frac, ["id"], "w", n_partitions=4).collect()
+    }
+    acc, want = 0.0, {}
+    for i in range(50):
+        acc += 0.1 * (i % 5)
+        want[i] = acc
+    assert all(abs(got[i] - want[i]) < 1e-9 for i in want)

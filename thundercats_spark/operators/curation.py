@@ -673,6 +673,69 @@ def packing_efficiency_report(
     )
 
 
+def assign_balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    weight: Column | str,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+    key: Column | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every row a training-shard id in ``[0, n_shards)`` such
+    that shards carry near-equal WEIGHT (token mass, bytes), not equal
+    row counts — the step before writing shard files that equal-sized
+    readers consume in lockstep (a row-count split leaves the shard
+    that drew the long documents still running while the others idle).
+    Rows are placed along a deterministic pseudo-random order (md5 of
+    the id by default — engine-portable and reproducible; override
+    ``key`` to shard along time or any other axis) and cut at exact
+    total/n_shards mass boundaries: shard = floor(mass_before_row x
+    n_shards / total), so a row lands in the shard where its first
+    token falls. |shard size - ideal| < max row weight, the best any
+    contiguous cut can do.
+
+    Scale shape: rides ``global_running_sum`` (boundary-literal
+    buckets, partitioned cumulative window, driver prefix offsets —
+    never a single-partition sort); the shard id is then a pure
+    integer expression (exact via ``_idiv`` for integral weights;
+    ``(total - w) * n_shards`` must fit a long — fine through ~1e14
+    tokens x 10k shards). All-zero total puts every row in shard 0
+    rather than dividing by zero."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from thundercats_spark.operators.ranking import (
+        _idiv,
+        global_running_sum,
+    )
+
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    ordkey = (
+        key
+        if key is not None
+        else F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":shards")))
+    )
+    staged = df.withColumn("__ord", ordkey).withColumn(
+        "__w", wcol.cast("long")
+    )
+    cum = global_running_sum(
+        staged,
+        ["__ord", id_col],
+        "__w",
+        out_col="__cum",
+        total_col="__tot",
+        n_partitions=n_partitions,
+    )
+    klit = F.lit(int(n_shards)).cast("long")
+    shard = F.least(
+        klit - 1, _idiv((F.col("__cum") - F.col("__w")) * klit, F.col("__tot"))
+    )
+    return cum.withColumn(
+        out_col,
+        F.when(F.col("__tot") > 0, shard).otherwise(F.lit(0)).cast("int"),
+    ).drop("__ord", "__w", "__cum", "__tot")
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int,

@@ -177,8 +177,8 @@ _VERIFIED_R05 = {
 # containing it. Append future rounds' sets here.
 #
 # Coverage period: the driver window checks ~50 entries per round, so
-# at 130 registered queries every entry gets a driver row at least
-# every ceil(130/50) = 3 rounds (never-verified entries always lead).
+# at 131 registered queries every entry gets a driver row at least
+# every ceil(131/50) = 3 rounds (never-verified entries always lead).
 # Between driver windows, EVERY query still runs each round in pytest
 # (schema/determinism) and tools/verify_oracle.py (full value parity —
 # re-run in full each round; r06: 114 exact + 16 rows-only, 0 fail).

@@ -741,3 +741,51 @@ def corpus_cluster_exemplars_q(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     cents = ivf_train(e, n_clusters=8)
     return cluster_exemplars(e, cents, k=3)
+
+
+# --------------------------------------------------------------------------
+# Balanced training shards (operators/curation.py
+# assign_balanced_shards over ranking.global_running_sum): every doc
+# placed along the engine-portable md5 order, cut at exact
+# total/n_shards token-mass boundaries. The report aggregates to
+# (shard, n_docs, tokens) so the oracle checks both the assignment and
+# the balance. Integer-exact end-to-end (long weights, _idiv).
+# --------------------------------------------------------------------------
+
+BALANCED_SHARDS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS w,
+         md5(CAST(doc_id AS VARCHAR) || ':shards') AS ord
+  FROM documents
+), c AS (
+  SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER () AS total
+  FROM t
+), s AS (
+  SELECT CAST(LEAST(7, ((cum - w) * 8) // total) AS INT) AS shard, w FROM c
+)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS tokens
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+
+@register("corpus_balanced_shards", BALANCED_SHARDS_SQL)
+def corpus_balanced_shards_q(spark, sf_dir):
+    from thundercats_spark.functions.text_analysis import token_count
+    from thundercats_spark.operators.curation import assign_balanced_shards
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    out = assign_balanced_shards(
+        d.select("doc_id", token_count(F.col("text")).alias("w")), 8, "w"
+    )
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").cast("long").alias("tokens"),
+        )
+        .orderBy("shard")
+    )
