@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     # in the shared scan/agg path shows up here first
     "orders_key_skew",
     "corpus_packing_efficiency",
+    # balanced shard assignment: three bounded passes + partitioned
+    # cumulative window over the (id, weight) projection
+    "corpus_balanced_shards",
 ]
 
 

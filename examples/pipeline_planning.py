@@ -14,6 +14,9 @@ cheaply up front, instead of a guess discovered expensively mid-run:
                        purity (the input to mixture weighting)
   5. snapshot drift  — cluster-share deltas of a new crawl vs the
                        reference snapshot, against FROZEN centroids
+  6. shard plan      — cut the corpus into shards of near-equal TOKEN
+                       mass (not row count) so equal-sized training
+                       readers finish together
 
 Each report is one map-side-combined aggregation or one zero-shuffle
 Arrow kernel over the scan — the whole planning phase costs about one
@@ -97,6 +100,27 @@ def main():
     tvd = 0.5 * float(drift["delta"].abs().sum())
     print(f"total variation distance: {tvd:.4f} -> "
           f"{'investigate before appending' if tvd > 0.1 else 'shapes match'}")
+
+    # 6. balanced shards: equal token MASS per shard, deterministic.
+    # The per-shard masses differ by less than one max-doc weight.
+    print("== balanced shards (8, by token mass) ==")
+    from thundercats_spark.functions.text_analysis import token_count
+    from thundercats_spark.operators.curation import assign_balanced_shards
+
+    shards = (
+        assign_balanced_shards(
+            docs.select("doc_id", token_count(F.col("text")).alias("w")),
+            8, "w",
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("w").alias("tokens"))
+        .orderBy("shard")
+        .toPandas()
+    )
+    print(shards.to_string(index=False))
+    spread = int(shards["tokens"].max() - shards["tokens"].min())
+    print(f"token-mass spread across shards: {spread} "
+          f"(< one max-document weight by construction)")
 
 
 if __name__ == "__main__":

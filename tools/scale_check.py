@@ -639,7 +639,29 @@ def main():
     t0 = time.time()
     cmap = cluster_corpus_map(emb_x, n_clusters=16).collect()
     cmap_secs = round(time.time() - t0, 3)
+
+    # balanced shards: three passes over the (doc_id, weight) projection
+    # (count+nullcheck, boundary sample, bucket sums) + the assignment —
+    # linear in rows, never a single-partition sort
+    from thundercats_spark.functions.text_analysis import token_count
+    from thundercats_spark.operators.curation import assign_balanced_shards
+
+    t0 = time.time()
+    sh = assign_balanced_shards(
+        d.select("doc_id", token_count(F.col("text")).alias("w")), 64, "w"
+    )
+    masses = [
+        r["m"]
+        for r in sh.groupBy("shard").agg(F.sum("w").alias("m")).collect()
+    ]
+    shards_secs = round(time.time() - t0, 3)
+    shard_imbalance = round(
+        (max(masses) - min(masses)) / (sum(masses) / len(masses)), 4
+    )
+
     out["r06_reports"] = {
+        "balanced_shards_secs": shards_secs,
+        "balanced_shards_imbalance": shard_imbalance,
         "n_docs": n_docs,
         "packing_efficiency_secs": packing_secs,
         "dedup_lineage_secs": lineage_secs,
