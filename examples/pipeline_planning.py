@@ -120,7 +120,8 @@ def main():
     print(shards.to_string(index=False))
     spread = int(shards["tokens"].max() - shards["tokens"].min())
     print(f"token-mass spread across shards: {spread} "
-          f"(< one max-document weight by construction)")
+          f"(each shard within one max-document weight of ideal, so the "
+          f"max-min spread is bounded by twice that)")
 
 
 if __name__ == "__main__":

@@ -830,3 +830,14 @@ def test_assign_balanced_shards_mass_balance_and_bounds(spark):
 
     with pytest.raises(ValueError, match="positive"):
         assign_balanced_shards(df, 0, "w")
+
+
+def test_assign_balanced_shards_rejects_bad_weights(spark):
+    from thundercats_spark.operators.curation import assign_balanced_shards
+
+    frac = spark.createDataFrame([(1, 0.9), (2, 0.8)], "doc_id long, w double")
+    with pytest.raises(ValueError, match="integral"):
+        assign_balanced_shards(frac, 4, "w")
+    neg = spark.createDataFrame([(1, 5), (2, -3)], "doc_id long, w long")
+    with pytest.raises(ValueError, match="negative"):
+        assign_balanced_shards(neg, 4, "w")

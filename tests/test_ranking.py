@@ -210,3 +210,34 @@ def test_global_running_sum_guards_and_edges(spark):
         acc += 0.1 * (i % 5)
         want[i] = acc
     assert all(abs(got[i] - want[i]) < 1e-9 for i in want)
+
+
+def test_ranking_ops_respect_caller_cache(spark):
+    from thundercats_spark.operators.ranking import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(40)], "id long, w long")
+    df = df.persist()
+    try:
+        df.count()
+        assert df.is_cached
+        global_row_number(df, ["id"]).collect()
+        assert df.is_cached, "global_row_number dropped the caller's cache"
+        global_running_sum(df, ["id"], "w").collect()
+        assert df.is_cached, "global_running_sum dropped the caller's cache"
+    finally:
+        df.unpersist()
+
+
+def test_global_running_sum_non_negative_guard(spark):
+    from thundercats_spark.operators.ranking import global_running_sum
+
+    df = spark.createDataFrame([(1, 5), (2, -1)], "id long, w long")
+    # default: negatives allowed (a running delta is a legitimate use)
+    out = {r["id"]: r["cum_sum"] for r in
+           global_running_sum(df, ["id"], "w").collect()}
+    assert out == {1: 5, 2: 4}
+    with pytest.raises(ValueError, match="negative"):
+        global_running_sum(df, ["id"], "w", non_negative=True).collect()

@@ -709,7 +709,19 @@ def assign_balanced_shards(
         global_running_sum,
     )
 
+    from pyspark.sql import types as T
+
     wcol = F.col(weight) if isinstance(weight, str) else weight
+    wtype = df.select(wcol.alias("__w")).schema["__w"].dataType
+    if not isinstance(
+        wtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"weight must be an integral column (got {wtype.simpleString()})"
+            " — the mass arithmetic is integer-exact by contract; scale "
+            "fractional weights to integer units (e.g. bytes, tokens, "
+            "milli-scores) upstream"
+        )
     ordkey = (
         key
         if key is not None
@@ -725,6 +737,7 @@ def assign_balanced_shards(
         out_col="__cum",
         total_col="__tot",
         n_partitions=n_partitions,
+        non_negative=True,
     )
     klit = F.lit(int(n_shards)).cast("long")
     shard = F.least(

@@ -85,11 +85,13 @@ def _count_and_check_nulls(
     df: DataFrame,
     key_cols: Sequence[str],
     group_cols: Sequence[str] | None = None,
+    non_negative_col: str | None = None,
 ) -> int | tuple[int, int]:
     """One agg: total row count + loud rejection of NULL ranking keys
-    (+ the distinct-group count when ``group_cols`` is given — folded
-    into the same pass so the guard costs no extra job). A NULL key
-    would silently vanish through the offset equi-joins (and break the
+    (+ the distinct-group count when ``group_cols`` is given, + a
+    negative-value rejection for ``non_negative_col`` — all folded into
+    the same pass so the guards cost no extra job). A NULL key would
+    silently vanish through the offset equi-joins (and break the
     driver-side boundary sort), so it is an error here — the window
     formulations treat NULL as an ordinary value, this operator does
     not. Filter or impute upstream."""
@@ -102,6 +104,8 @@ def _count_and_check_nulls(
         aggs.append(
             F.count_distinct(*[F.col(c) for c in group_cols]).alias("g")
         )
+    if non_negative_col is not None:
+        aggs.append(F.min(non_negative_col).alias("mn"))
     row = df.agg(*aggs).first()
     if row["k"]:
         raise ValueError(
@@ -109,7 +113,24 @@ def _count_and_check_nulls(
             f"{list(key_cols)}; distributed ranking requires non-null "
             "keys (filter or impute upstream)"
         )
+    if non_negative_col is not None and row["n"] and row["mn"] < 0:
+        raise ValueError(
+            f"column {non_negative_col!r} has negative values "
+            f"(min={row['mn']}); this operator requires non-negative "
+            "weights (filter or clamp upstream)"
+        )
     return row["n"] if group_cols is None else (row["n"], row["g"])
+
+
+def _persist_if_uncached(df: DataFrame) -> tuple[DataFrame, bool]:
+    """Persist for the internal multi-pass phase UNLESS the caller
+    already cached this frame (following the docstring advice to
+    pre-persist) — unpersisting a caller-owned cache in the finally
+    block would silently destroy it and force the upstream plan to
+    recompute everywhere. Returns (frame, we_own_the_persist)."""
+    if df.is_cached:
+        return df, False
+    return df.persist(), True
 
 
 def global_row_number(
@@ -131,7 +152,7 @@ def global_row_number(
     it once. Output row order is unspecified (sort at the edge)."""
     spark = df.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
-    df = df.persist()
+    df, own_cache = _persist_if_uncached(df)
     try:
         total = _count_and_check_nulls(df, order_cols)
         if total == 0:
@@ -162,7 +183,8 @@ def global_row_number(
             out = out.withColumn(total_col, F.lit(total).cast("long"))
         return out
     finally:
-        df.unpersist()
+        if own_cache:
+            df.unpersist()
 
 
 def global_running_sum(
@@ -172,9 +194,13 @@ def global_running_sum(
     out_col: str = "cum_sum",
     total_col: str | None = None,
     n_partitions: int | None = None,
+    non_negative: bool = False,
 ) -> DataFrame:
     """Exact global running sum of ``weight_col`` by ``order_cols``
-    (a total order over non-null keys — NULL keys OR weights raise)
+    (a total order over non-null keys — NULL keys OR weights raise;
+    ``non_negative=True`` additionally rejects negative weights in the
+    same counting pass, for consumers whose downstream arithmetic
+    assumes a monotone cumulative mass)
     without a single-partition sort — the cumulative-mass twin of
     ``global_row_number`` and the primitive under balanced-shard
     assignment and token-budget cuts. Same three-pass shape: boundary
@@ -199,9 +225,13 @@ def global_running_sum(
         wtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     )
     acc_type = "long" if integral else "double"
-    df = df.persist()
+    df, own_cache = _persist_if_uncached(df)
     try:
-        total_rows = _count_and_check_nulls(df, [*order_cols, weight_col])
+        total_rows = _count_and_check_nulls(
+            df,
+            [*order_cols, weight_col],
+            non_negative_col=weight_col if non_negative else None,
+        )
         if total_rows == 0:
             out = df.withColumn(out_col, F.lit(None).cast(acc_type))
             if total_col is not None:
@@ -240,7 +270,8 @@ def global_running_sum(
             out = out.withColumn(total_col, F.lit(acc).cast(acc_type))
         return out
     finally:
-        df.unpersist()
+        if own_cache:
+            df.unpersist()
 
 
 def grouped_row_number(
@@ -272,7 +303,7 @@ def grouped_row_number(
     spark = df.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
     keys = [*group_cols, *order_cols]
-    df = df.persist()
+    df, own_cache = _persist_if_uncached(df)
     try:
         total, n_groups = _count_and_check_nulls(df, keys, group_cols)
         if n_groups > max_groups:
@@ -333,7 +364,8 @@ def grouped_row_number(
             )
         return out
     finally:
-        df.unpersist()
+        if own_cache:
+            df.unpersist()
 
 
 def _idiv(a, b):
