@@ -489,3 +489,36 @@ def test_bucketed_write_reclaims_orphaned_warehouse_dir(spark):
         assert spark.table(name).count() == 10
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_parquet_balanced_shards_write(spark, tmp_path):
+    from thundercats_spark.physical.io import Write
+
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 29 + 1) for i in range(120)], "doc_id long, w long"
+    )
+    dest = str(tmp_path / "shards")
+    r = Write.parquet_balanced_shards(df, dest, 6, "w", overwrite=True)
+    assert not r.is_failing, r.get_error()
+    back = spark.read.parquet(dest)
+    assert back.count() == 120
+    masses = {
+        row["shard"]: row["m"]
+        for row in back.groupBy("shard").agg(F.sum("w").alias("m")).collect()
+    }
+    assert set(masses) == set(range(6))
+    total = sum(masses.values())
+    ideal = total / 6
+    assert all(abs(m - ideal) < 29 + 1 for m in masses.values()), masses
+    # deterministic: a rewrite yields the same membership
+    dest2 = str(tmp_path / "shards2")
+    Write.parquet_balanced_shards(df, dest2, 6, "w", overwrite=True)
+    a = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    b = {
+        (r["doc_id"], r["shard"])
+        for r in spark.read.parquet(dest2).select("doc_id", "shard").collect()
+    }
+    assert a == b
+    # error mode surfaces as MayFail, not an exception
+    r2 = Write.parquet_balanced_shards(df, dest, 6, "w")
+    assert r2.is_failing

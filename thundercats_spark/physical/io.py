@@ -836,6 +836,46 @@ class Write:
         return MayFail.of(run)
 
     @staticmethod
+    def parquet_balanced_shards(
+        df: DataFrame,
+        path: str,
+        n_shards: int,
+        weight,
+        id_col: str = "doc_id",
+        overwrite: bool = False,
+        key=None,
+    ) -> MayFail[DataFrame]:
+        """Materialize a training corpus as ``shard=N`` parquet
+        directories of near-equal WEIGHT (token mass, bytes) via
+        ``operators.curation.assign_balanced_shards`` — the write step
+        after the shard plan: equal-mass shard files let lockstep
+        training readers finish together instead of idling behind the
+        shard that drew the long documents. Deterministic (the md5
+        placement order), so re-runs produce identical shard
+        membership. One extra shuffle on the 4-byte shard id
+        repartitions rows so each shard directory is written by its
+        own task set; integral-weight and non-negativity guards are
+        enforced by the assignment operator."""
+
+        def run():
+            from thundercats_spark.operators.curation import (
+                assign_balanced_shards,
+            )
+
+            sharded = assign_balanced_shards(
+                df, n_shards, weight, id_col=id_col, key=key
+            )
+            (
+                sharded.repartition(n_shards, F.col("shard"))
+                .write.mode("overwrite" if overwrite else "error")
+                .partitionBy("shard")
+                .parquet(path)
+            )
+            return df
+
+        return MayFail.of(run)
+
+    @staticmethod
     def compact_parquet(
         spark: SparkSession, path: str, target_files: int | None = None
     ) -> MayFail[DataFrame]:
