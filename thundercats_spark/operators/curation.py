@@ -29,10 +29,11 @@ from thundercats_spark.functions.text_analysis import word_ngrams
 def source_mix(df: DataFrame, source_col: str = "source") -> DataFrame:
     """Per-source row count and fraction of corpus (exact int counts;
     fraction = count/total in double)."""
+    from thundercats_spark.physical.util import with_grand_total
+
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    total = counts.agg(F.sum("n_docs").alias("total"))
     return (
-        counts.crossJoin(F.broadcast(total))
+        with_grand_total(counts, "n_docs", "total")
         .select(
             source_col,
             "n_docs",
