@@ -241,3 +241,37 @@ def test_global_running_sum_non_negative_guard(spark):
     assert out == {1: 5, 2: 4}
     with pytest.raises(ValueError, match="negative"):
         global_running_sum(df, ["id"], "w", non_negative=True).collect()
+
+
+def test_exact_percentiles_matches_numpy_and_spark(spark):
+    import numpy as np
+
+    from thundercats_spark.operators.ranking import exact_percentiles
+
+    vals = [((i * 37) % 101) * 1.5 for i in range(500)] + [None, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {r["p"]: r["value"] for r in
+           exact_percentiles(df, "x", ps, n_partitions=6).collect()}
+    clean = np.array([v for v in vals if v is not None])
+    for p in ps:
+        want = float(np.percentile(clean, p * 100, method="linear"))
+        assert abs(got[p] - want) < 1e-9, p
+    # matches Spark's own exact percentile aggregate too
+    sp = df.agg(F.expr("percentile(x, array(0.25, 0.5, 0.99))")).first()[0]
+    for p, w in zip((0.25, 0.5, 0.99), sp):
+        assert abs(got[p] - w) < 1e-9
+
+
+def test_exact_percentiles_edges(spark):
+    from thundercats_spark.operators.ranking import exact_percentiles
+
+    empty = spark.createDataFrame([(None,)], "x double")
+    assert exact_percentiles(empty, "x", [0.5]).count() == 0
+    one = spark.createDataFrame([(42.0,)], "x double")
+    r = exact_percentiles(one, "x", [0.0, 0.5, 1.0]).collect()
+    assert all(row["value"] == 42.0 for row in r)
+    with pytest.raises(ValueError, match="non-empty"):
+        exact_percentiles(one, "x", [])
+    with pytest.raises(ValueError, match="0, 1"):
+        exact_percentiles(one, "x", [1.5])

@@ -368,6 +368,65 @@ def grouped_row_number(
             df.unpersist()
 
 
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    ps: Sequence[float],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT interpolated percentiles (SQL ``percentile_cont``
+    semantics: linear interpolation at ``h = (n-1)p``) computed
+    distributed — the scale path where Spark's exact ``percentile``
+    aggregate buffers every value of the group in one reducer's memory
+    and approx_percentile trades away exactness. Rides
+    ``global_row_number`` over the value order (boundary-literal
+    buckets, partitioned windows — never a single-partition sort),
+    then fetches ONLY the <= 2|ps| boundary-rank rows and interpolates
+    driver-side (a bounded collect). NULL values are ignored, matching
+    both engines' aggregate semantics; ties need no tie-break because
+    the sorted multiset's k-th value is unique regardless of how equal
+    values are ordered among themselves. Returns a small frame
+    ``(p, value)`` ordered by p (empty when the input has no non-null
+    rows)."""
+    import math
+
+    spark = df.sparkSession
+    ps = [float(p) for p in ps]
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    if any(p < 0.0 or p > 1.0 for p in ps):
+        raise ValueError(f"percentiles must be in [0, 1], got {ps}")
+    vals = df.select(F.col(value_col).cast("double").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    rn = global_row_number(
+        vals, ["__v"], out_col="__rn", total_col="__n",
+        n_partitions=n_partitions,
+    )
+    first = rn.select("__n").first()
+    n = int(first["__n"]) if first is not None else 0
+    if n == 0:
+        return spark.createDataFrame([], "p double, value double")
+    ranks: set[int] = set()
+    plan = []
+    for p in ps:
+        h = (n - 1) * p
+        lo, hi = math.floor(h), math.ceil(h)
+        ranks.update((lo + 1, hi + 1))
+        plan.append((p, lo + 1, hi + 1, h - lo))
+    at = {
+        r["__rn"]: r["__v"]
+        for r in rn.where(F.col("__rn").isin(*sorted(ranks))).collect()
+    }
+    rows = [
+        (p, float(at[lo] + frac * (at[hi] - at[lo])))
+        for p, lo, hi, frac in plan
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "p double, value double"
+    )
+
+
 def _idiv(a, b):
     """Exact integer floor-division for non-negative long Columns.
     Plain ``/`` goes through double, which loses integer resolution

@@ -182,3 +182,32 @@ def orders_key_skew(spark, sf_dir):
 
     o = load(spark, sf_dir, "orders")["orders"]
     return key_skew_report(o, ["o_custkey"], n_partitions=32, top=20)
+
+
+# --------------------------------------------------------------------------
+# Distributed exact percentiles (operators/ranking.py
+# exact_percentiles): percentile_cont semantics without buffering the
+# whole column in one reducer (the cost of Spark's exact `percentile`
+# aggregate, see orders_value_percentiles) — rank the values through
+# the boundary-bucket machinery, fetch only the <=2|ps| boundary-rank
+# rows, interpolate driver-side. round(6) absorbs last-ulp float
+# divergence between the two engines' interpolation.
+# --------------------------------------------------------------------------
+
+EXACT_PCT_SQL = """
+SELECT p, ROUND(v, 6) AS value FROM (
+  SELECT 0.25 AS p, quantile_cont(o_totalprice, 0.25) AS v FROM orders
+  UNION ALL SELECT 0.5,  quantile_cont(o_totalprice, 0.5)  FROM orders
+  UNION ALL SELECT 0.9,  quantile_cont(o_totalprice, 0.9)  FROM orders
+  UNION ALL SELECT 0.99, quantile_cont(o_totalprice, 0.99) FROM orders
+) ORDER BY p
+"""
+
+
+@register("orders_percentiles_distributed", EXACT_PCT_SQL)
+def orders_percentiles_distributed(spark, sf_dir):
+    from thundercats_spark.operators.ranking import exact_percentiles
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    out = exact_percentiles(o, "o_totalprice", [0.25, 0.5, 0.9, 0.99])
+    return out.select("p", F.round("value", 6).alias("value")).orderBy("p")
