@@ -275,3 +275,54 @@ def test_exact_percentiles_edges(spark):
         exact_percentiles(one, "x", [])
     with pytest.raises(ValueError, match="0, 1"):
         exact_percentiles(one, "x", [1.5])
+
+
+def test_exact_percentiles_grouped_matches_spark_agg(spark):
+    from thundercats_spark.operators.ranking import exact_percentiles_grouped
+
+    rows = [("g%d" % (i % 3), ((i * 37) % 101) * 0.5) for i in range(400)]
+    rows += [("g0", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    ps = [0.25, 0.5, 0.99]
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in exact_percentiles_grouped(df, ["g"], "x", ps).collect()
+    }
+    want_rows = df.groupBy("g").agg(
+        F.expr("percentile(x, array(0.25, 0.5, 0.99))").alias("v")
+    ).collect()
+    assert len(got) == 9
+    for r in want_rows:
+        for p, w in zip(ps, r["v"]):
+            assert abs(got[(r["g"], p)] - w) < 1e-9, (r["g"], p)
+    # empty input -> empty frame with the right schema
+    empty = exact_percentiles_grouped(
+        df.where(F.lit(False)), ["g"], "x", ps
+    )
+    assert empty.count() == 0 and empty.columns == ["g", "p", "value"]
+
+
+def test_orders_value_percentiles_rewire_matches_legacy_agg(spark, sf_dir):
+    """The rewired registered query must return exactly what the
+    legacy single-reducer percentile() aggregate returned."""
+    from thundercats_spark.queries import all_queries
+
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["p50"], r["p90"], r["p99"])
+        for r in all_queries()["orders_value_percentiles"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    legacy = {
+        r["o_orderpriority"]: (r["n_orders"], r["p50"], r["p90"], r["p99"])
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+        )
+        .collect()
+    }
+    assert got == legacy

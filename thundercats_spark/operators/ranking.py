@@ -427,6 +427,91 @@ def exact_percentiles(
     )
 
 
+def exact_percentiles_grouped(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    ps: Sequence[float],
+    n_partitions: int | None = None,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Per-group twin of ``exact_percentiles`` for LOW-cardinality
+    groups whose members are too numerous for the per-group buffering
+    of Spark's exact ``percentile`` aggregate (which materializes each
+    group's entire value set in one reducer — the 100x-scale OOM in a
+    "percentiles by segment" report where every segment is a fat slice
+    of the table). Rides ``grouped_row_number``; the per-group
+    boundary ranks are computed driver-side from the group totals and
+    fetched via one broadcast semi-join (<= 2|ps| x groups rows
+    collected — bounded like the operator's other driver math, and
+    guarded by ``max_groups`` upstream). Returns a long-format frame
+    ``(group_cols..., p, value)``; pivot at the edge for wide
+    reports. NULL values are ignored per aggregate semantics."""
+    import math
+
+    spark = df.sparkSession
+    ps = [float(p) for p in ps]
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    if any(p < 0.0 or p > 1.0 for p in ps):
+        raise ValueError(f"percentiles must be in [0, 1], got {ps}")
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    gfields = df.select(*group_cols).schema.fields
+    out_schema = StructType(
+        [*gfields, StructField("p", DoubleType()),
+         StructField("value", DoubleType())]
+    )
+    vals = df.select(
+        *group_cols, F.col(value_col).cast("double").alias("__v")
+    ).where(F.col("__v").isNotNull())
+    rn = grouped_row_number(
+        vals, group_cols, ["__v"], out_col="__rn", total_col="__n",
+        n_partitions=n_partitions, max_groups=max_groups,
+    ).persist()
+    try:
+        totals = {
+            tuple(r[c] for c in group_cols): r["n"]
+            for r in rn.groupBy(*group_cols)
+            .agg(F.first("__n").alias("n"))
+            .collect()
+        }
+        if not totals:
+            return spark.createDataFrame([], out_schema)
+        plan: dict[tuple, list] = {}
+        need = []
+        for g, n in totals.items():
+            for p in ps:
+                h = (int(n) - 1) * p
+                lo, hi = math.floor(h), math.ceil(h)
+                plan.setdefault(g, []).append((p, lo + 1, hi + 1, h - lo))
+                need.append((*g, lo + 1))
+                need.append((*g, hi + 1))
+        need_df = spark.createDataFrame(
+            list(set(need)),
+            StructType([*gfields, StructField("__rn", LongType(), False)]),
+        )
+        at = {
+            (tuple(r[c] for c in group_cols), r["__rn"]): r["__v"]
+            for r in rn.join(
+                F.broadcast(need_df), [*group_cols, "__rn"], "left_semi"
+            ).collect()
+        }
+        rows = [
+            (*g, p, float(at[(g, lo)] + frac * (at[(g, hi)] - at[(g, lo)])))
+            for g, items in plan.items()
+            for p, lo, hi, frac in items
+        ]
+        return spark.createDataFrame(sorted(rows), out_schema)
+    finally:
+        rn.unpersist()
+
+
 def _idiv(a, b):
     """Exact integer floor-division for non-negative long Columns.
     Plain ``/`` goes through double, which loses integer resolution

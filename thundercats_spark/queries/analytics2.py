@@ -423,10 +423,16 @@ def events_retention_cohorts(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Exact interpolated percentiles per group (Spark `percentile`, DuckDB
-# `quantile_cont` — same linear interpolation; round(6) absorbs the
-# last-ulp float divergence). The scale path for approximate needs is
-# functions/profiling's sketch quantiles; this is the exact oracle.
+# Exact interpolated percentiles per group (DuckDB `quantile_cont` —
+# linear interpolation; round(6) absorbs the last-ulp float
+# divergence). r06: rewired onto the distributed ranking path
+# (ranking.exact_percentiles_grouped) — the previous `percentile(...)`
+# aggregate buffers each group's ENTIRE value set in one reducer,
+# which is the OOM at 100x when every priority is a fat slice of the
+# table; the distributed formulation ranks through boundary-literal
+# buckets and fetches only the boundary-rank rows (equality with the
+# aggregate pinned in tests/test_ranking.py). The scale path for
+# approximate needs remains functions/profiling's sketch quantiles.
 # --------------------------------------------------------------------------
 
 PERCENTILES_SQL = """
@@ -443,15 +449,26 @@ ORDER BY o_orderpriority
 
 @register("orders_value_percentiles", PERCENTILES_SQL)
 def orders_value_percentiles(spark, sf_dir):
+    from thundercats_spark.operators.ranking import exact_percentiles_grouped
+
     o = load(spark, sf_dir, "orders")["orders"]
+    pct = exact_percentiles_grouped(
+        o, ["o_orderpriority"], "o_totalprice", [0.5, 0.9, 0.99]
+    )
+    wide = pct.groupBy("o_orderpriority").agg(
+        *[
+            F.round(
+                F.max(F.when(F.col("p") == q, F.col("value"))), 6
+            ).alias(name)
+            for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ]
+    )
+    counts = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
     return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
-            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
-        )
+        counts.join(F.broadcast(wide), "o_orderpriority")
+        .select("o_orderpriority", "n_orders", "p50", "p90", "p99")
         .orderBy("o_orderpriority")
     )
 
