@@ -265,7 +265,11 @@ def doc_word_frequencies(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Statistical aggregates — stddev + interpolated median per segment
+# Statistical aggregates — stddev + interpolated median per segment.
+# r06: the median rides the distributed ranking path
+# (exact_percentiles_grouped) instead of the percentile() aggregate
+# that buffers each segment's full value set in one reducer; stddev
+# stays the algebraic aggregate it always was.
 # --------------------------------------------------------------------------
 
 STATS_SQL = """
@@ -281,14 +285,21 @@ ORDER BY c_mktsegment
 
 @register("customer_balance_stats", STATS_SQL)
 def customer_balance_stats(spark, sf_dir):
+    from thundercats_spark.operators.ranking import exact_percentiles_grouped
+
     c = load(spark, sf_dir, "customer")["customer"]
+    stats = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_bal"),
+    )
+    med = exact_percentiles_grouped(
+        c, ["c_mktsegment"], "c_acctbal", [0.5]
+    ).select(
+        "c_mktsegment", F.round("value", 6).alias("median_bal")
+    )
     return (
-        c.groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_bal"),
-            F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("median_bal"),
-        )
+        stats.join(F.broadcast(med), "c_mktsegment")
+        .select("c_mktsegment", "n", "sd_bal", "median_bal")
         .orderBy("c_mktsegment")
     )
 
