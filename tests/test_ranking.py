@@ -326,3 +326,50 @@ def test_orders_value_percentiles_rewire_matches_legacy_agg(spark, sf_dir):
         .collect()
     }
     assert got == legacy
+
+
+def test_exact_percentiles_tie_break_and_all_null_groups(spark):
+    from thundercats_spark.operators.ranking import (
+        exact_percentiles,
+        exact_percentiles_grouped,
+    )
+
+    # heavily tied values: answer identical with and without tie-break
+    rows = [(i, float(i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    a = {r["p"]: r["value"] for r in
+         exact_percentiles(df, "x", [0.1, 0.5, 0.9]).collect()}
+    b = {r["p"]: r["value"] for r in
+         exact_percentiles(
+             df, "x", [0.1, 0.5, 0.9], tie_break_cols=["id"]
+         ).collect()}
+    assert a == b
+    g = {(r["g"], r["p"]): r["value"] for r in exact_percentiles_grouped(
+        df.withColumn("g", F.col("id") % 2), ["g"], "x", [0.5],
+        tie_break_cols=["id"],
+    ).collect()}
+    assert len(g) == 2
+    # reserved-name guard
+    with pytest.raises(ValueError, match="collide"):
+        exact_percentiles_grouped(
+            df.withColumnRenamed("id", "p"), ["p"], "x", [0.5]
+        )
+
+
+def test_rewired_percentile_queries_keep_all_null_groups(spark):
+    """A group whose values are ALL NULL must keep its row (NULL
+    percentiles), exactly as the GROUP BY oracles produce it."""
+    from thundercats_spark.operators.ranking import exact_percentiles_grouped
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None)],
+        "g string, x double",
+    )
+    pct = exact_percentiles_grouped(df, ["g"], "x", [0.5])
+    wide = pct.groupBy("g").agg(
+        F.max(F.when(F.col("p") == 0.5, F.col("value"))).alias("p50")
+    )
+    counts = df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    out = {r["g"]: (r["n"], r["p50"]) for r in
+           counts.join(F.broadcast(wide), "g", "left").collect()}
+    assert out == {"a": (2, 2.0), "b": (2, None)}

@@ -368,11 +368,36 @@ def grouped_row_number(
             df.unpersist()
 
 
+def _percentile_plan(ps: Sequence[float], n: int) -> list[tuple]:
+    """Shared ``percentile_cont`` boundary-rank plan: for each p, the
+    1-based lo/hi ranks around ``h = (n-1)p`` and the interpolation
+    fraction. One implementation so the global and grouped operators
+    (and their SQL-oracle parity) cannot drift apart."""
+    import math
+
+    out = []
+    for p in ps:
+        h = (n - 1) * p
+        lo = math.floor(h)
+        out.append((p, lo + 1, math.ceil(h) + 1, h - lo))
+    return out
+
+
+def _check_ps(ps: Sequence[float]) -> list[float]:
+    ps = [float(p) for p in ps]
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    if any(p < 0.0 or p > 1.0 for p in ps):
+        raise ValueError(f"percentiles must be in [0, 1], got {ps}")
+    return ps
+
+
 def exact_percentiles(
     df: DataFrame,
     value_col: str,
     ps: Sequence[float],
     n_partitions: int | None = None,
+    tie_break_cols: Sequence[str] = (),
 ) -> DataFrame:
     """EXACT interpolated percentiles (SQL ``percentile_cont``
     semantics: linear interpolation at ``h = (n-1)p``) computed
@@ -383,48 +408,48 @@ def exact_percentiles(
     buckets, partitioned windows — never a single-partition sort),
     then fetches ONLY the <= 2|ps| boundary-rank rows and interpolates
     driver-side (a bounded collect). NULL values are ignored, matching
-    both engines' aggregate semantics; ties need no tie-break because
-    the sorted multiset's k-th value is unique regardless of how equal
-    values are ordered among themselves. Returns a small frame
-    ``(p, value)`` ordered by p (empty when the input has no non-null
-    rows)."""
-    import math
-
+    both engines' aggregate semantics. Ties never change the ANSWER
+    (the sorted multiset's k-th value is unique however equal values
+    are ordered among themselves), but they do affect BALANCE: bucket
+    ids are a pure function of the order key, so a heavily-tied value
+    column (low-cardinality scores, modal token counts) concentrates
+    each popular value in one bucket — pass ``tie_break_cols`` (e.g.
+    the table's primary key, non-null) to spread ties across buckets
+    at scale. Returns a small frame ``(p, value)`` ordered by p (empty
+    when the input has no non-null values)."""
     spark = df.sparkSession
-    ps = [float(p) for p in ps]
-    if not ps:
-        raise ValueError("ps must be non-empty")
-    if any(p < 0.0 or p > 1.0 for p in ps):
-        raise ValueError(f"percentiles must be in [0, 1], got {ps}")
-    vals = df.select(F.col(value_col).cast("double").alias("__v")).where(
-        F.col("__v").isNotNull()
-    )
+    ps = _check_ps(ps)
+    tb = list(tie_break_cols)
+    vals = df.select(
+        F.col(value_col).cast("double").alias("__v"), *tb
+    ).where(F.col("__v").isNotNull())
+    # persist across the probe + boundary-rank fetch: global_row_number
+    # released its internal cache on return, and without this the
+    # upstream plan would recompute for each of the two actions below
     rn = global_row_number(
-        vals, ["__v"], out_col="__rn", total_col="__n",
+        vals, ["__v", *tb], out_col="__rn", total_col="__n",
         n_partitions=n_partitions,
-    )
-    first = rn.select("__n").first()
-    n = int(first["__n"]) if first is not None else 0
-    if n == 0:
-        return spark.createDataFrame([], "p double, value double")
-    ranks: set[int] = set()
-    plan = []
-    for p in ps:
-        h = (n - 1) * p
-        lo, hi = math.floor(h), math.ceil(h)
-        ranks.update((lo + 1, hi + 1))
-        plan.append((p, lo + 1, hi + 1, h - lo))
-    at = {
-        r["__rn"]: r["__v"]
-        for r in rn.where(F.col("__rn").isin(*sorted(ranks))).collect()
-    }
-    rows = [
-        (p, float(at[lo] + frac * (at[hi] - at[lo])))
-        for p, lo, hi, frac in plan
-    ]
-    return spark.createDataFrame(
-        sorted(rows), "p double, value double"
-    )
+    ).persist()
+    try:
+        first = rn.select("__n").first()
+        n = int(first["__n"]) if first is not None else 0
+        if n == 0:
+            return spark.createDataFrame([], "p double, value double")
+        plan = _percentile_plan(ps, n)
+        ranks = sorted({r for _, lo, hi, _ in plan for r in (lo, hi)})
+        at = {
+            r["__rn"]: r["__v"]
+            for r in rn.where(F.col("__rn").isin(*ranks)).collect()
+        }
+        rows = [
+            (p, float(at[lo] + frac * (at[hi] - at[lo])))
+            for p, lo, hi, frac in plan
+        ]
+        return spark.createDataFrame(
+            sorted(rows), "p double, value double"
+        )
+    finally:
+        rn.unpersist()
 
 
 def exact_percentiles_grouped(
@@ -434,6 +459,7 @@ def exact_percentiles_grouped(
     ps: Sequence[float],
     n_partitions: int | None = None,
     max_groups: int = 100_000,
+    tie_break_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-group twin of ``exact_percentiles`` for LOW-cardinality
     groups whose members are too numerous for the per-group buffering
@@ -441,20 +467,25 @@ def exact_percentiles_grouped(
     group's entire value set in one reducer — the 100x-scale OOM in a
     "percentiles by segment" report where every segment is a fat slice
     of the table). Rides ``grouped_row_number``; the per-group
-    boundary ranks are computed driver-side from the group totals and
-    fetched via one broadcast semi-join (<= 2|ps| x groups rows
+    boundary ranks are computed driver-side from the group totals
+    (one cheap agg over the internally-persisted narrow rank frame)
+    and fetched via one broadcast semi-join (<= 2|ps| x groups rows
     collected — bounded like the operator's other driver math, and
     guarded by ``max_groups`` upstream). Returns a long-format frame
-    ``(group_cols..., p, value)``; pivot at the edge for wide
-    reports. NULL values are ignored per aggregate semantics."""
-    import math
-
+    ``(group_cols..., p, value)``; pivot at the edge for wide reports.
+    NULL values are ignored per aggregate semantics; NULL GROUP keys
+    raise (the module's loud-NULL contract — a NULL-keyed group row
+    as GROUP BY produces is not expressible through the offset
+    equi-joins; filter or impute upstream). ``tie_break_cols`` spreads
+    heavily-tied values across buckets, as in ``exact_percentiles``."""
     spark = df.sparkSession
-    ps = [float(p) for p in ps]
-    if not ps:
-        raise ValueError("ps must be non-empty")
-    if any(p < 0.0 or p > 1.0 for p in ps):
-        raise ValueError(f"percentiles must be in [0, 1], got {ps}")
+    ps = _check_ps(ps)
+    reserved = {"p", "value"} & set(group_cols)
+    if reserved:
+        raise ValueError(
+            f"group column(s) {sorted(reserved)} collide with the "
+            "output columns (p/value) — rename them first"
+        )
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -467,18 +498,19 @@ def exact_percentiles_grouped(
         [*gfields, StructField("p", DoubleType()),
          StructField("value", DoubleType())]
     )
+    tb = list(tie_break_cols)
     vals = df.select(
-        *group_cols, F.col(value_col).cast("double").alias("__v")
+        *group_cols, F.col(value_col).cast("double").alias("__v"), *tb
     ).where(F.col("__v").isNotNull())
     rn = grouped_row_number(
-        vals, group_cols, ["__v"], out_col="__rn", total_col="__n",
+        vals, group_cols, ["__v", *tb], out_col="__rn", total_col="__n",
         n_partitions=n_partitions, max_groups=max_groups,
     ).persist()
     try:
         totals = {
-            tuple(r[c] for c in group_cols): r["n"]
+            tuple(r[c] for c in group_cols): r["__gn"]
             for r in rn.groupBy(*group_cols)
-            .agg(F.first("__n").alias("n"))
+            .agg(F.first("__n").alias("__gn"))
             .collect()
         }
         if not totals:
@@ -486,12 +518,10 @@ def exact_percentiles_grouped(
         plan: dict[tuple, list] = {}
         need = []
         for g, n in totals.items():
-            for p in ps:
-                h = (int(n) - 1) * p
-                lo, hi = math.floor(h), math.ceil(h)
-                plan.setdefault(g, []).append((p, lo + 1, hi + 1, h - lo))
-                need.append((*g, lo + 1))
-                need.append((*g, hi + 1))
+            for p, lo, hi, frac in _percentile_plan(ps, int(n)):
+                plan.setdefault(g, []).append((p, lo, hi, frac))
+                need.append((*g, lo))
+                need.append((*g, hi))
         need_df = spark.createDataFrame(
             list(set(need)),
             StructType([*gfields, StructField("__rn", LongType(), False)]),

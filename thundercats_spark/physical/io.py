@@ -853,9 +853,11 @@ class Write:
         shard that drew the long documents. Deterministic (the md5
         placement order), so re-runs produce identical shard
         membership. One extra shuffle on the 4-byte shard id
-        repartitions rows so each shard directory is written by its
-        own task set; integral-weight and non-negativity guards are
-        enforced by the assignment operator."""
+        (range-partitioned: shard ids are contiguous small ints, so
+        range boundaries give a near-one-to-one shard->task layout —
+        hash repartitioning would collide several shards onto one task
+        and leave others empty); integral-weight and non-negativity
+        guards are enforced by the assignment operator."""
 
         def run():
             from thundercats_spark.operators.curation import (
@@ -866,7 +868,7 @@ class Write:
                 df, n_shards, weight, id_col=id_col, key=key
             )
             (
-                sharded.repartition(n_shards, F.col("shard"))
+                sharded.repartitionByRange(n_shards, F.col("shard"))
                 .write.mode("overwrite" if overwrite else "error")
                 .partitionBy("shard")
                 .parquet(path)

@@ -297,8 +297,10 @@ def customer_balance_stats(spark, sf_dir):
     ).select(
         "c_mktsegment", F.round("value", 6).alias("median_bal")
     )
+    # LEFT join: an all-NULL-balance segment keeps its row (NULL
+    # median), matching the GROUP BY oracle
     return (
-        stats.join(F.broadcast(med), "c_mktsegment")
+        stats.join(F.broadcast(med), "c_mktsegment", "left")
         .select("c_mktsegment", "n", "sd_bal", "median_bal")
         .orderBy("c_mktsegment")
     )

@@ -466,8 +466,11 @@ def orders_value_percentiles(spark, sf_dir):
     counts = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+    # LEFT join from counts: a group whose values are all NULL has no
+    # percentile rows but must still appear (with NULL percentiles),
+    # exactly as the GROUP BY oracle produces it
     return (
-        counts.join(F.broadcast(wide), "o_orderpriority")
+        counts.join(F.broadcast(wide), "o_orderpriority", "left")
         .select("o_orderpriority", "n_orders", "p50", "p90", "p99")
         .orderBy("o_orderpriority")
     )
