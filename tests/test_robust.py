@@ -1,0 +1,134 @@
+"""Robust outlier stats (operators/robust.py) + the disc percentile
+mode they ride on: exact equality with pure-Python models."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from thundercats_spark.operators.ranking import (
+    exact_percentiles,
+    exact_percentiles_grouped,
+)
+from thundercats_spark.operators.robust import mad_outlier_stats
+
+
+def _disc(sorted_vals, p):
+    # SQL percentile_disc: smallest value with cume_dist >= p
+    return sorted_vals[max(1, math.ceil(len(sorted_vals) * p)) - 1]
+
+
+def test_exact_percentiles_disc_matches_model(spark):
+    vals = [((i * 37) % 101) * 1.5 for i in range(503)] + [None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = {
+        r["p"]: r["value"]
+        for r in exact_percentiles(
+            df, "x", ps, n_partitions=6, mode="disc"
+        ).collect()
+    }
+    clean = sorted(v for v in vals if v is not None)
+    for p in ps:
+        assert got[p] == _disc(clean, p), p
+        assert got[p] in clean  # disc answers are actual data values
+
+
+def test_exact_percentiles_grouped_disc_matches_model(spark):
+    rows = [("g%d" % (i % 3), ((i * 41) % 97) * 0.5) for i in range(301)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    ps = [0.25, 0.5, 0.9]
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in exact_percentiles_grouped(
+            df, ["g"], "x", ps, mode="disc"
+        ).collect()
+    }
+    by_g = {}
+    for g, x in rows:
+        by_g.setdefault(g, []).append(x)
+    for g, xs in by_g.items():
+        xs.sort()
+        for p in ps:
+            assert got[(g, p)] == _disc(xs, p), (g, p)
+
+
+def test_percentile_mode_guard(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="cont.*disc"):
+        exact_percentiles(df, "x", [0.5], mode="linear")
+    with pytest.raises(ValueError, match="cont.*disc"):
+        exact_percentiles_grouped(df.select(F.lit("a").alias("g"), "x"),
+                                  ["g"], "x", [0.5], mode="nearest")
+
+
+def _model_mad_stats(rows, k):
+    # rows: (group, value); mirrors mad_outlier_stats semantics
+    by_g = {}
+    for g, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append(float(v))
+    out = {}
+    for g, xs in by_g.items():
+        xs.sort()
+        med = _disc(xs, 0.5)
+        devs = sorted(abs(x - med) for x in xs)
+        mad = _disc(devs, 0.5)
+        n_out = sum(1 for x in xs if abs(x - med) > k * mad)
+        out[g] = (len(xs), med, mad, n_out, n_out / len(xs))
+    return out
+
+
+def test_mad_outlier_stats_matches_model(spark):
+    rows = [("g%d" % (i % 4), ((i * 53) % 211) * 0.25) for i in range(907)]
+    rows += [("g0", None)]  # ignored per aggregate semantics
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r["g"]: (r["n"], r["med"], r["mad"], r["n_outliers"],
+                 r["outlier_rate"])
+        for r in mad_outlier_stats(df, ["g"], "x", k=1.5).collect()
+    }
+    want = _model_mad_stats(rows, 1.5)
+    assert got.keys() == want.keys()
+    for g in want:
+        # bit-exact: both sides run identical IEEE ops on identical
+        # inputs (the disc medians are actual data values)
+        assert got[g] == want[g], g
+
+
+def test_mad_outlier_stats_constant_group(spark):
+    df = spark.createDataFrame(
+        [("a", 7.0)] * 9 + [("b", 1.0), ("b", 1.0), ("b", 100.0)],
+        "g string, x double",
+    )
+    got = {r["g"]: r for r in mad_outlier_stats(df, ["g"], "x").collect()}
+    # constant group: med = the value, mad = 0, zero outliers
+    assert (got["a"]["med"], got["a"]["mad"], got["a"]["n_outliers"]) == (
+        7.0, 0.0, 0)
+    # mad=0 group with one deviant: dev > 0 flags exactly the deviant
+    assert (got["b"]["med"], got["b"]["mad"], got["b"]["n_outliers"]) == (
+        1.0, 0.0, 1)
+
+
+def test_mad_outlier_stats_guards(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    with pytest.raises(ValueError, match="finite"):
+        mad_outlier_stats(df, ["g"], "x", k=-1.0)
+    with pytest.raises(ValueError, match="finite"):
+        mad_outlier_stats(df, ["g"], "x", k=float("nan"))
+    bad = df.select(F.col("g").alias("mad"), "x")
+    with pytest.raises(ValueError, match="collide"):
+        mad_outlier_stats(bad, ["mad"], "x")
+    null_g = spark.createDataFrame([(None, 1.0)], "g string, x double")
+    with pytest.raises(Exception, match="[Nn][Uu][Ll][Ll]"):
+        mad_outlier_stats(null_g, ["g"], "x")
+
+
+def test_mad_outlier_stats_releases_cache(spark):
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(50)], "g string, x double"
+    )
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    mad_outlier_stats(df, ["g"], "x").collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before

@@ -368,19 +368,38 @@ def grouped_row_number(
             df.unpersist()
 
 
-def _percentile_plan(ps: Sequence[float], n: int) -> list[tuple]:
-    """Shared ``percentile_cont`` boundary-rank plan: for each p, the
-    1-based lo/hi ranks around ``h = (n-1)p`` and the interpolation
-    fraction. One implementation so the global and grouped operators
-    (and their SQL-oracle parity) cannot drift apart."""
+def _percentile_plan(
+    ps: Sequence[float], n: int, mode: str = "cont"
+) -> list[tuple]:
+    """Shared boundary-rank plan: for each p, the 1-based lo/hi ranks
+    and the interpolation fraction. One implementation so the global
+    and grouped operators (and their SQL-oracle parity) cannot drift
+    apart. ``mode="cont"`` = SQL ``percentile_cont`` (interpolate at
+    ``h = (n-1)p``); ``mode="disc"`` = SQL ``percentile_disc`` (the
+    smallest value whose cume_dist >= p, i.e. rank ``ceil(n*p)``, no
+    interpolation — the float multiply-then-ceil deliberately matches
+    DuckDB's quantile_disc bit-for-bit, verified over every (n<=200, p)
+    grid including the 10*0.3-overshoots). disc answers are actual data
+    values, so downstream comparisons against them (e.g. MAD outlier
+    thresholds) are reproducible across engines with no last-ulp
+    interpolation divergence."""
     import math
 
     out = []
     for p in ps:
-        h = (n - 1) * p
-        lo = math.floor(h)
-        out.append((p, lo + 1, math.ceil(h) + 1, h - lo))
+        if mode == "disc":
+            r = max(1, math.ceil(n * p))
+            out.append((p, r, r, 0.0))
+        else:
+            h = (n - 1) * p
+            lo = math.floor(h)
+            out.append((p, lo + 1, math.ceil(h) + 1, h - lo))
     return out
+
+
+def _check_mode(mode: str) -> None:
+    if mode not in ("cont", "disc"):
+        raise ValueError(f"mode must be 'cont' or 'disc', got {mode!r}")
 
 
 def _check_ps(ps: Sequence[float]) -> list[float]:
@@ -398,10 +417,13 @@ def exact_percentiles(
     ps: Sequence[float],
     n_partitions: int | None = None,
     tie_break_cols: Sequence[str] = (),
+    mode: str = "cont",
 ) -> DataFrame:
-    """EXACT interpolated percentiles (SQL ``percentile_cont``
-    semantics: linear interpolation at ``h = (n-1)p``) computed
-    distributed — the scale path where Spark's exact ``percentile``
+    """EXACT percentiles computed distributed — ``mode="cont"``
+    (default) is SQL ``percentile_cont`` (linear interpolation at
+    ``h = (n-1)p``); ``mode="disc"`` is SQL ``percentile_disc`` (the
+    smallest value with cume_dist >= p — an ACTUAL data value, which
+    makes downstream threshold comparisons engine-reproducible) — the scale path where Spark's exact ``percentile``
     aggregate buffers every value of the group in one reducer's memory
     and approx_percentile trades away exactness. Rides
     ``global_row_number`` over the value order (boundary-literal
@@ -419,6 +441,7 @@ def exact_percentiles(
     when the input has no non-null values)."""
     spark = df.sparkSession
     ps = _check_ps(ps)
+    _check_mode(mode)
     tb = list(tie_break_cols)
     vals = df.select(
         F.col(value_col).cast("double").alias("__v"), *tb
@@ -435,7 +458,7 @@ def exact_percentiles(
         n = int(first["__n"]) if first is not None else 0
         if n == 0:
             return spark.createDataFrame([], "p double, value double")
-        plan = _percentile_plan(ps, n)
+        plan = _percentile_plan(ps, n, mode)
         ranks = sorted({r for _, lo, hi, _ in plan for r in (lo, hi)})
         at = {
             r["__rn"]: r["__v"]
@@ -460,6 +483,7 @@ def exact_percentiles_grouped(
     n_partitions: int | None = None,
     max_groups: int = 100_000,
     tie_break_cols: Sequence[str] = (),
+    mode: str = "cont",
 ) -> DataFrame:
     """Per-group twin of ``exact_percentiles`` for LOW-cardinality
     groups whose members are too numerous for the per-group buffering
@@ -477,9 +501,11 @@ def exact_percentiles_grouped(
     raise (the module's loud-NULL contract — a NULL-keyed group row
     as GROUP BY produces is not expressible through the offset
     equi-joins; filter or impute upstream). ``tie_break_cols`` spreads
-    heavily-tied values across buckets, as in ``exact_percentiles``."""
+    heavily-tied values across buckets, and ``mode`` picks
+    cont/disc percentile semantics, as in ``exact_percentiles``."""
     spark = df.sparkSession
     ps = _check_ps(ps)
+    _check_mode(mode)
     reserved = {"p", "value"} & set(group_cols)
     if reserved:
         raise ValueError(
@@ -518,7 +544,7 @@ def exact_percentiles_grouped(
         plan: dict[tuple, list] = {}
         need = []
         for g, n in totals.items():
-            for p, lo, hi, frac in _percentile_plan(ps, int(n)):
+            for p, lo, hi, frac in _percentile_plan(ps, int(n), mode):
                 plan.setdefault(g, []).append((p, lo, hi, frac))
                 need.append((*g, lo))
                 need.append((*g, hi))

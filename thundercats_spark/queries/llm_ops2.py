@@ -789,3 +789,66 @@ def corpus_balanced_shards_q(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Robust per-source quality outliers (operators/robust.py): discrete
+# median + MAD of the quality score per source, docs strictly beyond
+# 3*MAD counted. DISC percentile semantics deliberately: med and mad
+# are actual data values, so both engines run the identical IEEE ops
+# (|v-med|, 3*mad, >) on identical inputs — an interpolated (cont)
+# median could flip a boundary row's classification by one ulp. The
+# quality expression is text_quality_score's oracle-proven CTE.
+# --------------------------------------------------------------------------
+
+
+def _quality_outliers_sql() -> str:
+    from thundercats_spark.queries.llm_ops import QUALITY_SQL
+
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+sc AS (
+  SELECT d.source, q.quality AS v
+  FROM q JOIN documents d USING (doc_id)
+),
+m AS (SELECT source, quantile_disc(v, 0.5) AS med FROM sc GROUP BY source),
+dv AS (
+  SELECT sc.source, v, med, ABS(v - med) AS dev
+  FROM sc JOIN m USING (source)
+),
+md AS (SELECT source, quantile_disc(dev, 0.5) AS mad FROM dv GROUP BY source)
+SELECT dv.source,
+       COUNT(*) AS n,
+       ROUND(ANY_VALUE(dv.med), 6) AS med,
+       ROUND(ANY_VALUE(md.mad), 6) AS mad,
+       COUNT(*) FILTER (WHERE dev > 3.0 * mad) AS n_outliers,
+       ROUND(COUNT(*) FILTER (WHERE dev > 3.0 * mad) / COUNT(*), 6)
+         AS outlier_rate
+FROM dv JOIN md USING (source)
+GROUP BY dv.source
+ORDER BY dv.source
+"""
+
+
+@register("doc_quality_outliers", _quality_outliers_sql())
+def doc_quality_outliers_q(spark, sf_dir):
+    from thundercats_spark.functions import text_analysis as T
+    from thundercats_spark.operators.robust import mad_outlier_stats
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    scored = d.select(
+        "source",
+        "doc_id",
+        F.round(T.quality_score(F.col("text")), 6).alias("q"),
+    )
+    out = mad_outlier_stats(
+        scored, ["source"], "q", k=3.0, tie_break_cols=["doc_id"]
+    )
+    return out.select(
+        "source",
+        "n",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "n_outliers",
+        F.round("outlier_rate", 6).alias("outlier_rate"),
+    )
