@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     # balanced shard assignment: three bounded passes + partitioned
     # cumulative window over the (id, weight) projection
     "corpus_balanced_shards",
+    # robust quality QA: ONE (source, score) histogram agg, medians/MAD
+    # derived driver-side (quantized fast path of operators/robust.py)
+    "doc_quality_outliers",
 ]
 
 

@@ -132,3 +132,40 @@ def test_mad_outlier_stats_releases_cache(spark):
     mad_outlier_stats(df, ["g"], "x").collect()
     after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     assert after == before
+
+
+def test_quantized_path_equals_generic(spark):
+    from thundercats_spark.operators.robust import mad_outlier_stats_quantized
+
+    # quantized values (2 digits) with ties, nulls, 3 groups
+    rows = [("g%d" % (i % 3), round(((i * 53) % 211) * 0.01, 2))
+            for i in range(907)]
+    rows += [("g1", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    a = sorted(map(tuple, mad_outlier_stats(df, ["g"], "x", k=2.0).collect()))
+    b = sorted(map(tuple,
+                   mad_outlier_stats_quantized(df, ["g"], "x", k=2.0).collect()))
+    assert a == b  # bit-exact: identical IEEE math on identical inputs
+
+
+def test_quantized_path_guards(spark):
+    from thundercats_spark.operators.robust import mad_outlier_stats_quantized
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)], "g string, x double"
+    )
+    with pytest.raises(ValueError, match="max_hist_rows"):
+        mad_outlier_stats_quantized(df, ["g"], "x", max_hist_rows=50)
+    null_g = spark.createDataFrame([(None, 1.0)], "g string, x double")
+    with pytest.raises(ValueError, match="NULL group"):
+        mad_outlier_stats_quantized(null_g, ["g"], "x")
+    with pytest.raises(ValueError, match="finite"):
+        mad_outlier_stats_quantized(df, ["g"], "x", k=float("inf"))
+    bad = df.select(F.col("g").alias("n_outliers"), "x")
+    with pytest.raises(ValueError, match="collide"):
+        mad_outlier_stats_quantized(bad, ["n_outliers"], "x")
+    # empty input -> empty frame, right schema
+    out = mad_outlier_stats_quantized(df.where(F.lit(False)), ["g"], "x")
+    assert out.count() == 0
+    assert out.columns == ["g", "n", "med", "mad", "n_outliers",
+                           "outlier_rate"]

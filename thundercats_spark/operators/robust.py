@@ -118,3 +118,104 @@ def mad_outlier_stats(
         return df.sparkSession.createDataFrame(rows, out.schema)
     finally:
         vals.unpersist()
+
+
+def mad_outlier_stats_quantized(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 3.0,
+    max_hist_rows: int = 2_000_000,
+) -> DataFrame:
+    """``mad_outlier_stats`` for QUANTIZED value columns (scores
+    already rounded to a fixed number of digits, integer token counts,
+    bucketed lengths): the per-(group, value) count histogram is small
+    — bounded by groups x distinct quantized values, NOT by rows — so
+    ONE distributed aggregate replaces both ranking pipelines, and the
+    discrete median, the ENTIRE deviation histogram (regroup the value
+    histogram by ``|v - med|``), the MAD, and the outlier counts all
+    derive from it driver-side. One scan of the input, one narrow
+    shuffle of (group, value) pairs; at 100 TB the histogram for a
+    6-digit score in [0, 1] is <= 1e6 rows per group regardless of
+    corpus size. Same output frame and exact same answers as
+    ``mad_outlier_stats`` (equality test-pinned): the driver math is
+    the identical IEEE double arithmetic. Raises loudly when the
+    histogram exceeds ``max_hist_rows`` (a non-quantized value column
+    — use ``mad_outlier_stats``, whose driver math is bounded by
+    groups, not values)."""
+    import math
+
+    if not math.isfinite(k) or k < 0:
+        raise ValueError(f"k must be finite and >= 0, got {k}")
+    gcols = list(group_cols)
+    reserved = {"n", "med", "mad", "n_outliers", "outlier_rate"} & set(gcols)
+    if reserved:
+        raise ValueError(
+            f"group column(s) {sorted(reserved)} collide with the "
+            "output columns — rename them first"
+        )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    gfields = df.select(*gcols).schema.fields
+    out_schema = StructType(
+        [*gfields,
+         StructField("n", LongType()),
+         StructField("med", DoubleType()),
+         StructField("mad", DoubleType()),
+         StructField("n_outliers", LongType()),
+         StructField("outlier_rate", DoubleType())]
+    )
+    hist_df = (
+        df.select(*gcols, F.col(value_col).cast("double").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .groupBy(*gcols, "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # ONE job: fetch at most max+1 rows; overflow raises before the
+    # driver holds an unbounded histogram.
+    hist = hist_df.limit(max_hist_rows + 1).collect()
+    if len(hist) > max_hist_rows:
+        raise ValueError(
+            f"(group, value) histogram exceeds max_hist_rows="
+            f"{max_hist_rows}: the value column is not quantized "
+            "enough for the histogram path — round/bucket it first, "
+            "or use mad_outlier_stats (bounded by groups, not values)"
+        )
+    if any(any(r[c] is None for c in gcols) for r in hist):
+        raise ValueError(
+            "NULL group keys are not supported — filter or impute "
+            "upstream (the module's loud-NULL contract)"
+        )
+    by_g: dict[tuple, dict[float, int]] = {}
+    for r in hist:
+        g = tuple(r[c] for c in gcols)
+        by_g.setdefault(g, {})[r["__v"]] = r["__c"]
+
+    def _disc_median(counts: dict[float, int], n: int) -> float:
+        # percentile_disc(0.5): value at rank ceil(n * 0.5)
+        target = max(1, math.ceil(n * 0.5))
+        cum = 0
+        for v in sorted(counts):
+            cum += counts[v]
+            if cum >= target:
+                return v
+        raise AssertionError("unreachable: cum covers n")
+
+    rows = []
+    for g, counts in by_g.items():
+        n = sum(counts.values())
+        med = _disc_median(counts, n)
+        devs: dict[float, int] = {}
+        for v, c in counts.items():
+            d = abs(v - med)
+            devs[d] = devs.get(d, 0) + c
+        mad = _disc_median(devs, n)
+        thresh = float(k) * mad
+        n_out = sum(c for d, c in devs.items() if d > thresh)
+        rows.append((*g, n, med, mad, n_out, n_out / n))
+    return df.sparkSession.createDataFrame(sorted(rows), out_schema)

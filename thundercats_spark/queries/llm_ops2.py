@@ -832,18 +832,20 @@ ORDER BY dv.source
 
 @register("doc_quality_outliers", _quality_outliers_sql())
 def doc_quality_outliers_q(spark, sf_dir):
+    """Rides the QUANTIZED histogram path: quality is round(·, 6) by
+    construction, so the (source, score) histogram is bounded by
+    sources x 1e6 at ANY corpus size — one scan, one narrow shuffle,
+    all medians driver-derived (vs two ranking pipelines on the
+    generic path; equality between the paths is pytest-pinned)."""
     from thundercats_spark.functions import text_analysis as T
-    from thundercats_spark.operators.robust import mad_outlier_stats
+    from thundercats_spark.operators.robust import mad_outlier_stats_quantized
 
     d = load(spark, sf_dir, "documents")["documents"]
     scored = d.select(
         "source",
-        "doc_id",
         F.round(T.quality_score(F.col("text")), 6).alias("q"),
     )
-    out = mad_outlier_stats(
-        scored, ["source"], "q", k=3.0, tie_break_cols=["doc_id"]
-    )
+    out = mad_outlier_stats_quantized(scored, ["source"], "q", k=3.0)
     return out.select(
         "source",
         "n",
