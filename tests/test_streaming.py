@@ -529,3 +529,65 @@ def test_stream_ann_index_keeps_index_fresh(spark, tmp_path):
         for r in similarity.ann_topk_indexed(spark, full, qv, k=5, nprobe=2).collect()
     ]
     assert got_p == want_p
+
+
+def test_stream_quality_monitor_journals_and_flags_drift(spark, tmp_path):
+    import json as _json
+
+    from thundercats_spark.operators.robust import mad_outlier_stats_quantized
+    from thundercats_spark.streaming.windows import stream_quality_monitor
+
+    # baseline corpus: source a centered at 0.50, source b at 0.30
+    base_rows = [("a", round(0.50 + (i % 5) * 0.01, 2)) for i in range(20)]
+    base_rows += [("b", round(0.30 + (i % 5) * 0.01, 2)) for i in range(20)]
+    baseline = mad_outlier_stats_quantized(
+        spark.createDataFrame(base_rows, "source string, q double"),
+        ["source"], "q",
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    journal = str(tmp_path / "journal")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: both sources near their baselines -> no drift
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps({"source": s, "q": round(c + (i % 5) * 0.01, 2)})
+            for s, c in (("a", 0.50), ("b", 0.30))
+            for i in range(10)
+        )
+    )
+    stream = spark.readStream.schema("source string, q double").json(str(src))
+    q = stream_quality_monitor(
+        stream, journal, "q", ["source"], baseline=baseline, drift_k=2.0
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: source a shifts hard (0.80), b holds; source c is new
+        (src / "b2.json").write_text(
+            "\n".join(
+                _json.dumps({"source": s, "q": round(c + (i % 5) * 0.01, 2)})
+                for s, c in (("a", 0.80), ("b", 0.30), ("c", 0.10))
+                for i in range(10)
+            )
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    j = spark.read.parquet(journal)
+    assert set(j.columns) == {
+        "source", "n", "med", "mad", "n_outliers", "outlier_rate",
+        "med_drift", "drifted", "batch_id",
+    }
+    got = {(r["batch_id"], r["source"]): r for r in j.collect()}
+    assert len(got) == 5  # 2 sources in batch 0, 3 in batch 1
+    b0 = [k for k in got if k[1] == "a" and got[k]["drifted"] is False]
+    assert len(b0) == 1  # batch with a near baseline: not drifted
+    shifted = got[max(k[0] for k in got), "a"]
+    assert shifted["drifted"] is True and shifted["med_drift"] > 0.25
+    # source with no baseline: NULL drift columns, visible row
+    new_src = got[max(k[0] for k in got), "c"]
+    assert new_src["med_drift"] is None and new_src["drifted"] is None
+    # per-batch stats agree with the batch operator run directly
+    assert shifted["n"] == 10 and shifted["med"] == 0.82

@@ -396,3 +396,88 @@ def stream_ann_index(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def stream_quality_monitor(
+    stream: DataFrame,
+    journal_path: str,
+    score_col: str,
+    group_cols: Sequence[str] = ("source",),
+    baseline: DataFrame | None = None,
+    k: float = 3.0,
+    drift_k: float = 2.0,
+    max_hist_rows: int = 2_000_000,
+    checkpoint: str | None = None,
+):
+    """Per-micro-batch robust quality monitoring: each batch's
+    per-group discrete median / MAD / k*MAD outlier counts
+    (``operators/robust.py`` — pass an already-QUANTIZED score, e.g.
+    ``round(quality, 6)``, so the per-batch histogram stays bounded by
+    distinct score values) are appended to a parquet journal
+    partitioned by ``batch_id``, with drift columns against a
+    ``baseline`` stats frame (the ``mad_outlier_stats*`` output shape:
+    ``group_cols... , med, mad``; collected ONCE at setup — bounded by
+    groups): ``med_drift = med - baseline_med`` and ``drifted =
+    |med_drift| > drift_k * baseline_mad`` (strict, so a zero-MAD
+    baseline flags ANY shift). Groups absent from the baseline carry
+    NULL drift columns — visible, not silently dropped.
+
+    Replay safety: the journal write is a per-``batch_id`` directory
+    OVERWRITE, so a redelivered micro-batch rewrites its own partition
+    to the identical content — idempotent with no journal/state doc.
+    Empty batches write an empty (schema'd) partition: a gap in
+    batch_id means a batch was never seen, not that it was empty.
+
+    Scale: per-batch driver work is O(groups + distinct quantized
+    scores in the batch), guarded by ``max_hist_rows``; the journal
+    grows O(batches x groups) — tiny rows, and partition pruning on
+    ``batch_id`` keeps dashboard reads cheap. Returns the started
+    StreamingQuery; read the journal back with
+    ``spark.read.parquet(journal_path)`` (``batch_id`` surfaces as a
+    partition column)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    from thundercats_spark.operators.robust import mad_outlier_stats_quantized
+
+    gcols = list(group_cols)
+    base: dict[tuple, tuple[float, float]] = {}
+    if baseline is not None:
+        base = {
+            tuple(r[c] for c in gcols): (float(r["med"]), float(r["mad"]))
+            for r in baseline.select(*gcols, "med", "mad").collect()
+        }
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        stats = mad_outlier_stats_quantized(
+            batch, gcols, score_col, k=k, max_hist_rows=max_hist_rows
+        )
+        out_schema = StructType(
+            [*stats.schema.fields,
+             StructField("med_drift", DoubleType()),
+             StructField("drifted", BooleanType())]
+        )
+        rows = []
+        for r in stats.collect():  # bounded: one row per group
+            g = tuple(r[c] for c in gcols)
+            if g in base:
+                b_med, b_mad = base[g]
+                drift = r["med"] - b_med
+                drifted = abs(drift) > drift_k * b_mad
+            else:
+                drift, drifted = None, None
+            rows.append((*r, drift, drifted))
+        batch.sparkSession.createDataFrame(rows, out_schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(
+            f"{journal_path}/batch_id={int(batch_id)}"
+        )
+
+    w = stream.writeStream.foreachBatch(fold).outputMode("update")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

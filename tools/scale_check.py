@@ -659,7 +659,29 @@ def main():
         (max(masses) - min(masses)) / (sum(masses) / len(masses)), 4
     )
 
+    # robust quality outliers (operators/robust.py, quantized path):
+    # ONE (source, rounded-score) histogram agg + driver math. The
+    # histogram is bounded by distinct quantized scores — the replica
+    # corpus multiplies ROWS (xN) but its bounded variant set adds ~2
+    # new scores per original, so hist rows must stay ~flat while the
+    # scan grows xN: any superlinear bend means the histogram stopped
+    # bounding the driver work.
+    from thundercats_spark.functions.text_analysis import quality_score
+    from thundercats_spark.operators.robust import mad_outlier_stats_quantized
+
+    scored_x = d.select(
+        "source", F.round(quality_score(F.col("text")), 6).alias("q")
+    )
+    hist_rows = scored_x.groupBy("source", "q").count().count()
+    t0 = time.time()
+    outl = mad_outlier_stats_quantized(scored_x, ["source"], "q", k=3.0)
+    n_outl = outl.count()
+    outlier_secs = round(time.time() - t0, 3)
+
     out["r06_reports"] = {
+        "quality_outliers_secs": outlier_secs,
+        "quality_outliers_hist_rows": int(hist_rows),
+        "quality_outliers_groups": int(n_outl),
         "balanced_shards_secs": shards_secs,
         "balanced_shards_imbalance": shard_imbalance,
         "n_docs": n_docs,
