@@ -64,7 +64,38 @@ def main():
         )
     )
 
+    # per-batch quality QA: day 1 sets the robust baseline (discrete
+    # median/MAD per source — 50% breakdown point, so a polluted batch
+    # can't drag its own yardstick); later days are checked against it
+    # BEFORE ingestion so a drifted source is visible while the batch
+    # is still quarantinable
+    from thundercats_spark.functions.text_analysis import quality_score
+    from thundercats_spark.operators.robust import mad_outlier_stats_quantized
+
+    def batch_quality(batch):
+        return mad_outlier_stats_quantized(
+            batch.select(
+                "source", F.round(quality_score(F.col("text")), 6).alias("q")
+            ),
+            ["source"], "q", k=3.0,
+        )
+
+    baseline = {
+        r["source"]: (r["med"], r["mad"])
+        for r in batch_quality(day1).collect()
+    }
+
     for day, batch in (("day1", day1), ("day2", day2), ("day3", day3)):
+        if day != "day1":
+            drifted = [
+                f"{r['source']}({r['med'] - baseline[r['source']][0]:+.3f})"
+                for r in batch_quality(batch).collect()
+                if r["source"] in baseline
+                and abs(r["med"] - baseline[r["source"]][0])
+                > 2.0 * baseline[r["source"]][1]
+            ]
+            print(f"{day}: quality drift vs day1 baseline: "
+                  f"{', '.join(drifted) if drifted else 'none'}")
         exact = dedup_incremental_prepare(batch, fp_index)
         near = dedup_minhash_incremental_prepare(
             exact.survivors, lsh_index, threshold=0.5
