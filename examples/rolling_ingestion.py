@@ -87,15 +87,23 @@ def main():
 
     for day, batch in (("day1", day1), ("day2", day2), ("day3", day3)):
         if day != "day1":
+            qstats = batch_quality(batch).collect()
             drifted = [
                 f"{r['source']}({r['med'] - baseline[r['source']][0]:+.3f})"
-                for r in batch_quality(batch).collect()
+                for r in qstats
                 if r["source"] in baseline
                 and abs(r["med"] - baseline[r["source"]][0])
                 > 2.0 * baseline[r["source"]][1]
             ]
+            # a source with NO baseline is the most suspicious case
+            # for a pre-ingestion gate — surface it, never drop it
+            unbaselined = sorted(
+                r["source"] for r in qstats if r["source"] not in baseline
+            )
             print(f"{day}: quality drift vs day1 baseline: "
-                  f"{', '.join(drifted) if drifted else 'none'}")
+                  f"{', '.join(drifted) if drifted else 'none'}"
+                  + (f"; unbaselined sources: {', '.join(unbaselined)}"
+                     if unbaselined else ""))
         exact = dedup_incremental_prepare(batch, fp_index)
         near = dedup_minhash_incremental_prepare(
             exact.survivors, lsh_index, threshold=0.5

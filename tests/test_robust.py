@@ -14,8 +14,40 @@ from thundercats_spark.operators.robust import mad_outlier_stats
 
 
 def _disc(sorted_vals, p):
-    # SQL percentile_disc: smallest value with cume_dist >= p
-    return sorted_vals[max(1, math.ceil(len(sorted_vals) * p)) - 1]
+    # SQL percentile_disc: smallest value with cume_dist >= p — rank
+    # via EXACT decimal-intent arithmetic (independent reimplementation
+    # of ranking.disc_rank's semantics: the IEEE product n*p overshoots
+    # at pairs like 25*0.28 and would be one rank high)
+    from fractions import Fraction
+
+    n = len(sorted_vals)
+    return sorted_vals[max(1, math.ceil(Fraction(str(p)) * n)) - 1]
+
+
+def test_disc_rank_exactness_vs_duckdb_literals():
+    from fractions import Fraction
+
+    import duckdb
+
+    from thundercats_spark.operators.ranking import disc_rank
+
+    con = duckdb.connect()
+    # the adversarial class: n*p integral in decimal, overshooting in
+    # IEEE (naive float ceil is one rank high on every one of these)
+    cases = [(25, 0.28), (50, 0.14), (100, 0.07), (150, 0.34),
+             (25, 0.56), (100, 0.55), (200, 0.56), (150, 0.68),
+             (10, 0.3), (20, 0.15), (2, 0.75), (5, 0.5)]
+    for n, p in cases:
+        vals = list(range(1, n + 1))
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT unnest(?) AS v",
+                    [vals])
+        want = con.execute(
+            f"SELECT quantile_disc(v, {p}) FROM t"
+        ).fetchone()[0]
+        assert disc_rank(p, n) == want, (n, p)
+        assert disc_rank(p, n) == max(
+            1, math.ceil(Fraction(str(p)) * n)
+        ), (n, p)
 
 
 def test_exact_percentiles_disc_matches_model(spark):
@@ -169,3 +201,14 @@ def test_quantized_path_guards(spark):
     assert out.count() == 0
     assert out.columns == ["g", "n", "med", "mad", "n_outliers",
                            "outlier_rate"]
+
+
+def test_nan_scores_rejected_both_paths(spark):
+    from thundercats_spark.operators.robust import mad_outlier_stats_quantized
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", float("nan")), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    with pytest.raises(ValueError, match="NaN"):
+        mad_outlier_stats(df, ["g"], "x")
+    with pytest.raises(ValueError, match="NaN"):
+        mad_outlier_stats_quantized(df, ["g"], "x")

@@ -79,6 +79,20 @@ def mad_outlier_stats(
     # upstream scan runs once.
     vals = vals.persist()
     try:
+        # NaN breaks the total order the ranking machinery needs AND
+        # every downstream comparison (dev > thresh is always False) —
+        # fail loudly, as the module's measure-binning precedent does.
+        # This agg materializes the cache the rankings then reuse, so
+        # the source is still scanned once.
+        nan_k = vals.agg(
+            F.sum(F.when(F.isnan("__v"), 1).otherwise(0)).alias("k")
+        ).first()["k"]
+        if nan_k:
+            raise ValueError(
+                f"{nan_k} NaN values in {value_col!r}: NaN breaks the "
+                "ranking order and silently undercounts outliers — "
+                "filter or impute NaN scores upstream"
+            )
         med = exact_percentiles_grouped(
             vals, gcols, "__v", [0.5],
             n_partitions=n_partitions, max_groups=max_groups,
@@ -142,7 +156,10 @@ def mad_outlier_stats_quantized(
     the identical IEEE double arithmetic. Raises loudly when the
     histogram exceeds ``max_hist_rows`` (a non-quantized value column
     — use ``mad_outlier_stats``, whose driver math is bounded by
-    groups, not values)."""
+    groups, not values). NOTE: the cap is TOTAL across groups — many
+    groups each near score-space saturation need a larger explicit
+    cap (the histogram is still bounded; the guard is about driver
+    memory, ~40 B/row)."""
     import math
 
     if not math.isfinite(k) or k < 0:
@@ -191,14 +208,28 @@ def mad_outlier_stats_quantized(
             "NULL group keys are not supported — filter or impute "
             "upstream (the module's loud-NULL contract)"
         )
+    nan_k = sum(r["__c"] for r in hist if math.isnan(r["__v"]))
+    if nan_k:
+        # NaN poisons sorted() (timsort transitivity) so the median
+        # walk becomes order-dependent, and dev > thresh is always
+        # False — the same silent-undercount failure the generic path
+        # rejects. Free to detect here: the histogram is on the driver.
+        raise ValueError(
+            f"{nan_k} NaN values in {value_col!r}: NaN breaks the "
+            "median walk and silently undercounts outliers — filter "
+            "or impute NaN scores upstream"
+        )
     by_g: dict[tuple, dict[float, int]] = {}
     for r in hist:
         g = tuple(r[c] for c in gcols)
         by_g.setdefault(g, {})[r["__v"]] = r["__c"]
 
+    from thundercats_spark.operators.ranking import disc_rank
+
     def _disc_median(counts: dict[float, int], n: int) -> float:
-        # percentile_disc(0.5): value at rank ceil(n * 0.5)
-        target = max(1, math.ceil(n * 0.5))
+        # percentile_disc(0.5) — the rank rule is OWNED by
+        # ranking.disc_rank so the two paths cannot drift apart
+        target = disc_rank(0.5, n)
         cum = 0
         for v in sorted(counts):
             cum += counts[v]

@@ -671,12 +671,15 @@ def main():
 
     scored_x = d.select(
         "source", F.round(quality_score(F.col("text")), 6).alias("q")
-    )
-    hist_rows = scored_x.groupBy("source", "q").count().count()
-    t0 = time.time()
-    outl = mad_outlier_stats_quantized(scored_x, ["source"], "q", k=3.0)
-    n_outl = outl.count()
-    outlier_secs = round(time.time() - t0, 3)
+    ).persist()  # one quality-expression scan feeds both measurements
+    try:
+        t0 = time.time()
+        outl = mad_outlier_stats_quantized(scored_x, ["source"], "q", k=3.0)
+        n_outl = outl.count()
+        outlier_secs = round(time.time() - t0, 3)
+        hist_rows = scored_x.groupBy("source", "q").count().count()
+    finally:
+        scored_x.unpersist()
 
     out["r06_reports"] = {
         "quality_outliers_secs": outlier_secs,
