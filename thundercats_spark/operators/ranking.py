@@ -397,7 +397,15 @@ def _percentile_plan(
     ``disc_rank`` (exact decimal-intent rank, no interpolation). disc
     answers are actual data values, so downstream comparisons against
     them (e.g. MAD outlier thresholds) are reproducible across engines
-    with no last-ulp interpolation divergence."""
+    with no last-ulp interpolation divergence.
+
+    cont keeps IEEE ``h = (n-1)*p`` deliberately: at the adversarial
+    decimal-integral pairs (e.g. n=26, p=0.28) the float h overshoots
+    by ~1 ulp, so lo/hi straddle where exact math would pin one rank —
+    but the result differs from the exact-h value by ``frac*(hi-lo)``
+    with frac ~1e-15, absorbed by the queries' round(6) for any value
+    gap below ~5e8. disc had no such damping (a one-rank miss returns
+    a DIFFERENT DATA VALUE outright), hence exact arithmetic there."""
     import math
 
     out = []

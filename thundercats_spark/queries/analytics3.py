@@ -211,3 +211,33 @@ def orders_percentiles_distributed(spark, sf_dir):
     o = load(spark, sf_dir, "orders")["orders"]
     out = exact_percentiles(o, "o_totalprice", [0.25, 0.5, 0.9, 0.99])
     return out.select("p", F.round("value", 6).alias("value")).orderBy("p")
+
+
+# --------------------------------------------------------------------------
+# Discrete percentiles through the same distributed machinery
+# (mode="disc"): answers are ACTUAL order values — quantile_disc in
+# the oracle. p=0.37 is deliberate: with |orders| divisible by 100 at
+# every sf, n*p lands decimal-integral and IEEE-overshooting (the
+# 25*0.28 class), so this query drives disc_rank's exact decimal
+# arithmetic through the driver's hash gate, not just pytest.
+# --------------------------------------------------------------------------
+
+DISC_PCT_SQL = """
+SELECT p, ROUND(v, 6) AS value FROM (
+  SELECT 0.25 AS p, quantile_disc(o_totalprice, 0.25) AS v FROM orders
+  UNION ALL SELECT 0.37, quantile_disc(o_totalprice, 0.37) FROM orders
+  UNION ALL SELECT 0.5,  quantile_disc(o_totalprice, 0.5)  FROM orders
+  UNION ALL SELECT 0.99, quantile_disc(o_totalprice, 0.99) FROM orders
+) ORDER BY p
+"""
+
+
+@register("orders_percentiles_disc", DISC_PCT_SQL)
+def orders_percentiles_disc(spark, sf_dir):
+    from thundercats_spark.operators.ranking import exact_percentiles
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    out = exact_percentiles(
+        o, "o_totalprice", [0.25, 0.37, 0.5, 0.99], mode="disc"
+    )
+    return out.select("p", F.round("value", 6).alias("value")).orderBy("p")
