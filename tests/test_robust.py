@@ -212,3 +212,40 @@ def test_nan_scores_rejected_both_paths(spark):
         mad_outlier_stats(df, ["g"], "x")
     with pytest.raises(ValueError, match="NaN"):
         mad_outlier_stats_quantized(df, ["g"], "x")
+
+
+def test_percentiles_grouped_quantized_equals_ranking_path(spark):
+    from thundercats_spark.operators.robust import percentiles_grouped_quantized
+
+    rows = [("g%d" % (i % 3), float((i * 7) % 53)) for i in range(907)]
+    rows += [("g2", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    ps = [0.25, 0.37, 0.5, 0.9, 0.99]  # 0.37: the adversarial rank class
+    for mode in ("cont", "disc"):
+        a = sorted(map(tuple, exact_percentiles_grouped(
+            df, ["g"], "x", ps, mode=mode).collect()))
+        b = sorted(map(tuple, percentiles_grouped_quantized(
+            df, ["g"], "x", ps, mode=mode).collect()))
+        assert a == b, mode  # bit-exact: shared plan + same IEEE interp
+
+
+def test_percentiles_grouped_quantized_guards(spark):
+    from thundercats_spark.operators.robust import percentiles_grouped_quantized
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)], "g string, x double"
+    )
+    with pytest.raises(ValueError, match="max_hist_rows"):
+        percentiles_grouped_quantized(df, ["g"], "x", [0.5], max_hist_rows=50)
+    with pytest.raises(ValueError, match="cont.*disc"):
+        percentiles_grouped_quantized(df, ["g"], "x", [0.5], mode="nearest")
+    with pytest.raises(ValueError, match="collide"):
+        percentiles_grouped_quantized(
+            df.select(F.col("g").alias("p"), "x"), ["p"], "x", [0.5])
+    with pytest.raises(ValueError, match="NaN"):
+        percentiles_grouped_quantized(
+            spark.createDataFrame([("a", float("nan"))], "g string, x double"),
+            ["g"], "x", [0.5])
+    out = percentiles_grouped_quantized(
+        df.where(F.lit(False)), ["g"], "x", [0.5])
+    assert out.count() == 0 and out.columns == ["g", "p", "value"]

@@ -134,6 +134,123 @@ def mad_outlier_stats(
         vals.unpersist()
 
 
+def _collect_group_hist(
+    df: DataFrame,
+    gcols: Sequence[str],
+    value_col: str,
+    max_hist_rows: int,
+) -> dict[tuple, dict[float, int]]:
+    """The histogram path's shared first stage: ONE distributed
+    ``groupBy(group, value).count()`` collected to the driver as
+    {group: {value: count}}. Guards, in order: size (fetch at most
+    max+1 rows — overflow raises before the driver holds an unbounded
+    histogram), NULL group keys (the module's loud-NULL contract), and
+    NaN values (NaN poisons ``sorted()`` — timsort transitivity — so
+    any cum-walk over the histogram would be order-dependent)."""
+    import math
+
+    hist = (
+        df.select(*gcols, F.col(value_col).cast("double").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .groupBy(*gcols, "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .limit(max_hist_rows + 1)
+        .collect()
+    )
+    if len(hist) > max_hist_rows:
+        raise ValueError(
+            f"(group, value) histogram exceeds max_hist_rows="
+            f"{max_hist_rows}: the value column is not quantized "
+            "enough for the histogram path — round/bucket it first, "
+            "or use the ranking-based operator (bounded by groups, "
+            "not values)"
+        )
+    if any(any(r[c] is None for c in gcols) for r in hist):
+        raise ValueError(
+            "NULL group keys are not supported — filter or impute "
+            "upstream (the module's loud-NULL contract)"
+        )
+    nan_k = sum(r["__c"] for r in hist if math.isnan(r["__v"]))
+    if nan_k:
+        raise ValueError(
+            f"{nan_k} NaN values in {value_col!r}: NaN breaks the "
+            "histogram walk and silently corrupts every downstream "
+            "comparison — filter or impute NaN values upstream"
+        )
+    by_g: dict[tuple, dict[float, int]] = {}
+    for r in hist:
+        g = tuple(r[c] for c in gcols)
+        by_g.setdefault(g, {})[r["__v"]] = r["__c"]
+    return by_g
+
+
+def percentiles_grouped_quantized(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    ps: Sequence[float],
+    mode: str = "cont",
+    max_hist_rows: int = 2_000_000,
+) -> DataFrame:
+    """Histogram twin of ``ranking.exact_percentiles_grouped`` for
+    QUANTIZED value columns (integer token counts, round(d) scores,
+    bucketed lengths): ONE ``groupBy(group, value).count()`` aggregate
+    replaces the whole ranking pipeline, and every percentile — cont
+    or disc — derives from the per-group cumulative histogram on the
+    driver. Same contract, same output frame ``(group_cols..., p,
+    value)``, same answers (equality test-pinned in both modes): the
+    lo/hi ranks come from the SAME ``_percentile_plan`` and the cont
+    interpolation is the identical IEEE expression, so the two
+    physical strategies cannot drift apart. Driver work is bounded by
+    ``max_hist_rows`` (TOTAL across groups, ~40 B/row — loud raise on
+    overflow; non-quantized columns belong on the ranking path, whose
+    driver math is bounded by groups instead). NULL values ignored,
+    NULL group keys and NaN values raise."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from thundercats_spark.operators.ranking import (
+        _check_mode,
+        _check_ps,
+        _percentile_plan,
+    )
+
+    ps = _check_ps(ps)
+    _check_mode(mode)
+    gcols = list(group_cols)
+    reserved = {"p", "value"} & set(gcols)
+    if reserved:
+        raise ValueError(
+            f"group column(s) {sorted(reserved)} collide with the "
+            "output columns (p/value) — rename them first"
+        )
+    gfields = df.select(*gcols).schema.fields
+    out_schema = StructType(
+        [*gfields, StructField("p", DoubleType()),
+         StructField("value", DoubleType())]
+    )
+    by_g = _collect_group_hist(df, gcols, value_col, max_hist_rows)
+    rows = []
+    for g, counts in by_g.items():
+        n = sum(counts.values())
+        plan = _percentile_plan(ps, n, mode)
+        ranks = sorted({r for _, lo, hi, _ in plan for r in (lo, hi)})
+        at: dict[int, float] = {}
+        it = iter(ranks)
+        target = next(it)
+        cum = 0
+        for v in sorted(counts):
+            cum += counts[v]
+            while target is not None and cum >= target:
+                at[target] = v
+                target = next(it, None)
+            if target is None:
+                break
+        for p, lo, hi, frac in plan:
+            # identical interpolation expression to exact_percentiles
+            rows.append((*g, p, float(at[lo] + frac * (at[hi] - at[lo]))))
+    return df.sparkSession.createDataFrame(sorted(rows), out_schema)
+
+
 def mad_outlier_stats_quantized(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -187,42 +304,7 @@ def mad_outlier_stats_quantized(
          StructField("n_outliers", LongType()),
          StructField("outlier_rate", DoubleType())]
     )
-    hist_df = (
-        df.select(*gcols, F.col(value_col).cast("double").alias("__v"))
-        .where(F.col("__v").isNotNull())
-        .groupBy(*gcols, "__v")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    # ONE job: fetch at most max+1 rows; overflow raises before the
-    # driver holds an unbounded histogram.
-    hist = hist_df.limit(max_hist_rows + 1).collect()
-    if len(hist) > max_hist_rows:
-        raise ValueError(
-            f"(group, value) histogram exceeds max_hist_rows="
-            f"{max_hist_rows}: the value column is not quantized "
-            "enough for the histogram path — round/bucket it first, "
-            "or use mad_outlier_stats (bounded by groups, not values)"
-        )
-    if any(any(r[c] is None for c in gcols) for r in hist):
-        raise ValueError(
-            "NULL group keys are not supported — filter or impute "
-            "upstream (the module's loud-NULL contract)"
-        )
-    nan_k = sum(r["__c"] for r in hist if math.isnan(r["__v"]))
-    if nan_k:
-        # NaN poisons sorted() (timsort transitivity) so the median
-        # walk becomes order-dependent, and dev > thresh is always
-        # False — the same silent-undercount failure the generic path
-        # rejects. Free to detect here: the histogram is on the driver.
-        raise ValueError(
-            f"{nan_k} NaN values in {value_col!r}: NaN breaks the "
-            "median walk and silently undercounts outliers — filter "
-            "or impute NaN scores upstream"
-        )
-    by_g: dict[tuple, dict[float, int]] = {}
-    for r in hist:
-        g = tuple(r[c] for c in gcols)
-        by_g.setdefault(g, {})[r["__v"]] = r["__c"]
+    by_g = _collect_group_hist(df, gcols, value_col, max_hist_rows)
 
     from thundercats_spark.operators.ranking import disc_rank
 

@@ -177,11 +177,11 @@ _VERIFIED_R05 = {
 # containing it. Append future rounds' sets here.
 #
 # Coverage period: the driver window checks ~50 entries per round, so
-# at 134 registered queries every entry gets a driver row at least
-# every ceil(134/50) = 3 rounds (never-verified entries always lead).
+# at 135 registered queries every entry gets a driver row at least
+# every ceil(135/50) = 3 rounds (never-verified entries always lead).
 # Between driver windows, EVERY query still runs each round in pytest
 # (schema/determinism) and tools/verify_oracle.py (full value parity —
-# re-run in full each round; r06: 118 exact + 16 rows-only, 0 fail).
+# re-run in full each round; r06: 119 exact + 16 rows-only, 0 fail).
 _ROUNDS = [
     _VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03, _VERIFIED_R04,
     _VERIFIED_R05,

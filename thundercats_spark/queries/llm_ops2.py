@@ -854,3 +854,47 @@ def doc_quality_outliers_q(spark, sf_dir):
         "n_outliers",
         F.round("outlier_rate", 6).alias("outlier_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source token-count percentiles (robust.percentiles_grouped_quantized):
+# the seq_len-planning report — integer token counts are quantized by
+# construction, so ONE (source, n_tokens) histogram agg replaces a
+# grouped ranking pipeline; disc semantics (actual counts, exact ranks)
+# so quantile_disc mirrors it bit-for-bit. p=0.37 keeps the adversarial
+# decimal-integral rank class under the driver gate here too. Token
+# expression carries the blank-doc CASE guard (DuckDB splits '' into
+# one token, Spark's token_count yields 0).
+# --------------------------------------------------------------------------
+
+TOKEN_PCT_SQL = r"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS w
+  FROM documents
+)
+SELECT source, p, CAST(v AS DOUBLE) AS value FROM (
+  SELECT source, 0.37 AS p, quantile_disc(w, 0.37) AS v FROM t GROUP BY source
+  UNION ALL
+  SELECT source, 0.5, quantile_disc(w, 0.5) FROM t GROUP BY source
+  UNION ALL
+  SELECT source, 0.9, quantile_disc(w, 0.9) FROM t GROUP BY source
+  UNION ALL
+  SELECT source, 0.99, quantile_disc(w, 0.99) FROM t GROUP BY source
+)
+ORDER BY source, p
+"""
+
+
+@register("corpus_token_percentiles", TOKEN_PCT_SQL)
+def corpus_token_percentiles_q(spark, sf_dir):
+    from thundercats_spark.functions.text_analysis import token_count
+    from thundercats_spark.operators.robust import percentiles_grouped_quantized
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    out = percentiles_grouped_quantized(
+        d.select("source", token_count(F.col("text")).alias("w")),
+        ["source"], "w", [0.37, 0.5, 0.9, 0.99], mode="disc",
+    )
+    return out.orderBy("source", "p")
