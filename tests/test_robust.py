@@ -249,3 +249,24 @@ def test_percentiles_grouped_quantized_guards(spark):
     out = percentiles_grouped_quantized(
         df.where(F.lit(False)), ["g"], "x", [0.5])
     assert out.count() == 0 and out.columns == ["g", "p", "value"]
+
+
+def test_histogram_path_plans_one_exchange_no_window(spark):
+    # the scale claim: ONE narrow shuffle of (group, value) pairs, no
+    # ranking windows, no single-partition sort — pin the plan shape
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), float(i % 7)) for i in range(200)],
+        "g string, x double",
+    )
+    hist = (
+        df.select("g", F2.col("x").cast("double").alias("__v"))
+        .where(F2.col("__v").isNotNull())
+        .groupBy("g", "__v")
+        .agg(F2.count(F2.lit(1)).alias("__c"))
+    )
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan and "Sort" not in plan, plan
