@@ -25,9 +25,11 @@ def test_every_example_is_covered():
 
 
 @pytest.mark.parametrize("name", EXAMPLES)
-def test_example_runs_clean(name):
+def test_example_runs_clean(name, sf_dir):
+    # pass the suite's sf_dir (honors SPARK_GRAFT_TEST_SF) instead of
+    # relying on each example's hardcoded default path
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "examples", name)],
+        [sys.executable, os.path.join(REPO, "examples", name), sf_dir],
         cwd=REPO,
         capture_output=True,
         text=True,

@@ -184,6 +184,30 @@ def _collect_group_hist(
     return by_g
 
 
+def _hist_values_at_ranks(
+    counts: dict[float, int], ranks: list[int]
+) -> dict[int, float]:
+    """The cumulative-histogram rank walk, shared by every histogram
+    consumer in this module so the ``cum >= target`` boundary rule has
+    exactly one home: for each 1-based rank in the SORTED ``ranks``
+    list (all must be in [1, sum(counts)]), the value whose cumulative
+    count first reaches it."""
+    at: dict[int, float] = {}
+    it = iter(ranks)
+    target = next(it, None)
+    cum = 0
+    for v in sorted(counts):
+        cum += counts[v]
+        while target is not None and cum >= target:
+            at[target] = v
+            target = next(it, None)
+        if target is None:
+            break
+    if target is not None:
+        raise AssertionError("unreachable: ranks exceed histogram mass")
+    return at
+
+
 def percentiles_grouped_quantized(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -233,18 +257,9 @@ def percentiles_grouped_quantized(
     for g, counts in by_g.items():
         n = sum(counts.values())
         plan = _percentile_plan(ps, n, mode)
-        ranks = sorted({r for _, lo, hi, _ in plan for r in (lo, hi)})
-        at: dict[int, float] = {}
-        it = iter(ranks)
-        target = next(it)
-        cum = 0
-        for v in sorted(counts):
-            cum += counts[v]
-            while target is not None and cum >= target:
-                at[target] = v
-                target = next(it, None)
-            if target is None:
-                break
+        at = _hist_values_at_ranks(
+            counts, sorted({r for _, lo, hi, _ in plan for r in (lo, hi)})
+        )
         for p, lo, hi, frac in plan:
             # identical interpolation expression to exact_percentiles
             rows.append((*g, p, float(at[lo] + frac * (at[hi] - at[lo]))))
@@ -310,14 +325,10 @@ def mad_outlier_stats_quantized(
 
     def _disc_median(counts: dict[float, int], n: int) -> float:
         # percentile_disc(0.5) — the rank rule is OWNED by
-        # ranking.disc_rank so the two paths cannot drift apart
-        target = disc_rank(0.5, n)
-        cum = 0
-        for v in sorted(counts):
-            cum += counts[v]
-            if cum >= target:
-                return v
-        raise AssertionError("unreachable: cum covers n")
+        # ranking.disc_rank and the walk by _hist_values_at_ranks, so
+        # neither can drift from the other histogram consumers
+        r = disc_rank(0.5, n)
+        return _hist_values_at_ranks(counts, [r])[r]
 
     rows = []
     for g, counts in by_g.items():
