@@ -277,3 +277,50 @@ def test_histogram_path_plans_one_exchange_no_window(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" not in plan and "Sort" not in plan, plan
+
+
+def test_winsorize_grouped_matches_model(spark):
+    from thundercats_spark.operators.robust import winsorize_grouped
+
+    rows = [("g%d" % (i % 3), float((i * 13) % 101)) for i in range(601)]
+    rows += [("g0", None), ("g1", float("nan"))]
+    df = spark.createDataFrame(rows, "g string, x double")
+    for quantized in (False, True):
+        out = winsorize_grouped(
+            df, ["g"], "x", 0.1, 0.9, quantized=quantized
+        ).collect()
+        got = {
+            (r["g"], r["x"]): r["x_w"]
+            for r in out
+            if r["x"] is not None and not math.isnan(r["x"])
+        }
+        by_g = {}
+        for g, x in rows:
+            if x is not None and not math.isnan(x):
+                by_g.setdefault(g, []).append(x)
+        for g, xs in by_g.items():
+            xs.sort()
+            lo, hi = _disc(xs, 0.1), _disc(xs, 0.9)
+            for x in xs:
+                want = min(max(x, lo), hi)
+                assert got[(g, x)] == want, (quantized, g, x)
+        # NULL and NaN pass through untouched (greatest/least would
+        # otherwise clip NULL to the lower bound; NaN keys can't be
+        # dict-matched — NaN != NaN — so scan the rows)
+        assert [r["x_w"] for r in out if r["x"] is None] == [None]
+        nan_rows = [r["x_w"] for r in out
+                    if r["x"] is not None and math.isnan(r["x"])]
+        assert len(nan_rows) == 1 and math.isnan(nan_rows[0])
+
+
+def test_winsorize_grouped_guards(spark):
+    from thundercats_spark.operators.robust import winsorize_grouped
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    with pytest.raises(ValueError, match="lo_p"):
+        winsorize_grouped(df, ["g"], "x", 0.9, 0.1)
+    with pytest.raises(ValueError, match="already exists"):
+        winsorize_grouped(df.withColumn("x_w", F.lit(1.0)), ["g"], "x")
+    out = winsorize_grouped(df, ["g"], "x", 0.0, 1.0)
+    assert out.columns == ["g", "x", "x_w"]
+    assert out.first()["x_w"] == 1.0

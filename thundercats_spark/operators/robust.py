@@ -343,3 +343,79 @@ def mad_outlier_stats_quantized(
         n_out = sum(c for d, c in devs.items() if d > thresh)
         rows.append((*g, n, med, mad, n_out, n_out / n))
     return df.sparkSession.createDataFrame(sorted(rows), out_schema)
+
+
+def winsorize_grouped(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo_p: float = 0.01,
+    hi_p: float = 0.99,
+    quantized: bool = False,
+    out_col: str | None = None,
+    n_partitions: int | None = None,
+    max_groups: int = 100_000,
+    max_hist_rows: int = 2_000_000,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's
+    [lo_p, hi_p] DISC percentile bounds — the standard tail-taming
+    step before mixing quality scores or weighting by token counts
+    across sources (a mean over winsorized scores is outlier-resistant
+    without dropping rows, the complement of ``mad_outlier_stats``
+    which flags them). disc bounds are actual data values, so clipped
+    outputs stay in the column's value domain (a cont bound could mint
+    a value no row has).
+
+    The bounds ride ``exact_percentiles_grouped`` (ranking path;
+    default) or ``percentiles_grouped_quantized`` (one-histogram path;
+    ``quantized=True`` for rounded scores / integer counts), then ONE
+    broadcast join + ``least/greatest`` clips every row — the corpus
+    never shuffles. Returns the input frame plus ``out_col`` (default
+    ``{value_col}_w``). NULL values pass through as NULL (guarded
+    explicitly — Spark's greatest/least IGNORE nulls, which would
+    silently clip a NULL to the lower bound); NaN values pass through
+    as NaN and are EXCLUDED from the bound computation (a NaN sorts
+    above everything in Spark and would otherwise become the hi bound);
+    NULL group keys raise (upstream)."""
+    if not (0.0 <= lo_p <= hi_p <= 1.0):
+        raise ValueError(
+            f"need 0 <= lo_p <= hi_p <= 1, got ({lo_p}, {hi_p})"
+        )
+    gcols = list(group_cols)
+    out_col = out_col or f"{value_col}_w"
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists — pass out_col"
+        )
+    v = F.col(value_col).cast("double")
+    dfb = df.where(v.isNotNull() & ~F.isnan(v))
+    if quantized:
+        pct = percentiles_grouped_quantized(
+            dfb, gcols, value_col, [lo_p, hi_p], mode="disc",
+            max_hist_rows=max_hist_rows,
+        )
+    else:
+        pct = exact_percentiles_grouped(
+            dfb, gcols, value_col, [lo_p, hi_p], mode="disc",
+            n_partitions=n_partitions, max_groups=max_groups,
+        )
+    bounds = pct.groupBy(*gcols).agg(
+        F.min(F.when(F.col("p") == float(lo_p), F.col("value"))).alias(
+            "__lo"
+        ),
+        F.min(F.when(F.col("p") == float(hi_p), F.col("value"))).alias(
+            "__hi"
+        ),
+    )
+    return (
+        df.join(F.broadcast(bounds), gcols, "left")
+        .withColumn(
+            out_col,
+            # explicit NULL/NaN passthrough: greatest/least IGNORE
+            # nulls, so the naive clip would turn NULL into __lo
+            F.when(v.isNull() | F.isnan(v), v).otherwise(
+                F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
