@@ -50,7 +50,19 @@ def main():
     labeled = docs.withColumn("label", (F.col("lang") == "en").cast("int"))
     model = train_quality_classifier(labeled, max_iter=20)
     scored = score_quality(model, docs)
-    kept = scored.where(F.col("quality_prob") >= 0.3)
+    # winsorize the model scores per source before thresholding: a
+    # source whose classifier scores have a long rogue tail (domain
+    # mismatch, adversarial SEO text) can't monopolize either end of
+    # the gate — tails are clipped to that source's own [p05, p95]
+    # (actual score values, disc bounds), rows are never dropped here
+    from thundercats_spark.operators.robust import winsorize_grouped
+
+    scored = winsorize_grouped(
+        scored.withColumn("quality_prob", F.round("quality_prob", 6)),
+        ["source"], "quality_prob", 0.05, 0.95,
+        quantized=True, out_col="q_w",
+    )
+    kept = scored.where(F.col("q_w") >= 0.3)
     n1 = kept.count()
 
     # 2) deterministic temperature rebalancing on the skewed lang axis.
