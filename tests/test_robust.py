@@ -324,3 +324,38 @@ def test_winsorize_grouped_guards(spark):
     out = winsorize_grouped(df, ["g"], "x", 0.0, 1.0)
     assert out.columns == ["g", "x", "x_w"]
     assert out.first()["x_w"] == 1.0
+
+
+def test_hist_walk_property_vs_flattened_index():
+    # pure-Python property: the cumulative walk over {value: count}
+    # must agree with naive flatten-sort-index for EVERY rank
+    import random
+
+    from thundercats_spark.operators.robust import _hist_values_at_ranks
+
+    rng = random.Random(7)
+    for _ in range(200):
+        counts = {
+            round(rng.uniform(-5, 5), 1): rng.randint(1, 4)
+            for _ in range(rng.randint(1, 20))
+        }
+        flat = sorted(v for v, c in counts.items() for _ in range(c))
+        n = len(flat)
+        ranks = sorted(rng.sample(range(1, n + 1), rng.randint(1, n)))
+        at = _hist_values_at_ranks(counts, ranks)
+        for r in ranks:
+            assert at[r] == flat[r - 1], (counts, r)
+
+
+def test_disc_rank_properties():
+    from thundercats_spark.operators.ranking import disc_rank
+
+    for n in (1, 2, 7, 100, 10_000):
+        assert disc_rank(0.0, n) == 1
+        assert disc_rank(1.0, n) == n
+        prev = 0
+        for k in range(0, 101):
+            r = disc_rank(k / 100, n)
+            assert 1 <= r <= n
+            assert r >= prev  # monotone in p
+            prev = r
