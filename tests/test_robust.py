@@ -359,3 +359,55 @@ def test_disc_rank_properties():
             assert 1 <= r <= n
             assert r >= prev  # monotone in p
             prev = r
+
+
+def test_robust_scale_grouped_matches_model(spark):
+    from thundercats_spark.operators.robust import robust_scale_grouped
+
+    rows = [("g%d" % (i % 3), float((i * 13) % 101)) for i in range(601)]
+    rows += [("g0", None), ("g1", float("nan")), ("c", 5.0), ("c", 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    for quantized in (False, True):
+        out = robust_scale_grouped(
+            df, ["g"], "x", quantized=quantized
+        ).collect()
+        by_g = {}
+        for g, x in rows:
+            if x is not None and not math.isnan(x):
+                by_g.setdefault(g, []).append(x)
+        model = {}
+        for g, xs in by_g.items():
+            xs.sort()
+            med = _disc(xs, 0.5)
+            mad = _disc(sorted(abs(x - med) for x in xs), 0.5)
+            model[g] = (med, mad)
+        for r in out:
+            g, x, z = r["g"], r["x"], r["x_rz"]
+            if x is None:
+                assert z is None
+            elif math.isnan(x):
+                assert math.isnan(z)
+            else:
+                med, mad = model[g]
+                if mad == 0.0:
+                    assert z is None, (quantized, g, x)  # constant group
+                else:
+                    assert z == (x - med) / (1.4826 * mad), (quantized, g, x)
+
+
+def test_robust_scale_grouped_guards(spark):
+    from thundercats_spark.operators.robust import robust_scale_grouped
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    with pytest.raises(ValueError, match="already exists"):
+        robust_scale_grouped(df.withColumn("x_rz", F.lit(1.0)), ["g"], "x")
+    with pytest.raises(ValueError, match="consistency"):
+        robust_scale_grouped(df, ["g"], "x", consistency=0.0)
+    # consistency=1.0: raw MAD units
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 4.0)], "g string, x double"
+    )
+    got = {r["x"]: r["x_rz"] for r in robust_scale_grouped(
+        df2, ["g"], "x", consistency=1.0).collect()}
+    # med=2, devs sorted [0,1,2] -> mad=1; z = x - 2
+    assert got == {1.0: -1.0, 2.0: 0.0, 4.0: 2.0}

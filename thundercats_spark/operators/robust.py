@@ -419,3 +419,85 @@ def winsorize_grouped(
         )
         .drop("__lo", "__hi")
     )
+
+
+def robust_scale_grouped(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantized: bool = False,
+    out_col: str | None = None,
+    consistency: float = 1.4826,
+    n_partitions: int | None = None,
+    max_groups: int = 100_000,
+    max_hist_rows: int = 2_000_000,
+) -> DataFrame:
+    """Per-group robust scaling (the "modified z-score"): ``(v - med)
+    / (consistency * mad)`` — how model scores from DIFFERENT sources
+    become comparable before a global threshold or mixture weighting
+    (a raw 0.8 from a lenient source and a raw 0.5 from a harsh one
+    can be the same number of robust deviations out). The default
+    ``consistency = 1.4826`` (≈ 1/Φ⁻¹(3/4)) makes the denominator
+    estimate the standard deviation under normality; pass 1.0 for raw
+    MAD units. Median/MAD are the same discrete, engine-reproducible
+    statistics as ``mad_outlier_stats`` (ranking path by default,
+    one-histogram path with ``quantized=True``), delivered by ONE
+    broadcast join — the corpus never shuffles.
+
+    A zero-MAD group (constant values) yields NULL scores, loudly
+    visible rather than ±Infinity (division by zero on doubles); NULL
+    and NaN values pass through unchanged, NaN excluded from the
+    stats. Returns the input frame plus ``out_col`` (default
+    ``{value_col}_rz``)."""
+    gcols = list(group_cols)
+    out_col = out_col or f"{value_col}_rz"
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists — pass out_col"
+        )
+    import math
+
+    if not math.isfinite(consistency) or consistency <= 0:
+        raise ValueError(
+            f"consistency must be finite and > 0, got {consistency}"
+        )
+    v = F.col(value_col).cast("double")
+    dfb = df.where(v.isNotNull() & ~F.isnan(v))
+    if quantized:
+        pct = percentiles_grouped_quantized(
+            dfb, gcols, value_col, [0.5], mode="disc",
+            max_hist_rows=max_hist_rows,
+        ).select(*gcols, F.col("value").alias("__med"))
+        dev = dfb.join(F.broadcast(pct), gcols).withColumn(
+            "__dev", F.abs(F.col(value_col).cast("double") - F.col("__med"))
+        )
+        mad = percentiles_grouped_quantized(
+            dev, gcols, "__dev", [0.5], mode="disc",
+            max_hist_rows=max_hist_rows,
+        ).select(*gcols, F.col("value").alias("__mad"))
+    else:
+        pct = exact_percentiles_grouped(
+            dfb, gcols, value_col, [0.5], mode="disc",
+            n_partitions=n_partitions, max_groups=max_groups,
+        ).select(*gcols, F.col("value").alias("__med"))
+        dev = dfb.join(F.broadcast(pct), gcols).withColumn(
+            "__dev", F.abs(F.col(value_col).cast("double") - F.col("__med"))
+        )
+        mad = exact_percentiles_grouped(
+            dev, gcols, "__dev", [0.5], mode="disc",
+            n_partitions=n_partitions, max_groups=max_groups,
+        ).select(*gcols, F.col("value").alias("__mad"))
+    stats = pct.join(mad, gcols)
+    return (
+        df.join(F.broadcast(stats), gcols, "left")
+        .withColumn(
+            out_col,
+            F.when(v.isNull() | F.isnan(v), v).when(
+                F.col("__mad") == 0.0, F.lit(None).cast("double")
+            ).otherwise(
+                (v - F.col("__med"))
+                / (F.lit(float(consistency)) * F.col("__mad"))
+            ),
+        )
+        .drop("__med", "__mad")
+    )
