@@ -173,6 +173,32 @@ _VERIFIED_R05 = {
     "events_retention_cohorts",
 }
 
+# Names whose latest driver row is round 6 (CORRECTNESS_r06.json): all
+# 50 window entries were green (39 hash-match + 11 rows-only by
+# design), so the whole window advances to the r06 tier.
+_VERIFIED_R06 = {
+    "orders_salted_agg", "lineitem_salted_join", "orders_top_per_segment",
+    "orders_key_skew", "orders_percentiles_distributed",
+    "orders_percentiles_disc", "corpus_dedup_lineage", "ann_batch_indexed",
+    "ann_batch_lsh_indexed", "doc_decontamination_report",
+    "ann_lsh_quantized", "corpus_packing_efficiency",
+    "corpus_embedding_clusters", "embedding_cluster_drift",
+    "corpus_cluster_exemplars", "corpus_balanced_shards",
+    "doc_quality_outliers", "corpus_token_percentiles",
+    "orders_value_percentiles", "customer_balance_rank_dist",
+    "orders_balance_correlation", "orders_latest_per_customer",
+    "dedup_exact", "ngram_jaccard_pairs", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine", "ann_bruteforce_topk",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_lsh_indexed", "text_token_stats",
+    "text_quality_score", "text_lang_id", "doc_fingerprint",
+    "corpus_token_budget", "q1_pricing_summary", "q3_shipping_priority",
+    "ann_indexed_topk", "llm_clean_pipeline", "dedup_connected_groups",
+    "doc_bigram_logprob", "doc_repetition_score", "doc_source_mix",
+    "doc_decontaminate", "corpus_split_stratified",
+    "doc_decontaminate_fuzzy", "corpus_split_leakage_safe",
+    "doc_pii_scrub", "ann_batch_topk",
+}
+
 # Oldest-first round lists; a name's effective round is the LAST list
 # containing it. Append future rounds' sets here.
 #
@@ -184,7 +210,7 @@ _VERIFIED_R05 = {
 # re-run in full each round; r06: 119 exact + 16 rows-only, 0 fail).
 _ROUNDS = [
     _VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03, _VERIFIED_R04,
-    _VERIFIED_R05,
+    _VERIFIED_R05, _VERIFIED_R06,
 ]
 
 
