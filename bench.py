@@ -86,9 +86,29 @@ BENCH_QUERIES = [
 ]
 
 
+def _load_fingerprint() -> dict:
+    """Machine-load snapshot so round-over-round drift is attributable
+    (VERDICT r06: ambient-load deltas were asserted, not recorded).
+    loadavg counts runnable tasks fleet-wide; n_procs counts live PIDs
+    — a loaded box shows load1 >> n_cpus or a PID jump vs prior rounds."""
+    fp: dict = {}
+    try:
+        l1, l5, l15 = os.getloadavg()
+        fp["load1"], fp["load5"] = round(l1, 2), round(l5, 2)
+    except OSError:
+        pass
+    try:
+        fp["n_procs"] = sum(1 for p in os.listdir("/proc") if p.isdigit())
+    except OSError:
+        pass
+    fp["n_cpus"] = os.cpu_count()
+    return fp
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    load_start = _load_fingerprint()
 
     from thundercats_spark.queries import all_queries
     from thundercats_spark.session import get_spark
@@ -151,6 +171,9 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # ambient-load fingerprint at start/end of the run: drift in
+        # `value` with load1 >> n_cpus is machine noise, not regression
+        "load": {"start": load_start, "end": _load_fingerprint()},
     }
     # The scale rehearsals (x10/x30 bucket bounds, wall-clocks) live in
     # tools/scale_stats*.json — pointed to, never embedded: the driver
