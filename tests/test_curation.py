@@ -841,3 +841,21 @@ def test_assign_balanced_shards_rejects_bad_weights(spark):
     neg = spark.createDataFrame([(1, 5), (2, -3)], "doc_id long, w long")
     with pytest.raises(ValueError, match="negative"):
         assign_balanced_shards(neg, 4, "w")
+
+
+def test_assign_balanced_shards_rejects_column_collisions(spark):
+    """ADVICE r06: a caller frame already holding a helper name
+    (__ord/__w/__cum/__tot) or the out_col must raise loudly — the
+    staging withColumns would silently replace it and the final drop
+    would delete the caller's data."""
+    from thundercats_spark.operators.curation import assign_balanced_shards
+
+    base = [(1, 5, "x"), (2, 3, "y")]
+    for bad in ("__ord", "__w", "__cum", "__tot", "shard"):
+        df = spark.createDataFrame(base, f"doc_id long, w long, `{bad}` string")
+        with pytest.raises(ValueError, match="already exist"):
+            assign_balanced_shards(df, 4, "w")
+    # a custom out_col colliding with a real column raises too
+    df = spark.createDataFrame(base, "doc_id long, w long, bucket string")
+    with pytest.raises(ValueError, match="already exist"):
+        assign_balanced_shards(df, 4, "w", out_col="bucket")

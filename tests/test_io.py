@@ -491,6 +491,38 @@ def test_bucketed_write_reclaims_orphaned_warehouse_dir(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_bucketed_write_reclaims_qualified_name_orphan(spark):
+    """ADVICE r06: 'db.table' lives at wh/<db>.db/<table>, not
+    wh/db.table — the orphan reclaim must resolve the qualified
+    layout (and go through the Hadoop FS API so remote warehouse
+    URIs work too). Also: >2 qualifiers raise instead of guessing."""
+    import os
+    from urllib.parse import urlparse
+
+    import pytest
+
+    from thundercats_spark.physical.io import Bucketed
+
+    db, tbl = "tc_orphan_db", "tc_orphan_qualified"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = os.path.join(wh, f"{db}.db", tbl)
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "stale.parquet"), "w") as f:
+        f.write("not a real parquet file")
+    df = spark.range(7).withColumnRenamed("id", "k")
+    try:
+        Bucketed.write(df, f"{db}.{tbl}", ["k"], num_buckets=2).get
+        assert spark.table(f"{db}.{tbl}").count() == 7
+        r = Bucketed.write(df, f"a.b.{tbl}", ["k"], num_buckets=2)
+        assert r.is_failing
+        assert "qualifier" in str(r.get_error())
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
 def test_parquet_balanced_shards_write(spark, tmp_path):
     from thundercats_spark.physical.io import Write
 

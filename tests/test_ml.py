@@ -588,17 +588,21 @@ def test_auc_nan_scores_raise_when_binning(spark):
         _AUC(score_bins="log")
 
 
-def test_quantile_bins_reject_nonpositive_digits():
-    """nbins = 10**digits: digits < 1 under quantile binning is a
-    construction-time ValueError, not a TypeError buried in MayFail
-    (equi-width keeps accepting negative digits — F.round to tens is
-    meaningful there)."""
+def test_quantile_bins_reject_out_of_range_digits():
+    """nbins = 10**digits: under quantile binning, digits outside
+    [1, 5] is a construction-time ValueError — digits < 1 gives a
+    degenerate/float bin count, digits >= 6 pushes a ~10^6-element
+    probability list through the driver and the Greenwald-Khanna
+    merge, dominating the job it is meant to cheapen (ADVICE r06).
+    Equi-width keeps accepting negative digits — F.round to tens is
+    meaningful there — and any large digits (no quantile probe)."""
     import pytest
 
     from thundercats_spark.ml.measure import _AUC
 
-    with pytest.raises(ValueError, match="score_round_digits >= 1"):
-        _AUC(score_round_digits=-1, score_bins="quantile")
-    with pytest.raises(ValueError, match="score_round_digits >= 1"):
-        _AUC(score_round_digits=0, score_bins="quantile")
+    for bad in (-1, 0, 6, 9):
+        with pytest.raises(ValueError, match="score_round_digits"):
+            _AUC(score_round_digits=bad, score_bins="quantile")
+    _AUC(score_round_digits=5, score_bins="quantile")  # boundary ok
     _AUC(score_round_digits=-1, score_bins="width")  # still fine
+    _AUC(score_round_digits=8, score_bins="width")  # no probe list

@@ -373,3 +373,33 @@ def test_rewired_percentile_queries_keep_all_null_groups(spark):
     out = {r["g"]: (r["n"], r["p50"]) for r in
            counts.join(F.broadcast(wide), "g", "left").collect()}
     assert out == {"a": (2, 2.0), "b": (2, None)}
+
+
+def test_ranking_ops_reject_helper_column_collisions(spark):
+    """ADVICE r06: frames already carrying a helper name (__b/__wrn/
+    __off/__tot) or the out_col must raise loudly instead of having
+    the column silently replaced and dropped."""
+    import pytest
+
+    from thundercats_spark.operators.ranking import (
+        global_row_number,
+        global_running_sum,
+        grouped_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "y")], "k long, w long, `__b` string"
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        global_row_number(df, ["k"])
+    with pytest.raises(ValueError, match="already exist"):
+        global_running_sum(df, ["k"], "w")
+    with pytest.raises(ValueError, match="already exist"):
+        grouped_row_number(df, ["w"], ["k"])
+    # out_col collision on a clean frame
+    clean = spark.createDataFrame([(1, 10), (2, 20)], "k long, rn long")
+    with pytest.raises(ValueError, match="already exist"):
+        global_row_number(clean, ["k"], out_col="rn")
+    # total_col collision
+    with pytest.raises(ValueError, match="already exist"):
+        global_running_sum(clean, ["k"], "rn", out_col="c", total_col="k")

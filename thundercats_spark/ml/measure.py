@@ -83,17 +83,25 @@ class ClassificationMeasure(Measure):
         if (
             score_bins == "quantile"
             and score_round_digits is not None
-            and score_round_digits < 1
+            and not 1 <= score_round_digits <= 5
         ):
             # equi-width tolerates negative digits (F.round to tens);
             # quantile derives nbins = 10**digits, where digits < 1
             # means "fewer than 10 cells" at best and a float bin count
             # at worst — fail at construction, not as a TypeError
-            # buried in a MayFail.
+            # buried in a MayFail. The UPPER bound (ADVICE r06): the
+            # quantile path pushes a 10**digits - 1 element probability
+            # list through the driver and the Greenwald-Khanna merge —
+            # digits >= 6 makes the binning dominate the job it is
+            # meant to cheapen. 10^5 cells already bounds the curve
+            # sort; beyond that use exact mode (digits=None).
             raise ValueError(
-                "score_bins='quantile' needs score_round_digits >= 1 "
-                f"(got {score_round_digits}): the bin count is "
-                "10**score_round_digits"
+                "score_bins='quantile' needs 1 <= score_round_digits "
+                f"<= 5 (got {score_round_digits}): the bin count is "
+                "10**score_round_digits, and >= 10^6 quantile probes "
+                "cost more than the curve they bound — use "
+                "score_round_digits=None (exact) if you need finer "
+                "thresholds"
             )
         self.score_round_digits = score_round_digits
         self.score_bins = score_bins

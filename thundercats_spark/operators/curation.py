@@ -707,7 +707,17 @@ def assign_balanced_shards(
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     from thundercats_spark.operators.ranking import (
         _idiv,
+        _require_free_columns,
         global_running_sum,
+    )
+
+    # Loud collision check (ADVICE r06): the staging withColumns would
+    # silently replace pre-existing __ord/__w/__cum/__tot columns and
+    # the final drop would delete the caller's data; the out_col
+    # default 'shard' could likewise clobber a real column.
+    _require_free_columns(
+        df, ["__ord", "__w", "__cum", "__tot", out_col],
+        "assign_balanced_shards",
     )
 
     from pyspark.sql import types as T

@@ -122,6 +122,22 @@ def _count_and_check_nulls(
     return row["n"] if group_cols is None else (row["n"], row["g"])
 
 
+def _require_free_columns(df: DataFrame, names, op: str) -> None:
+    """Raise if a helper/output column name already exists on the
+    input frame. ``withColumn`` silently REPLACES an existing column
+    and the internal ``drop`` then deletes the caller's data — the
+    same loud-collision contract ``write_parquet_zorder`` and
+    ``key_skew_report`` already enforce (ADVICE r06)."""
+    clash = [n for n in names if n is not None and n in df.columns]
+    if clash:
+        raise ValueError(
+            f"{op}: column(s) {clash} already exist on the input frame "
+            "and would be silently overwritten/dropped by internal "
+            "helper columns — rename them upstream or pass different "
+            "out_col/total_col names"
+        )
+
+
 def _persist_if_uncached(df: DataFrame) -> tuple[DataFrame, bool]:
     """Persist for the internal multi-pass phase UNLESS the caller
     already cached this frame (following the docstring advice to
@@ -152,6 +168,9 @@ def global_row_number(
     it once. Output row order is unspecified (sort at the edge)."""
     spark = df.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    _require_free_columns(
+        df, ["__b", out_col, total_col], "global_row_number"
+    )
     df, own_cache = _persist_if_uncached(df)
     try:
         total = _count_and_check_nulls(df, order_cols)
@@ -225,6 +244,9 @@ def global_running_sum(
         wtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     )
     acc_type = "long" if integral else "double"
+    _require_free_columns(
+        df, ["__b", out_col, total_col], "global_running_sum"
+    )
     df, own_cache = _persist_if_uncached(df)
     try:
         total_rows = _count_and_check_nulls(
@@ -303,6 +325,11 @@ def grouped_row_number(
     spark = df.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
     keys = [*group_cols, *order_cols]
+    _require_free_columns(
+        df,
+        ["__b", "__wrn", "__off", "__tot", out_col, total_col],
+        "grouped_row_number",
+    )
     df, own_cache = _persist_if_uncached(df)
     try:
         total, n_groups = _count_and_check_nulls(df, keys, group_cols)

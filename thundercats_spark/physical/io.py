@@ -1023,16 +1023,32 @@ class Bucketed:
                 # dead session (the in-memory catalog dies with it, the
                 # files don't) fails the CREATE with "location is not
                 # empty" — drop stragglers first.
-                import os
-                import shutil
-                from urllib.parse import urlparse
-
+                # Orphan reclaim via the Hadoop FileSystem API (ADVICE
+                # r06: os.path only sees a driver-local warehouse and
+                # an unqualified layout — 'db.table' lives at
+                # wh/<db>.db/<table>, remote warehouse URIs were a
+                # silent no-op). The FS of the warehouse URI handles
+                # local/hdfs/s3 alike. Validate BEFORE the DROP so the
+                # error names the contract, not a catalog internal.
+                parts = table.lower().split(".")
+                if len(parts) == 1:
+                    rel = parts[0]
+                elif len(parts) == 2:
+                    db, tbl = parts
+                    rel = tbl if db == "default" else f"{db}.db/{tbl}"
+                else:
+                    raise ValueError(
+                        f"table name {table!r} has more than one "
+                        "qualifier — expected [db.]table"
+                    )
                 spark = df.sparkSession
                 spark.sql(f"DROP TABLE IF EXISTS {table}")
-                wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-                leftover = os.path.join(wh, table.lower())
-                if os.path.isdir(leftover):
-                    shutil.rmtree(leftover, ignore_errors=True)
+                wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+                jvm = spark._jvm
+                hpath = jvm.org.apache.hadoop.fs.Path(f"{wh}/{rel}")
+                fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                if fs.exists(hpath):
+                    fs.delete(hpath, True)
             w = df.write.bucketBy(num_buckets, *bucket_cols)
             if sort_cols:
                 w = w.sortBy(*sort_cols)
