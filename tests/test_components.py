@@ -79,3 +79,37 @@ def test_small_graph_rows_plumbed_leakage_safe_split(spark):
         (r["doc_id"], r["group_rep"], r["split"]) for r in d.collect()
     )
     assert canon(fast) == canon(forced)
+
+
+def test_iterative_path_chain_plus_hub_iterations_and_equality(spark):
+    """VERDICT r06 #6: since the driver fast path landed, the
+    ITERATIVE path never ran on the adversarial shapes it exists for.
+    Force it (small_graph_rows=0) on a long chain (diameter 512) plus
+    a hot hub, assert pointer-halving converges in <= log2(diameter)+2
+    rounds (plain propagation would need ~diameter and silently
+    mislabel at max_iter=20), and pin exact equality with the
+    union-find fast path."""
+    import math
+
+    from thundercats_spark.operators.components import connected_components
+
+    chain = [(i, i + 1) for i in range(512)]  # path: diameter 512
+    hub = [(10_000, 10_000 + j) for j in range(1, 200)]  # star
+    bridge = [(400, 10_050)]  # fuse them into one component
+    iso = [(20_000, 20_001)]  # plus a separate tiny component
+    edges = spark.createDataFrame(
+        chain + hub + bridge + iso, "id_a long, id_b long"
+    )
+    stats: dict = {}
+    out = connected_components(edges, small_graph_rows=0, stats=stats)
+    got = sorted(tuple(r) for r in out.collect())
+    assert stats["path"] == "iterative"
+    bound = math.ceil(math.log2(512)) + 2  # 11
+    assert stats["iterations"] <= bound, stats
+    ref = sorted(
+        tuple(r)
+        for r in connected_components(edges, small_graph_rows=10**9).collect()
+    )
+    assert got == ref
+    comp = dict(got)
+    assert comp[512] == 0 and comp[10_199] == 0 and comp[20_001] == 20_000

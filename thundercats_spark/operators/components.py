@@ -82,6 +82,7 @@ def connected_components(
     checkpoint_every: int = 3,
     reliable: bool = False,
     small_graph_rows: int | None = 500_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """→ (id, component) where component = min node id in the
     component. Nodes = every id appearing in ``edges``. Set
@@ -98,7 +99,12 @@ def connected_components(
     distributed. ``small_graph_rows=None`` forces the distributed
     path. The 500k default keeps the collected edge list well under
     driver memory; the 100 TB-scale graph takes the distributed path
-    automatically."""
+    automatically. Pass a dict as ``stats`` to receive execution
+    telemetry in-place: ``path`` ('driver' | 'iterative'),
+    ``sym_edges`` (symmetric distinct edge count), and — iterative
+    path only — ``iterations`` (rounds until the no-change probe,
+    inclusive; the rehearsal gate asserting O(log diameter)
+    convergence of pointer-halving reads this)."""
     sym = _cut_lineage(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -108,8 +114,15 @@ def connected_components(
         # expensive pair-mining job) re-executes per iteration.
         reliable,
     )
-    if small_graph_rows is not None and sym.count() <= small_graph_rows:
+    n_sym = sym.count()
+    if stats is not None:
+        stats["sym_edges"] = n_sym
+    if small_graph_rows is not None and n_sym <= small_graph_rows:
+        if stats is not None:
+            stats["path"] = "driver"
         return _components_driver(sym)
+    if stats is not None:
+        stats["path"] = "iterative"
     labels = _cut_lineage(
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -157,6 +170,8 @@ def connected_components(
             new_labels.where(F.col("component") != F.col("__old")).limit(1).count()
         )
         labels = new_labels.select("id", "component")
+        if stats is not None:
+            stats["iterations"] = i + 1
         if changed == 0:
             break
     else:
