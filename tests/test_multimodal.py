@@ -455,3 +455,95 @@ def test_png_malformed_payloads_return_none_not_raise():
     )
     got = decode_png(bomb)  # reads only 4*(12+1)=52 bytes of the bomb
     assert got is not None and got[:3] == (4, 4, "PNG")
+
+
+def test_strict_mode_names_missing_libs_and_fake_pil_flips_branch():
+    """VERDICT r06 #8 dry-wire: (a) with no codec lib, strict mode
+    raises NAMING the missing lib (Pillow) while no-lib formats still
+    decode for real; (b) a module satisfying `from PIL import Image`
+    flips _decoder to the real branch with zero code diff — the
+    contract that turns on automatically in the first environment
+    with Pillow installed."""
+    import sys
+    import types
+
+    import numpy as np
+    import pytest
+
+    from thundercats_spark.multimodal.binary import _decoder, encode_bmp
+
+    assert "PIL" not in sys.modules or hasattr(sys.modules["PIL"], "Image")
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 64  # JFIF magic, no PIL
+
+    # (a) stub branch: strict raises naming Pillow; BMP stays REAL
+    if "PIL" in sys.modules:  # container truth: no Pillow
+        pytest.skip("Pillow unexpectedly present; stub branch untestable")
+    decode, real = _decoder(strict=True)
+    assert real is False
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode(jpeg_ish)
+    bmp = encode_bmp(3, 2, np.zeros((2, 3, 3), dtype=np.float32))
+    w, h, mode, vec = decode(bmp)
+    assert (w, h) == (3, 2)  # no-lib format unaffected by strict
+
+    # non-strict stub still pseudo-decodes deterministically
+    decode_lax, real = _decoder()
+    assert real is False
+    w1, h1, m1, v1 = decode_lax(jpeg_ish)
+    w2, h2, m2, v2 = decode_lax(jpeg_ish)
+    assert m1 == "STUB" and (w1, h1, m1) == (w2, h2, m2)
+    assert np.array_equal(v1, v2)
+
+    # (b) fake Pillow satisfies the import → REAL branch selected,
+    # compressed formats route through Image.open
+    class _FakeImage:
+        width, height, mode = 4, 2, "RGB"
+
+        def __array__(self, dtype=None, copy=None):
+            return np.arange(24, dtype=np.float32).reshape(2, 4, 3)
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda bio: _FakeImage()
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    sys.modules["PIL"] = pil_mod
+    sys.modules["PIL.Image"] = image_mod
+    try:
+        decode, real = _decoder(strict=True)
+        assert real is True
+        w, h, mode, vec = decode(jpeg_ish)
+        assert (w, h, mode) == (4, 2, "RGB")
+        assert vec.shape == (24,) and vec[5] == 5.0
+        # no-lib formats STILL short-circuit before PIL (cheaper, and
+        # byte-identical to the lib-less environments)
+        w, h, mode, vec = decode(bmp)
+        assert (w, h) == (3, 2) and mode != "RGB" or (w, h) == (3, 2)
+    finally:
+        del sys.modules["PIL"]
+        del sys.modules["PIL.Image"]
+
+
+def test_strict_mode_spark_side_errors_name_codec_libs(spark):
+    """strict=True surfaces the lib-naming error through the Arrow
+    worker boundary for audio (ffmpeg/torchaudio) and video (ffmpeg);
+    real-decodable payloads pass strict untouched."""
+    import pytest
+
+    from thundercats_spark.multimodal.binary import (
+        decode_audio_features,
+        sample_frames,
+    )
+
+    mp3_ish = bytearray(b"ID3" + bytes(300))
+    audio = spark.createDataFrame(
+        [(1, bytes(mp3_ish))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="ffmpeg|torchaudio"):
+        decode_audio_features(audio, strict=True).collect()
+
+    video = spark.createDataFrame(
+        [(1, bytes(bytearray(240)), {"width": None, "height": None})],
+        "media_id long, payload binary, meta map<string,int>",
+    )
+    with pytest.raises(Exception, match="ffmpeg"):
+        sample_frames(video, strict=True).collect()

@@ -591,3 +591,88 @@ def test_stream_quality_monitor_journals_and_flags_drift(spark, tmp_path):
     assert new_src["med_drift"] is None and new_src["drifted"] is None
     # per-batch stats agree with the batch operator run directly
     assert shifted["n"] == 10 and shifted["med"] == 0.82
+
+
+def test_sessionize_event_time_deterministic_across_shuffled_replays(
+    spark, tmp_path
+):
+    """VERDICT r06 #4: replay determinism pin. The SAME events arriving
+    in the SAME wave (micro-batch) sequence must yield byte-identical
+    sessions regardless of row order and file layout WITHIN each wave —
+    the property that makes event-time sessionization safe for backfill
+    (a re-run never silently produces different sessions because the
+    source listed files differently). Three replays shuffle each wave
+    with a different seed and write it with a different partition
+    count; a late row (far behind the watermark) rides wave 3 in every
+    replay to pin that late-data dropping is part of the deterministic
+    contract, not a race."""
+    import random
+
+    from thundercats_spark.streaming.windows import (
+        sessionize_stream_event_time,
+    )
+
+    t0 = datetime(2024, 3, 1, 0, 0, 0)
+    ev = lambda u, s, v: (u, t0 + timedelta(seconds=s), v)
+    waves = [
+        # wave 1: both users open sessions; sentinel sets watermark 1s
+        [ev(1, 0, 1.0), ev(1, 1, 2.0), ev(1, 2, 3.0),
+         ev(2, 1, 5.0), ev(2, 2, 6.0), ev(99, 3, 0.0)],
+        # wave 2: folds into the open sessions; watermark -> 28s
+        [ev(1, 3, 4.0), ev(2, 10, 7.0), ev(99, 30, 0.0)],
+        # wave 3: sentinel -> watermark 58s (closes users 1 and 2) plus
+        # a LATE user-1 row 55s behind the watermark — must be dropped
+        [ev(99, 60, 0.0), ev(1, 2.5, 100.0)],
+    ]
+
+    def replay(i: int, seed: int, n_parts: int):
+        path = str(tmp_path / f"replay{i}")
+        name = f"sess_det_{i}"
+        rng = random.Random(seed)
+        first = True
+        q = None
+        try:
+            for wave in waves:
+                rows = list(wave)
+                rng.shuffle(rows)
+                df = spark.createDataFrame(
+                    rows, "user_id long, ts timestamp, value double"
+                ).repartition(n_parts)
+                df.write.mode("overwrite" if first else "append").parquet(path)
+                if first:
+                    out = sessionize_stream_event_time(
+                        _file_stream(spark, path),
+                        gap_ms=5_000,
+                        watermark="2 seconds",
+                    )
+                    q = (
+                        out.writeStream.format("memory")
+                        .queryName(name)
+                        .outputMode("append")
+                        .start()
+                    )
+                    first = False
+                q.processAllAvailable()
+                q.processAllAvailable()  # timeout-processing microbatch
+            return sorted(
+                (
+                    r["user_id"],
+                    r["session_start"],
+                    r["session_end"],
+                    r["n_events"],
+                    r["total_value"],
+                )
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            )
+        finally:
+            if q is not None:
+                q.stop()
+
+    results = [replay(0, 7, 1), replay(1, 41, 3), replay(2, 1009, 7)]
+    assert results[0] == results[1] == results[2], results
+    # and the canonical expected sessions: the late 100.0 row is in NO
+    # session, user 1 spans waves 1-2 (4 events), user 2 likewise (3)
+    assert results[0] == [
+        (1, t0, t0 + timedelta(seconds=3), 4, 10.0),
+        (2, t0 + timedelta(seconds=1), t0 + timedelta(seconds=10), 3, 18.0),
+    ], results[0]

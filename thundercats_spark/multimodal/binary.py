@@ -326,13 +326,19 @@ def encode_png_palette(
     return out + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b"")
 
 
-def _decoder():
+def _decoder(strict: bool = False):
     """Decoder chain: REAL no-lib decoders first — header-parsing for
     self-describing uncompressed formats (BMP, PPM, PGM) and the
     stdlib-zlib PNG path (8-bit non-interlaced) — then the imaging lib
     for the remaining compressed formats if importable, else the
     deterministic stub. The second return value reports whether a REAL
-    path decodes those remaining formats too."""
+    path decodes those remaining formats too. ``strict=True`` turns
+    the stub fallback into a NotImplementedError NAMING the missing
+    lib — for pipelines where a pseudo-decoded feature silently mixed
+    into real features would be worse than a loud stop (VERDICT r06
+    #8: the first environment with Pillow flips to the real branch
+    with zero code diff, and this contract is pinned by tests on BOTH
+    branches)."""
 
     def decode_nolib(payload: bytes):
         return (
@@ -360,6 +366,15 @@ def _decoder():
             got = decode_nolib(payload)
             if got is not None:  # REAL decode — format needs no codec lib
                 return got
+            if strict:
+                raise NotImplementedError(
+                    "compressed image decode (JPEG / 16-bit or "
+                    "interlaced PNG / ...) requires Pillow (the PIL "
+                    "package), which is not importable in this "
+                    "environment — install pillow, or call with "
+                    "strict=False to accept the deterministic stub "
+                    "features for these formats"
+                )
             # STUB for the remaining compressed formats only
             # (JPEG / 16-bit or interlaced PNG / ...):
             # deterministic pseudo-decode from payload bytes. Real
@@ -376,12 +391,16 @@ def _decoder():
         return decode_stub, False
 
 
-def decode_image_features(df: DataFrame, batch_size: int = 64) -> DataFrame:
+def decode_image_features(
+    df: DataFrame, batch_size: int = 64, strict: bool = False
+) -> DataFrame:
     """payload → (dims, mode, feature vector) via one mapInPandas pass.
-    Output drops the payload column immediately — bytes never shuffle."""
+    Output drops the payload column immediately — bytes never shuffle.
+    ``strict=True``: raise (naming the missing codec lib) instead of
+    stub-decoding formats the no-lib decoders can't handle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode, _ = _decoder()
+        decode, _ = _decoder(strict=strict)
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -396,13 +415,20 @@ def decode_image_features(df: DataFrame, batch_size: int = 64) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 4,
+    strict: bool = False,
+) -> DataFrame:
     """Video → sampled frame payloads. Raw-RGB video payloads (frame
     size = meta.width × meta.height × 3 divides the payload exactly)
     sample for REAL: every ``every_n``-th frame sliced on true frame
     boundaries, ``frame_idx`` = the SOURCE frame number. Container
     formats fall back to the STUB (fixed-width pseudo-frame slices)
-    until ffmpeg is present — identical dataframe contract."""
+    until ffmpeg is present — identical dataframe contract.
+    ``strict=True``: raise (naming ffmpeg) instead of stub-slicing
+    container formats."""
     has_meta = "meta" in df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -426,6 +452,14 @@ def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> Data
                         rows.append((mid, fi, data[fi * fsz : (fi + 1) * fsz]))
                         taken += 1
                     continue
+                if strict:
+                    raise NotImplementedError(
+                        "container-format frame sampling requires "
+                        "ffmpeg, which is not available in this "
+                        "environment — transcode to raw RGB upstream, "
+                        "install ffmpeg, or call with strict=False to "
+                        "accept the deterministic stub frame slices"
+                    )
                 # STUB frame extraction: fixed-width slices as "frames".
                 chunk = max(1, len(data) // max(every_n, 1))
                 for i in range(min(max_frames, max(1, len(data) // chunk))):
@@ -651,14 +685,20 @@ def decode_wav(data: bytes):
     return fr, nch, duration_ms, samples
 
 
-def decode_audio_features(df: DataFrame, window_ms: int = 1000, batch_size: int = 64) -> DataFrame:
+def decode_audio_features(
+    df: DataFrame,
+    window_ms: int = 1000,
+    batch_size: int = 64,
+    strict: bool = False,
+) -> DataFrame:
     """Audio payload → (duration, windowed feature vector). RIFF/WAVE
     PCM payloads decode for REAL (stdlib wave: true duration from the
     frame count, per-window RMS energy over the downmixed samples).
     Other formats fall back to the STUB (duration estimated from byte
     length at a nominal bitrate, windowed byte sums) — a real build
     adds compressed codecs (torchaudio/ffmpeg) behind the identical
-    contract."""
+    contract. ``strict=True``: raise (naming the missing codec libs)
+    instead of stub-estimating compressed formats."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bytes_per_ms = 16  # STUB nominal 128 kbit/s
@@ -681,6 +721,15 @@ def decode_audio_features(df: DataFrame, window_ms: int = 1000, batch_size: int 
                     ]
                     rows.append((mid, duration_ms, n_windows, feat))
                     continue
+                if strict:
+                    raise NotImplementedError(
+                        "compressed audio decode (MP3/AAC/...) requires "
+                        "ffmpeg or torchaudio, neither of which is "
+                        "available in this environment — transcode to "
+                        "WAV PCM upstream, install a codec lib, or call "
+                        "with strict=False to accept the deterministic "
+                        "stub features"
+                    )
                 duration_ms = max(1, len(data) // bytes_per_ms)
                 n_windows = max(1, duration_ms // window_ms)
                 chunk = max(1, len(data) // n_windows)

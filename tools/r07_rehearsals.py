@@ -1,0 +1,254 @@
+"""Round-7 scale rehearsals (VERDICT r06 #5/#6/#7). Three probes no
+small-SF correctness run exercises, each merged into
+tools/scale_stats.json so the round's BENCH artifact records the scale
+posture:
+
+1. ``cc_iterative_x10`` — connected components FORCED onto the
+   distributed pointer-halving path (``small_graph_rows=0``) over an
+   adversarial long-chain (diameter 65,536) + hot-hub graph. Asserts
+   iteration count <= ceil(log2(diameter)) + 2 and exact equality with
+   the driver union-find. Since the 500k-edge fast path landed, no
+   rehearsal had actually run the iterative loop at scale-shape.
+
+2. ``robust_million_groups`` — ``mad_outlier_stats`` at the raised
+   ceiling: 10^6 synthetic groups x 3 rows (the grouped-ranking driver
+   math is O(buckets x groups); this is the size the default
+   max_groups=100k guard exists to stop — here it is raised
+   deliberately). Result stays DISTRIBUTED (r07 localCheckpoint);
+   spot-checks closed-form medians for a sample of groups.
+
+3. ``skew_join_ab`` — 90%-hot-key join A/B at x10 rows: sort-merge
+   with AQE skew-split OFF vs ON vs ``salted_join`` (buckets=32),
+   broadcast disabled on all three so the skewed shuffle actually
+   happens (broadcast is always the FIRST choice when the dim fits —
+   this report is for when it doesn't). AQE's skew thresholds are
+   lowered to fire at rehearsal scale; real clusters keep defaults
+   because real partitions are GB-sized. The wall-clocks tell a user
+   when explicit salting still beats AQE: AQE splits oversized
+   PARTITIONS, salting splits oversized KEYS — a single key hotter
+   than the advisory size stays one task under AQE alone unless the
+   skew split kicks in, and salted_agg-style pre-spreading is the only
+   lever for non-join aggregations.
+
+Usage: python tools/r07_rehearsals.py [--skip-robust]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from thundercats_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STATS = os.path.join(REPO, "tools", "scale_stats.json")
+
+
+def merge_stats(key: str, value) -> None:
+    data = {}
+    if os.path.exists(STATS):
+        with open(STATS) as f:
+            data = json.load(f)
+    data[key] = value
+    with open(STATS, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+
+
+def cc_iterative_rehearsal(spark) -> dict:
+    from thundercats_spark.operators.components import connected_components
+
+    diameter = 65_536
+    chain = spark.range(diameter).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    hub = spark.range(1, 150_000).select(
+        F.lit(10_000_000).alias("id_a"),
+        (F.col("id") + 10_000_000).alias("id_b"),
+    )
+    bridge = spark.createDataFrame(
+        [(1000, 10_000_050)], "id_a long, id_b long"
+    )
+    edges = chain.union(hub).union(bridge)
+
+    stats: dict = {}
+    t0 = time.time()
+    out = connected_components(edges, small_graph_rows=0, stats=stats)
+    n_nodes = out.count()
+    iter_secs = time.time() - t0
+    assert stats["path"] == "iterative", stats
+
+    bound = math.ceil(math.log2(diameter)) + 2
+    assert stats["iterations"] <= bound, (stats, bound)
+
+    # exact equality with the driver union-find (the two paths must be
+    # indistinguishable to every consumer)
+    t0 = time.time()
+    ref = connected_components(edges, small_graph_rows=10**9)
+    mismatch = (
+        out.withColumnRenamed("component", "c1")
+        .join(ref.withColumnRenamed("component", "c2"), "id", "full")
+        .where(
+            F.col("c1").isNull()
+            | F.col("c2").isNull()
+            | (F.col("c1") != F.col("c2"))
+        )
+        .count()
+    )
+    uf_secs = time.time() - t0
+    assert mismatch == 0, f"{mismatch} label mismatches vs union-find"
+    n_comp = out.select("component").distinct().count()
+    assert n_comp == 1  # bridge fuses chain + hub into one component
+    return {
+        "diameter": diameter,
+        "n_nodes": n_nodes,
+        "sym_edges": stats["sym_edges"],
+        "iterations": stats["iterations"],
+        "iteration_bound": bound,
+        "iterative_secs": round(iter_secs, 2),
+        "union_find_secs": round(uf_secs, 2),
+        "mismatches": mismatch,
+    }
+
+
+def robust_million_groups(spark) -> dict:
+    from thundercats_spark.operators.robust import mad_outlier_stats
+
+    n_groups = 1_000_000
+    rows_per = 3
+    # deterministic values: group g holds {g%7, g%7+1, g%7+5} → median
+    # g%7+1, deviations {1,0,4} → MAD 1, outliers at k=3: |4| > 3*1 → 1
+    df = (
+        spark.range(n_groups * rows_per)
+        .select(
+            (F.col("id") % n_groups).alias("g"),
+            (F.col("id") / n_groups).cast("int").alias("r"),
+        )
+        .select(
+            "g",
+            (
+                (F.col("g") % 7)
+                + F.when(F.col("r") == 0, 0.0)
+                .when(F.col("r") == 1, 1.0)
+                .otherwise(5.0)
+            ).alias("v"),
+        )
+    )
+    t0 = time.time()
+    out = mad_outlier_stats(
+        df, ["g"], "v", k=3.0, max_groups=n_groups, tie_break_cols=[]
+    )
+    n_out = out.count()
+    secs = time.time() - t0
+    assert n_out == n_groups, n_out
+    sample = {r["g"]: r for r in out.where(F.col("g") % 99_991 == 0).collect()}
+    for g, r in sample.items():
+        want_med = float(g % 7 + 1)
+        assert (r["n"], r["med"], r["mad"], r["n_outliers"]) == (
+            3, want_med, 1.0, 1,
+        ), (g, r)
+    return {
+        "n_groups": n_groups,
+        "rows": n_groups * rows_per,
+        "secs": round(secs, 2),
+        "sampled_groups_checked": len(sample),
+        "distributed_result": True,
+    }
+
+
+def skew_join_ab(spark) -> dict:
+    from thundercats_spark.operators.skew import salted_join
+
+    n_big, n_keys = 10_000_000, 10_000
+    # 90% of rows carry key 0; the rest spread uniformly
+    big = spark.range(n_big).select(
+        F.when(F.col("id") % 10 < 9, 0)
+        .otherwise(F.col("id") % n_keys)
+        .alias("k"),
+        (F.col("id") % 97).alias("payload"),
+    )
+    small = spark.range(n_keys).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("dim")
+    )
+    agg = lambda j: j.groupBy("k").agg(
+        F.sum(F.col("payload") + F.col("dim")).alias("s")
+    )
+
+    def timed(build, reps=3):
+        build().write.format("noop").mode("overwrite").save()  # warm
+        xs = []
+        for _ in range(reps):
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            xs.append(time.time() - t0)
+        return round(statistics.median(xs), 2)
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # fire AQE's split at rehearsal scale (local partitions are MB,
+        # not the GB a real cluster sees with default 256m thresholds)
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16m",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plain = timed(lambda: agg(big.join(small, "k")))
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        aqe = timed(lambda: agg(big.join(small, "k")))
+        salted = timed(lambda: agg(salted_join(big, small, ["k"], buckets=32)))
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    return {
+        "rows_big": n_big,
+        "hot_key_share": 0.9,
+        "plain_smj_secs": plain,
+        "aqe_skew_split_secs": aqe,
+        "salted_32_secs": salted,
+        "note": (
+            "broadcast disabled on all variants (the report targets "
+            "non-broadcastable dims); AQE thresholds lowered to fire "
+            "at MB-scale local partitions"
+        ),
+    }
+
+
+def main():
+    spark = get_spark("r07-rehearsals")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    r = cc_iterative_rehearsal(spark)
+    merge_stats("cc_iterative_x10", r)
+    print("cc_iterative_x10:", json.dumps(r))
+
+    if "--skip-robust" not in sys.argv:
+        r = robust_million_groups(spark)
+        merge_stats("robust_million_groups", r)
+        print("robust_million_groups:", json.dumps(r))
+
+    r = skew_join_ab(spark)
+    merge_stats("skew_join_ab", r)
+    print("skew_join_ab:", json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
