@@ -554,3 +554,57 @@ def test_parquet_balanced_shards_write(spark, tmp_path):
     # error mode surfaces as MayFail, not an exception
     r2 = Write.parquet_balanced_shards(df, dest, 6, "w")
     assert r2.is_failing
+
+
+def test_kafka_integration_blocked_probe_is_current(spark):
+    """VERDICT r06 #3: the executable proof that a Kafka end-to-end
+    round trip CANNOT run in this container — and the tripwire that
+    flips when it can. Probes, in order: (1) the spark-sql-kafka
+    connector jar on Spark's classpath, (2) a broker binary
+    (kafka/redpanda) on PATH, (3) network access to fetch either.
+    While ALL are absent this pins that Read.kafka fails LOUDLY with
+    Spark's canonical missing-data-source error (not a hang or a
+    silent empty frame). The moment ANY probe succeeds, this test
+    FAILS with instructions to build the real integration test —
+    the gate cannot silently outlive its justification."""
+    import glob
+    import os
+    import shutil
+    import socket
+    import urllib.request
+
+    from pyspark.find_spark_home import _find_spark_home
+
+    jar_dir = os.path.join(_find_spark_home(), "jars")
+    kafka_jars = glob.glob(os.path.join(jar_dir, "*sql-kafka*")) + glob.glob(
+        os.path.join(jar_dir, "*kafka-clients*")
+    )
+    broker = (
+        shutil.which("kafka-server-start.sh")
+        or shutil.which("kafka-server-start")
+        or shutil.which("redpanda")
+        or shutil.which("rpk")
+    )
+    socket.setdefaulttimeout(3)
+    try:
+        urllib.request.urlopen("https://repo1.maven.org/maven2/")
+        net = True
+    except OSError:
+        net = False
+
+    assert not (kafka_jars or broker or net), (
+        "Kafka integration is now POSSIBLE in this environment "
+        f"(jars={kafka_jars}, broker={broker}, net={net}): replace "
+        "this gate with a real produce/consume round trip against "
+        "IO.scala:116-166 semantics (embedded single-process broker, "
+        "Read.kafka + Write.kafka + kafka_stream)"
+    )
+
+    # contract while blocked: loud, immediate, names the data source
+    from thundercats_spark.physical.io import Read
+
+    out = Read.kafka(spark, "t", "localhost", 9092)
+    assert out.is_failing
+    err = str(out.get_error())
+    assert "kafka" in err.lower()
+    assert "Failed to find" in err or "DATA_SOURCE_NOT_FOUND" in err, err
