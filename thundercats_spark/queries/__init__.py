@@ -220,6 +220,7 @@ def all_queries() -> dict[str, Query]:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
         llm_ops,
         llm_ops2,
         relational,
