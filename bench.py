@@ -83,6 +83,11 @@ BENCH_QUERIES = [
     # robust quality QA: ONE (source, score) histogram agg, medians/MAD
     # derived driver-side (quantized fast path of operators/robust.py)
     "doc_quality_outliers",
+    # round-7: bounded window frame, basket-bounded co-occurrence
+    # self-join, and the triple distributed-NTILE scoring pass
+    "customer_order_moving_avg",
+    "part_affinity_lift",
+    "customer_rfm_scores",
 ]
 
 
