@@ -198,9 +198,13 @@ def customer_rfm_scores(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(_dec("o_totalprice")).cast("double").alias("spend"),
     )
-    # one distributed ranking per metric; the metric frame is tiny
-    # relative to orders (one row per customer) and each ranking's
-    # shuffle is on its own (metric, custkey) order
+    # one distributed ranking per metric. The metric frame is one row
+    # per customer — orders-scan-sized upstream, tiny downstream — and
+    # it feeds THREE chained rankings (each with internal count/sample/
+    # offset passes plus the final consumption): localCheckpoint it so
+    # the orders aggregation runs once, not ~7 times. Blocks are
+    # executor-local, bounded by |customers|, released with the frame.
+    m = m.localCheckpoint(eager=True)
     scored = m
     for metric, score_col in (
         ("last_order", "r_score"),
