@@ -585,9 +585,12 @@ def test_kafka_integration_blocked_probe_is_current(spark):
         or shutil.which("redpanda")
         or shutil.which("rpk")
     )
-    socket.setdefaulttimeout(3)
+    # NB: timeout must be per-call, NOT socket.setdefaulttimeout — the
+    # global default poisons py4j's blocking sockets for the rest of
+    # the session (any JVM call slower than the timeout then dies with
+    # a bare Py4JError; it cost two full-suite runs to find).
     try:
-        urllib.request.urlopen("https://repo1.maven.org/maven2/")
+        urllib.request.urlopen("https://repo1.maven.org/maven2/", timeout=3)
         net = True
     except OSError:
         net = False
