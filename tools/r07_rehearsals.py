@@ -252,3 +252,52 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def affinity_x10_rehearsal(spark) -> dict:
+    """Wave-7 addendum: part_affinity_lift at x10 facts. The pair
+    fan-out is bounded by per-basket size (replicated orders join
+    within themselves — basket-size distribution unchanged), so pair
+    rows and wall-clock should grow ~linearly with baskets, never
+    quadratically with parts."""
+    from thundercats_spark.queries import all_queries
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from scale_check import build_tpch_replica
+
+    q = all_queries()["part_affinity_lift"].spark_fn
+    base = "/root/testdata/sf0.1"
+    x10 = build_tpch_replica(spark, base, 10)
+
+    def candidates(sf_dir):
+        # the JOIN WORK metric: distinct (pair) rows BEFORE the
+        # n_ab >= 2 report filter. (The filtered output is NOT a work
+        # metric on replicas: every base pair's count multiplies by
+        # the replica factor, so once-off pairs cross the >=2 bar and
+        # the report legitimately explodes — first run measured 334x
+        # output growth against exactly 10x join work.)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+        b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+        return (
+            a.join(b, "k").where(F.col("pa") < F.col("pb")).count()
+        )
+
+    def run(sf_dir):
+        t0 = time.time()
+        out = q(spark, sf_dir)
+        n = out.count()
+        return n, round(time.time() - t0, 2)
+
+    run(base)  # warm
+    n1, t1 = run(base)
+    n10, t10 = run(x10)
+    c1, c10 = candidates(base), candidates(x10)
+    return {
+        "candidate_pairs_x1": c1, "candidate_pairs_x10": c10,
+        "candidate_growth": round(c10 / c1, 2) if c1 else None,
+        "report_rows_x1": n1, "report_rows_x10": n10,
+        "secs_x1": t1, "secs_x10": t10,
+        "time_growth": round(t10 / t1, 2) if t1 else None,
+    }
