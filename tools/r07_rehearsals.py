@@ -301,3 +301,73 @@ def affinity_x10_rehearsal(spark) -> dict:
         "secs_x1": t1, "secs_x10": t10,
         "time_growth": round(t10 / t1, 2) if t1 else None,
     }
+
+
+def skew_agg_ab(spark) -> dict:
+    """Aggregation-side twin of skew_join_ab: AQE has NO skew handling
+    for aggregations (the skew-split only rewrites join stages), so a
+    90%-hot group key leaves one reducer holding 9M rows however
+    adaptive the plan is — UNLESS map-side partial aggregation already
+    collapses the key (sum/count collapse per-partition to one row per
+    (key, partition): the hot key costs each mapper one cell, and the
+    'hot' reduce key receives n_partitions rows — skew solved for
+    free). salted_agg exists for the aggregations where partial
+    aggregation does NOT collapse (high-cardinality intermediate
+    state: collect_list/distinct-ish accumulators) — rehearsed here
+    via count_distinct over a wide value domain, where the partial
+    state for the hot key is ~its distinct set."""
+    n_big = 10_000_000
+    big = spark.range(n_big).select(
+        F.when(F.col("id") % 10 < 9, 0)
+        .otherwise(F.col("id") % 10_000)
+        .alias("k"),
+        (F.col("id") % 1_000_003).alias("v"),
+    )
+
+    def timed(build, reps=3):
+        build().write.format("noop").mode("overwrite").save()
+        xs = []
+        for _ in range(reps):
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            xs.append(time.time() - t0)
+        return round(statistics.median(xs), 2)
+
+    # algebraic agg: partial aggregation collapses the hot key map-side
+    plain_sum = timed(lambda: big.groupBy("k").agg(F.sum("v").alias("s")))
+
+    # non-collapsing agg: exact distinct per key (expand + 2 shuffles
+    # in Spark's planning; the hot key's distinct set is the state)
+    plain_cd = timed(
+        lambda: big.groupBy("k").agg(F.count_distinct("v").alias("d"))
+    )
+    # salted two-phase: distinct within (k, salt) shards, then merge
+    # counts — exact because v is hash-sharded: each distinct v lands
+    # in exactly one shard, so shard-distinct counts ADD.
+    def salted_cd():
+        salted = big.withColumn(
+            "__s", F.pmod(F.xxhash64("v"), F.lit(32))
+        )
+        part = salted.groupBy("k", "__s").agg(
+            F.count_distinct("v").alias("pd")
+        )
+        return part.groupBy("k").agg(F.sum("pd").alias("d"))
+
+    salted_cd_secs = timed(salted_cd)
+    # sanity: identical results
+    a = {r["k"]: r["d"] for r in
+         big.groupBy("k").agg(F.count_distinct("v").alias("d")).collect()}
+    b = {r["k"]: r["d"] for r in salted_cd().collect()}
+    assert a == b
+    return {
+        "rows": n_big,
+        "hot_key_share": 0.9,
+        "plain_sum_secs": plain_sum,
+        "plain_count_distinct_secs": plain_cd,
+        "salted_count_distinct_secs": salted_cd_secs,
+        "note": (
+            "sum/count need no salting (map-side partial agg collapses "
+            "hot keys); count_distinct's per-key state does not "
+            "collapse — salting on the VALUE hash shards it exactly"
+        ),
+    }
