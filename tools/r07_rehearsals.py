@@ -249,9 +249,13 @@ def main():
     merge_stats("skew_join_ab", r)
     print("skew_join_ab:", json.dumps(r))
 
+    r = skew_agg_ab(spark)
+    merge_stats("skew_agg_ab", r)
+    print("skew_agg_ab:", json.dumps(r))
 
-if __name__ == "__main__":
-    main()
+    r = affinity_x10_rehearsal(spark)
+    merge_stats("affinity_x10", r)
+    print("affinity_x10:", json.dumps(r))
 
 
 def affinity_x10_rehearsal(spark) -> dict:
@@ -371,3 +375,7 @@ def skew_agg_ab(spark) -> dict:
             "collapse — salting on the VALUE hash shards it exactly"
         ),
     }
+
+
+if __name__ == "__main__":
+    main()
