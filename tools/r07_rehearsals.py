@@ -30,6 +30,14 @@ posture:
    skew split kicks in, and salted_agg-style pre-spreading is the only
    lever for non-join aggregations.
 
+Added during the round: 4. ``skew_agg_ab`` — the aggregation-side
+skew A/B (algebraic aggs collapse map-side and never need salting;
+exact count_distinct salts on the VALUE hash, and only pays once a
+key's distinct state outgrows a reducer), and 5. ``affinity_x10`` —
+part_affinity_lift candidate-pair growth at x10 facts (linear by
+basket-size bound; the n_ab>=2 REPORT legitimately explodes under
+replication, so the candidate count is the work metric).
+
 Usage: python tools/r07_rehearsals.py [--skip-robust]
 """
 
