@@ -199,6 +199,30 @@ _VERIFIED_R06 = {
     "doc_pii_scrub", "ann_batch_topk",
 }
 
+# Names whose latest driver row is round 7 (CORRECTNESS_r07.json): all
+# 50 window entries were green (48 hash-match + 2 rows-only by
+# design), so the whole window advances to the r07 tier.
+_VERIFIED_R07 = {
+    "customer_order_moving_avg", "part_affinity_lift",
+    "customer_rfm_scores", "doc_quality_funnel", "dedup_keep_best",
+    "corpus_pack_sequences", "dedup_semantic", "dedup_minhash_oph",
+    "doc_repeated_spans", "doc_span_dup_fraction", "corpus_shuffle_order",
+    "doc_remove_repeated_spans", "corpus_sample_per_source",
+    "corpus_token_budget_per_source", "doc_chunk_windows",
+    "corpus_repeat_epochs", "corpus_drift_report",
+    "corpus_packed_sequences", "corpus_temperature_sample",
+    "embedding_norm_stats", "doc_quality_classifier_score",
+    "dedup_cluster_sizes", "ann_quantized_topk", "corpus_manifest",
+    "corpus_snapshot_diff", "join_inner", "join_left", "join_outer",
+    "join_broadcast", "join_expr", "group_agg_map", "group_agg_cols",
+    "filter_where", "filter_na", "filter_range", "order_by", "add_column",
+    "agg_reduce", "q5_local_supplier", "q10_returned_items",
+    "events_daily_rollup", "events_user_topk", "events_sessionize",
+    "asof_join_events_orders", "q6_forecast_revenue", "q4_priority_semi",
+    "customers_no_recent_orders", "q14_promo_share", "q18_large_orders",
+    "events_rollup_hierarchy",
+}
+
 # Oldest-first round lists; a name's effective round is the LAST list
 # containing it. Append future rounds' sets here.
 #
@@ -210,7 +234,7 @@ _VERIFIED_R06 = {
 # re-run in full each round; r06: 119 exact + 16 rows-only, 0 fail).
 _ROUNDS = [
     _VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03, _VERIFIED_R04,
-    _VERIFIED_R05, _VERIFIED_R06,
+    _VERIFIED_R05, _VERIFIED_R06, _VERIFIED_R07,
 ]
 
 
