@@ -202,8 +202,12 @@ _VERIFIED_R06 = {
 # Names whose latest driver row is round 7 (CORRECTNESS_r07.json): all
 # 50 window entries were green (48 hash-match + 2 rows-only by
 # design), so the whole window advances to the r07 tier.
+# part_affinity_lift is deliberately ABSENT despite its green r07 row:
+# r08 rewired its plan (single-scan checkpoint + broadcast n_baskets +
+# max_basket guard), so its tier is reset to 0 to force a re-check in
+# the r08 driver window (VERDICT r07 next-round #3).
 _VERIFIED_R07 = {
-    "customer_order_moving_avg", "part_affinity_lift",
+    "customer_order_moving_avg",
     "customer_rfm_scores", "doc_quality_funnel", "dedup_keep_best",
     "corpus_pack_sequences", "dedup_semantic", "dedup_minhash_oph",
     "doc_repeated_spans", "doc_span_dup_fraction", "corpus_shuffle_order",

@@ -73,15 +73,19 @@ def customer_order_moving_avg(spark, sf_dir):
 # Market-basket co-occurrence lift over (order, part) baskets:
 # lift(a,b) = P(a,b) / (P(a)·P(b)) = n_ab · n_baskets / (n_a · n_b).
 # The pair fan-out is the classic quadratic-per-basket explosion,
-# bounded here by basket size (TPC-H orders hold <= 7 lines; corpora
-# baskets need an explicit per-basket cap before the self-join — the
-# same discipline as the dedup family's candidate bounds). Shapes:
-# one distinct, one equi-self-join on the basket key (shuffle bounded
-# by sum-of-squares of basket sizes, NOT all-pairs of parts), part
-# marginals AQE-broadcast back onto the pair counts. All lift
-# arithmetic: exact long products, ONE double division. n_ab >= 2
-# keeps the report to repeated co-occurrences (and bounds the output);
-# ordering is total via the part-key pair.
+# bounded by the ``max_basket`` guard (TPC-H orders hold <= 7 lines so
+# the default never trips; power-law corpora baskets fail LOUDLY at
+# execution — or are excluded with ``on_oversize="drop"`` — before the
+# self-join can blow up, the same discipline as the dedup family's
+# candidate bounds). Shapes: ONE lineitem scan (the (order, part)
+# distinct is localCheckpointed and feeds marginals, basket sizes, and
+# both self-join sides), n_baskets folded in as a broadcast 1-row
+# aggregate (no separate driver action), one equi-self-join on the
+# basket key (shuffle bounded by sum-of-squares of basket sizes, NOT
+# all-pairs of parts), part marginals AQE-broadcast back onto the pair
+# counts. All lift arithmetic: exact long products, ONE double
+# division. n_ab >= 2 keeps the report to repeated co-occurrences (and
+# bounds the output); ordering is total via the part-key pair.
 # --------------------------------------------------------------------------
 
 PART_AFFINITY_SQL = """
@@ -111,10 +115,58 @@ ORDER BY p.part_a, p.part_b
 
 
 @register("part_affinity_lift", PART_AFFINITY_SQL)
-def part_affinity_lift(spark, sf_dir):
+def part_affinity_lift(spark, sf_dir, max_basket=64, on_oversize="error"):
+    """``max_basket`` bounds the per-basket pair fan-out: with
+    ``on_oversize="error"`` (default) an oversize basket raises inside
+    the plan via ``raise_error`` — loud, and free of any extra driver
+    action; ``"drop"`` excludes oversize baskets from pairs, marginals
+    AND n_baskets (so lift stays internally consistent) at the cost of
+    one extra join on the basket key."""
+    if on_oversize not in ("error", "drop"):
+        raise ValueError(
+            f"on_oversize must be 'error' or 'drop', got {on_oversize!r}"
+        )
     li = load(spark, sf_dir, "lineitem")["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    n_baskets = op.select("l_orderkey").distinct().count()  # one scalar job
+    # ONE scan: the checkpointed distinct feeds sizes, marginals and
+    # both self-join sides (in-plan exchange reuse is not guaranteed
+    # across aliased branches, so without this the fact table would be
+    # scanned+distinct'd up to 4x). Executor-local blocks, bounded by
+    # |distinct (order, part)|, released with the frame.
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=True
+    )
+    sizes = op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__bsz"))
+    if on_oversize == "drop":
+        sizes = sizes.where(F.col("__bsz") <= max_basket)
+        # restrict the basket universe; broadcast-sized only when the
+        # survivor list is small, so let AQE pick the strategy.
+        op = op.join(sizes.select("l_orderkey"), "l_orderkey")
+        checked_sz = F.col("__bsz")
+    else:
+        # declarative tripwire: F.count("__bsz") below must evaluate the
+        # column (null check), so the raise_error cannot be pruned away.
+        checked_sz = F.when(
+            F.col("__bsz") > max_basket,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "part_affinity_lift: basket l_orderkey="
+                    ),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(
+                        f" holds more than max_basket={max_basket} distinct"
+                        " parts; raise max_basket or pass"
+                        " on_oversize='drop' to exclude power-law baskets"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__bsz"))
+    # n_baskets as a broadcast 1-row aggregate (key_skew_report
+    # pattern) — no separate .count() action, and counting the CHECKED
+    # size column forces the oversize tripwire to run.
+    tot = sizes.select(checked_sz.alias("__bsz")).agg(
+        F.count("__bsz").alias("n_baskets")
+    )
     marg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     a = op.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
@@ -138,6 +190,7 @@ def part_affinity_lift(spark, sf_dir):
             marg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")),
             "part_b",
         )
+        .crossJoin(F.broadcast(tot))
         .select(
             "part_a",
             "part_b",
@@ -145,7 +198,7 @@ def part_affinity_lift(spark, sf_dir):
             "n_a",
             "n_b",
             (
-                (F.col("n_ab") * F.lit(n_baskets)).cast("double")
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
                 / (F.col("n_a") * F.col("n_b")).cast("double")
             ).alias("lift"),
         )
