@@ -515,9 +515,14 @@ def test_strict_mode_names_missing_libs_and_fake_pil_flips_branch():
         assert (w, h, mode) == (4, 2, "RGB")
         assert vec.shape == (24,) and vec[5] == 5.0
         # no-lib formats STILL short-circuit before PIL (cheaper, and
-        # byte-identical to the lib-less environments)
+        # byte-identical to the lib-less environments). ADVICE r07:
+        # assert the two conditions separately — the old `and ... or`
+        # reduced to the size check alone by operator precedence, so
+        # the short-circuit (mode stays the stdlib 'BMP', never the
+        # fake PIL's 'RGB') was never actually pinned.
         w, h, mode, vec = decode(bmp)
-        assert (w, h) == (3, 2) and mode != "RGB" or (w, h) == (3, 2)
+        assert (w, h) == (3, 2)
+        assert mode == "BMP"
     finally:
         del sys.modules["PIL"]
         del sys.modules["PIL.Image"]

@@ -466,3 +466,16 @@ def test_robust_scale_grouped_guards(spark):
         df2, ["g"], "x", consistency=1.0).collect()}
     # med=2, devs sorted [0,1,2] -> mad=1; z = x - 2
     assert got == {1.0: -1.0, 2.0: 0.0, 4.0: 2.0}
+
+
+def test_mad_outlier_stats_materialize_collect_equals_default(spark):
+    """ADVICE r07: materialize='collect' is the opt-out for long-lived
+    sessions / dynamic allocation (no pinned checkpoint blocks, result
+    survives executor loss) — same rows, driver-lifted."""
+    rows = [("g%d" % (i % 3), ((i * 37) % 101) * 0.5) for i in range(404)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    a = mad_outlier_stats(df, ["g"], "x", k=2.0).collect()
+    b = mad_outlier_stats(df, ["g"], "x", k=2.0, materialize="collect").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    with pytest.raises(ValueError, match="materialize"):
+        mad_outlier_stats(df, ["g"], "x", materialize="unpersisted")

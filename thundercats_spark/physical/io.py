@@ -1027,28 +1027,74 @@ class Bucketed:
                 # r06: os.path only sees a driver-local warehouse and
                 # an unqualified layout — 'db.table' lives at
                 # wh/<db>.db/<table>, remote warehouse URIs were a
-                # silent no-op). The FS of the warehouse URI handles
-                # local/hdfs/s3 alike. Validate BEFORE the DROP so the
-                # error names the contract, not a catalog internal.
+                # silent no-op). ADVICE r07 hardening: when the catalog
+                # DOES know the table, resolve its REAL location and
+                # type from the catalog — custom-LOCATION tables are no
+                # longer silently missed, and an EXTERNAL table's data
+                # (which DROP deliberately preserves) is never
+                # force-deleted; we warn and leave it. Validate BEFORE
+                # the DROP so the error names the contract, not a
+                # catalog internal.
                 parts = table.lower().split(".")
                 if len(parts) == 1:
-                    rel = parts[0]
+                    db, tbl = None, parts[0]
                 elif len(parts) == 2:
                     db, tbl = parts
-                    rel = tbl if db == "default" else f"{db}.db/{tbl}"
                 else:
                     raise ValueError(
                         f"table name {table!r} has more than one "
                         "qualifier — expected [db.]table"
                     )
                 spark = df.sparkSession
+                loc, external = None, False
+                if spark.catalog.tableExists(table):
+                    info = {
+                        r.col_name: r.data_type
+                        for r in spark.sql(
+                            f"DESCRIBE TABLE EXTENDED {table}"
+                        ).collect()
+                    }
+                    external = info.get("Type", "").upper() == "EXTERNAL"
+                    loc = info.get("Location")
                 spark.sql(f"DROP TABLE IF EXISTS {table}")
-                wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-                jvm = spark._jvm
-                hpath = jvm.org.apache.hadoop.fs.Path(f"{wh}/{rel}")
-                fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-                if fs.exists(hpath):
-                    fs.delete(hpath, True)
+                if external:
+                    import warnings
+
+                    warnings.warn(
+                        f"Bucketed.write(overwrite=True): {table} was "
+                        f"EXTERNAL; its data at {loc} is preserved (as "
+                        "DROP TABLE semantics promise) — the rewrite "
+                        "creates a MANAGED table at the warehouse "
+                        "location instead",
+                        stacklevel=3,
+                    )
+                    loc = None  # never reclaim an external location
+                if loc is None and not external:
+                    # orphan path: the catalog has no record, so
+                    # resolve the DATABASE location if it survives
+                    # (persistent metastore / custom LOCATION), else
+                    # fall back to the default warehouse layout.
+                    try:
+                        dbloc = spark.catalog.getDatabase(
+                            db or "default"
+                        ).locationUri.rstrip("/")
+                        loc = f"{dbloc}/{tbl}"
+                    except Exception:
+                        wh = spark.conf.get(
+                            "spark.sql.warehouse.dir"
+                        ).rstrip("/")
+                        rel = (
+                            tbl
+                            if db in (None, "default")
+                            else f"{db}.db/{tbl}"
+                        )
+                        loc = f"{wh}/{rel}"
+                if loc is not None:
+                    jvm = spark._jvm
+                    hpath = jvm.org.apache.hadoop.fs.Path(loc)
+                    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                    if fs.exists(hpath):
+                        fs.delete(hpath, True)
             w = df.write.bucketBy(num_buckets, *bucket_cols)
             if sort_cols:
                 w = w.sortBy(*sort_cols)
