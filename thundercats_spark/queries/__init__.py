@@ -249,6 +249,7 @@ def all_queries() -> dict[str, Query]:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         llm_ops,
         llm_ops2,
         relational,
