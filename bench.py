@@ -88,6 +88,12 @@ BENCH_QUERIES = [
     "customer_order_moving_avg",
     "part_affinity_lift",
     "customer_rfm_scores",
+    # round-8: mixed grouping sets, pointer-doubling hierarchy walk,
+    # value-bounded RANGE frame, stream-batch broadcast join
+    "orders_grouping_sets",
+    "customer_hierarchy_walk",
+    "orders_range_frame_window",
+    "orders_stream_batch_join",
 ]
 
 
@@ -180,6 +186,16 @@ def main():
         # `value` with load1 >> n_cpus is machine noise, not regression
         "load": {"start": load_start, "end": _load_fingerprint()},
     }
+    # VERDICT r07 #6: auto-annotate loaded runs so round-over-round
+    # comparisons carry the caveat in-band (r07's driver bench ran at
+    # load1 3.4-4.6 and wobbled ±6%; a reader of BENCH_r{N}.json alone
+    # should see that without cross-referencing PERF_NOTES). Terse by
+    # design — the whole line must fit the driver's capture window.
+    if load_start.get("load1", 0.0) > 1.0:
+        out["load_warning"] = (
+            f"load1={load_start['load1']}>1 at start: ambient load "
+            "inflates timings"
+        )
     # The scale rehearsals (x10/x30 bucket bounds, wall-clocks) live in
     # tools/scale_stats*.json — pointed to, never embedded: the driver
     # captures only the tail of stdout, and r03's embedded blob pushed
@@ -191,11 +207,22 @@ def main():
     )
     if os.path.exists(stats):
         out["scale_check_artifact"] = "tools/scale_stats.json"
+    # The driver parses the JSON line out of the LAST 2000 chars of
+    # stdout (measured from BENCH_r07's capture) — trim gradually,
+    # sacrificing per-query detail only as the last resort.
     line = json.dumps(out)
-    if len(line) > 1900:  # defensive: drop per-query detail before the total
-        slim = dict(out)
-        slim["queries"] = {"n_queries": len(timings)}
-        line = json.dumps(slim)
+    if len(line) > 1900:  # 1. compact the load fingerprint
+        out["load"] = {
+            "start_load1": load_start.get("load1"),
+            "end_load1": _load_fingerprint().get("load1"),
+        }
+        line = json.dumps(out)
+    if len(line) > 1900:  # 2. drop the artifact pointer
+        out.pop("scale_check_artifact", None)
+        line = json.dumps(out)
+    if len(line) > 1900:  # 3. last resort: drop per-query detail
+        out["queries"] = {"n_queries": len(timings)}
+        line = json.dumps(out)
     print(line)
 
 
