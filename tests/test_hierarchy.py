@@ -87,3 +87,14 @@ def test_custom_column_names_and_string_keys(spark):
     assert got == {
         "a": ("a", 0), "b": ("a", 1), "c": ("a", 2), "z": ("a", 1),
     }
+
+
+def test_self_loop_is_a_cycle_not_a_root(spark):
+    """A self-loop edge also satisfies node == anc — the root test must
+    additionally require d == 0, or a length-1 cycle converges
+    'successfully' with depth 1."""
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1)], "child long, parent long"
+    )
+    with pytest.raises(RuntimeError, match="CYCLE"):
+        hierarchy_paths(df, "child", "parent", max_iters=6)

@@ -1,0 +1,188 @@
+"""Round-8 scale rehearsals. One new iterative operator landed this
+round (hierarchy_paths pointer doubling) — rehearse it on the two
+adversarial shapes no small-SF correctness run exercises, and merge
+the telemetry into tools/scale_stats.json like every prior round:
+
+1. ``hierarchy_deep_chain`` — a 131,072-deep single chain (the
+   recursive-CTE killer: DuckDB/naive Spark walk it in O(depth) steps;
+   pointer doubling must land in ceil(log2(D)) + 1 iterations).
+   Asserts the iteration bound and closed-form depths (depth(i) = i on
+   a chain) for head/middle/tail nodes.
+
+2. ``hierarchy_wide_forest`` — 1M nodes in 127 shallow trees
+   (parent = id div 128, depth <= 2 at 1M < 128^3): the breadth case
+   where state size, not depth, is the work. Asserts iterations <= 2
+   (= ceil(log2 2) + 1) and exact spot depths.
+
+3. ``hierarchy_mixed`` — the REALISTIC adversarial mix: the 1M-node
+   shallow forest PLUS a 131,072-deep chain in one edge set. This is
+   what the done/active parking exists for: the telemetry must show
+   the ~1.1M shallow bulk parking after round 1 and only the ~131k
+   chain tail riding the remaining ~16 rounds — without parking every
+   round would shuffle all 1.13M live rows.
+
+Usage: python tools/r08_rehearsals.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from thundercats_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STATS = os.path.join(REPO, "tools", "scale_stats.json")
+
+
+def merge_stats(key: str, value) -> None:
+    data = {}
+    if os.path.exists(STATS):
+        with open(STATS) as f:
+            data = json.load(f)
+    data[key] = value
+    with open(STATS, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+
+
+def deep_chain(spark) -> dict:
+    from thundercats_spark.operators.hierarchy import hierarchy_paths
+
+    depth = 131_072
+    edges = spark.range(1, depth + 1).select(
+        F.col("id").alias("child"), (F.col("id") - 1).alias("parent")
+    )
+    stats: dict = {}
+    t0 = time.time()
+    out = hierarchy_paths(edges, stats=stats)
+    got = {
+        r["node"]: (r["root_key"], r["depth"])
+        for r in out.where(
+            F.col("node").isin(0, 1, depth // 2, depth - 1, depth)
+        ).collect()
+    }
+    secs = round(time.time() - t0, 2)
+    n = out.count()
+    bound = math.ceil(math.log2(depth)) + 1
+    assert stats["iterations"] <= bound, (stats, bound)
+    for node in (0, 1, depth // 2, depth - 1, depth):
+        assert got[node] == (0, node), (node, got[node])
+    assert n == depth + 1, n
+    return {
+        "depth": depth,
+        "n_nodes": n,
+        "iterations": stats["iterations"],
+        "iteration_bound": bound,
+        "secs": secs,
+        "spot_checks": "exact",
+    }
+
+
+def wide_forest(spark) -> dict:
+    from thundercats_spark.operators.hierarchy import hierarchy_paths
+
+    n = 1_000_000
+    edges = spark.range(128, n).select(
+        F.col("id").alias("child"), F.expr("id div 128").alias("parent")
+    )
+    stats: dict = {}
+    t0 = time.time()
+    out = hierarchy_paths(edges, stats=stats)
+    # closed-form: depth(i) = number of div-128 steps to reach < 128
+    sample = [200, 128 * 128, 128 * 128 * 60 + 5, n - 1]
+    got = {
+        r["node"]: (r["root_key"], r["depth"])
+        for r in out.where(F.col("node").isin(sample)).collect()
+    }
+    secs = round(time.time() - t0, 2)
+    total = out.count()
+    assert stats["iterations"] <= 2, stats
+
+    def model(i):
+        d = 0
+        while i >= 128:
+            i //= 128
+            d += 1
+        return i, d
+
+    for node in sample:
+        assert got[node] == model(node), (node, got[node], model(node))
+    return {
+        "n_nodes": total,
+        "n_trees": 127,
+        "max_depth": 2,
+        "iterations": stats["iterations"],
+        "secs": secs,
+        "spot_checks": "exact",
+    }
+
+
+def mixed(spark) -> dict:
+    from thundercats_spark.operators.hierarchy import hierarchy_paths
+
+    n, depth = 1_000_000, 131_072
+    forest = spark.range(128, n).select(
+        F.col("id").alias("child"), F.expr("id div 128").alias("parent")
+    )
+    base = 10_000_000
+    chain = spark.range(1, depth + 1).select(
+        (F.col("id") + base).alias("child"),
+        (F.col("id") - 1 + base).alias("parent"),
+    )
+    edges = forest.unionByName(chain)
+    stats: dict = {}
+    t0 = time.time()
+    out = hierarchy_paths(edges, stats=stats)
+    got = {
+        r["node"]: (r["root_key"], r["depth"])
+        for r in out.where(
+            F.col("node").isin(n - 1, base + depth, base)
+        ).collect()
+    }
+    secs = round(time.time() - t0, 2)
+    total = out.count()
+    assert got[base + depth] == (base, depth)
+    assert got[base] == (base, 0)
+    assert total == (n - 1) + (depth + 1), total
+    # the parking evidence: after round 1 the shallow 1M bulk is gone
+    # and only the chain tail iterates
+    act = stats["active_per_iteration"]
+    assert act[0] > 1_000_000 and act[1] < 140_000, act
+    return {
+        "n_nodes": total,
+        "chain_depth": depth,
+        "iterations": stats["iterations"],
+        "active_per_iteration": act,
+        "secs": secs,
+        "spot_checks": "exact",
+    }
+
+
+def main():
+    spark = get_spark("r08-rehearsals")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    r = deep_chain(spark)
+    merge_stats("hierarchy_deep_chain", r)
+    print("hierarchy_deep_chain:", json.dumps(r))
+
+    r = wide_forest(spark)
+    merge_stats("hierarchy_wide_forest", r)
+    print("hierarchy_wide_forest:", json.dumps(r))
+
+    r = mixed(spark)
+    merge_stats("hierarchy_mixed", r)
+    print("hierarchy_mixed:", json.dumps(r))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
