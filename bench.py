@@ -191,9 +191,11 @@ def main():
     # load1 3.4-4.6 and wobbled ±6%; a reader of BENCH_r{N}.json alone
     # should see that without cross-referencing PERF_NOTES). Terse by
     # design — the whole line must fit the driver's capture window.
-    if load_start.get("load1", 0.0) > 1.0:
+    peak = max(load_start.get("load1", 0.0), load_start.get("load5", 0.0))
+    if peak > 1.0:
         out["load_warning"] = (
-            f"load1={load_start['load1']}>1 at start: ambient load "
+            f"load1/5={load_start.get('load1')}/"
+            f"{load_start.get('load5')} at start (>1): ambient load "
             "inflates timings"
         )
     # The scale rehearsals (x10/x30 bucket bounds, wall-clocks) live in
