@@ -4,7 +4,6 @@ the log2 iteration bound on a deep chain, and the loud contracts
 (cycles, NULL links, multi-parent children)."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from thundercats_spark.operators.hierarchy import hierarchy_paths
 
