@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "customer_hierarchy_walk",
     "orders_range_frame_window",
     "orders_stream_batch_join",
+    "lineitem_unpivot_metrics",
 ]
 
 

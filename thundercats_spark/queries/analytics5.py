@@ -1,14 +1,15 @@
-"""Eighth query wave (r08): four surfaces the registry didn't cover —
+"""Eighth query wave (r08): five surfaces the registry didn't cover —
 explicit GROUPING SETS (a mixed-hierarchy set no single ROLLUP or CUBE
 generates, filtered on GROUPING flags), a recursive hierarchy walk
 (the one relational shape with no prior registry representative —
 DuckDB expresses it as WITH RECURSIVE; Spark-side it's the pointer-
 doubling operator, ceil(log2 depth) joins, never O(depth)), a
 RANGE-interval window frame (every prior frame was ROWS-based or
-unbounded), and the registry's first STREAM-batch join (Structured
+unbounded), the registry's first STREAM-batch join (Structured
 Streaming over the orders parquet, availableNow trigger, broadcast
 batch dimension — semantics pinned to the identical batch join by the
-oracle).
+oracle), and UNPIVOT/melt (the inverse of the r01 PIVOT surface —
+both engines run their NATIVE melt operator).
 
 Cross-engine exactness discipline (same as every wave): money sums in
 DECIMAL (order-free) surfaced as DOUBLE, day arithmetic in integer
@@ -249,3 +250,56 @@ def orders_stream_batch_join(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (melt): the inverse of the PIVOT surface the registry has had
+# since r01 — three lineitem measure columns melted into (metric, val)
+# rows, then aggregated per metric. Spark's unpivot is a plan-level
+# Expand (one pass, no join/union of scans); the oracle uses DuckDB's
+# UNPIVOT clause, so BOTH engines run their native melt operator and
+# must agree. Measures are cast to DECIMAL before the melt (unpivot
+# requires a common type; decimal keeps the sums order-free) and
+# surfaced as the usual one-IEEE-division averages.
+# --------------------------------------------------------------------------
+
+UNPIVOT_SQL = """
+SELECT metric,
+       COUNT(*) AS n,
+       CAST(SUM(val) AS DOUBLE) AS total,
+       CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean
+FROM (
+  UNPIVOT (
+    SELECT CAST(l_quantity AS DECIMAL(12,2))      AS quantity,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS extendedprice,
+           CAST(l_discount AS DECIMAL(12,2))      AS discount
+    FROM lineitem
+  ) ON quantity, extendedprice, discount INTO NAME metric VALUE val
+)
+GROUP BY metric
+ORDER BY metric
+"""
+
+
+@register("lineitem_unpivot_metrics", UNPIVOT_SQL)
+def lineitem_unpivot_metrics(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    melted = li.select(
+        _dec("l_quantity").alias("quantity"),
+        _dec("l_extendedprice").alias("extendedprice"),
+        _dec("l_discount").alias("discount"),
+    ).unpivot(
+        ids=[],
+        values=["quantity", "extendedprice", "discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        melted.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").cast("double").alias("total"),
+            (F.sum("val").cast("double") / F.count(F.lit(1))).alias("mean"),
+        )
+        .orderBy("metric")
+    )
