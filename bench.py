@@ -185,18 +185,25 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # ambient-load fingerprint at start/end of the run: drift in
         # `value` with load1 >> n_cpus is machine noise, not regression
-        "load": {"start": load_start, "end": _load_fingerprint()},
+        "load": {"start": load_start, "end": (load_end := _load_fingerprint())},
     }
     # VERDICT r07 #6: auto-annotate loaded runs so round-over-round
     # comparisons carry the caveat in-band (r07's driver bench ran at
-    # load1 3.4-4.6 and wobbled ±6%; a reader of BENCH_r{N}.json alone
-    # should see that without cross-referencing PERF_NOTES). Terse by
-    # design — the whole line must fit the driver's capture window.
-    peak = max(load_start.get("load1", 0.0), load_start.get("load5", 0.0))
+    # load1 3.4-6 and wobbled ±6%; a reader of BENCH_r{N}.json alone
+    # should see that without cross-referencing PERF_NOTES). Checks
+    # BOTH fingerprints — a box that gets loaded mid-run inflates
+    # timings just the same. Terse by design: the whole line must fit
+    # the driver's capture window.
+    peak = max(
+        load_start.get("load1", 0.0),
+        load_start.get("load5", 0.0),
+        load_end.get("load1", 0.0),
+    )
     if peak > 1.0:
         out["load_warning"] = (
             f"load1/5={load_start.get('load1')}/"
-            f"{load_start.get('load5')} at start (>1): ambient load "
+            f"{load_start.get('load5')} start, "
+            f"load1={load_end.get('load1')} end (>1): ambient load "
             "inflates timings"
         )
     # The scale rehearsals (x10/x30 bucket bounds, wall-clocks) live in
@@ -217,7 +224,10 @@ def main():
     if len(line) > 1900:  # 1. compact the load fingerprint
         out["load"] = {
             "start_load1": load_start.get("load1"),
-            "end_load1": _load_fingerprint().get("load1"),
+            # reuse the fingerprint measured at end-of-bench — a fresh
+            # re-sample here would differ from what the untrimmed line
+            # carries (review r08)
+            "end_load1": load_end.get("load1"),
         }
         line = json.dumps(out)
     if len(line) > 1900:  # 2. drop the artifact pointer

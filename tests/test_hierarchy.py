@@ -97,3 +97,14 @@ def test_self_loop_is_a_cycle_not_a_root(spark):
     )
     with pytest.raises(RuntimeError, match="CYCLE"):
         hierarchy_paths(df, "child", "parent", max_iters=6)
+
+
+def test_duplicate_edge_rows_get_their_own_message(spark):
+    """Review r08: an exact-duplicate (child, parent) row is a valid
+    forest with a caller-side fix (.distinct()) — it must not be
+    misdiagnosed as a multi-parent DAG."""
+    df = spark.createDataFrame(
+        [(2, 1), (2, 1), (3, 1)], "child long, parent long"
+    )
+    with pytest.raises(ValueError, match="duplicate edge"):
+        hierarchy_paths(df, "child", "parent")

@@ -88,6 +88,7 @@ def hierarchy_paths(
         ).alias("nulls"),
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col("node")).alias("nd"),
+        F.count_distinct(F.col("node"), F.col("anc")).alias("np"),
     ).first()
     if g["nulls"]:
         raise ValueError(
@@ -95,11 +96,22 @@ def hierarchy_paths(
             f"{parent_col!r}: a NULL link is a data bug — roots are "
             "nodes with no child-row, not NULL parents"
         )
-    if g["n"] != g["nd"]:
+    if g["np"] != g["nd"]:
+        # distinct (child, parent) pairs exceed distinct children →
+        # some child has two DIFFERENT parents
         raise ValueError(
-            f"{g['n'] - g['nd']} duplicate child key(s): a node with "
-            "multiple parents makes this a DAG, not a forest — "
+            f"{g['np'] - g['nd']} child key(s) with multiple distinct "
+            "parents: that makes this a DAG, not a forest — "
             "hierarchy_paths requires at most one parent per node"
+        )
+    if g["n"] != g["np"]:
+        # same (child, parent) link repeated — still a valid forest,
+        # but duplicate state rows would multiply per iteration; the
+        # fix is on the caller's side and the message says so
+        raise ValueError(
+            f"{g['n'] - g['np']} exact-duplicate edge row(s): the "
+            "forest is valid but duplicate links would multiply state "
+            "per iteration — .distinct() the edges first"
         )
     # Roots: parents that never appear as children. Self-pointer,
     # distance 0 — the doubling fixpoint.

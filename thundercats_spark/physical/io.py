@@ -1057,6 +1057,28 @@ class Bucketed:
                     external = info.get("Type", "").upper() == "EXTERNAL"
                     loc = info.get("Location")
                 spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+                def _managed_loc() -> str:
+                    # where the rewrite's MANAGED table will land:
+                    # resolve the DATABASE location if the catalog
+                    # knows it (persistent metastore / custom
+                    # LOCATION), else the default warehouse layout.
+                    try:
+                        dbloc = spark.catalog.getDatabase(
+                            db or "default"
+                        ).locationUri.rstrip("/")
+                        return f"{dbloc}/{tbl}"
+                    except Exception:
+                        wh = spark.conf.get(
+                            "spark.sql.warehouse.dir"
+                        ).rstrip("/")
+                        rel = (
+                            tbl
+                            if db in (None, "default")
+                            else f"{db}.db/{tbl}"
+                        )
+                        return f"{wh}/{rel}"
+
                 if external:
                     import warnings
 
@@ -1068,27 +1090,21 @@ class Bucketed:
                         "location instead",
                         stacklevel=3,
                     )
-                    loc = None  # never reclaim an external location
-                if loc is None and not external:
-                    # orphan path: the catalog has no record, so
-                    # resolve the DATABASE location if it survives
-                    # (persistent metastore / custom LOCATION), else
-                    # fall back to the default warehouse layout.
-                    try:
-                        dbloc = spark.catalog.getDatabase(
-                            db or "default"
-                        ).locationUri.rstrip("/")
-                        loc = f"{dbloc}/{tbl}"
-                    except Exception:
-                        wh = spark.conf.get(
-                            "spark.sql.warehouse.dir"
-                        ).rstrip("/")
-                        rel = (
-                            tbl
-                            if db in (None, "default")
-                            else f"{db}.db/{tbl}"
-                        )
-                        loc = f"{wh}/{rel}"
+                    # Never reclaim the EXTERNAL location — but the
+                    # MANAGED destination may still hold an orphan from
+                    # a dead session (the case this reclaim exists
+                    # for), so reclaim THAT, unless the external data
+                    # itself lives there (review r08).
+                    from urllib.parse import urlparse
+
+                    managed = _managed_loc()
+                    same = loc and urlparse(loc).path.rstrip(
+                        "/"
+                    ) == urlparse(managed).path.rstrip("/")
+                    loc = None if same else managed
+                elif loc is None:
+                    # orphan path: the catalog has no record at all.
+                    loc = _managed_loc()
                 if loc is not None:
                     jvm = spark._jvm
                     hpath = jvm.org.apache.hadoop.fs.Path(loc)

@@ -240,6 +240,14 @@ def orders_stream_batch_join(spark, sf_dir):
         "c_mktsegment",
         F.col("o_totalprice").alias("total"),
     )
+    # A memory-sink table pins its whole result in driver memory for
+    # the session lifetime; names are uuid'd (same-name re-registration
+    # in one session fails), so drop PRIOR invocations' tables here —
+    # retention stays bounded at one result regardless of how many
+    # times the harness re-runs the query (review r08).
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith("sbj_"):
+            spark.catalog.dropTempView(t.name)
     name = f"sbj_{uuid.uuid4().hex[:8]}"
     q = (
         joined.writeStream.format("memory")

@@ -8,10 +8,12 @@ round-end commit:
     python tools/sync_test_count.py --check    # fail if out of sync
 
 Docs opt in with the literal marker ``<!-- test-count -->`` on the
-line; the tool replaces the first ``NNN pytest`` / ``NNN unit`` style
-number on that line. Counts come from ``pytest --collect-only -q``
+line; the line must contain the canonical phrase ``NNN pytest``
+(exactly that word order — a marked line WITHOUT it is a loud error,
+never silent drift). Counts come from ``pytest --collect-only -q``
 (parametrized cases counted individually — the same number a full run
-reports as "N passed").
+reports as "N passed"); a collection that errors or is partial fails
+the tool instead of syncing a wrong number.
 """
 
 from __future__ import annotations
@@ -35,9 +37,15 @@ def collected_count() -> int:
         timeout=600,
     )
     m = re.search(r"(\d+) tests? collected", out.stdout)
-    if not m:
+    # pytest prints a PARTIAL count plus "N errors" when collection
+    # breaks (verified: a broken import yields rc=2 and '1 test
+    # collected, 1 error') — never sync that into the docs.
+    if out.returncode != 0 or not m or re.search(
+        r"\d+ errors?\b", out.stdout
+    ):
         raise SystemExit(
-            f"could not parse collect-only output:\n{out.stdout[-800:]}"
+            f"collection failed or was partial (rc={out.returncode}):\n"
+            f"{out.stdout[-800:]}"
         )
     return int(m.group(1))
 
@@ -53,6 +61,12 @@ def sync(check_only: bool) -> int:
         for i, ln in enumerate(lines):
             if MARKER not in ln:
                 continue
+            if not re.search(r"\b\d+ pytest", ln):
+                raise SystemExit(
+                    f"{doc}:{i + 1} carries the {MARKER} marker but no "
+                    "'NNN pytest' phrase — the sync would silently "
+                    "skip it; use the canonical phrasing"
+                )
             new = re.sub(r"\b\d+ pytest", f"{n} pytest", ln)
             if new != ln:
                 lines[i] = new
