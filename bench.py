@@ -101,8 +101,11 @@ BENCH_QUERIES = [
 def _load_fingerprint() -> dict:
     """Machine-load snapshot so round-over-round drift is attributable
     (VERDICT r06: ambient-load deltas were asserted, not recorded).
-    loadavg counts runnable tasks fleet-wide; n_procs counts live PIDs
-    — a loaded box shows load1 >> n_cpus or a PID jump vs prior rounds."""
+    loadavg counts runnable tasks fleet-wide; n_procs counts live PIDs.
+    n_procs_external EXCLUDES this process's own tree (the JVM + up to
+    n_cpus pyspark.daemon workers the bench itself spawns — +30-40
+    PIDs of pure self-load that would otherwise fake an ambient jump;
+    r08 measured exactly that false positive)."""
     fp: dict = {}
     try:
         l1, l5, l15 = os.getloadavg()
@@ -110,7 +113,31 @@ def _load_fingerprint() -> dict:
     except OSError:
         pass
     try:
-        fp["n_procs"] = sum(1 for p in os.listdir("/proc") if p.isdigit())
+        pids = [p for p in os.listdir("/proc") if p.isdigit()]
+        fp["n_procs"] = len(pids)
+        ppid = {}
+        for p in pids:
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    # field 4 (1-indexed) after the comm field, which
+                    # may contain spaces — split after the last ')'
+                    ppid[int(p)] = int(
+                        f.read().rsplit(")", 1)[1].split()[1]
+                    )
+            except (OSError, ValueError, IndexError):
+                pass
+        me = os.getpid()
+
+        def mine(pid: int, _seen_limit: int = 64) -> bool:
+            for _ in range(_seen_limit):
+                if pid == me:
+                    return True
+                if pid in (0, 1) or pid not in ppid:
+                    return False
+                pid = ppid[pid]
+            return False
+
+        fp["n_procs_external"] = sum(1 for p in ppid if not mine(p))
     except OSError:
         pass
     fp["n_cpus"] = os.cpu_count()
@@ -190,21 +217,31 @@ def main():
     # VERDICT r07 #6: auto-annotate loaded runs so round-over-round
     # comparisons carry the caveat in-band (r07's driver bench ran at
     # load1 3.4-6 and wobbled ±6%; a reader of BENCH_r{N}.json alone
-    # should see that without cross-referencing PERF_NOTES). Checks
-    # BOTH fingerprints — a box that gets loaded mid-run inflates
-    # timings just the same. Terse by design: the whole line must fit
-    # the driver's capture window.
-    peak = max(
-        load_start.get("load1", 0.0),
-        load_start.get("load5", 0.0),
-        load_end.get("load1", 0.0),
+    # should see that without cross-referencing PERF_NOTES). Start
+    # signal: loadavg (pre-run ambient). Mid-run signal: the bench
+    # SATURATES the box itself, so end load1 > 1 is self-load and
+    # meaningless, and raw PID counts include the bench's own JVM +
+    # pyspark.daemon workers (+30-40, measured) — the external tell is
+    # a jump in PIDs OUTSIDE this process tree (r07's loaded driver
+    # run: 275 -> 310 were foreign). Terse by design: the whole line
+    # must fit the driver's capture window.
+    start_peak = max(
+        load_start.get("load1", 0.0), load_start.get("load5", 0.0)
     )
-    if peak > 1.0:
-        out["load_warning"] = (
+    proc_jump = load_end.get(
+        "n_procs_external", 0
+    ) - load_start.get("n_procs_external", 10**9)
+    warn = []
+    if start_peak > 1.0:
+        warn.append(
             f"load1/5={load_start.get('load1')}/"
-            f"{load_start.get('load5')} start, "
-            f"load1={load_end.get('load1')} end (>1): ambient load "
-            "inflates timings"
+            f"{load_start.get('load5')} at start (>1)"
+        )
+    if proc_jump > 25:
+        warn.append(f"+{proc_jump} external PIDs during the run")
+    if warn:
+        out["load_warning"] = (
+            "; ".join(warn) + ": ambient load inflates timings"
         )
     # The scale rehearsals (x10/x30 bucket bounds, wall-clocks) live in
     # tools/scale_stats*.json — pointed to, never embedded: the driver
