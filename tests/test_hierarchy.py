@@ -36,7 +36,7 @@ def test_forest_exact_vs_model(spark):
     assert got == _model(edges)
 
 
-def test_deep_chain_converges_in_log_iterations(spark, monkeypatch):
+def test_deep_chain_converges_in_log_iterations(spark):
     """A 512-deep chain must converge in ceil(log2(512)) + a couple
     iterations — the pointer-doubling contract. max_iters=12 would be
     exceeded by any O(depth) formulation (512 steps)."""

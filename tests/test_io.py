@@ -579,6 +579,42 @@ def test_bucketed_write_reclaims_custom_location_db_orphan(spark, tmp_path):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_bucketed_write_resolves_current_database(spark, tmp_path):
+    """Review r08 wave 2: an unqualified table name after USE <db>
+    must reclaim the orphan in the CURRENT database — resolving
+    against 'default' would delete a live default-db table's data and
+    miss the real orphan."""
+    import os
+    from urllib.parse import urlparse
+
+    from thundercats_spark.physical.io import Bucketed
+
+    db, tbl = "tc_curdb", "tc_cur_orphan"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db}")
+    # a LIVE default-db managed table with the same name — must survive
+    spark.sql(f"DROP TABLE IF EXISTS default.{tbl}")
+    spark.range(3).withColumnRenamed("id", "k").write.saveAsTable(
+        f"default.{tbl}"
+    )
+    # an orphan inside the current db's location
+    dbloc = urlparse(spark.catalog.getDatabase(db).locationUri).path
+    orphan = os.path.join(dbloc, tbl)
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "stale.parquet"), "w") as f:
+        f.write("not a real parquet file")
+    df = spark.range(7).withColumnRenamed("id", "k")
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        Bucketed.write(df, tbl, ["k"], num_buckets=2).get
+        assert spark.table(f"{db}.{tbl}").count() == 7
+        assert spark.table(f"default.{tbl}").count() == 3  # untouched
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        spark.sql(f"DROP TABLE IF EXISTS default.{tbl}")
+
+
 def test_parquet_balanced_shards_write(spark, tmp_path):
     from thundercats_spark.physical.io import Write
 

@@ -78,6 +78,11 @@ def hierarchy_paths(
     e = edges.select(
         F.col(child_col).alias("node"), F.col(parent_col).alias("anc")
     )
+    # Pin the projection once: the guard aggregate, both root
+    # distincts, and the initial state union would otherwise re-run
+    # the caller's (possibly expensive) upstream plan ~4 times — the
+    # same multi-rescan class part_affinity_lift's r08 rewire fixed.
+    e = _cut_lineage(e, reliable)
     # One guard scan: NULL links and multi-parent children both break
     # the forest contract (pointer doubling would silently multiply a
     # multi-parent node's rows per iteration — a DAG needs a different
@@ -170,6 +175,12 @@ def hierarchy_paths(
             break
         actives.append(pending)
         if iterations >= max_iters:
+            if stats is not None:
+                # the active-count trajectory is the best cycle
+                # diagnostic (a flat tail = the cycle's member count)
+                # — hand it over even though we raise
+                stats["iterations"] = iterations
+                stats["active_per_iteration"] = actives
             raise RuntimeError(
                 f"hierarchy_paths did not converge in {max_iters} "
                 f"doubling iterations (depth would exceed "

@@ -1063,9 +1063,18 @@ class Bucketed:
                     # resolve the DATABASE location if the catalog
                     # knows it (persistent metastore / custom
                     # LOCATION), else the default warehouse layout.
+                    # An unqualified name resolves against the
+                    # session's CURRENT database, not 'default' —
+                    # assuming 'default' after USE <db> would delete a
+                    # live default-db table's data and miss the real
+                    # orphan (review r08 wave 2).
+                    try:
+                        cur = db or spark.catalog.currentDatabase()
+                    except Exception:
+                        cur = db or "default"
                     try:
                         dbloc = spark.catalog.getDatabase(
-                            db or "default"
+                            cur
                         ).locationUri.rstrip("/")
                         return f"{dbloc}/{tbl}"
                     except Exception:
@@ -1074,8 +1083,8 @@ class Bucketed:
                         ).rstrip("/")
                         rel = (
                             tbl
-                            if db in (None, "default")
-                            else f"{db}.db/{tbl}"
+                            if cur == "default"
+                            else f"{cur}.db/{tbl}"
                         )
                         return f"{wh}/{rel}"
 

@@ -240,14 +240,6 @@ def orders_stream_batch_join(spark, sf_dir):
         "c_mktsegment",
         F.col("o_totalprice").alias("total"),
     )
-    # A memory-sink table pins its whole result in driver memory for
-    # the session lifetime; names are uuid'd (same-name re-registration
-    # in one session fails), so drop PRIOR invocations' tables here —
-    # retention stays bounded at one result regardless of how many
-    # times the harness re-runs the query (review r08).
-    for t in spark.catalog.listTables():
-        if t.isTemporary and t.name.startswith("sbj_"):
-            spark.catalog.dropTempView(t.name)
     name = f"sbj_{uuid.uuid4().hex[:8]}"
     q = (
         joined.writeStream.format("memory")
@@ -257,7 +249,19 @@ def orders_stream_batch_join(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).orderBy("o_orderkey")
+    # A memory-sink table pins its whole result in driver memory for
+    # the session lifetime. Detach the result from the view
+    # (localCheckpoint → the returned frame is self-contained executor
+    # blocks, released with the frame) and drop the view immediately —
+    # zero per-invocation retention, and earlier invocations' returned
+    # frames stay valid because they are equally self-contained
+    # (review r08 waves 1+2: the first fix dropped PRIOR views, which
+    # invalidated a still-lazy frame a caller held).
+    out = spark.table(name).orderBy("o_orderkey").localCheckpoint(
+        eager=True
+    )
+    spark.catalog.dropTempView(name)
+    return out
 
 
 # --------------------------------------------------------------------------
