@@ -512,5 +512,16 @@ def test_key_skew_matches_model(spark, dist, p):
     for r in got:
         n = model[r["k"]]
         assert r["n"] == n
-        assert abs(r["share"] - round(n / total, 6)) < 1e-9
+        # Spark's round() is BigDecimal HALF_UP over the double's
+        # shortest repr; Python's round() is banker's — at an exact
+        # .xxxxxx5 boundary they differ by 1e-6 (hypothesis found
+        # share=19/20 at scale 6). Model Spark's semantics exactly.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want = float(
+            Decimal(repr(n / total)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        assert abs(r["share"] - want) < 1e-9
         assert r["suggested_salt"] == math.ceil(n * p / total)
