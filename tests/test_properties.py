@@ -7,6 +7,18 @@ import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+def spark_round(x: float, scale: int = 6) -> float:
+    """Model Spark's F.round EXACTLY: BigDecimal HALF_UP over the
+    double's shortest repr. Python's round() is banker's half-even —
+    at an exact .5 boundary of the target scale the two differ by one
+    ulp of that scale (hypothesis caught 19/20 and 17/128 at scale 6,
+    r08). Every model of a Spark-rounded value must use this."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(x)).quantize(q, ROUND_HALF_UP))
+
+
 SETTINGS = dict(
     max_examples=8,
     deadline=None,
@@ -482,7 +494,7 @@ def test_packing_efficiency_matches_model(spark, toks, lens):
         assert r["max_seqs"] == full + nrem
         for col, seqs in (("min_padding_frac", r["min_seqs"]),
                           ("max_padding_frac", r["max_seqs"])):
-            want = 0.0 if seqs == 0 else round(1 - sum(toks) / (seqs * L), 6)
+            want = 0.0 if seqs == 0 else spark_round(1 - sum(toks) / (seqs * L))
             assert abs(r[col] - want) < 1e-9, (L, col)
 
 
@@ -512,16 +524,5 @@ def test_key_skew_matches_model(spark, dist, p):
     for r in got:
         n = model[r["k"]]
         assert r["n"] == n
-        # Spark's round() is BigDecimal HALF_UP over the double's
-        # shortest repr; Python's round() is banker's — at an exact
-        # .xxxxxx5 boundary they differ by 1e-6 (hypothesis found
-        # share=19/20 at scale 6). Model Spark's semantics exactly.
-        from decimal import ROUND_HALF_UP, Decimal
-
-        want = float(
-            Decimal(repr(n / total)).quantize(
-                Decimal("0.000001"), ROUND_HALF_UP
-            )
-        )
-        assert abs(r["share"] - want) < 1e-9
+        assert abs(r["share"] - spark_round(n / total)) < 1e-9
         assert r["suggested_salt"] == math.ceil(n * p / total)
