@@ -95,6 +95,10 @@ BENCH_QUERIES = [
     "orders_range_frame_window",
     "orders_stream_batch_join",
     "lineitem_unpivot_metrics",
+    # round-8 wave 9: exact sliding-window distinct (bounded
+    # contribution-interval explode) and one-pass grouped OLS
+    "events_sliding_distinct_users",
+    "part_brand_price_regression",
 ]
 
 

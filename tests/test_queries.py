@@ -143,3 +143,128 @@ def test_part_affinity_rejects_bad_on_oversize(spark, tmp_path):
 
     with pytest.raises(ValueError, match="on_oversize"):
         part_affinity_lift(spark, str(tmp_path), on_oversize="ignore")
+
+
+# ---------------------------------------------------------------------------
+# Wave-9 pins: exact sliding-window distinct counts (the contribution-
+# interval algorithm vs a brute-force model) and grouped OLS closed forms.
+# ---------------------------------------------------------------------------
+
+
+def _brute_sliding(rows, window_days):
+    """Model: rows = (type, user, day:int). Exact trailing-window distinct
+    users per (type, day) over each type's [min_day, max_day] span."""
+    from collections import defaultdict
+
+    by_type = defaultdict(set)
+    for t, u, d in rows:
+        by_type[t].add((u, d))
+    out = {}
+    for t, act in by_type.items():
+        days = [d for _, d in act]
+        for d in range(min(days), max(days) + 1):
+            users = {u for u, a in act if d - window_days + 1 <= a <= d}
+            out[(t, d)] = len(users)
+    return out
+
+
+def test_sliding_distinct_matches_brute_force(spark):
+    """Adversarial shape: a gap of exactly window_days (user drops out
+    for one day then re-enters), a gap longer than the window, bursts
+    inside one window, and a single-activity user."""
+    import datetime
+
+    from thundercats_spark.queries.analytics6 import sliding_distinct_users
+
+    epoch = datetime.date(2024, 1, 1)
+    rows = [
+        # type a: user 1 active days 0,7 (gap == window: day 6 excludes
+        # nothing — 0 still in [0..6]; day 7 window [1..7] catches only 7)
+        ("a", 1, 0), ("a", 1, 7),
+        # type a: user 2 active 0,1,2 (burst: counted once per window)
+        ("a", 2, 0), ("a", 2, 1), ("a", 2, 2),
+        # type a: user 3 active 0 and 20 (gap >> window: two islands)
+        ("a", 3, 0), ("a", 3, 20),
+        # type b: single activity
+        ("b", 9, 5),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (t, u, datetime.datetime.combine(
+                epoch + datetime.timedelta(days=d), datetime.time(12, 0)))
+            for t, u, d in rows
+        ],
+        "event_type string, user_id long, ts timestamp",
+    )
+    got = {
+        (r.event_type, r.day): r.users_7d
+        for r in sliding_distinct_users(ev).collect()
+    }
+    want = {
+        (t, (epoch + datetime.timedelta(days=d)).isoformat()): n
+        for (t, d), n in _brute_sliding(rows, 7).items()
+    }
+    assert got == want
+    # spot-check the named adversarial cases (dates: 2024-01-01 is
+    # day offset 0, so offset d surfaces as 2024-01-(d+1))
+    assert got[("a", "2024-01-07")] == 3   # window [0..6]: users 1, 2, 3
+    assert got[("a", "2024-01-08")] == 2   # window [1..7]: user 1 re-entry
+                                           # (day 7) + user 2; user 3 aged out
+    assert got[("a", "2024-01-15")] == 0   # dead zone between the islands
+    assert got[("b", "2024-01-06")] == 1
+
+
+def test_sliding_distinct_window_param_and_validation(spark):
+    import datetime
+
+    from thundercats_spark.queries.analytics6 import sliding_distinct_users
+
+    epoch = datetime.date(2024, 1, 1)
+    rows = [("a", 1, 0), ("a", 1, 3), ("a", 2, 1)]
+    ev = spark.createDataFrame(
+        [
+            (t, u, datetime.datetime.combine(
+                epoch + datetime.timedelta(days=d), datetime.time(0, 1)))
+            for t, u, d in rows
+        ],
+        "event_type string, user_id long, ts timestamp",
+    )
+    for wd in (1, 2, 3):
+        got = {
+            (r.event_type, r.day): r.users_7d
+            for r in sliding_distinct_users(ev, window_days=wd).collect()
+        }
+        want = {
+            (t, (epoch + datetime.timedelta(days=d)).isoformat()): n
+            for (t, d), n in _brute_sliding(rows, wd).items()
+        }
+        assert got == want, wd
+    with pytest.raises(ValueError, match="window_days"):
+        sliding_distinct_users(ev, window_days=0)
+
+
+def test_brand_regression_exact_on_linear_data(spark, tmp_path):
+    """y = 3x + 10 exactly → slope 3, intercept 10, r = 1; a flat-y
+    brand has var_y = 0 → corr NaN-free only through the oracle's own
+    SQRT(0) division: both engines yield NULL/NaN identically, so pin
+    the defined-variance brand and the closed forms only."""
+    li = spark.createDataFrame(
+        [(1, float(x), float(3 * x + 10)) for x in (1, 2, 5, 8)],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "B#1")], "p_partkey long, p_brand string"
+    )
+    li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    part.write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    from thundercats_spark.queries.analytics6 import (
+        part_brand_price_regression,
+    )
+
+    rows = part_brand_price_regression(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.p_brand, r.n) == ("B#1", 4)
+    assert r.slope == 3.0
+    assert r.intercept == 10.0
+    assert r.corr_qty_price == 1.0

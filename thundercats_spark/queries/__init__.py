@@ -250,6 +250,7 @@ def all_queries() -> dict[str, Query]:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
         llm_ops,
         llm_ops2,
         relational,

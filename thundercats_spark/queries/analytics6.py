@@ -1,0 +1,207 @@
+"""Ninth query wave (r08, second session): two surfaces with no prior
+registry representative.
+
+1. Exact COUNT(DISTINCT) over a SLIDING time window ("7-day active
+   users per event type") — the one windowed aggregate neither Spark
+   nor DuckDB can run natively (`COUNT(DISTINCT) OVER RANGE` is
+   unsupported in both engines), so the Spark side is a genuine
+   distributed algorithm: bounded contribution intervals. Each
+   (type, user, activity-day) with previous activity day p is the
+   user's FIRST in-window activity exactly for window-end days
+   d ∈ [max(a, p+7), a+6] — a ≤7-element interval — so an explode of
+   that interval followed by a plain per-day count IS the exact
+   sliding distinct count. Work is O(activity-days × 7) with no
+   quadratic self-join and no global window; the DuckDB oracle pays
+   the quadratic days×events range join instead (fine at sf0.01,
+   exactly what we must NOT do at 100 TB).
+
+2. Grouped bivariate OLS (slope / intercept / Pearson r of extended
+   price on quantity per part brand) from ALGEBRAIC SUMS — the
+   regression family (regr_slope/regr_intercept kin) expressed as one
+   partial-aggregatable pass: n, Σx, Σy, Σxy, Σx², Σy² accumulate in
+   DECIMAL (order-free, map-side combinable), and the closed-form
+   estimates are derived in a handful of IEEE ops both engines
+   evaluate identically from identical exact sums. Never a second
+   pass over the fact table, never a window — the shape that holds at
+   any scale because the shuffle carries 6 numbers per group.
+
+Cross-engine exactness discipline (same as every wave): sums in
+DECIMAL surfaced as DOUBLE; day arithmetic on DATE types (no float
+time); round(6) on the derived ratios mirrors the proven
+orders_balance_correlation pattern; every ordering total via key
+columns.
+
+Reference parity: composes the reference's Group/Window surfaces
+(physical/Op.scala:30-150); the sliding-distinct operator itself is
+brief-mandated analytics completeness, not a reference port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from thundercats_spark.queries import load, register
+from thundercats_spark.queries.tpch import _dec
+
+# --------------------------------------------------------------------------
+# Sliding-window distinct users per event type. Output: one row per
+# (event_type, day) over each type's [first-activity, last-activity]
+# span, with the EXACT number of distinct users active in the trailing
+# 7 days [day-6, day].
+# --------------------------------------------------------------------------
+
+SLIDING_DISTINCT_SQL = """
+WITH ud AS (
+  SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS aday FROM events
+),
+span AS (
+  SELECT event_type, MIN(aday) AS lo, MAX(aday) AS hi FROM ud
+  GROUP BY event_type
+),
+days AS (
+  SELECT event_type,
+         CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT ud.user_id) AS users_7d
+FROM days d LEFT JOIN ud
+  ON ud.event_type = d.event_type
+ AND ud.aday BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.event_type, d.day
+ORDER BY d.event_type, d.day
+"""
+
+
+def sliding_distinct_users(
+    ev, type_col: str = "event_type", user_col: str = "user_id",
+    ts_col: str = "ts", window_days: int = 7,
+):
+    """Exact trailing-`window_days` distinct-user counts per type/day.
+
+    Scale posture: the (type, user, day) distinct is the only shuffle
+    that grows with the data; the lag window partitions on
+    (type, user) — millions of tiny partitions, never one sort
+    partition; the explode is bounded at `window_days` rows per
+    activity-day; the final count groups on (type, day) whose
+    cardinality is types × calendar days (tiny), with map-side partial
+    aggregation collapsing almost everything before the shuffle. The
+    per-type day spine comes from the same distinct frame's min/max
+    groupBy — no cross join, no driver action.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    ud = ev.select(
+        F.col(type_col).alias("event_type"),
+        F.col(user_col).alias("user_id"),
+        F.to_date(ts_col).alias("aday"),
+    ).distinct()
+    w = Window.partitionBy("event_type", "user_id").orderBy("aday")
+    # First in-window activity for window-end d iff the previous
+    # activity fell out of the window: d >= prev + window_days, and
+    # d ∈ [aday, aday + window_days - 1].
+    iv = ud.withColumn("prev", F.lag("aday").over(w)).select(
+        "event_type",
+        F.greatest(
+            F.col("aday"),
+            F.coalesce(F.date_add("prev", window_days), F.col("aday")),
+        ).alias("d0"),
+        F.date_add("aday", window_days - 1).alias("d1"),
+    )
+    counts = (
+        iv.select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("users_7d"))
+    )
+    spine = (
+        ud.groupBy("event_type")
+        .agg(F.min("aday").alias("lo"), F.max("aday").alias("hi"))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        spine.join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("users_7d", F.lit(0)).cast("long").alias("users_7d"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register("events_sliding_distinct_users", SLIDING_DISTINCT_SQL)
+def events_sliding_distinct_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")["events"]
+    return sliding_distinct_users(ev)
+
+
+# --------------------------------------------------------------------------
+# Grouped bivariate regression: price-on-quantity OLS per part brand.
+# One aggregation pass accumulates the six algebraic sums exactly in
+# DECIMAL (sums of DECIMAL(25,4) products — at 6e12 fact rows the
+# accumulated Σy² stays below 1e23, well inside DECIMAL(35,4)); the
+# closed forms are evaluated in DOUBLE from those exact sums, the
+# identical IEEE expression on both engines.
+# --------------------------------------------------------------------------
+
+REGRESSION_SQL = """
+WITH s AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n,
+       ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+         AS intercept,
+       ROUND((n*sxy - sx*sy)
+             / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price
+FROM s ORDER BY p_brand
+"""
+
+
+@register("part_brand_price_regression", REGRESSION_SQL)
+def part_brand_price_regression(spark, sf_dir):
+    t = load(spark, sf_dir, "lineitem", "part")
+    x = _dec("l_quantity")
+    y = _dec("l_extendedprice")
+    s = (
+        t["lineitem"]
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "p_brand",
+        "n",
+        F.round(cov_n / var_x, 6).alias("slope"),
+        F.round((F.col("sy") - (cov_n / var_x) * F.col("sx")) / n, 6).alias(
+            "intercept"
+        ),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+    ).orderBy("p_brand")
