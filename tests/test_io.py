@@ -465,6 +465,80 @@ def test_bucketed_q3_zero_exchange_and_parity(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS tc_bkt_t_lineitem")
 
 
+def test_bucketed_self_join_zero_exchange_and_parity(spark, sf_dir):
+    """The fact-fact SELF-join variant: both sides of the q21-core
+    multi-supplier pairing read the one bucketed lineitem table, and
+    the per-order pair count groups on the join key — ZERO hash
+    exchanges end-to-end. Parity vs the same shape on the raw parquet
+    (which pays the shuffles)."""
+    from pyspark.sql import functions as F
+
+    from thundercats_spark.queries import load
+    from thundercats_spark.queries.bucketed import (
+        build_bucketed_facts,
+        lineitem_multi_supplier_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        build_bucketed_facts(spark, sf_dir, num_buckets=8, prefix="tc_bkt_sj")
+        out = lineitem_multi_supplier_bucketed(spark, prefix="tc_bkt_sj")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        li = load(spark, sf_dir, "lineitem")["lineitem"]
+        a = li.select("l_orderkey", "l_suppkey")
+        b = li.select(
+            F.col("l_orderkey").alias("r_orderkey"),
+            F.col("l_suppkey").alias("r_suppkey"),
+        )
+        base = (
+            a.join(b, (a.l_orderkey == b.r_orderkey) & (a.l_suppkey != b.r_suppkey))
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_cross_supplier_pairs"))
+        )
+        assert sorted(tuple(r) for r in out.collect()) == sorted(
+            tuple(r) for r in base.collect()
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS tc_bkt_sj_orders")
+        spark.sql("DROP TABLE IF EXISTS tc_bkt_sj_lineitem")
+
+
+def test_bucketed_q10_single_downstream_exchange_and_parity(spark, sf_dir):
+    """The q10 variant where the aggregation key differs from the
+    bucket key: the orders⋈lineitem join must still be exchange-free
+    (bucket layout), leaving exactly ONE hash exchange in the plan —
+    the post-join groupBy(c_custkey), which repartitions the already
+    filtered+joined aggregate input, not the fact table."""
+    import re
+
+    from thundercats_spark.queries.bucketed import (
+        build_bucketed_facts,
+        q10_returned_items_bucketed,
+    )
+    from thundercats_spark.queries.tpch import q10_returned_items
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        build_bucketed_facts(spark, sf_dir, num_buckets=8, prefix="tc_bkt_q10")
+        out = q10_returned_items_bucketed(spark, sf_dir, prefix="tc_bkt_q10")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        hashex = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+        assert len(hashex) == 1, plan
+        assert "c_custkey" in hashex[0], hashex
+        base = [tuple(r) for r in q10_returned_items(spark, sf_dir).collect()]
+        assert [tuple(r) for r in out.collect()] == base
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS tc_bkt_q10_orders")
+        spark.sql("DROP TABLE IF EXISTS tc_bkt_q10_lineitem")
+
+
 def test_bucketed_write_reclaims_orphaned_warehouse_dir(spark):
     """saveAsTable(overwrite) can't reclaim a warehouse location the
     in-memory catalog has forgotten (dead session leaves the files) —

@@ -86,3 +86,77 @@ def q3_shipping_priority_bucketed(
         .limit(10)
         .select("l_orderkey", "revenue", "o_date")
     )
+
+
+def lineitem_multi_supplier_bucketed(
+    spark: SparkSession, prefix: str = "tc_bkt"
+) -> DataFrame:
+    """Fact-fact SELF-join variant (the q21 core): pair each lineitem
+    with the other suppliers' lines of the SAME order. Both sides read
+    the one bucketed lineitem table, so the SortMergeJoin consumes the
+    bucket layout twice — and the per-order pair count that follows
+    groups on the join key itself, so the WHOLE plan runs with zero
+    hash exchanges (pytest-pinned). Unbucketed, this shape shuffles
+    the fact table twice at every run; bucketed, never again.
+
+    Returns (l_orderkey, n_cross_supplier_pairs) for orders whose
+    lines span >1 supplier — ordered line-pairs, each (i, j) with
+    differing suppliers counted once per direction, deterministic."""
+    li = spark.table(f"{prefix}_lineitem")
+    a = li.select("l_orderkey", "l_suppkey")
+    b = li.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+    )
+    return (
+        a.join(
+            b,
+            (a.l_orderkey == b.r_orderkey) & (a.l_suppkey != b.r_suppkey),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_cross_supplier_pairs"))
+    )
+
+
+def q10_returned_items_bucketed(
+    spark: SparkSession, sf_dir: str, prefix: str = "tc_bkt"
+) -> DataFrame:
+    """The q10 headline shape over the pre-bucketed fact tables — the
+    variant where the DOWNSTREAM aggregation key (c_custkey) differs
+    from the bucket key: the orders⋈lineitem join is still satisfied
+    from the files (no exchange), and the single hash exchange left in
+    the plan is the post-join groupBy(c_custkey) — which by then
+    carries only the filtered, joined, 4-column aggregate input, not
+    the fact table. Identical results to ``q10_returned_items``
+    (pytest-pinned)."""
+    dims = load(spark, sf_dir, "customer", "nation")
+    cust = (
+        dims["customer"]
+        .join(
+            F.broadcast(dims["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "n_name")
+    )
+    ords = (
+        spark.table(f"{prefix}_orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        spark.table(f"{prefix}_lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_revenue_col())
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
