@@ -165,6 +165,69 @@ def mixed(spark) -> dict:
     }
 
 
+def sliding_distinct(spark) -> dict:
+    """Wave-9 rehearsal: the exact sliding-distinct operator at
+    scale-shape. Synthetic activity with a CLOSED FORM — users 0..U-1,
+    user u active exactly on days d ≡ u (mod 7) over D days — so the
+    7-day window [d-6, d] of any day d >= 6 covers all residues:
+    users_7d == U exactly, and for d < 6 exactly the users with
+    u % 7 <= d. Work = U × D/7 activity-days × ≤7 exploded rows; the
+    x1 → x10 user sweep pins that wall time tracks that product
+    linearly (no quadratic self-join hiding anywhere)."""
+    from thundercats_spark.queries.analytics6 import sliding_distinct_users
+
+    days = 140
+    out = {}
+    # first x1 pass is a discarded warmup: codegen + shuffle-service
+    # spin-up would otherwise inflate the small side of the ratio
+    for label, users in (("warmup", 20_000), ("x1", 20_000), ("x10", 200_000)):
+        ev = (
+            spark.range(users)
+            .select(
+                F.col("id").alias("user_id"),
+                F.explode(
+                    F.sequence(
+                        (F.col("id") % 7).cast("int"),
+                        F.lit(days - 1),
+                        F.lit(7),
+                    )
+                ).alias("d"),
+            )
+            .select(
+                F.lit("a").alias("event_type"),
+                "user_id",
+                (
+                    F.lit("2024-01-01 12:00:00").cast("timestamp")
+                    + F.make_interval(days=F.col("d"))
+                ).alias("ts"),
+            )
+        )
+        t0 = time.time()
+        res = sliding_distinct_users(ev)
+        rows = {r["day"]: r["users_7d"] for r in res.collect()}
+        secs = round(time.time() - t0, 2)
+        # closed form: full windows saturate at U; the ramp-in days
+        # count exactly the residues seen so far
+        assert rows["2024-01-10"] == users, rows["2024-01-10"]
+        assert rows["2024-05-19"] == users  # day 139, last full window
+        per_residue = users // 7
+        rem = users % 7
+        for d in range(6):
+            want = sum(per_residue + (1 if r < rem else 0) for r in range(d + 1))
+            got = rows[f"2024-01-0{d + 1}"]
+            assert got == want, (d, got, want)
+        if label == "warmup":
+            continue
+        out[label] = {
+            "users": users,
+            "activity_days": users * (days // 7),
+            "secs": secs,
+        }
+    out["wall_ratio_x10_vs_x1"] = round(out["x10"]["secs"] / out["x1"]["secs"], 2)
+    out["work_ratio"] = 10.0
+    return out
+
+
 def main():
     spark = get_spark("r08-rehearsals")
     spark.sparkContext.setLogLevel("ERROR")
@@ -180,6 +243,10 @@ def main():
     r = mixed(spark)
     merge_stats("hierarchy_mixed", r)
     print("hierarchy_mixed:", json.dumps(r))
+
+    r = sliding_distinct(spark)
+    merge_stats("sliding_distinct_x10", r)
+    print("sliding_distinct_x10:", json.dumps(r))
 
     spark.stop()
 
