@@ -471,31 +471,25 @@ def test_bucketed_self_join_zero_exchange_and_parity(spark, sf_dir):
     the per-order pair count groups on the join key — ZERO hash
     exchanges end-to-end. Parity vs the same shape on the raw parquet
     (which pays the shuffles)."""
-    from pyspark.sql import functions as F
-
     from thundercats_spark.queries import load
     from thundercats_spark.queries.bucketed import (
         build_bucketed_facts,
         lineitem_multi_supplier_bucketed,
+        multi_supplier_pairs,
     )
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        build_bucketed_facts(spark, sf_dir, num_buckets=8, prefix="tc_bkt_sj")
+        build_bucketed_facts(
+            spark, sf_dir, num_buckets=8, prefix="tc_bkt_sj",
+            tables=("lineitem",),
+        )
         out = lineitem_multi_supplier_bucketed(spark, prefix="tc_bkt_sj")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hashpartitioning" not in plan, plan
-        li = load(spark, sf_dir, "lineitem")["lineitem"]
-        a = li.select("l_orderkey", "l_suppkey")
-        b = li.select(
-            F.col("l_orderkey").alias("r_orderkey"),
-            F.col("l_suppkey").alias("r_suppkey"),
-        )
-        base = (
-            a.join(b, (a.l_orderkey == b.r_orderkey) & (a.l_suppkey != b.r_suppkey))
-            .groupBy("l_orderkey")
-            .agg(F.count(F.lit(1)).alias("n_cross_supplier_pairs"))
-        )
+        # parity base: the SAME shape builder over the raw parquet —
+        # the pin compares layouts, never two copies of the query
+        base = multi_supplier_pairs(load(spark, sf_dir, "lineitem")["lineitem"])
         assert sorted(tuple(r) for r in out.collect()) == sorted(
             tuple(r) for r in base.collect()
         )
@@ -503,7 +497,6 @@ def test_bucketed_self_join_zero_exchange_and_parity(spark, sf_dir):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
-        spark.sql("DROP TABLE IF EXISTS tc_bkt_sj_orders")
         spark.sql("DROP TABLE IF EXISTS tc_bkt_sj_lineitem")
 
 

@@ -244,16 +244,20 @@ def test_sliding_distinct_window_param_and_validation(spark):
 
 
 def test_brand_regression_exact_on_linear_data(spark, tmp_path):
-    """y = 3x + 10 exactly → slope 3, intercept 10, r = 1; a flat-y
-    brand has var_y = 0 → corr NaN-free only through the oracle's own
-    SQRT(0) division: both engines yield NULL/NaN identically, so pin
-    the defined-variance brand and the closed forms only."""
+    """y = 3x + 10 exactly → slope 3, intercept 10, r = 1. Degenerate
+    brands (one row; zero x-variance) must yield NULL like the DuckDB
+    oracle's 0/0 — NOT a Spark ANSI DIVIDE_BY_ZERO abort (review r08
+    wave 3: the unguarded division killed the whole job on any brand
+    with a single lineitem)."""
     li = spark.createDataFrame(
-        [(1, float(x), float(3 * x + 10)) for x in (1, 2, 5, 8)],
+        [(1, float(x), float(3 * x + 10)) for x in (1, 2, 5, 8)]
+        + [(2, 7.0, 42.0)]                       # single-row brand
+        + [(3, 5.0, 10.0), (3, 5.0, 99.0)],      # flat-x brand
         "l_partkey long, l_quantity double, l_extendedprice double",
     )
     part = spark.createDataFrame(
-        [(1, "B#1")], "p_partkey long, p_brand string"
+        [(1, "B#1"), (2, "B#2"), (3, "B#3")],
+        "p_partkey long, p_brand string",
     )
     li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
     part.write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
@@ -261,10 +265,18 @@ def test_brand_regression_exact_on_linear_data(spark, tmp_path):
         part_brand_price_regression,
     )
 
-    rows = part_brand_price_regression(spark, str(tmp_path)).collect()
-    assert len(rows) == 1
-    r = rows[0]
-    assert (r.p_brand, r.n) == ("B#1", 4)
+    rows = {
+        r.p_brand: r
+        for r in part_brand_price_regression(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {"B#1", "B#2", "B#3"}
+    r = rows["B#1"]
+    assert r.n == 4
     assert r.slope == 3.0
     assert r.intercept == 10.0
     assert r.corr_qty_price == 1.0
+    for brand, n in (("B#2", 1), ("B#3", 2)):
+        r = rows[brand]
+        assert r.n == n
+        assert r.slope is None and r.intercept is None
+        assert r.corr_qty_price is None, brand

@@ -92,11 +92,18 @@ def sliding_distinct_users(
     """
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
-    ud = ev.select(
-        F.col(type_col).alias("event_type"),
-        F.col(user_col).alias("user_id"),
-        F.to_date(ts_col).alias("aday"),
-    ).distinct()
+    # NULL users/timestamps are excluded up front: COUNT(DISTINCT user)
+    # never counts NULL, and a NULL activity day would otherwise leak
+    # NULL contribution intervals into the explode and the spine min/max.
+    ud = (
+        ev.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(type_col).alias("event_type"),
+            F.col(user_col).alias("user_id"),
+            F.to_date(ts_col).alias("aday"),
+        )
+        .distinct()
+    )
     w = Window.partitionBy("event_type", "user_id").orderBy("aday")
     # First in-window activity for window-end d iff the previous
     # activity fell out of the window: d >= prev + window_days, and
@@ -165,7 +172,8 @@ SELECT p_brand, n,
        ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
          AS intercept,
        ROUND((n*sxy - sx*sy)
-             / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price
+             / SQRT(GREATEST((n*sxx - sx*sx) * (n*syy - sy*sy), 0)), 6)
+         AS corr_qty_price
 FROM s ORDER BY p_brand
 """
 
@@ -196,12 +204,26 @@ def part_brand_price_regression(spark, sf_dir):
     cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
     var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
     var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # Degenerate groups (n == 1, or zero variance in either column)
+    # have var == 0 AND cov == 0: DuckDB's 0/0 is NULL, while Spark
+    # under ANSI mode (the 4.x default) would abort the job with
+    # DIVIDE_BY_ZERO — try_divide yields the oracle's NULL instead.
+    # var == 0 forces cov == 0 (Cauchy-Schwarz), so NULL is the only
+    # degenerate outcome on both engines. The corr denominator's sqrt
+    # input is clamped at 0 on BOTH sides because double rounding can
+    # push an exactly-zero variance product a hair negative — where
+    # DuckDB's SQRT ERRORS while Spark's returns NaN; GREATEST(..., 0)
+    # is the identical-expression fix (sqrt(0) → 0 divisor → NULL).
+    slope = F.try_divide(cov_n, var_x)
     return s.select(
         "p_brand",
         "n",
-        F.round(cov_n / var_x, 6).alias("slope"),
-        F.round((F.col("sy") - (cov_n / var_x) * F.col("sx")) / n, 6).alias(
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
             "intercept"
         ),
-        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(
+            F.try_divide(cov_n, F.sqrt(F.greatest(var_x * var_y, F.lit(0.0)))),
+            6,
+        ).alias("corr_qty_price"),
     ).orderBy("p_brand")

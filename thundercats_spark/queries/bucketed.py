@@ -30,25 +30,30 @@ def build_bucketed_facts(
     sf_dir: str,
     num_buckets: int = 32,
     prefix: str = "tc_bkt",
-) -> tuple[str, str]:
-    """One-time ingest-side layout: write orders and lineitem as
+    tables: tuple[str, ...] = ("orders", "lineitem"),
+) -> tuple[str, ...]:
+    """One-time ingest-side layout: write the requested fact tables as
     catalog tables bucketed (and sorted) on their orderkey with the
     SAME bucket count, so any orderkey equi-join between them satisfies
     both sides' required distribution from the files alone. Cost: one
     shuffle-free scan + bucketed write per table (the bucketBy writer
     hashes rows to bucket files within each task — no exchange).
-    Returns the (orders, lineitem) table names."""
-    t = load(spark, sf_dir, "orders", "lineitem")
+    Returns the table names in the order requested."""
+    keys = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    unknown = set(tables) - set(keys)
+    if unknown:
+        raise ValueError(f"unknown fact tables: {sorted(unknown)}")
+    t = load(spark, sf_dir, *tables)
     from thundercats_spark.physical.io import Bucketed
 
-    ot, lt = f"{prefix}_orders", f"{prefix}_lineitem"
-    Bucketed.write(
-        t["orders"], ot, ["o_orderkey"], num_buckets, sort_cols=["o_orderkey"]
-    ).get
-    Bucketed.write(
-        t["lineitem"], lt, ["l_orderkey"], num_buckets, sort_cols=["l_orderkey"]
-    ).get
-    return ot, lt
+    names = []
+    for tbl in tables:
+        name = f"{prefix}_{tbl}"
+        Bucketed.write(
+            t[tbl], name, [keys[tbl]], num_buckets, sort_cols=[keys[tbl]]
+        ).get
+        names.append(name)
+    return tuple(names)
 
 
 def q3_shipping_priority_bucketed(
@@ -88,21 +93,11 @@ def q3_shipping_priority_bucketed(
     )
 
 
-def lineitem_multi_supplier_bucketed(
-    spark: SparkSession, prefix: str = "tc_bkt"
-) -> DataFrame:
-    """Fact-fact SELF-join variant (the q21 core): pair each lineitem
-    with the other suppliers' lines of the SAME order. Both sides read
-    the one bucketed lineitem table, so the SortMergeJoin consumes the
-    bucket layout twice — and the per-order pair count that follows
-    groups on the join key itself, so the WHOLE plan runs with zero
-    hash exchanges (pytest-pinned). Unbucketed, this shape shuffles
-    the fact table twice at every run; bucketed, never again.
-
-    Returns (l_orderkey, n_cross_supplier_pairs) for orders whose
-    lines span >1 supplier — ordered line-pairs, each (i, j) with
-    differing suppliers counted once per direction, deterministic."""
-    li = spark.table(f"{prefix}_lineitem")
+def multi_supplier_pairs(li: DataFrame) -> DataFrame:
+    """The q21-core shape on ANY lineitem frame: per-order count of
+    ordered line-pairs with differing suppliers. Shared by the bucketed
+    variant and its raw-parquet parity base so the pin compares
+    LAYOUTS of one query, not two hand-synced copies."""
     a = li.select("l_orderkey", "l_suppkey")
     b = li.select(
         F.col("l_orderkey").alias("r_orderkey"),
@@ -118,6 +113,19 @@ def lineitem_multi_supplier_bucketed(
     )
 
 
+def lineitem_multi_supplier_bucketed(
+    spark: SparkSession, prefix: str = "tc_bkt"
+) -> DataFrame:
+    """Fact-fact SELF-join variant (the q21 core): pair each lineitem
+    with the other suppliers' lines of the SAME order. Both sides read
+    the one bucketed lineitem table, so the SortMergeJoin consumes the
+    bucket layout twice — and the per-order pair count that follows
+    groups on the join key itself, so the WHOLE plan runs with zero
+    hash exchanges (pytest-pinned). Unbucketed, this shape shuffles
+    the fact table twice at every run; bucketed, never again."""
+    return multi_supplier_pairs(spark.table(f"{prefix}_lineitem"))
+
+
 def q10_returned_items_bucketed(
     spark: SparkSession, sf_dir: str, prefix: str = "tc_bkt"
 ) -> DataFrame:
@@ -129,6 +137,8 @@ def q10_returned_items_bucketed(
     carries only the filtered, joined, 4-column aggregate input, not
     the fact table. Identical results to ``q10_returned_items``
     (pytest-pinned)."""
+    from thundercats_spark.queries.tpch import q10_filters, q10_shape
+
     dims = load(spark, sf_dir, "customer", "nation")
     cust = (
         dims["customer"]
@@ -138,25 +148,7 @@ def q10_returned_items_bucketed(
         )
         .select("c_custkey", "c_name", "n_name")
     )
-    ords = (
-        spark.table(f"{prefix}_orders")
-        .where(
-            (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
-        )
-        .select("o_orderkey", "o_custkey")
+    ords, li = q10_filters(
+        spark.table(f"{prefix}_orders"), spark.table(f"{prefix}_lineitem")
     )
-    li = (
-        spark.table(f"{prefix}_lineitem")
-        .where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-    )
-    return (
-        li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(_revenue_col())
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-        .select("c_custkey", "c_name", "revenue", "n_name")
-    )
+    return q10_shape(ords, li, cust)

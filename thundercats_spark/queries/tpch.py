@@ -227,19 +227,14 @@ LIMIT 20
 """
 
 
-@register("q10_returned_items", Q10_SQL)
-def q10_returned_items(spark, sf_dir):
-    t = load(spark, sf_dir, "customer", "orders", "lineitem", "nation")
-    ords = t["orders"].where(
-        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
-    ).select("o_orderkey", "o_custkey")
-    li = t["lineitem"].where(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    cust = t["customer"].join(
-        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
-    ).select("c_custkey", "c_name", "n_name")
+def q10_shape(ords, li, cust):
+    """The q10 plan downstream of the source frames — shared by the
+    registry query and the bucketed-layout variant (queries/bucketed.py)
+    so the parity pin between them compares LAYOUTS, never two
+    hand-synced copies of the query. ``ords`` must be pre-filtered to
+    the date window and projected to (o_orderkey, o_custkey); ``li``
+    to returned items (l_orderkey, l_extendedprice, l_discount);
+    ``cust`` is the customer⋈nation dimension (broadcast here)."""
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
         .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
@@ -249,6 +244,29 @@ def q10_returned_items(spark, sf_dir):
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
     )
+
+
+def q10_filters(orders, lineitem):
+    """q10's fact-side filters+projections, shared with the bucketed
+    variant: the date window on orders, returned items on lineitem."""
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return ords, li
+
+
+@register("q10_returned_items", Q10_SQL)
+def q10_returned_items(spark, sf_dir):
+    t = load(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    ords, li = q10_filters(t["orders"], t["lineitem"])
+    cust = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "n_name")
+    return q10_shape(ords, li, cust)
 
 
 # --------------------------------------------------------------------------
