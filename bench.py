@@ -96,9 +96,12 @@ BENCH_QUERIES = [
     "orders_stream_batch_join",
     "lineitem_unpivot_metrics",
     # round-8 wave 9: exact sliding-window distinct (bounded
-    # contribution-interval explode) and one-pass grouped OLS
+    # contribution-interval explode), one-pass grouped OLS, and the
+    # two STATEFUL streaming entries (state-store agg, interval join)
     "events_sliding_distinct_users",
     "part_brand_price_regression",
+    "events_stream_window_agg",
+    "events_stream_stream_join",
 ]
 
 

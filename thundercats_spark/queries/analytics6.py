@@ -227,3 +227,160 @@ def part_brand_price_regression(spark, sf_dir):
             6,
         ).alias("corr_qty_price"),
     ).orderBy("p_brand")
+
+
+# --------------------------------------------------------------------------
+# Stateful Structured Streaming entries. orders_stream_batch_join (37aw)
+# proved the STATELESS stream path; these two drive the STATEFUL engine
+# — the state-store aggregation and the dual-watermark stream-stream
+# interval join — through the same full oracle hash gate, reusing the
+# PRODUCT operators from streaming/windows.py (not bespoke query code).
+# --------------------------------------------------------------------------
+
+
+def _events_stream(spark, sf_dir):
+    """events as a Structured Streaming file source. The raw parquet is
+    TIMESTAMP(NANOS), which the vectorized reader rejects — the stream
+    must repeat load()'s treatment: read ts as nanos-long (session flag
+    set by load) and convert to a microsecond timestamp in the plan."""
+    static = load(spark, sf_dir, "events")["events"]  # pins UTC + flag
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # nanosAsLong ON
+    stream = spark.readStream.schema(raw.schema).parquet(
+        f"{sf_dir}/events.parquet*"
+    )
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:  # pragma: no cover - only if the driver regenerates as micros
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    _ = static  # schema-compat anchor; the stream carries the same cols
+    return stream
+
+
+def _run_to_memory(df, output_mode: str):
+    """availableNow → memory sink → self-contained frame (the
+    orders_stream_batch_join pattern: localCheckpoint detaches the
+    result from the view so earlier invocations' frames stay valid,
+    then the view is dropped — zero per-invocation retention)."""
+    import uuid
+
+    name = f"stq_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+STREAM_WINDOW_AGG_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
+@register("events_stream_window_agg", STREAM_WINDOW_AGG_SQL)
+def events_stream_window_agg(spark, sf_dir):
+    """Tumbling 1-day windowed aggregation through the streaming
+    STATE-STORE operator (streaming/windows.py windowed_agg), checked
+    against the batch GROUP BY oracle. Output mode is COMPLETE: with
+    an availableNow (finite) source, append mode would hold every
+    window open waiting for a watermark advance that only a NEXT batch
+    could deliver — the tail (here: all) windows would never emit.
+    Complete mode emits the full state at the end instead; the
+    append+watermark production path (state eviction, late-data
+    drops) stays pinned in tests/test_streaming.py where batches
+    arrive over time. Decimal-exact sums: state merge order cannot
+    perturb the values."""
+    from thundercats_spark.streaming.windows import windowed_agg
+
+    stream = _events_stream(spark, sf_dir)
+    agg = windowed_agg(
+        stream,
+        "ts",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        ],
+        window="1 day",
+        watermark="1 hour",
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("day", "event_type")
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT c.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       CAST(datediff('second', v.ts, c.ts) AS BIGINT) AS secs_to_click
+FROM events c JOIN events v
+  ON v.user_id = c.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+ORDER BY c.user_id, click_id, view_id
+"""
+
+
+@register("events_stream_stream_join", STREAM_STREAM_JOIN_SQL)
+def events_stream_stream_join(spark, sf_dir):
+    """View→click attribution pairs (views within the hour before each
+    click) through the DUAL-WATERMARK stream-stream interval join
+    (streaming/windows.py stream_stream_join) — the stateful join
+    whose event-time bound is what lets Spark evict join state at
+    scale. Inner stream-stream joins emit on match (no watermark
+    wait), so the finite availableNow run yields the complete exact
+    pair set, checked against the batch self-join oracle."""
+    from thundercats_spark.streaming.windows import stream_stream_join
+
+    stream = _events_stream(spark, sf_dir)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    views = stream.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    joined = stream_stream_join(
+        clicks.withColumnRenamed("user_id", "user_id"),
+        views.withColumnRenamed("v_user", "user_id"),
+        key="user_id",
+        left_ts="cts",
+        right_ts="vts",
+        within="1 hour",
+        watermark="30 minutes",
+    )
+    pairs = joined.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_timestamp("cts") - F.unix_timestamp("vts")).alias(
+            "secs_to_click"
+        ),
+    )
+    return _run_to_memory(pairs, "append").orderBy(
+        "user_id", "click_id", "view_id"
+    )
