@@ -277,9 +277,46 @@ def main():
     if len(line) > 1900:  # 2. drop the artifact pointer
         out.pop("scale_check_artifact", None)
         line = json.dumps(out)
-    if len(line) > 1900:  # 3. last resort: drop per-query detail
-        out["queries"] = {"n_queries": len(timings)}
-        line = json.dumps(out)
+    if len(line) > 1900:
+        # 3. the registry outgrew the capture window (57 queries no
+        # longer fit inline): persist the FULL per-query detail as a
+        # repo artifact, keep the most expensive entries inline (the
+        # ones plan audits start from), and say how many were cut —
+        # never silently truncate coverage evidence.
+        detail = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tools",
+            "bench_detail.json",
+        )
+        try:
+            with open(detail, "w") as f:
+                json.dump(
+                    {
+                        "sf": out["sf"],
+                        "value": total,
+                        "queries": timings,
+                        "load": {"start": load_start, "end": load_end},
+                    },
+                    f,
+                    indent=1,
+                    sort_keys=True,
+                )
+            out["bench_detail_artifact"] = "tools/bench_detail.json"
+        except OSError as e:  # read-only checkout: keep the line going
+            print(f"bench detail not persisted: {e}", file=sys.stderr)
+        ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+        k = len(ordered)
+        while k > 0:
+            out["queries"] = dict(sorted(ordered[:k]))
+            out["queries_omitted"] = len(timings) - k
+            line = json.dumps(out)
+            if len(line) <= 1900:
+                break
+            k -= 5
+        if len(line) > 1900:  # pathological: names alone blow the cap
+            out["queries"] = {"n_queries": len(timings)}
+            out.pop("queries_omitted", None)
+            line = json.dumps(out)
     print(line)
 
 
