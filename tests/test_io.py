@@ -487,12 +487,31 @@ def test_bucketed_self_join_zero_exchange_and_parity(spark, sf_dir):
         out = lineitem_multi_supplier_bucketed(spark, prefix="tc_bkt_sj")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hashpartitioning" not in plan, plan
-        # parity base: the SAME shape builder over the raw parquet —
-        # the pin compares layouts, never two copies of the query
-        base = multi_supplier_pairs(load(spark, sf_dir, "lineitem")["lineitem"])
-        assert sorted(tuple(r) for r in out.collect()) == sorted(
-            tuple(r) for r in base.collect()
+        # layout parity: the SAME shape builder over the raw parquet
+        li = load(spark, sf_dir, "lineitem")["lineitem"]
+        base = multi_supplier_pairs(li)
+        got = sorted(tuple(r) for r in out.collect())
+        assert got == sorted(tuple(r) for r in base.collect())
+        # INDEPENDENT correctness oracle (the shape is not a registry
+        # query, so without this the parity pin would compare the
+        # builder to itself — review r08): counting identity. With
+        # c_s lines per (order, supplier) and C = Σc_s, the ordered
+        # cross-supplier pair count is Σ_s c_s(C - c_s) = C² - Σc_s².
+        from pyspark.sql import functions as F
+
+        per = li.groupBy("l_orderkey", "l_suppkey").agg(
+            F.count(F.lit(1)).alias("c")
         )
+        ident = (
+            per.groupBy("l_orderkey")
+            .agg(
+                (
+                    F.sum("c") * F.sum("c") - F.sum(F.col("c") * F.col("c"))
+                ).alias("n_cross_supplier_pairs")
+            )
+            .where(F.col("n_cross_supplier_pairs") > 0)
+        )
+        assert got == sorted(tuple(r) for r in ident.collect())
     finally:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)

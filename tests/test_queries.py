@@ -243,6 +243,36 @@ def test_sliding_distinct_window_param_and_validation(spark):
         sliding_distinct_users(ev, window_days=0)
 
 
+def test_sliding_distinct_null_semantics(spark):
+    """COUNT(DISTINCT user) semantics, both halves: a NULL user is
+    never COUNTED, but its activity day still anchors the day spine
+    (the SQL spine CTE spans ALL activity) — review r08 wave 4 caught
+    the first fix dropping NULL users from the spine too. NULL
+    timestamps contribute to neither."""
+    import datetime
+
+    from thundercats_spark.queries.analytics6 import sliding_distinct_users
+
+    d = lambda day: datetime.datetime(2024, 1, day, 12, 0)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            ("a", None, d(1)),     # NULL user: anchors spine day 1
+            ("a", 7, d(9)),        # real user on day 9
+            ("a", 8, None),        # NULL ts: contributes nothing
+        ],
+        "event_type string, user_id long, ts timestamp",
+    )
+    got = {
+        (r.event_type, r.day): r.users_7d
+        for r in sliding_distinct_users(ev).collect()
+    }
+    # spine spans day 1..9 (NULL user's day anchors the minimum)
+    assert len(got) == 9
+    assert got[("a", "2024-01-01")] == 0   # NULL user never counts
+    assert got[("a", "2024-01-08")] == 0
+    assert got[("a", "2024-01-09")] == 1   # only user 7
+
+
 def test_brand_regression_exact_on_linear_data(spark, tmp_path):
     """y = 3x + 10 exactly → slope 3, intercept 10, r = 1. Degenerate
     brands (one row; zero x-variance) must yield NULL like the DuckDB

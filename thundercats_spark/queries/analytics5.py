@@ -219,7 +219,9 @@ ORDER BY o.o_orderkey
 
 @register("orders_stream_batch_join", STREAM_BATCH_SQL)
 def orders_stream_batch_join(spark, sf_dir):
-    import uuid
+    from thundercats_spark.streaming.windows import (
+        run_available_now_to_memory,
+    )
 
     o_static = load(spark, sf_dir, "orders")["orders"]
     c = load(spark, sf_dir, "customer")["customer"]
@@ -240,28 +242,13 @@ def orders_stream_batch_join(spark, sf_dir):
         "c_mktsegment",
         F.col("o_totalprice").alias("total"),
     )
-    name = f"sbj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # The memory-sink retention discipline (self-contained checkpoint,
+    # immediate view drop) lives in ONE place now — the shared helper
+    # (review r08: two hand-synced copies of logic that had already
+    # bitten twice was the next bug waiting).
+    return run_available_now_to_memory(joined, "append").orderBy(
+        "o_orderkey"
     )
-    q.awaitTermination()
-    # A memory-sink table pins its whole result in driver memory for
-    # the session lifetime. Detach the result from the view
-    # (localCheckpoint → the returned frame is self-contained executor
-    # blocks, released with the frame) and drop the view immediately —
-    # zero per-invocation retention, and earlier invocations' returned
-    # frames stay valid because they are equally self-contained
-    # (review r08 waves 1+2: the first fix dropped PRIOR views, which
-    # invalidated a still-lazy frame a caller held).
-    out = spark.table(name).orderBy("o_orderkey").localCheckpoint(
-        eager=True
-    )
-    spark.catalog.dropTempView(name)
-    return out
 
 
 # --------------------------------------------------------------------------

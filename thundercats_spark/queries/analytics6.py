@@ -92,11 +92,15 @@ def sliding_distinct_users(
     """
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
-    # NULL users/timestamps are excluded up front: COUNT(DISTINCT user)
-    # never counts NULL, and a NULL activity day would otherwise leak
-    # NULL contribution intervals into the explode and the spine min/max.
-    ud = (
-        ev.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    # COUNT(DISTINCT user) semantics: NULL users never COUNT, but their
+    # activity days still anchor the day spine (exactly as the SQL
+    # formulation behaves: the spine CTE spans ALL activity, the count
+    # skips NULLs). NULL timestamps contribute to neither — a NULL
+    # activity day would leak NULL contribution intervals into the
+    # explode, and MIN/MAX ignore NULLs anyway (review r08 wave 4:
+    # the first NULL fix dropped NULL users from the spine too).
+    act = (
+        ev.where(F.col(ts_col).isNotNull())
         .select(
             F.col(type_col).alias("event_type"),
             F.col(user_col).alias("user_id"),
@@ -104,6 +108,7 @@ def sliding_distinct_users(
         )
         .distinct()
     )
+    ud = act.where(F.col("user_id").isNotNull())
     w = Window.partitionBy("event_type", "user_id").orderBy("aday")
     # First in-window activity for window-end d iff the previous
     # activity fell out of the window: d >= prev + window_days, and
@@ -122,7 +127,7 @@ def sliding_distinct_users(
         .agg(F.count(F.lit(1)).alias("users_7d"))
     )
     spine = (
-        ud.groupBy("event_type")
+        act.groupBy("event_type")
         .agg(F.min("aday").alias("lo"), F.max("aday").alias("hi"))
         .select("event_type", F.explode(F.sequence("lo", "hi")).alias("day"))
     )
@@ -260,28 +265,6 @@ def _events_stream(spark, sf_dir):
     return stream
 
 
-def _run_to_memory(df, output_mode: str):
-    """availableNow → memory sink → self-contained frame (the
-    orders_stream_batch_join pattern: localCheckpoint detaches the
-    result from the view so earlier invocations' frames stay valid,
-    then the view is dropped — zero per-invocation retention)."""
-    import uuid
-
-    name = f"stq_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    spark = df.sparkSession
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
-
-
 STREAM_WINDOW_AGG_SQL = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        event_type,
@@ -322,7 +305,11 @@ def events_stream_window_agg(spark, sf_dir):
         window="1 day",
         watermark="1 hour",
     )
-    out = _run_to_memory(agg, "complete")
+    from thundercats_spark.streaming.windows import (
+        run_available_now_to_memory,
+    )
+
+    out = run_available_now_to_memory(agg, "complete")
     return out.select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
         "event_type",
@@ -364,14 +351,18 @@ def events_stream_stream_join(spark, sf_dir):
         F.col("event_id").alias("view_id"),
         F.col("ts").alias("vts"),
     )
+    # watermark >= the join interval: with a 30-minute watermark and a
+    # 1-hour bound, a multi-batch source could evict a view's state
+    # before its in-window click arrived (silently dropped pairs). The
+    # single-batch tripwire below guards the remaining disorder case.
     joined = stream_stream_join(
-        clicks.withColumnRenamed("user_id", "user_id"),
+        clicks,
         views.withColumnRenamed("v_user", "user_id"),
         key="user_id",
         left_ts="cts",
         right_ts="vts",
         within="1 hour",
-        watermark="30 minutes",
+        watermark="2 hours",
     )
     pairs = joined.select(
         "user_id",
@@ -381,6 +372,10 @@ def events_stream_stream_join(spark, sf_dir):
             "secs_to_click"
         ),
     )
-    return _run_to_memory(pairs, "append").orderBy(
-        "user_id", "click_id", "view_id"
+    from thundercats_spark.streaming.windows import (
+        run_available_now_to_memory,
     )
+
+    return run_available_now_to_memory(
+        pairs, "append", require_single_batch=True
+    ).orderBy("user_id", "click_id", "view_id")

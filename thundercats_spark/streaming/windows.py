@@ -196,6 +196,57 @@ def stream_stream_join(
     return lw.join(rw, cond, how).drop(rw[key])
 
 
+def run_available_now_to_memory(
+    df: DataFrame,
+    output_mode: str = "append",
+    require_single_batch: bool = False,
+) -> DataFrame:
+    """Drive a finite streaming frame to completion: availableNow
+    trigger → memory sink → a SELF-CONTAINED batch frame. The result
+    is eagerly localCheckpointed and the memory view dropped
+    immediately, so nothing pins driver memory per invocation and
+    frames returned by earlier invocations stay valid (the r08 review
+    waves hit BOTH failure modes of hand-rolled versions: unbounded
+    memory-sink retention, then a fix that dropped prior views while
+    a caller still held a lazy frame over one).
+
+    ``require_single_batch=True`` is the completeness tripwire for
+    queries whose exactness argument assumes all input arrives in one
+    micro-batch (e.g. a stream-stream interval join whose watermark is
+    shorter than the maximum event-time disorder across batches): if
+    the source ever splits the input — maxFilesPerTrigger, multi-file
+    layouts — the run FAILS LOUDLY naming the assumption instead of
+    silently dropping cross-batch pairs."""
+    import uuid
+
+    name = f"stq_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = sum(
+        1 for p in q.recentProgress if p.get("numInputRows", 0) > 0
+    )
+    spark = df.sparkSession
+    try:
+        if require_single_batch and data_batches > 1:
+            raise RuntimeError(
+                f"streaming query processed {data_batches} data batches; "
+                "this query's exactness argument assumes ALL input "
+                "arrives in one availableNow micro-batch (its watermark "
+                "does not cover cross-batch event-time disorder). "
+                "Remove maxFilesPerTrigger / compact the source, or "
+                "raise the watermark past the join interval + disorder."
+            )
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+
+
 def stream_upsert_parquet(
     stream: DataFrame,
     path: str,
