@@ -526,3 +526,137 @@ def test_key_skew_matches_model(spark, dist, p):
         assert r["n"] == n
         assert abs(r["share"] - spark_round(n / total)) < 1e-9
         assert r["suggested_salt"] == math.ceil(n * p / total)
+
+
+# ---------------------------------------------------------------------------
+# Wave-9 operators (r08): sliding-window exact distinct vs a brute-force
+# model; grouped OLS closed forms vs numpy's independent lstsq solver.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def sliding_activity(draw):
+    n = draw(st.integers(1, 28))
+    rows = [
+        (
+            draw(st.sampled_from(["a", "b"])),
+            draw(st.integers(1, 4)),
+            draw(st.integers(0, 24)),
+        )
+        for _ in range(n)
+    ]
+    return rows, draw(st.integers(1, 9))
+
+
+@given(sliding_activity())
+@settings(**SETTINGS)
+def test_sliding_distinct_matches_model(spark, data):
+    """The contribution-interval algorithm equals the O(days x users)
+    brute force for ANY activity pattern and window length — including
+    duplicate (type, user, day) rows, which must collapse to one."""
+    from thundercats_spark.queries.analytics6 import sliding_distinct_users
+
+    rows, wd = data
+    ev = spark.createDataFrame(
+        [
+            (t, u, datetime(2024, 1, 1 + d, 8, 30))
+            for t, u, d in rows
+        ],
+        "event_type string, user_id long, ts timestamp",
+    )
+    got = {
+        (r.event_type, r.day): r.users_7d
+        for r in sliding_distinct_users(ev, window_days=wd).collect()
+    }
+    model = {}
+    by_type = {}
+    for t, u, d in rows:
+        by_type.setdefault(t, set()).add((u, d))
+    for t, act in by_type.items():
+        days = [d for _, d in act]
+        for d in range(min(days), max(days) + 1):
+            users = {u for u, a in act if d - wd + 1 <= a <= d}
+            key = (t, f"2024-01-{d + 1:02d}")
+            model[key] = len(users)
+    assert got == model
+
+
+@st.composite
+def brand_xy(draw):
+    n = draw(st.integers(1, 15))
+    # cents-integral values: exact under DECIMAL(12,2), like the real
+    # l_quantity / l_extendedprice columns
+    rows = [
+        (
+            draw(st.integers(1, 5000)) / 100,
+            draw(st.integers(1, 2_000_000)) / 100,
+        )
+        for _ in range(n)
+    ]
+    return rows
+
+
+@given(brand_xy())
+@settings(**SETTINGS)
+def test_brand_regression_matches_numpy(spark, rows):
+    """Two-oracle property. (1) BIT-EXACT vs a Python replica of the
+    exact pipeline (decimal sums → the same IEEE closed forms →
+    spark_round): this is what the DuckDB oracle computes, so it must
+    match to the last bit — including the near-degenerate cases where
+    double rounding leaves var_x a hair off zero and the 'slope' is
+    numerical noise (BOTH engines produce the identical noise; NULL
+    appears only when var_x lands on exactly 0.0). (2) When the
+    system is well-conditioned, the values also agree with numpy's
+    INDEPENDENT lstsq/corrcoef solvers — guarding against the replica
+    and the query sharing a wrong formula."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from thundercats_spark.queries.analytics6 import brand_price_regression
+
+    li = spark.createDataFrame(
+        [(1, x, y) for x, y in rows],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame([(1, "B")], "p_partkey long, p_brand string")
+    r = brand_price_regression(li, part).collect()[0]
+
+    cent = Decimal("0.01")
+    dx = [Decimal(repr(x)).quantize(cent, ROUND_HALF_UP) for x, _ in rows]
+    dy = [Decimal(repr(y)).quantize(cent, ROUND_HALF_UP) for _, y in rows]
+    n = float(len(rows))
+    sx, sy = float(sum(dx)), float(sum(dy))
+    sxy = float(sum(a * b for a, b in zip(dx, dy)))
+    sxx = float(sum(a * a for a in dx))
+    syy = float(sum(b * b for b in dy))
+    cov = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+
+    if var_x == 0.0:
+        assert r.slope is None and r.intercept is None
+    else:
+        slope = cov / var_x
+        assert r.slope == spark_round(slope)
+        assert r.intercept == spark_round((sy - slope * sx) / n)
+    denom = math.sqrt(max(var_x * var_y, 0.0))
+    if denom == 0.0:
+        assert r.corr_qty_price is None
+    else:
+        assert r.corr_qty_price == spark_round(cov / denom)
+
+    # independent-solver cross-check on well-conditioned inputs only
+    # (near-degenerate var is pure rounding noise — replica-exact
+    # above, meaningless to compare across algorithms)
+    if n >= 2 and var_x > 1e-6 * max(1.0, n * sxx):
+        xs = np.array([float(v) for v in dx])
+        ys = np.array([float(v) for v in dy])
+        a = np.vstack([xs, np.ones(len(xs))]).T
+        np_slope, np_icpt = np.linalg.lstsq(a, ys, rcond=None)[0]
+        assert abs(r.slope - np_slope) < 5e-5, (r.slope, np_slope)
+        assert abs(r.intercept - np_icpt) < 5e-3, (r.intercept, np_icpt)
+        if var_y > 1e-6 * max(1.0, n * syy):
+            corr = float(np.corrcoef(xs, ys)[0, 1])
+            assert abs(r.corr_qty_price - corr) < 5e-5

@@ -183,16 +183,17 @@ FROM s ORDER BY p_brand
 """
 
 
-@register("part_brand_price_regression", REGRESSION_SQL)
-def part_brand_price_regression(spark, sf_dir):
-    t = load(spark, sf_dir, "lineitem", "part")
+def brand_price_regression(li, part):
+    """The regression core on plain frames (the registered query wraps
+    it with load()): one algebraic-sums pass + closed forms. Exposed
+    separately so property tests can drive it against an independent
+    solver on in-memory data."""
     x = _dec("l_quantity")
     y = _dec("l_extendedprice")
     s = (
-        t["lineitem"]
-        .select("l_partkey", "l_quantity", "l_extendedprice")
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
         .join(
-            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.broadcast(part.select("p_partkey", "p_brand")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand")
@@ -232,6 +233,12 @@ def part_brand_price_regression(spark, sf_dir):
             6,
         ).alias("corr_qty_price"),
     ).orderBy("p_brand")
+
+
+@register("part_brand_price_regression", REGRESSION_SQL)
+def part_brand_price_regression(spark, sf_dir):
+    t = load(spark, sf_dir, "lineitem", "part")
+    return brand_price_regression(t["lineitem"], t["part"])
 
 
 # --------------------------------------------------------------------------
