@@ -228,6 +228,125 @@ def sliding_distinct(spark) -> dict:
     return out
 
 
+def stateful_stream_x10(spark) -> dict:
+    """Wave-9 rehearsal: the two STATEFUL streaming paths at x1 → x10
+    the sf0.1 events volume (100k → 1M rows). The replica corpus is 10
+    disjoint copies of the events table (user_id/event_id offset per
+    copy), so within-user time structure is preserved and the exact
+    interval-join pair count scales by EXACTLY 10 — a closed-form
+    linearity oracle. Each scale asserts (a) the stream-stream
+    interval join emits exactly the batch self-join's pair count and
+    (b) the state-store windowed agg reproduces the batch GROUP BY
+    row-for-row in total count."""
+    import shutil
+    import tempfile
+
+    from thundercats_spark.queries import load
+    from thundercats_spark.streaming.windows import (
+        run_available_now_to_memory,
+        stream_stream_join,
+        windowed_agg,
+    )
+
+    ev1 = load(spark, "/root/testdata/sf0.1", "events")["events"]
+    base = tempfile.mkdtemp(prefix="stream_x10_")
+    out: dict = {}
+    try:
+        for label, copies in (("x1", 1), ("x10", 10)):
+            src = ev1
+            # cast ts to the LTZ timestamp type: watermarks reject
+            # TIMESTAMP_NTZ, and the loaded events frame can carry
+            # either depending on the parquet annotation (session tz
+            # is pinned UTC, so the cast is deterministic)
+            frames = [
+                ev1.select(
+                    (F.col("event_id") + F.lit(i * 10_000_000)).alias(
+                        "event_id"
+                    ),
+                    F.col("ts").cast("timestamp").alias("ts"),
+                    (F.col("user_id") + F.lit(i * 1_000_000)).alias(
+                        "user_id"
+                    ),
+                    "event_type",
+                    "value",
+                    "props",
+                )
+                for i in range(copies)
+            ]
+            src = frames[0]
+            for fdf in frames[1:]:
+                src = src.unionByName(fdf)
+            path = f"{base}/{label}"
+            src.write.mode("overwrite").parquet(path)
+            static = spark.read.parquet(path)
+            n_rows = static.count()
+
+            # batch oracles
+            c = static.where(F.col("event_type") == "click").select(
+                "user_id", F.col("event_id").alias("cid"),
+                F.col("ts").alias("cts"),
+            )
+            v = static.where(F.col("event_type") == "view").select(
+                F.col("user_id").alias("vu"),
+                F.col("event_id").alias("vid"), F.col("ts").alias("vts"),
+            )
+            batch_pairs = c.join(
+                v,
+                (c.user_id == v.vu)
+                & (v.vts >= c.cts - F.expr("INTERVAL 1 HOUR"))
+                & (v.vts <= c.cts),
+            ).count()
+
+            stream = spark.readStream.schema(static.schema).parquet(path)
+            t0 = time.time()
+            joined = stream_stream_join(
+                stream.where(F.col("event_type") == "click").select(
+                    "user_id", F.col("event_id").alias("cid"),
+                    F.col("ts").alias("cts"),
+                ),
+                stream.where(F.col("event_type") == "view").select(
+                    "user_id", F.col("event_id").alias("vid"),
+                    F.col("ts").alias("vts"),
+                ),
+                key="user_id", left_ts="cts", right_ts="vts",
+                within="1 hour", watermark="2 hours",
+            )
+            got_pairs = run_available_now_to_memory(
+                joined, "append", require_single_batch=True
+            ).count()
+            join_secs = round(time.time() - t0, 2)
+            assert got_pairs == batch_pairs, (label, got_pairs, batch_pairs)
+
+            t0 = time.time()
+            agg = windowed_agg(
+                stream, "ts", ["event_type"],
+                [F.count(F.lit(1)).alias("n")],
+                window="1 day", watermark="1 hour",
+            )
+            live = run_available_now_to_memory(agg, "complete")
+            stream_total = live.agg(F.sum("n")).collect()[0][0]
+            agg_secs = round(time.time() - t0, 2)
+            assert stream_total == n_rows, (label, stream_total, n_rows)
+
+            out[label] = {
+                "rows": n_rows,
+                "pairs": got_pairs,
+                "join_secs": join_secs,
+                "agg_secs": agg_secs,
+            }
+        assert out["x10"]["pairs"] == 10 * out["x1"]["pairs"], out
+        out["pair_linearity"] = "exact 10x (disjoint-copy closed form)"
+        out["join_wall_ratio"] = round(
+            out["x10"]["join_secs"] / out["x1"]["join_secs"], 2
+        )
+        out["agg_wall_ratio"] = round(
+            out["x10"]["agg_secs"] / out["x1"]["agg_secs"], 2
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main():
     spark = get_spark("r08-rehearsals")
     spark.sparkContext.setLogLevel("ERROR")
@@ -247,6 +366,10 @@ def main():
     r = sliding_distinct(spark)
     merge_stats("sliding_distinct_x10", r)
     print("sliding_distinct_x10:", json.dumps(r))
+
+    r = stateful_stream_x10(spark)
+    merge_stats("stateful_stream_x10", r)
+    print("stateful_stream_x10:", json.dumps(r))
 
     spark.stop()
 
