@@ -266,7 +266,13 @@ def _events_stream(spark, sf_dir):
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    else:  # pragma: no cover - only if the driver regenerates as micros
+    else:
+        # sf0.1's events parquet carries micros (not nanos), so the
+        # nanosAsLong flag leaves ts a timestamp type — possibly NTZ,
+        # which watermarks reject; normalize to LTZ (session tz is
+        # pinned UTC, so the cast is the fixed naive==UTC mapping).
+        # Exercised by bench at sf0.1; pytest's sf0.001 takes the
+        # nanos-long branch above.
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     _ = static  # schema-compat anchor; the stream carries the same cols
     return stream
