@@ -31,15 +31,12 @@ sys.path.insert(0, ".")
 
 from thundercats_spark.queries import load
 from thundercats_spark.queries.analytics6 import (
-    _events_stream,
+    batch_view_click_pairs,
     events_stream_stream_join,
+    events_stream_window_agg,
     sliding_distinct_users,
 )
 from thundercats_spark.session import get_spark
-from thundercats_spark.streaming.windows import (
-    run_available_now_to_memory,
-    windowed_agg,
-)
 
 
 def main():
@@ -49,26 +46,9 @@ def main():
     ev = load(spark, sf_dir, "events")["events"]
 
     # -- 1. streaming daily engagement == batch daily engagement -------
-    stream = _events_stream(spark, sf_dir)
-    agg = windowed_agg(
-        stream,
-        "ts",
-        ["event_type"],
-        [
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("total_value"),
-        ],
-        window="1 day",
-        watermark="1 hour",
-    )
-    live = run_available_now_to_memory(agg, "complete").select(
-        F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
-        "event_type",
-        "n_events",
-        "total_value",
-    )
+    # the REGISTERED query (oracle-checked every round), not a copy of
+    # its body — the reconciliation below demonstrates that exact query
+    live = events_stream_window_agg(spark, sf_dir)
     batch = (
         ev.groupBy(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
@@ -95,17 +75,7 @@ def main():
     pairs = events_stream_stream_join(spark, sf_dir)
     pr = pairs.collect()
     assert all(0 <= r.secs_to_click <= 3600 for r in pr), "pair out of window"
-    e = ev.select("event_id", "user_id", "event_type", "ts")
-    c = e.where(F.col("event_type") == "click").alias("c")
-    v = e.where(F.col("event_type") == "view").alias("v")
-    n_batch_pairs = (
-        c.join(
-            v,
-            (F.col("c.user_id") == F.col("v.user_id"))
-            & (F.col("v.ts") >= F.col("c.ts") - F.expr("INTERVAL 1 HOUR"))
-            & (F.col("v.ts") <= F.col("c.ts")),
-        )
-    ).count()
+    n_batch_pairs = batch_view_click_pairs(ev).count()
     assert len(pr) == n_batch_pairs, (len(pr), n_batch_pairs)
     print(f"2. stream-stream attribution: {len(pr)} pairs, all in-window, "
           f"count == batch self-join")

@@ -655,8 +655,16 @@ def test_brand_regression_matches_numpy(spark, rows):
         ys = np.array([float(v) for v in dy])
         a = np.vstack([xs, np.ones(len(xs))]).T
         np_slope, np_icpt = np.linalg.lstsq(a, ys, rcond=None)[0]
-        assert abs(r.slope - np_slope) < 5e-5, (r.slope, np_slope)
-        assert abs(r.intercept - np_icpt) < 5e-3, (r.intercept, np_icpt)
+        # RELATIVE tolerance: near the conditioning gate both solvers
+        # carry error ~ eps * kappa^2, which scales with the estimate
+        # itself (review r08: a 2e5-magnitude slope can differ by more
+        # than an absolute 5e-5 between QR and the normal equations)
+        assert abs(r.slope - np_slope) < 5e-5 * max(1.0, abs(np_slope)), (
+            r.slope, np_slope,
+        )
+        assert abs(r.intercept - np_icpt) < 5e-3 * max(1.0, abs(np_icpt)), (
+            r.intercept, np_icpt,
+        )
         if var_y > 1e-6 * max(1.0, n * syy):
             corr = float(np.corrcoef(xs, ys)[0, 1])
             assert abs(r.corr_qty_price - corr) < 5e-5

@@ -331,6 +331,32 @@ def events_stream_window_agg(spark, sf_dir):
     ).orderBy("day", "event_type")
 
 
+def batch_view_click_pairs(ev):
+    """The BATCH twin of events_stream_stream_join's predicate — ONE
+    definition of the attribution window (views within the hour before
+    each click, same user) shared by the example app's reconciliation
+    and the x10 rehearsal, so a change to the window cannot silently
+    leave a stale copy testing a different predicate. Returns one row
+    per (user_id, view_id, click_id) pair."""
+    e = ev.select("event_id", "user_id", "event_type", "ts")
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    return c.join(
+        v,
+        (c.user_id == v.vu)
+        & (v.vts >= c.cts - F.expr("INTERVAL 1 HOUR"))
+        & (v.vts <= c.cts),
+    ).select("user_id", "view_id", "click_id")
+
+
 STREAM_STREAM_JOIN_SQL = """
 SELECT c.user_id,
        v.event_id AS view_id,

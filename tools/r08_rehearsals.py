@@ -252,8 +252,12 @@ def stateful_stream_x10(spark) -> dict:
     base = tempfile.mkdtemp(prefix="stream_x10_")
     out: dict = {}
     try:
-        for label, copies in (("x1", 1), ("x10", 10)):
-            src = ev1
+        # first x1 pass is a DISCARDED warmup: the first streaming
+        # query in a session pays codegen/JIT/state-store class
+        # loading that later runs get free — without it the x1 side
+        # of the wall ratio conflates one-time warmup with the
+        # per-run engine overhead the rehearsal is measuring
+        for label, copies in (("warmup", 1), ("x1", 1), ("x10", 10)):
             # cast ts to the LTZ timestamp type: watermarks reject
             # TIMESTAMP_NTZ, and the loaded events frame can carry
             # either depending on the parquet annotation (session tz
@@ -281,21 +285,13 @@ def stateful_stream_x10(spark) -> dict:
             static = spark.read.parquet(path)
             n_rows = static.count()
 
-            # batch oracles
-            c = static.where(F.col("event_type") == "click").select(
-                "user_id", F.col("event_id").alias("cid"),
-                F.col("ts").alias("cts"),
+            # batch oracle: the SHARED predicate definition (one copy
+            # of the attribution window across oracle SQL twin users)
+            from thundercats_spark.queries.analytics6 import (
+                batch_view_click_pairs,
             )
-            v = static.where(F.col("event_type") == "view").select(
-                F.col("user_id").alias("vu"),
-                F.col("event_id").alias("vid"), F.col("ts").alias("vts"),
-            )
-            batch_pairs = c.join(
-                v,
-                (c.user_id == v.vu)
-                & (v.vts >= c.cts - F.expr("INTERVAL 1 HOUR"))
-                & (v.vts <= c.cts),
-            ).count()
+
+            batch_pairs = batch_view_click_pairs(static).count()
 
             stream = spark.readStream.schema(static.schema).parquet(path)
             t0 = time.time()
@@ -328,6 +324,8 @@ def stateful_stream_x10(spark) -> dict:
             agg_secs = round(time.time() - t0, 2)
             assert stream_total == n_rows, (label, stream_total, n_rows)
 
+            if label == "warmup":
+                continue
             out[label] = {
                 "rows": n_rows,
                 "pairs": got_pairs,
