@@ -227,18 +227,56 @@ _VERIFIED_R07 = {
     "events_rollup_hierarchy",
 }
 
+# Names whose latest driver row is round 8 (CORRECTNESS_r08.json): all
+# 50 window entries were green (47 hash-match + 3 rows-only by design,
+# each returning rows), so the whole window advances to the r08 tier.
+# Generated by tools/rotation_next.py 8; judge-confirmed in VERDICT r08.
+_VERIFIED_R08 = {
+    "part_affinity_lift", "orders_grouping_sets",
+    "customer_hierarchy_walk", "orders_range_frame_window",
+    "orders_stream_batch_join", "lineitem_unpivot_metrics",
+    "events_sliding_distinct_users", "part_brand_price_regression",
+    "events_stream_window_agg", "events_stream_stream_join",
+    "customer_running_total", "doc_word_frequencies",
+    "customer_balance_stats", "supplier_name_distance",
+    "q12_priority_classes", "events_resample_ffill", "q15_top_supplier",
+    "q2_cheapest_supplier", "customer_cohorts_setops",
+    "orders_above_segment_avg", "q7_nation_volume", "q9_product_profit",
+    "doc_tfidf_top_terms", "events_range_join", "orders_cube_summary",
+    "orders_pivot_by_priority", "customer_balance_quartiles",
+    "customer_order_gaps", "events_funnel_conversion",
+    "events_retention_cohorts", "embedding_quantize",
+    "ann_ivf_quantized", "doc_bpe_encode_persisted",
+    "corpus_dedup_rate_by_source", "corpus_tokenizer_fertility",
+    "agg_by_key", "select_rename", "text_trim", "events_json_extract",
+    "q8_market_share", "q11_important_parts", "q13_order_distribution",
+    "q16_supplier_variety", "q17_small_quantity",
+    "q19_disjunctive_revenue", "q20_volume_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customers", "q1_pricing_summary",
+    "q3_shipping_priority",
+}
+
 # Oldest-first round lists; a name's effective round is the LAST list
 # containing it. Append future rounds' sets here.
 #
-# Coverage period: the driver window checks ~50 entries per round, so
-# at 135 registered queries every entry gets a driver row at least
-# every ceil(135/50) = 3 rounds (never-verified entries always lead).
-# Between driver windows, EVERY query still runs each round in pytest
+# Coverage period: the driver window checks exactly the first 50
+# entries per round, so every entry gets a driver row at least every
+# ceil(N/50) rounds (never-verified entries always lead). Between
+# driver windows, EVERY query still runs each round in pytest
 # (schema/determinism) and tools/verify_oracle.py (full value parity —
-# re-run in full each round; r06: 119 exact + 16 rows-only, 0 fail).
+# re-run in full each round).
+#
+# ROTATION-CAPACITY POLICY (decided r09, see SURVEY §7): the staleness
+# contract stays a 3-round window, which caps the registry at
+# 3 × 50 = 150 entries. At 147 registered after r08, r09 registers at
+# most 150 − 147 − 1 = 2 net-new queries (the tools/rotation_next.py
+# slack number) and spends the rest of the round on depth (proofs,
+# codecs, [T]-only operators). Any future registration beyond 150
+# requires first retiring an entry or explicitly widening the window
+# contract in this comment AND SURVEY §7 with the re-done arithmetic.
 _ROUNDS = [
     _VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03, _VERIFIED_R04,
-    _VERIFIED_R05, _VERIFIED_R06, _VERIFIED_R07,
+    _VERIFIED_R05, _VERIFIED_R06, _VERIFIED_R07, _VERIFIED_R08,
 ]
 
 

@@ -41,7 +41,7 @@ def main() -> int:
         ok_hash = row.get("hash_match") is True
         ok_rows_only = (
             row.get("err") == "no_oracle"
-            and (row.get("spark_rows") or 0) >= 0
+            and (row.get("spark_rows") or 0) > 0
         )
         (green if (ok_hash or ok_rows_only) else red).append(name)
 
