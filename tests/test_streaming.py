@@ -676,3 +676,175 @@ def test_sessionize_event_time_deterministic_across_shuffled_replays(
         (1, t0, t0 + timedelta(seconds=3), 4, 10.0),
         (2, t0 + timedelta(seconds=1), t0 + timedelta(seconds=10), 3, 18.0),
     ], results[0]
+
+
+# ---------------------------------------------------------------------------
+# Multi-batch equivalence proofs (VERDICT r08 #2): the registered
+# streaming queries' exactness arguments, driven through FORCED
+# multi-batch delivery (maxFilesPerTrigger=1 over a multi-file layout)
+# instead of resting on the single-batch tripwire.
+# ---------------------------------------------------------------------------
+
+
+def _write_slices(spark, src_dir, slices, schema, stage_dir):
+    """Write each slice as ONE parquet file in src_dir with strictly
+    increasing mtimes, so the file stream source (which orders initial
+    files by modification time) delivers them oldest-slice-first —
+    bounding cross-batch event-time disorder to what the slices encode."""
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src_dir, exist_ok=True)
+    for k, sl in enumerate(slices):
+        spark.createDataFrame(sl, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+        part = glob.glob(os.path.join(stage_dir, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"slice{k:02d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + k * 10, 1_700_000_000 + k * 10))
+
+
+def test_stream_stream_join_exact_across_forced_multibatch(spark, tmp_path):
+    """events_stream_stream_join's completeness claim, PROVEN across
+    batches: with watermark (2h) >= join interval (1h) + max cross-batch
+    disorder (20min), the dual-watermark interval join over SIX forced
+    micro-batches yields exactly the batch self-join's pair set — no
+    cross-batch pair is lost to state eviction. The registered query
+    keeps require_single_batch as defense-in-depth; this test is the
+    proof that the multi-batch path is also exact when the watermark
+    covers the disorder."""
+    from thundercats_spark.queries.analytics6 import batch_view_click_pairs
+    from thundercats_spark.streaming.windows import (
+        run_available_now_to_memory,
+        stream_stream_join,
+    )
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    slices = [[] for _ in range(6)]
+    eid = 0
+    for k in range(6):
+        t0 = base + timedelta(minutes=30 * k)
+        for u in range(1, 6):
+            eid += 1
+            slices[k].append(
+                (eid, u, "view", t0 + timedelta(minutes=(u * 3) % 25), float(u))
+            )
+            eid += 1
+            # clicks attribute to views up to 1h back — spanning 2-3 slices
+            slices[k].append(
+                (eid, u, "click",
+                 t0 + timedelta(minutes=5 + (u * 7) % 22), float(u))
+            )
+        # disorder row: stamped 20 min BEFORE the slice start but
+        # DELIVERED in slice k (bounded cross-batch disorder)
+        eid += 1
+        slices[k].append((eid, 1, "view", t0 - timedelta(minutes=20), 0.0))
+
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double"
+    )
+    src = str(tmp_path / "mb_events")
+    _write_slices(spark, src, slices, schema, str(tmp_path / "stage"))
+
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    views = stream.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    joined = stream_stream_join(
+        clicks, views, key="user_id", left_ts="cts", right_ts="vts",
+        within="1 hour", watermark="2 hours",
+    )
+    stats = {}
+    got_df = run_available_now_to_memory(
+        joined.select("user_id", "view_id", "click_id"), "append", stats=stats
+    )
+    # the delivery really was split — one data batch per slice file
+    assert stats["data_batches"] == 6, stats
+
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in batch_view_click_pairs(static).collect()}
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
+    # the proof has teeth only if pairs actually cross batches
+    slice_of = {r[0]: k for k, sl in enumerate(slices) for r in sl}
+    cross = sum(1 for (_, v, c) in want if slice_of[v] != slice_of[c])
+    assert cross >= 20, f"only {cross} cross-batch pairs of {len(want)}"
+
+
+def test_windowed_agg_append_mode_exact_across_batches(spark, tmp_path):
+    """The append+watermark PRODUCTION path of windowed_agg (the one the
+    registry's complete-mode entry deliberately avoids on a finite
+    source), across FOUR forced micro-batches: every window the
+    advancing watermark closes is emitted exactly once with values equal
+    to the batch GROUP BY, and ONLY the final window (whose end the
+    watermark can never pass on a finite stream) is withheld."""
+    from thundercats_spark.streaming.windows import (
+        run_available_now_to_memory,
+        windowed_agg,
+    )
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    slices = [[] for _ in range(4)]
+    for k in range(4):
+        t0 = base + timedelta(hours=k)
+        for u in range(1, 4):
+            slices[k].append((u, t0 + timedelta(minutes=u * 13), float(u)))
+            slices[k].append((u, t0 + timedelta(minutes=59), 0.5))
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "mb_agg")
+    _write_slices(spark, src, slices, schema, str(tmp_path / "stage2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = windowed_agg(
+        stream, "ts", ["user_id"],
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")],
+        window="1 hour", watermark="30 minutes",
+    )
+    stats = {}
+    out = run_available_now_to_memory(
+        agg.select("user_id", F.col("window.start").alias("ws"), "n", "total"),
+        "append", stats=stats,
+    )
+    assert stats["data_batches"] == 4, stats
+
+    emitted = {
+        (r["ws"], r["user_id"], r["n"], r["total"]) for r in out.collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("ws"), "user_id", "n", "total")
+    )
+    final_start = base + timedelta(hours=3)
+    closed = {
+        (r["ws"], r["user_id"], r["n"], r["total"])
+        for r in batch.collect()
+        if r["ws"] < final_start
+    }
+    stranded = {
+        (r["ws"], r["user_id"], r["n"], r["total"])
+        for r in batch.collect()
+        if r["ws"] >= final_start
+    }
+    assert emitted == closed, (
+        f"missing={sorted(closed - emitted)[:5]} "
+        f"extra={sorted(emitted - closed)[:5]}"
+    )
+    assert stranded and emitted.isdisjoint(stranded)

@@ -392,8 +392,14 @@ def events_stream_stream_join(spark, sf_dir):
     )
     # watermark >= the join interval: with a 30-minute watermark and a
     # 1-hour bound, a multi-batch source could evict a view's state
-    # before its in-window click arrived (silently dropped pairs). The
-    # single-batch tripwire below guards the remaining disorder case.
+    # before its in-window click arrived (silently dropped pairs).
+    # PROVEN, not just tripwired: the multi-batch equivalence test
+    # (tests/test_streaming.py
+    # test_stream_stream_join_exact_across_forced_multibatch) forces
+    # 6 micro-batches through this operator with watermark >= interval
+    # + disorder and shows the pair set equals the batch self-join
+    # exactly. The single-batch tripwire below stays as
+    # defense-in-depth for UNBOUNDED disorder this watermark can't see.
     joined = stream_stream_join(
         clicks,
         views.withColumnRenamed("v_user", "user_id"),

@@ -200,6 +200,7 @@ def run_available_now_to_memory(
     df: DataFrame,
     output_mode: str = "append",
     require_single_batch: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Drive a finite streaming frame to completion: availableNow
     trigger → memory sink → a SELF-CONTAINED batch frame. The result
@@ -216,7 +217,13 @@ def run_available_now_to_memory(
     shorter than the maximum event-time disorder across batches): if
     the source ever splits the input — maxFilesPerTrigger, multi-file
     layouts — the run FAILS LOUDLY naming the assumption instead of
-    silently dropping cross-batch pairs."""
+    silently dropping cross-batch pairs.
+
+    ``stats`` (optional dict) is populated with ``data_batches`` and
+    ``total_batches`` from the query progress, so multi-batch
+    equivalence tests can PROVE the delivery was actually split
+    (tests/test_streaming.py) rather than trusting maxFilesPerTrigger
+    took effect."""
     import uuid
 
     name = f"stq_{uuid.uuid4().hex[:8]}"
@@ -231,6 +238,9 @@ def run_available_now_to_memory(
     data_batches = sum(
         1 for p in q.recentProgress if p.get("numInputRows", 0) > 0
     )
+    if stats is not None:
+        stats["data_batches"] = data_batches
+        stats["total_batches"] = len(q.recentProgress)
     spark = df.sparkSession
     try:
         if require_single_batch and data_batches > 1:
