@@ -310,3 +310,24 @@ def test_brand_regression_exact_on_linear_data(spark, tmp_path):
         assert r.n == n
         assert r.slope is None and r.intercept is None
         assert r.corr_qty_price is None, brand
+
+
+def test_duckdb_division_semantics_match_oracle_assumptions():
+    """ENVIRONMENT TRIPWIRE (ADVICE r08): part_brand_price_regression's
+    degenerate-group equivalence (analytics6.py) relies on DuckDB
+    returning NULL for float 0/0 — true on DuckDB 1.0.x, but DuckDB
+    >= 1.1 defaults to IEEE semantics (0/0 -> NaN, 1/0 -> inf), which
+    would silently flip the oracle's degenerate rows away from Spark's
+    try_divide NULLs. If this test fails after a duckdb upgrade, either
+    pin duckdb < 1.1 or have EVERY division-bearing oracle emit
+    NULLIF-guarded divisions (and re-verify the whole registry)."""
+    import duckdb
+
+    got = duckdb.query(
+        "SELECT 0.0/0.0 AS zz, 1.0/0.0 AS oz, "
+        "CAST(0.0 AS DOUBLE)/CAST(0.0 AS DOUBLE) AS dzz"
+    ).fetchall()[0]
+    assert got == (None, None, None), (
+        f"duckdb {duckdb.__version__} division semantics changed: {got}; "
+        "oracle SQL for regression/ratio queries assumes 0/0 IS NULL"
+    )

@@ -848,3 +848,81 @@ def test_windowed_agg_append_mode_exact_across_batches(spark, tmp_path):
         f"extra={sorted(emitted - closed)[:5]}"
     )
     assert stranded and emitted.isdisjoint(stranded)
+
+
+def test_events_stream_ntz_micros_fallback_branch(spark, tmp_path):
+    """The NTZ->LTZ fallback of _events_stream (ADVICE r08): sf0.1's
+    events parquet carries MICROS timestamps (not nanos), which under
+    the nanosAsLong flag still read as a timestamp type — possibly NTZ,
+    which watermarks reject. sf0.001 pytest data always takes the
+    nanos-long branch, so this writes a micros/NTZ events parquet and
+    drives BOTH registered streaming queries through it, checking
+    values against their batch twins."""
+    from thundercats_spark.queries.analytics6 import (
+        batch_view_click_pairs,
+        events_stream_stream_join,
+        events_stream_window_agg,
+    )
+
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for d in range(2):
+        for u in range(1, 4):
+            for h in (1, 5, 9):
+                eid += 1
+                rows.append(
+                    (eid, u, "view",
+                     base + timedelta(days=d, hours=h, minutes=u), float(u))
+                )
+                eid += 1
+                rows.append(
+                    (eid, u, "click",
+                     base + timedelta(days=d, hours=h, minutes=u + 30),
+                     float(u) / 2)
+                )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    sf_dir = str(tmp_path / "sf_ntz")
+    df.write.parquet(f"{sf_dir}/events.parquet")
+
+    # precondition: the written file round-trips as NTZ (the branch
+    # under test) — if Spark ever infers LTZ here the fixture is moot
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert raw.schema["ts"].dataType.typeName() == "timestamp_ntz", (
+        raw.schema["ts"].dataType
+    )
+
+    static = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    agg = events_stream_window_agg(spark, sf_dir)
+    got_agg = {tuple(r) for r in agg.collect()}
+    want_agg = {
+        tuple(r)
+        for r in static.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got_agg == want_agg
+
+    pairs = events_stream_stream_join(spark, sf_dir)
+    got_pairs = {
+        (r["user_id"], r["view_id"], r["click_id"], r["secs_to_click"])
+        for r in pairs.collect()
+    }
+    want_pairs = {
+        (r["user_id"], r["view_id"], r["click_id"], 1800)
+        for r in batch_view_click_pairs(static).collect()
+    }
+    assert got_pairs == want_pairs and len(got_pairs) == len(rows) // 2

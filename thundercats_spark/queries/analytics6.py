@@ -211,8 +211,11 @@ def brand_price_regression(li, part):
     var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
     var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
     # Degenerate groups (n == 1, or zero variance in either column)
-    # have var == 0 AND cov == 0: DuckDB's 0/0 is NULL, while Spark
-    # under ANSI mode (the 4.x default) would abort the job with
+    # have var == 0 AND cov == 0: DuckDB's 0/0 is NULL (on the pinned
+    # 1.0.x line — DuckDB >= 1.1 defaults to IEEE NaN/inf; the
+    # environment tripwire test_duckdb_division_semantics_match_
+    # oracle_assumptions fails loudly if that ever changes), while
+    # Spark under ANSI mode (the 4.x default) would abort the job with
     # DIVIDE_BY_ZERO — try_divide yields the oracle's NULL instead.
     # var == 0 forces cov == 0 (Cauchy-Schwarz), so NULL is the only
     # degenerate outcome on both engines. The corr denominator's sqrt
