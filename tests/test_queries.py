@@ -331,3 +331,68 @@ def test_duckdb_division_semantics_match_oracle_assumptions():
         f"duckdb {duckdb.__version__} division semantics changed: {got}; "
         "oracle SQL for regression/ratio queries assumes 0/0 IS NULL"
     )
+
+
+def test_scd2_intervals_hand_built(spark):
+    """Gaps-and-islands semantics on a hand-built stream: runs collapse,
+    a value RETURNING later opens a new segment (A,A,B,A = 3 segments),
+    valid_to chains to the next segment's valid_from, the current
+    segment stays open, and same-day ties break on the tiebreak key."""
+    from datetime import datetime
+
+    from thundercats_spark.queries.analytics7 import scd2_intervals
+
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")  # noqa: E731
+    rows = [
+        # key 1: A,A,B,A — the return to A must NOT merge with run 1
+        (1, 10, d("2024-01-01"), "A"),
+        (1, 11, d("2024-02-01"), "A"),
+        (1, 12, d("2024-03-01"), "B"),
+        (1, 13, d("2024-04-01"), "A"),
+        # key 2: same-day tie — orderkey 21 then 22 on the same date;
+        # the B observed by the LOWER key comes first, so segments are
+        # B (from 01-01) then C (from 01-01) ... tie order decides
+        (2, 22, d("2024-01-01"), "C"),
+        (2, 21, d("2024-01-01"), "B"),
+        (2, 23, d("2024-02-01"), "C"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "k long, ok long, ts timestamp, attr string"
+    )
+    got = [
+        tuple(r)
+        for r in scd2_intervals(
+            ev, key="k", ts="ts", attr="attr", tiebreak="ok"
+        ).collect()
+    ]
+    assert got == [
+        (1, 1, "A", "2024-01-01", "2024-03-01", 2),
+        (1, 2, "B", "2024-03-01", "2024-04-01", 1),
+        (1, 3, "A", "2024-04-01", "9999-12-31", 1),
+        (2, 1, "B", "2024-01-01", "2024-01-01", 1),
+        (2, 2, "C", "2024-01-01", "9999-12-31", 2),
+    ], got
+
+
+def test_nested_lineitem_facts_hand_built(spark):
+    """HOF facts vs hand-computed values, including the decimal fold
+    (net_revenue must be the EXACT decimal sum regardless of array
+    order) and the empty-ish edges (single-item order, no returns)."""
+    from thundercats_spark.queries.analytics7 import nested_lineitem_facts
+
+    rows = [
+        # orderkey, linenumber, qty, price, disc, returnflag
+        (1, 2, 40.0, 100.00, 0.10, "N"),
+        (1, 1, 10.0, 50.00, 0.00, "R"),
+        (2, 1, 30.0, 1000.00, 0.05, "N"),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_returnflag string",
+    )
+    got = {r["l_orderkey"]: tuple(r)[1:] for r in nested_lineitem_facts(li).collect()}
+    # order 1: net = 50*1.00 + 100*0.90 = 140.0; max item net = 90.0
+    assert got[1] == (2, 1, True, 140.0, 90.0), got[1]
+    # order 2: single line, qty 30 counts as big (>= 30), no return
+    assert got[2] == (1, 1, False, 950.0, 950.0), got[2]

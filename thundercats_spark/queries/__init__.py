@@ -289,6 +289,7 @@ def all_queries() -> dict[str, Query]:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         llm_ops,
         llm_ops2,
         relational,
