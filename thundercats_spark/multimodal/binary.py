@@ -4,10 +4,12 @@ Media travels as an opaque ``binary`` payload + typed metadata struct;
 decode / resize / frame-sample / feature-extract run as Arrow-batched
 ``mapInPandas`` stages. The Spark-side plumbing — schema, batch shape,
 partition sizing — is real and tested. Decoders that need no codec
-library are REAL here: BMP/PPM/PGM/WAV header parsing and 8-bit
-non-interlaced PNG (DEFLATE via stdlib zlib + per-row unfiltering).
-The remaining codecs (JPEG via PIL, audio/video via ffmpeg) are NOT in
-this container, so each resolves at runtime: real library if
+library are REAL here: BMP/PPM/PGM/WAV header parsing, 8-bit
+non-interlaced PNG (DEFLATE via stdlib zlib + per-row unfiltering),
+and baseline JPEG (sequential-DCT 8-bit Huffman — see
+``multimodal/jpeg.py``). The remaining codecs (progressive/arithmetic
+JPEG and 16-bit/interlaced PNG via PIL, audio/video via ffmpeg) are
+NOT in this container, so each resolves at runtime: real library if
 importable, else a clearly-marked deterministic stub (see
 ``_decoder``). Swapping in the real codec changes no Spark code.
 
@@ -328,10 +330,11 @@ def encode_png_palette(
 
 def _decoder(strict: bool = False):
     """Decoder chain: REAL no-lib decoders first — header-parsing for
-    self-describing uncompressed formats (BMP, PPM, PGM) and the
-    stdlib-zlib PNG path (8-bit non-interlaced) — then the imaging lib
-    for the remaining compressed formats if importable, else the
-    deterministic stub. The second return value reports whether a REAL
+    self-describing uncompressed formats (BMP, PPM, PGM), the
+    stdlib-zlib PNG path (8-bit non-interlaced), and the baseline-JPEG
+    path (sequential-DCT 8-bit Huffman, multimodal/jpeg.py) — then the
+    imaging lib for the remaining compressed formats if importable,
+    else the deterministic stub. The second return value reports whether a REAL
     path decodes those remaining formats too. ``strict=True`` turns
     the stub fallback into a NotImplementedError NAMING the missing
     lib — for pipelines where a pseudo-decoded feature silently mixed
@@ -341,11 +344,14 @@ def _decoder(strict: bool = False):
     branches)."""
 
     def decode_nolib(payload: bytes):
+        from thundercats_spark.multimodal.jpeg import decode_jpeg
+
         return (
             decode_bmp(payload)
             or decode_ppm(payload)
             or decode_pgm(payload)
             or decode_png(payload)
+            or decode_jpeg(payload)
         )
 
     try:  # pragma: no cover - lib absent in this container
@@ -368,15 +374,18 @@ def _decoder(strict: bool = False):
                 return got
             if strict:
                 raise NotImplementedError(
-                    "compressed image decode (JPEG / 16-bit or "
-                    "interlaced PNG / ...) requires Pillow (the PIL "
-                    "package), which is not importable in this "
-                    "environment — install pillow, or call with "
-                    "strict=False to accept the deterministic stub "
-                    "features for these formats"
+                    "compressed image decode (progressive/arithmetic/"
+                    "12-bit JPEG / 16-bit or interlaced PNG / ...) "
+                    "requires Pillow (the PIL package), which is not "
+                    "importable in this environment — install pillow, "
+                    "or call with strict=False to accept the "
+                    "deterministic stub features for these formats "
+                    "(baseline JPEG and 8-bit PNG decode for REAL "
+                    "without Pillow)"
                 )
             # STUB for the remaining compressed formats only
-            # (JPEG / 16-bit or interlaced PNG / ...):
+            # (progressive/arithmetic/12-bit JPEG / 16-bit or
+            # interlaced PNG / ...):
             # deterministic pseudo-decode from payload bytes. Real
             # pipelines get these via the PIL branch above; everything
             # downstream is unchanged. Feature scale is raw 0-255, the
