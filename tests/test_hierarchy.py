@@ -108,3 +108,165 @@ def test_duplicate_edge_rows_get_their_own_message(spark):
     )
     with pytest.raises(ValueError, match="duplicate edge"):
         hierarchy_paths(df, "child", "parent")
+
+
+# ---------------------------------------------------------------------------
+# dag_reachability (VERDICT r08 #7): the multi-parent case.
+# ---------------------------------------------------------------------------
+
+
+def _brute_reachability(edges):
+    """Python model: DFS over the child→parent DAG computing, per node,
+    every reachable ancestor's min/max path length (roots = nodes with
+    no parent; each root also maps to itself at 0/0)."""
+    from collections import defaultdict
+
+    parents = defaultdict(list)
+    nodes = set()
+    for c, p in edges:
+        parents[c].append(p)
+        nodes.update((c, p))
+    roots = {n for n in nodes if n not in parents}
+
+    memo = {}
+
+    def anc(n):  # {ancestor: (min_d, max_d)} for paths of length >= 1
+        if n in memo:
+            return memo[n]
+        out = {}
+        for p in parents.get(n, ()):
+            cand = {p: (1, 1)}
+            for a, (lo, hi) in anc(p).items():
+                cand[a] = (lo + 1, hi + 1)
+            for a, (lo, hi) in cand.items():
+                if a in out:
+                    out[a] = (min(out[a][0], lo), max(out[a][1], hi))
+                else:
+                    out[a] = (lo, hi)
+        memo[n] = out
+        return out
+
+    expected = set()
+    for n in nodes:
+        for a, (lo, hi) in anc(n).items():
+            if a in roots:
+                expected.add((n, a, lo, hi))
+    for r in roots:
+        expected.add((r, r, 0, 0))
+    return expected
+
+
+def test_dag_diamond_min_max_depths(spark):
+    """Diamond d→{b,c}→a plus a shortcut d→a: min path 1, max path 2 —
+    the multi-parent shape hierarchy_paths rejects, solved exactly."""
+    from thundercats_spark.operators.hierarchy import dag_reachability
+
+    edges = [(4, 2), (4, 3), (2, 1), (3, 1), (4, 1)]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    stats = {}
+    got = {
+        tuple(r)
+        for r in dag_reachability(df, "child", "parent", stats=stats).collect()
+    }
+    assert got == _brute_reachability(edges)
+    # the shortcut makes node 4's (min, max) = (1, 2) to root 1
+    assert (4, 1, 1, 2) in got
+    assert stats["iterations"] <= 3
+
+
+def test_dag_matches_brute_force_on_random_layered_dag(spark):
+    """Model equality on a seeded random layered DAG (6 layers × 5
+    nodes, each node wired to 1-3 random parents in earlier layers) —
+    multi-root, multi-path, uneven depths."""
+    import random
+
+    from thundercats_spark.operators.hierarchy import dag_reachability
+
+    rng = random.Random(42)
+    layers = [[f"L{i}N{j}" for j in range(5)] for i in range(6)]
+    edges = []
+    for i in range(1, 6):
+        for n in layers[i]:
+            above = [m for lay in layers[:i] for m in lay]
+            for p in rng.sample(above, rng.randint(1, 3)):
+                edges.append((n, p))
+    edges = sorted(set(edges))
+    df = spark.createDataFrame(edges, "child string, parent string")
+    stats = {}
+    got = {
+        tuple(r)
+        for r in dag_reachability(df, "child", "parent", stats=stats).collect()
+    }
+    assert got == _brute_reachability(edges)
+    # depth <= 5 → ceil(log2(5)) + fixpoint-confirm rounds
+    assert stats["iterations"] <= 4
+
+
+def test_dag_forest_parity_with_hierarchy_paths(spark):
+    """On a plain forest the DAG operator degenerates to
+    hierarchy_paths exactly, with min == max == depth."""
+    from thundercats_spark.operators.hierarchy import (
+        dag_reachability,
+        hierarchy_paths,
+    )
+
+    edges = [(2, 1), (3, 1), (4, 2), (5, 4), (7, 6)]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    forest = {
+        (r["node"], r["root_key"], r["depth"], r["depth"])
+        for r in hierarchy_paths(df, "child", "parent").collect()
+    }
+    dag = {tuple(r) for r in dag_reachability(df, "child", "parent").collect()}
+    assert dag == forest
+
+
+def test_dag_log_iterations_on_deep_chain(spark):
+    """A 100-deep chain converges in ~log2(100) squaring rounds, not
+    100 — the telemetry pin mirroring the forest operator's."""
+    from thundercats_spark.operators.hierarchy import dag_reachability
+
+    df = spark.createDataFrame(
+        [(i + 1, i) for i in range(100)], "child long, parent long"
+    )
+    stats = {}
+    got = dag_reachability(df, "child", "parent", stats=stats)
+    rows = {r["node"]: r for r in got.collect()}
+    assert rows[100]["root_key"] == 0
+    assert rows[100]["min_depth"] == rows[100]["max_depth"] == 100
+    assert len(rows) == 101  # every node + the root self-row
+    assert stats["iterations"] <= 8  # ceil(log2(100)) + fixpoint confirm
+
+    # roots_only=False reports the FULL pair closure (chain: n*(n+1)/2)
+    full = dag_reachability(
+        spark.createDataFrame(
+            [(i + 1, i) for i in range(10)], "child long, parent long"
+        ),
+        "child", "parent", roots_only=False,
+    )
+    assert full.count() == 10 * 11 // 2
+
+
+def test_dag_cycle_and_guards_raise_loudly(spark):
+    """Cycles hit the max_iters tripwire naming the cause; NULL links
+    and duplicate edges reuse the forest operator's loud contract."""
+    import pytest
+
+    from thundercats_spark.operators.hierarchy import dag_reachability
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "child long, parent long"
+    )
+    with pytest.raises(RuntimeError, match="CYCLE"):
+        dag_reachability(cyc, "child", "parent", max_iters=6)
+
+    nul = spark.createDataFrame(
+        [(1, None), (2, 1)], "child long, parent long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        dag_reachability(nul, "child", "parent")
+
+    dup = spark.createDataFrame(
+        [(2, 1), (2, 1)], "child long, parent long"
+    )
+    with pytest.raises(ValueError, match="duplicate edge"):
+        dag_reachability(dup, "child", "parent")

@@ -218,3 +218,151 @@ def hierarchy_paths(
     return _union_all(finished).select(
         "node", F.col("anc").alias("root_key"), F.col("d").alias("depth")
     )
+
+
+def dag_reachability(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_iters: int = 40,
+    reliable: bool = False,
+    stats: dict | None = None,
+    roots_only: bool = True,
+) -> DataFrame:
+    """Ancestor reachability over a DAG — the multi-parent case
+    ``hierarchy_paths`` loudly rejects (category graphs, citation DAGs,
+    multi-inheritance taxonomies). Returns one row per (node, reachable
+    ancestor): ``(node, root_key, min_depth, max_depth)`` with the
+    shortest and longest edge-path lengths; with ``roots_only=True``
+    (default) ancestors are filtered to ROOTS (nodes with no parent),
+    and each root also appears as its own row at depth 0 — on a forest
+    the output equals ``hierarchy_paths`` exactly (with
+    min_depth == max_depth), which the tests pin.
+
+    Algorithm: repeated SQUARING of the reachability relation under the
+    (min,+)/(max,+) semirings — state_k holds every (node, ancestor)
+    pair connected by a path of length ≤ 2^k with its min/max path
+    length; one round composes state with itself (any path of length
+    ≤ 2^(k+1) splits at its midpoint into two halves each ≤ 2^k) and
+    re-aggregates, so depth-D DAGs converge in ceil(log2(D)) + 1
+    iterations like the forest operator's pointer doubling.
+
+    Scale notes: unlike the forest case (state pinned at |nodes|),
+    multi-parent reachability's state IS the pair closure —
+    O(Σ ancestors-per-node) rows. That is the OUTPUT's own magnitude
+    (every pair is reported), so the memory floor is inherent to the
+    question; what the squaring buys is log-depth rounds instead of
+    depth rounds, each round one self-join + one (node, anc) partial
+    aggregation. For wide-fanout graphs where only root labels matter
+    and the closure is too big, aggregate labels level-by-level
+    instead (O(depth) rounds, state O(node × roots)) — a different
+    cost model this operator deliberately does not hide behind one
+    name. Lineage is cut per iteration; convergence is a fixpoint
+    check (pair count + total max-depth both stable); ``max_iters``
+    turns a CYCLE (closure never stabilizes) into a loud error.
+
+    Same guard contract as ``hierarchy_paths``: NULL link keys raise;
+    exact-duplicate edge rows raise (min/max would survive them, but a
+    silently-tolerated dup here and a loud error there would make the
+    two operators' contracts drift); multi-parent children are the
+    POINT. ``stats`` receives ``{"iterations": k, "pairs_per_iteration":
+    [...]}``.
+    """
+    e = edges.select(
+        F.col(child_col).alias("node"), F.col(parent_col).alias("anc")
+    )
+    e = _cut_lineage(e, reliable)
+    g = e.agg(
+        F.sum(
+            (F.col("node").isNull() | F.col("anc").isNull()).cast("int")
+        ).alias("nulls"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("node"), F.col("anc")).alias("np"),
+    ).first()
+    if g["nulls"]:
+        raise ValueError(
+            f"{g['nulls']} edge(s) with NULL {child_col!r}/"
+            f"{parent_col!r}: a NULL link is a data bug — roots are "
+            "nodes with no parent-row, not NULL parents"
+        )
+    if g["n"] != g["np"]:
+        raise ValueError(
+            f"{g['n'] - g['np']} exact-duplicate edge row(s): min/max "
+            "depths would survive duplicates, but the loud contract is "
+            "shared with hierarchy_paths — .distinct() the edges first"
+        )
+    state = _cut_lineage(
+        e.select(
+            "node", "anc",
+            F.lit(1).alias("min_d"), F.lit(1).alias("max_d"),
+        ),
+        reliable,
+    )
+    prev_pairs, prev_maxsum = -1, -1
+    iterations = 0
+    pairs_log: list[int] = []
+    while True:
+        snap = state.agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum("max_d").alias("maxsum"),
+        ).first()
+        pairs, maxsum = snap["pairs"], snap["maxsum"]
+        pairs_log.append(pairs)
+        if pairs == prev_pairs and maxsum == prev_maxsum:
+            break
+        if iterations >= max_iters:
+            if stats is not None:
+                stats["iterations"] = iterations
+                stats["pairs_per_iteration"] = pairs_log
+            raise RuntimeError(
+                f"dag_reachability did not converge in {max_iters} "
+                f"squaring iterations (depth would exceed "
+                f"2^{max_iters - 1}) — the edge set almost certainly "
+                "contains a CYCLE (incl. self-loops)"
+            )
+        iterations += 1
+        prev_pairs, prev_maxsum = pairs, maxsum
+        hop = state.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("min_d").alias("min_d2"),
+            F.col("max_d").alias("max_d2"),
+        )
+        composed = state.join(hop, "anc").select(
+            "node",
+            F.col("anc2").alias("anc"),
+            (F.col("min_d") + F.col("min_d2")).alias("min_d"),
+            (F.col("max_d") + F.col("max_d2")).alias("max_d"),
+        )
+        state = _cut_lineage(
+            state.unionByName(composed)
+            .groupBy("node", "anc")
+            .agg(
+                F.min("min_d").alias("min_d"),
+                F.max("max_d").alias("max_d"),
+            ),
+            reliable,
+        )
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["pairs_per_iteration"] = pairs_log
+    out = state
+    if roots_only:
+        roots = (
+            e.select(F.col("anc").alias("node"))
+            .distinct()
+            .join(e.select("node").distinct(), "node", "left_anti")
+        )
+        self_rows = roots.select(
+            "node", F.col("node").alias("anc"),
+            F.lit(0).alias("min_d"), F.lit(0).alias("max_d"),
+        )
+        out = state.join(
+            roots.select(F.col("node").alias("anc")), "anc", "left_semi"
+        ).unionByName(self_rows)
+    return out.select(
+        "node",
+        F.col("anc").alias("root_key"),
+        F.col("min_d").cast("long").alias("min_depth"),
+        F.col("max_d").cast("long").alias("max_depth"),
+    )
