@@ -102,6 +102,11 @@ BENCH_QUERIES = [
     "part_brand_price_regression",
     "events_stream_window_agg",
     "events_stream_stream_join",
+    # round-9: SCD2 gaps-and-islands (three windows on one custkey
+    # exchange) and nested array<struct> higher-order-function facts
+    # (one collect_list shuffle, all lambdas JVM codegen)
+    "customer_scd2_intervals",
+    "orders_nested_lineitems",
 ]
 
 

@@ -1,19 +1,24 @@
-"""One pytest-count source of truth (VERDICT r07 #8: SURVEY said 575
-in one place and 574 in another while README said 460+). This tool
-collects the suite (no execution), and rewrites every marked count
-line in SURVEY.md / README.md to the same number. Run it before the
-round-end commit:
+"""One count source of truth for the docs (VERDICT r07 #8: SURVEY said
+575 in one place and 574 in another while README said 460+; VERDICT
+r08 #5: SURVEY said "53 timings" while the bench artifact carried 57).
+This tool collects the suite (no execution) and reads the bench detail
+artifact, then rewrites every marked count line in SURVEY.md /
+README.md. Run it before the round-end commit:
 
     python tools/sync_test_count.py            # update the docs
     python tools/sync_test_count.py --check    # fail if out of sync
 
-Docs opt in with the literal marker ``<!-- test-count -->`` on the
-line; the line must contain the canonical phrase ``NNN pytest``
-(exactly that word order — a marked line WITHOUT it is a loud error,
-never silent drift). Counts come from ``pytest --collect-only -q``
-(parametrized cases counted individually — the same number a full run
-reports as "N passed"); a collection that errors or is partial fails
-the tool instead of syncing a wrong number.
+Docs opt in per line with a literal marker:
+- ``<!-- test-count -->`` + phrase ``NNN pytest`` — synced from
+  ``pytest --collect-only -q`` (parametrized cases counted
+  individually — the same number a full run reports as "N passed");
+  a collection that errors or is partial fails the tool instead of
+  syncing a wrong number.
+- ``<!-- bench-count -->`` + phrase ``NNN timings`` — synced from
+  ``tools/bench_detail.json``'s per-query map (the bench artifact of
+  record; a marked line with no artifact present is a loud error).
+A marked line WITHOUT its canonical phrase is a loud error, never
+silent drift.
 """
 
 from __future__ import annotations
@@ -26,6 +31,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOCS = ["SURVEY.md", "README.md"]
 MARKER = "<!-- test-count -->"
+BENCH_MARKER = "<!-- bench-count -->"
+
+
+def bench_count() -> int:
+    import json
+
+    path = os.path.join(REPO, "tools", "bench_detail.json")
+    with open(path) as f:
+        return len(json.load(f)["queries"])
 
 
 def collected_count() -> int:
@@ -52,6 +66,7 @@ def collected_count() -> int:
 
 def sync(check_only: bool) -> int:
     n = collected_count()
+    nb: int | None = None
     stale = []
     for doc in DOCS:
         path = os.path.join(REPO, doc)
@@ -59,6 +74,20 @@ def sync(check_only: bool) -> int:
             lines = f.readlines()
         changed = False
         for i, ln in enumerate(lines):
+            if BENCH_MARKER in ln:
+                if not re.search(r"\b\d+ timings", ln):
+                    raise SystemExit(
+                        f"{doc}:{i + 1} carries the {BENCH_MARKER} "
+                        "marker but no 'NNN timings' phrase — the sync "
+                        "would silently skip it; use the canonical "
+                        "phrasing"
+                    )
+                nb = bench_count() if nb is None else nb
+                new = re.sub(r"\b\d+ timings", f"{nb} timings", ln)
+                if new != ln:
+                    lines[i] = new
+                    changed = True
+                continue
             if MARKER not in ln:
                 continue
             if not re.search(r"\b\d+ pytest", ln):
