@@ -153,6 +153,17 @@ def _load_fingerprint() -> dict:
     except OSError:
         pass
     fp["n_cpus"] = os.cpu_count()
+    # Single-core speed probe (~60ms): a fixed pure-Python workload's
+    # wall time, in ms. Catches the drift loadavg CANNOT see — host
+    # frequency caps / co-tenant steal on a VM whose own run queue is
+    # empty (r09 measured a uniform 1.3× slowdown across every
+    # unchanged plan at start load1 0.5: only a probe like this makes
+    # that attributable in-band).
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i ^ (i >> 3)
+    fp["py_spin_ms"] = round((time.perf_counter() - t0) * 1000, 1)
     return fp
 
 
