@@ -668,3 +668,65 @@ def test_brand_regression_matches_numpy(spark, rows):
         if var_y > 1e-6 * max(1.0, n * syy):
             corr = float(np.corrcoef(xs, ys)[0, 1])
             assert abs(r.corr_qty_price - corr) < 5e-5
+
+
+@st.composite
+def scd2_observations(draw):
+    """Random per-key observation streams: few keys, few dates (forcing
+    same-day ties), few attr values (forcing both runs AND returns to
+    earlier values)."""
+    n = draw(st.integers(1, 24))
+    rows = []
+    for i in range(n):
+        key = draw(st.integers(1, 3))
+        day = draw(st.integers(0, 9))
+        attr = draw(st.sampled_from(["A", "B", "C"]))
+        # observation id doubles as the tiebreak — unique by construction
+        rows.append((key, i, datetime(2024, 1, 1) + timedelta(days=day), attr))
+    return rows
+
+
+@given(scd2_observations())
+@settings(**SETTINGS)
+def test_scd2_intervals_matches_naive(spark, rows):
+    """scd2_intervals vs a pure-Python gaps-and-islands fold over the
+    (ts, tiebreak)-sorted stream: same segments, same [valid_from,
+    valid_to) chaining, same open tail, same observation counts —
+    including same-day ties broken by the tiebreak key and values
+    returning after a gap (which must open a NEW segment)."""
+    from thundercats_spark.queries.analytics7 import scd2_intervals
+
+    df = spark.createDataFrame(
+        rows, "k long, ok long, ts timestamp, attr string"
+    )
+    got = [
+        tuple(r)
+        for r in scd2_intervals(
+            df, key="k", ts="ts", attr="attr", tiebreak="ok"
+        ).collect()
+    ]
+
+    # naive model
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, ok, ts, attr in rows:
+        by_key[k].append((ts, ok, attr))
+    expected = []
+    for k in sorted(by_key):
+        segs = []  # (value, valid_from_ts, n_obs)
+        for ts, ok, attr in sorted(by_key[k]):
+            if not segs or segs[-1][0] != attr:
+                segs.append([attr, ts, 1])
+            else:
+                segs[-1][2] += 1
+        for i, (attr, vf, n_obs) in enumerate(segs):
+            vt = (
+                segs[i + 1][1].strftime("%Y-%m-%d")
+                if i + 1 < len(segs)
+                else "9999-12-31"
+            )
+            expected.append(
+                (k, i + 1, attr, vf.strftime("%Y-%m-%d"), vt, n_obs)
+            )
+    assert got == expected, (got, expected)

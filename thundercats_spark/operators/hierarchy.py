@@ -253,9 +253,14 @@ def dag_reachability(
     (every pair is reported), so the memory floor is inherent to the
     question; what the squaring buys is log-depth rounds instead of
     depth rounds, each round one self-join + one (node, anc) partial
-    aggregation. For wide-fanout graphs where only root labels matter
-    and the closure is too big, aggregate labels level-by-level
-    instead (O(depth) rounds, state O(node × roots)) — a different
+    aggregation. The honest per-round cost is the compose join's
+    MIDPOINT-RELAY volume — Σ over midpoints of (pairs into the
+    midpoint × pairs out of it) — which for dense layered graphs grows
+    as closure × average-ancestry before the partial aggregation
+    collapses it. For wide-fanout graphs where only root labels matter
+    and the closure/relay volume is too big, aggregate labels
+    level-by-level instead (O(depth) rounds, state O(node × roots),
+    per-round volume O(edges crossing the frontier)) — a different
     cost model this operator deliberately does not hide behind one
     name. Lineage is cut per iteration; convergence is a fixpoint
     check (pair count + total max-depth both stable); ``max_iters``
