@@ -153,12 +153,13 @@ def _load_fingerprint() -> dict:
     except OSError:
         pass
     fp["n_cpus"] = os.cpu_count()
-    # Single-core speed probe (~60ms): a fixed pure-Python workload's
-    # wall time, in ms. Catches the drift loadavg CANNOT see — host
-    # frequency caps / co-tenant steal on a VM whose own run queue is
-    # empty (r09 measured a uniform 1.3× slowdown across every
-    # unchanged plan at start load1 0.5: only a probe like this makes
-    # that attributable in-band).
+    # Single-core speed probe (~170ms): a fixed pure-Python workload's
+    # wall time, in ms. Separates host frequency-cap/steal drift (spin
+    # time moves) from run-queue contention (spin stable, loadavg up):
+    # r09's suspected "silent 1.3× host drift" turned out to be
+    # contention that load5 had flagged while load1 looked clean — the
+    # probe held 171-175ms through both runs, settling the question
+    # in-band instead of by argument.
     t0 = time.perf_counter()
     acc = 0
     for i in range(2_000_000):
