@@ -270,3 +270,78 @@ def test_dag_cycle_and_guards_raise_loudly(spark):
     )
     with pytest.raises(ValueError, match="duplicate edge"):
         dag_reachability(dup, "child", "parent")
+
+
+def test_dag_root_labels_equals_squaring_operator(spark):
+    """dag_root_labels (level propagation) and dag_reachability
+    (squaring) are two cost models for ONE answer: pinned equal on the
+    diamond-with-shortcut, the seeded random layered DAG, and a forest
+    (where both equal hierarchy_paths)."""
+    import random
+
+    from thundercats_spark.operators.hierarchy import (
+        dag_reachability,
+        dag_root_labels,
+    )
+
+    def both(edges, schema):
+        df = spark.createDataFrame(edges, schema)
+        a = {tuple(r) for r in dag_root_labels(df, "child", "parent").collect()}
+        b = {tuple(r) for r in dag_reachability(df, "child", "parent").collect()}
+        return a, b
+
+    a, b = both([(4, 2), (4, 3), (2, 1), (3, 1), (4, 1)], "child long, parent long")
+    assert a == b and (4, 1, 1, 2) in a
+
+    rng = random.Random(42)
+    layers = [[f"L{i}N{j}" for j in range(5)] for i in range(6)]
+    edges = []
+    for i in range(1, 6):
+        for n in layers[i]:
+            above = [m for lay in layers[:i] for m in lay]
+            for p in rng.sample(above, rng.randint(1, 3)):
+                edges.append((n, p))
+    a, b = both(sorted(set(edges)), "child string, parent string")
+    assert a == b
+
+    a, b = both([(2, 1), (3, 1), (4, 2), (5, 4), (7, 6)], "child long, parent long")
+    assert a == b
+
+
+def test_dag_root_labels_rounds_track_longest_path(spark):
+    """The telemetry contract that distinguishes the two operators: on
+    a depth-20 chain the level walk takes ~20 rounds (O(depth)) where
+    the squaring operator takes ~6; on a depth-2 bush it takes ~3."""
+    from thundercats_spark.operators.hierarchy import dag_root_labels
+
+    chain = spark.createDataFrame(
+        [(i + 1, i) for i in range(20)], "child long, parent long"
+    )
+    stats = {}
+    out = {r["node"]: r for r in dag_root_labels(chain, "child", "parent", stats=stats).collect()}
+    assert out[20]["min_depth"] == out[20]["max_depth"] == 20
+    assert 20 <= stats["iterations"] <= 22, stats["iterations"]
+
+    bush = spark.createDataFrame(
+        [(i, 0) for i in range(1, 40)] + [(100 + i, i) for i in range(1, 40)],
+        "child long, parent long",
+    )
+    stats = {}
+    dag_root_labels(bush, "child", "parent", stats=stats).count()
+    assert stats["iterations"] <= 3, stats["iterations"]
+
+
+def test_dag_root_labels_cycle_and_guards(spark):
+    import pytest
+
+    from thundercats_spark.operators.hierarchy import dag_root_labels
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 0)], "child long, parent long"
+    )
+    with pytest.raises(RuntimeError, match="CYCLE"):
+        dag_root_labels(cyc, "child", "parent", max_iters=10)
+
+    dup = spark.createDataFrame([(2, 1), (2, 1)], "child long, parent long")
+    with pytest.raises(ValueError, match="duplicate edge"):
+        dag_root_labels(dup, "child", "parent")

@@ -371,3 +371,128 @@ def dag_reachability(
         F.col("min_d").cast("long").alias("min_depth"),
         F.col("max_d").cast("long").alias("max_depth"),
     )
+
+
+def dag_root_labels(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_iters: int = 200,
+    reliable: bool = False,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Root labels over a DAG by LEVEL-BY-LEVEL propagation — the other
+    cost model ``dag_reachability``'s docstring points to, implemented
+    as its own operator: same output contract as
+    ``dag_reachability(roots_only=True)`` (one row per (node, reachable
+    root) with ``min_depth``/``max_depth``; roots self-labelled at 0),
+    pinned equal in tests — but the state is ONLY the (node × roots)
+    label table (never the full ancestor closure) and each round's join
+    volume is the edges touched by last round's changed labels (no
+    midpoint-relay blowup).
+
+    The trade: O(longest-path) rounds instead of O(log depth). Choose
+    THIS operator for wide, shallow, high-fanout graphs (citation /
+    category graphs: depth tens, closure huge); choose
+    ``dag_reachability`` for deep, narrow graphs (depth thousands,
+    closure modest). ``max_iters`` bounds the walk at the longest path
+    length — a CYCLE keeps stretching max_depth forever and hits the
+    tripwire.
+
+    Per round: changed labels flow parent→child along the edge set
+    (one equi-join), merge into the label table by (node, root)
+    min/max (one union + partial-aggregated groupBy over
+    labels + candidates), and the next frontier is exactly the rows
+    the merge changed (left_anti on all four columns). Lineage cut per
+    round; ``stats`` receives ``{"iterations": k,
+    "changed_per_iteration": [...]}``. Same loud guard contract as the
+    sibling operators (NULL links, exact-duplicate edges).
+    """
+    e = edges.select(
+        F.col(child_col).alias("node"), F.col(parent_col).alias("anc")
+    )
+    e = _cut_lineage(e, reliable)
+    g = e.agg(
+        F.sum(
+            (F.col("node").isNull() | F.col("anc").isNull()).cast("int")
+        ).alias("nulls"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("node"), F.col("anc")).alias("np"),
+    ).first()
+    if g["nulls"]:
+        raise ValueError(
+            f"{g['nulls']} edge(s) with NULL {child_col!r}/"
+            f"{parent_col!r}: a NULL link is a data bug — roots are "
+            "nodes with no parent-row, not NULL parents"
+        )
+    if g["n"] != g["np"]:
+        raise ValueError(
+            f"{g['n'] - g['np']} exact-duplicate edge row(s): "
+            ".distinct() the edges first (shared loud contract with "
+            "hierarchy_paths/dag_reachability)"
+        )
+    roots = (
+        e.select(F.col("anc").alias("node"))
+        .distinct()
+        .join(e.select("node").distinct(), "node", "left_anti")
+    )
+    labels = _cut_lineage(
+        roots.select(
+            "node", F.col("node").alias("root"),
+            F.lit(0).alias("min_d"), F.lit(0).alias("max_d"),
+        ),
+        reliable,
+    )
+    changed = labels
+    iterations = 0
+    changes: list[int] = []
+    while True:
+        pending = changed.count()
+        if pending == 0:
+            break
+        changes.append(pending)
+        if iterations >= max_iters:
+            if stats is not None:
+                stats["iterations"] = iterations
+                stats["changed_per_iteration"] = changes
+            raise RuntimeError(
+                f"dag_root_labels did not converge in {max_iters} "
+                "propagation rounds (one round per path-length level) "
+                "— either the longest path exceeds max_iters (raise "
+                "it) or the edge set contains a CYCLE (incl. "
+                "self-loops), which stretches max_depth forever"
+            )
+        iterations += 1
+        # changed labels flow parent -> child: edges keyed on anc
+        cand = e.join(
+            changed.select(
+                F.col("node").alias("anc"), "root", "min_d", "max_d"
+            ),
+            "anc",
+        ).select(
+            "node", "root",
+            (F.col("min_d") + 1).alias("min_d"),
+            (F.col("max_d") + 1).alias("max_d"),
+        )
+        merged = _cut_lineage(
+            labels.unionByName(cand)
+            .groupBy("node", "root")
+            .agg(
+                F.min("min_d").alias("min_d"),
+                F.max("max_d").alias("max_d"),
+            ),
+            reliable,
+        )
+        changed = merged.join(
+            labels, ["node", "root", "min_d", "max_d"], "left_anti"
+        )
+        labels = merged
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["changed_per_iteration"] = changes
+    return labels.select(
+        "node",
+        F.col("root").alias("root_key"),
+        F.col("min_d").cast("long").alias("min_depth"),
+        F.col("max_d").cast("long").alias("max_depth"),
+    )
