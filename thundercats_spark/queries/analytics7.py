@@ -226,3 +226,20 @@ def nested_lineitem_facts(li):
 def orders_nested_lineitems(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")["lineitem"]
     return nested_lineitem_facts(li)
+
+
+def scd2_as_of(intervals, at: str, key: str = "o_custkey"):
+    """Point-in-time consumption of ``scd2_intervals`` output: the one
+    row per key whose [valid_from, valid_to) interval covers ``at``
+    (an ISO 'YYYY-MM-DD' string — the intervals carry ISO-string
+    bounds, which compare correctly lexicographically, including the
+    '9999-12-31' open-end sentinel). Keys whose first observation is
+    after ``at`` are absent — there WAS no state then.
+
+    Scale posture: a pure filter over the (already small) interval
+    table — no join, no shuffle; at 100 TB the interval table is
+    O(attribute runs), orders below the fact table, and a predicate on
+    two string columns pushes down to its parquet scan."""
+    return intervals.where(
+        (F.col("valid_from") <= F.lit(at)) & (F.lit(at) < F.col("valid_to"))
+    ).select(key, "priority", "valid_from", "valid_to")
