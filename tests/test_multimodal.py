@@ -692,3 +692,59 @@ def test_jpeg_decodes_through_spark_decoder_chain(spark):
     # strict mode passes untouched for REAL-decodable JPEG payloads
     strict_out = decode_image_features(df, strict=True).collect()
     assert len(strict_out) == 3
+
+
+def test_resize_images_real_paths_png_and_jpeg(spark):
+    """resize_images now resizes PNG and baseline JPEG for REAL in
+    their own codecs: the resized payload re-decodes to the target
+    dims with pixels tracking a nearest-neighbor model (PNG lossless
+    exact; JPEG within quantization error). The existing BMP path is
+    asserted alongside; a non-decodable payload still takes the stub."""
+    import numpy as np
+
+    from thundercats_spark.multimodal.binary import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+        resize_images,
+    )
+    from thundercats_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    sw, sh, w, h = 32, 20, 16, 10
+    g = np.clip(
+        np.arange(sw)[None, :] * 7.0 + np.arange(sh)[:, None] * 3.0, 0, 255
+    )
+    rgb = np.stack([g, 255 - g, g / 2], axis=-1).astype(np.uint8)
+    ys = np.minimum(np.arange(h) * sh // h, sh - 1)
+    xs = np.minimum(np.arange(w) * sw // w, sw - 1)
+    expect = rgb[ys][:, xs].astype(np.float32)
+
+    rows = [
+        (1, encode_png(sw, sh, rgb, channels=3), (sw, sh, None, "png")),
+        (2, encode_jpeg(sw, sh, rgb.astype(float), channels=3),
+         (sw, sh, None, "jpeg")),
+        (3, encode_bmp(sw, sh, rgb), (sw, sh, None, "bmp")),
+        (4, b"not an image" * 50, (None, None, None, "mystery")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>",
+    )
+    out = {r["media_id"]: r for r in resize_images(df, w, h).collect()}
+
+    png = decode_png(bytes(out[1]["payload"]))
+    assert png[:2] == (w, h)
+    assert np.array_equal(png[3].reshape(h, w, 3), expect)  # lossless
+
+    jpg = decode_jpeg(bytes(out[2]["payload"]))
+    assert jpg[:2] == (w, h)
+    assert np.abs(jpg[3].reshape(h, w, 3) - expect).max() <= 2 * 2 + 1
+
+    bmp = decode_bmp(bytes(out[3]["payload"]))
+    assert bmp[:2] == (w, h)
+    assert np.array_equal(bmp[3].reshape(h, w, 3), expect)
+
+    assert out[4]["meta"]["width"] == w  # stub still honors the contract
+    assert len(bytes(out[4]["payload"])) <= w * h

@@ -623,15 +623,28 @@ def encode_bmp(w: int, h: int, rgb: np.ndarray) -> bytes:
 
 def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) -> DataFrame:
     """payload → resized payload with updated meta dims, one mapInPandas
-    pass. BMP payloads resize for REAL (header decode → nearest-
-    neighbor numpy resample → BMP re-encode); other formats use the
-    STUB resample (deterministic byte decimation to the target pixel
-    budget) until a codec lib is present — the PIL branch swaps in real
-    resampling with no contract change. Payload size is bounded by the
-    target dims, so downstream shuffles shrink accordingly."""
+    pass. Formats with a no-lib decode AND encode twin resize for REAL,
+    staying in their own codec — BMP→BMP, 8-bit PNG→PNG (channel count
+    preserved, incl. palette images which re-encode as their expanded
+    RGB/RGBA truth), baseline JPEG→JPEG (gray/RGB, quant 2 re-encode):
+    decode → nearest-neighbor numpy resample → same-codec re-encode.
+    Remaining formats use the STUB resample (deterministic byte
+    decimation to the target pixel budget) until a codec lib is present
+    — the PIL branch swaps in real resampling with no contract change.
+    Payload size is bounded by the target dims, so downstream shuffles
+    shrink accordingly."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from thundercats_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
         budget = max(1, width * height)
+
+        def nn(vec, sw, sh, ch):
+            arr = vec.reshape(sh, sw, ch)
+            ys = np.minimum(np.arange(height) * sh // height, sh - 1)
+            xs = np.minimum(np.arange(width) * sw // width, sw - 1)
+            return arr[ys][:, xs]
+
         for pdf in batches:
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
@@ -639,12 +652,30 @@ def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) 
                 codec = meta["codec"] if meta is not None else None
                 dur = meta["duration_ms"] if meta is not None else None
                 bmp = decode_bmp(data)
-                if bmp is not None:  # REAL path
+                if bmp is not None:  # REAL path, BMP → BMP
                     sw, sh, _, vec = bmp
-                    arr = vec.reshape(sh, sw, 3)
-                    ys = np.minimum(np.arange(height) * sh // height, sh - 1)
-                    xs = np.minimum(np.arange(width) * sw // width, sw - 1)
-                    out = encode_bmp(width, height, arr[ys][:, xs])
+                    out = encode_bmp(width, height, nn(vec, sw, sh, 3))
+                    rows.append((mid, out, (width, height, dur, codec)))
+                    continue
+                png = decode_png(data)
+                if png is not None:  # REAL path, PNG → PNG
+                    sw, sh, _, vec = png
+                    ch = len(vec) // (sw * sh)
+                    out = encode_png(
+                        width, height,
+                        np.clip(nn(vec, sw, sh, ch), 0, 255).astype(np.uint8),
+                        channels=ch,
+                    )
+                    rows.append((mid, out, (width, height, dur, codec)))
+                    continue
+                jpg = decode_jpeg(data)
+                if jpg is not None:  # REAL path, JPEG → JPEG
+                    sw, sh, _, vec = jpg
+                    ch = len(vec) // (sw * sh)
+                    out = encode_jpeg(
+                        width, height, nn(vec, sw, sh, ch),
+                        channels=ch, quant=2,
+                    )
                     rows.append((mid, out, (width, height, dur, codec)))
                     continue
                 # STUB: decimate/repeat bytes to the pixel budget. Real
