@@ -730,3 +730,43 @@ def test_scd2_intervals_matches_naive(spark, rows):
                 (k, i + 1, attr, vf.strftime("%Y-%m-%d"), vt, n_obs)
             )
     assert got == expected, (got, expected)
+
+
+@given(st.data())
+@settings(**SETTINGS)
+def test_scd2_apply_batch_random_splits(spark, data):
+    """Property: for random observation streams split at a random day
+    boundary (prefix ≤ D < suffix), the incremental SCD2 merge equals
+    the full rebuild over all observations."""
+    from thundercats_spark.queries.analytics7 import (
+        scd2_apply_batch,
+        scd2_intervals,
+    )
+
+    n = data.draw(st.integers(4, 24))
+    rows = []
+    for i in range(n):
+        k = data.draw(st.integers(1, 3))
+        day = data.draw(st.integers(0, 9))
+        a = data.draw(st.sampled_from(["A", "B"]))
+        rows.append((k, i, datetime(2024, 1, 1) + timedelta(days=day), a))
+    cut = data.draw(st.integers(0, 9))
+    cutoff = datetime(2024, 1, 1) + timedelta(days=cut)
+    prefix = [r for r in rows if r[2] <= cutoff]
+    suffix = [r for r in rows if r[2] > cutoff]
+    if not prefix or not suffix:
+        return
+    schema = "k long, ok long, ts timestamp, attr string"
+    build = lambda rs: scd2_intervals(  # noqa: E731
+        spark.createDataFrame(rs, schema),
+        key="k", ts="ts", attr="attr", tiebreak="ok", with_last_seen=True,
+    )
+    got = {
+        tuple(r)
+        for r in scd2_apply_batch(
+            build(prefix), spark.createDataFrame(suffix, schema),
+            key="k", ts="ts", attr="attr", tiebreak="ok",
+        ).collect()
+    }
+    want = {tuple(r) for r in build(rows).collect()}
+    assert got == want

@@ -433,3 +433,88 @@ def test_scd2_as_of_snapshot(spark):
 
     probe = scd2_as_of(iv, "2024-03-01", key="k")
     assert probe.groupBy("k").count().where(F.col("count") > 1).count() == 0
+
+
+def test_scd2_apply_batch_equals_full_rebuild(spark):
+    """The incremental contract: apply_batch(build(prefix), suffix) ==
+    build(prefix ∪ suffix) whenever the suffix is strictly later per
+    key — covering merge-into-open (same attr), close-and-append
+    (changed attr), multi-run batches, brand-new keys, and untouched
+    keys."""
+    from datetime import datetime
+
+    from thundercats_spark.queries.analytics7 import (
+        scd2_apply_batch,
+        scd2_intervals,
+    )
+
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")  # noqa: E731
+    prefix = [
+        (1, 10, d("2024-01-01"), "A"),
+        (1, 11, d("2024-02-01"), "A"),
+        (2, 20, d("2024-01-05"), "B"),
+        (2, 21, d("2024-02-05"), "C"),
+        (3, 30, d("2024-01-09"), "A"),  # untouched by the batch
+    ]
+    suffix = [
+        (1, 12, d("2024-03-01"), "A"),  # merges into key 1's open run
+        (1, 13, d("2024-04-01"), "B"),  # then a new run
+        (1, 14, d("2024-05-01"), "A"),  # and another
+        (2, 22, d("2024-03-05"), "D"),  # closes key 2's open C run
+        (9, 90, d("2024-02-02"), "Z"),  # brand-new key
+        (9, 91, d("2024-03-02"), "Z"),
+    ]
+    schema = "k long, ok long, ts timestamp, attr string"
+    build = lambda rows: scd2_intervals(  # noqa: E731
+        spark.createDataFrame(rows, schema),
+        key="k", ts="ts", attr="attr", tiebreak="ok",
+        with_last_seen=True,
+    )
+    incremental = scd2_apply_batch(
+        build(prefix),
+        spark.createDataFrame(suffix, schema),
+        key="k", ts="ts", attr="attr", tiebreak="ok",
+    )
+    got = {tuple(r) for r in incremental.collect()}
+    want = {tuple(r) for r in build(prefix + suffix).collect()}
+    assert got == want, (
+        f"only_incremental={sorted(got - want)} "
+        f"only_rebuild={sorted(want - got)}"
+    )
+
+
+def test_scd2_apply_batch_guards(spark):
+    """Late/same-day arrivals and replayed batches raise loudly with
+    the rebuild remedy; a table built without last_seen is rejected."""
+    from datetime import datetime
+
+    import pytest
+
+    from thundercats_spark.queries.analytics7 import (
+        scd2_apply_batch,
+        scd2_intervals,
+    )
+
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")  # noqa: E731
+    schema = "k long, ok long, ts timestamp, attr string"
+    hist = spark.createDataFrame(
+        [(1, 10, d("2024-01-01"), "A"), (1, 11, d("2024-02-01"), "A")],
+        schema,
+    )
+    iv = scd2_intervals(
+        hist, key="k", ts="ts", attr="attr", tiebreak="ok",
+        with_last_seen=True,
+    ).localCheckpoint()
+
+    same_day = spark.createDataFrame([(1, 12, d("2024-02-01"), "B")], schema)
+    with pytest.raises(ValueError, match="last_seen day"):
+        scd2_apply_batch(iv, same_day, "k", "ts", "attr", "ok")
+
+    batch = spark.createDataFrame([(1, 12, d("2024-03-01"), "B")], schema)
+    iv2 = scd2_apply_batch(iv, batch, "k", "ts", "attr", "ok").localCheckpoint()
+    with pytest.raises(ValueError, match="replayed batch|last_seen day"):
+        scd2_apply_batch(iv2, batch, "k", "ts", "attr", "ok")  # replay
+
+    no_ls = scd2_intervals(hist, key="k", ts="ts", attr="attr", tiebreak="ok")
+    with pytest.raises(ValueError, match="with_last_seen"):
+        scd2_apply_batch(no_ls, batch, "k", "ts", "attr", "ok")
