@@ -926,3 +926,75 @@ def test_events_stream_ntz_micros_fallback_branch(spark, tmp_path):
         for r in batch_view_click_pairs(static).collect()
     }
     assert got_pairs == want_pairs and len(got_pairs) == len(rows) // 2
+
+
+def test_stream_scd2_parquet_maintains_interval_table(spark, tmp_path):
+    """The SCD2 streaming sink: per-key day-ordered observations over
+    two micro-batches (maxFilesPerTrigger=1) fold into a persisted
+    interval table that equals the full batch rebuild; a replayed
+    batch_id is skipped (state doc committed atomically with the
+    table); scd2_as_of answers point-in-time probes off the sink."""
+    from thundercats_spark.queries.analytics7 import (
+        scd2_as_of,
+        scd2_intervals,
+        scd2_state,
+        scd2_update_parquet,
+    )
+    from thundercats_spark.streaming.windows import stream_scd2_parquet
+
+    base = datetime(2024, 1, 1)
+    slices = [
+        [(1, 10, base, "A"), (1, 11, base + timedelta(days=10), "A"),
+         (2, 20, base + timedelta(days=3), "B")],
+        [(1, 12, base + timedelta(days=20), "B"),
+         (2, 21, base + timedelta(days=13), "B"),
+         (3, 30, base + timedelta(days=15), "C")],
+    ]
+    schema = "k long, ok long, ts timestamp, attr string"
+    src = str(tmp_path / "obs")
+    _write_slices(spark, src, slices, schema, str(tmp_path / "stage_scd2"))
+
+    path = str(tmp_path / "scd2_table")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_scd2_parquet(
+        stream, path,
+        key="k", ts="ts", attr="attr", tiebreak="ok",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in spark.read.parquet(path).collect()}
+    want = {
+        tuple(r)
+        for r in scd2_intervals(
+            spark.createDataFrame(slices[0] + slices[1], schema),
+            key="k", ts="ts", attr="attr", tiebreak="ok",
+            with_last_seen=True,
+        ).collect()
+    }
+    assert got == want, (sorted(got - want), sorted(want - got))
+    assert scd2_state(path) == {"batch_id": 1}
+
+    # replayed batch_id → no-op (state_doc equality inside the updater)
+    replay = spark.createDataFrame(slices[1], schema)
+    scd2_update_parquet(
+        spark, replay, path, key="k", ts="ts", attr="attr",
+        tiebreak="ok", state_doc={"batch_id": 1},
+    )
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == want
+
+    # point-in-time probe off the maintained table
+    snap = {
+        r["k"]: r["priority"]
+        for r in scd2_as_of(
+            spark.read.parquet(path), "2024-01-14", key="k"
+        ).collect()
+    }
+    assert snap == {1: "A", 2: "B"}  # key 3 born on day 15

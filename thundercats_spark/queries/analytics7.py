@@ -398,3 +398,69 @@ def scd2_apply_batch(
         .unionByName(open_closed)
         .unionByName(updated)
     )
+
+
+def scd2_state(path: str) -> dict:
+    """The state doc last committed with the SCD2 table (empty if
+    none) — e.g. the streaming sink's last-merged batch id."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, "_scd2_state.json")) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
+def scd2_update_parquet(
+    spark,
+    batch,
+    path: str,
+    key: str,
+    ts: str,
+    attr: str,
+    tiebreak: str,
+    state_doc: dict | None = None,
+    open_end: str = "9999-12-31",
+) -> None:
+    """Maintain a PERSISTED SCD2 interval table at ``path``: first call
+    builds it from the batch (``scd2_intervals(with_last_seen=True)``),
+    later calls fold new observations in via ``scd2_apply_batch``.
+
+    Crash/replay safety mirrors ``rollup_update``: the updated table is
+    staged to a sibling directory and published by the same atomic
+    two-rename swap (``_swap_dir``; interrupted swaps are repaired
+    before reading), and an optional ``state_doc`` (e.g.
+    ``{"batch_id": 7}``) rides INSIDE the swapped directory — a replay
+    carrying the already-committed state_doc is a no-op, and
+    ``scd2_apply_batch``'s strictly-later guard backstops any replay
+    the state check misses (loud, never double-folded)."""
+    import json
+    import os
+
+    from thundercats_spark.operators.incremental import (
+        _recover_swap,
+        _swap_dir,
+    )
+
+    _recover_swap(path)
+    if os.path.isdir(path):
+        if state_doc is not None and scd2_state(path) == state_doc:
+            return  # replay of the already-committed batch
+        updated = scd2_apply_batch(
+            spark.read.parquet(path), batch,
+            key=key, ts=ts, attr=attr, tiebreak=tiebreak,
+            open_end=open_end,
+        )
+    else:
+        updated = scd2_intervals(
+            batch, key=key, ts=ts, attr=attr, tiebreak=tiebreak,
+            open_end=open_end, with_last_seen=True,
+        )
+    staging = path + ".staging"
+    updated.write.mode("overwrite").parquet(staging)
+    if state_doc is not None:
+        with open(os.path.join(staging, "_scd2_state.json"), "w") as f:
+            json.dump(state_doc, f)
+    _swap_dir(staging, path)

@@ -542,3 +542,47 @@ def stream_quality_monitor(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def stream_scd2_parquet(
+    stream: DataFrame,
+    path: str,
+    key: str,
+    ts: str,
+    attr: str,
+    tiebreak: str,
+    checkpoint: str | None = None,
+):
+    """SCD2 interval table maintained by a stream of observations: each
+    micro-batch folds into the persisted table via
+    ``scd2_update_parquet`` (O(batch + touched keys) — history is never
+    rescanned), so "state as of any time T" queries (``scd2_as_of``)
+    trail ingestion by one micro-batch.
+
+    Replay safety: the last merged batch_id is committed atomically
+    WITH the table and replayed ids are skipped (the
+    ``stream_rollup_parquet`` discipline); underneath, the batch
+    operator's strictly-later guard makes any missed replay loud
+    instead of double-folded. The source must deliver observations in
+    per-key day order across batches (the SCD2 append-only contract) —
+    out-of-order days raise with the rebuild remedy. Returns the
+    started StreamingQuery."""
+    from thundercats_spark.queries.analytics7 import (
+        scd2_state,
+        scd2_update_parquet,
+    )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        last = scd2_state(path).get("batch_id", -1)
+        if batch_id <= last:
+            return  # already merged before the crash — skip the replay
+        scd2_update_parquet(
+            batch.sparkSession, batch, path,
+            key=key, ts=ts, attr=attr, tiebreak=tiebreak,
+            state_doc={"batch_id": batch_id},
+        )
+
+    w = stream.writeStream.foreachBatch(fold).outputMode("update")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
