@@ -518,3 +518,43 @@ def test_scd2_apply_batch_guards(spark):
     no_ls = scd2_intervals(hist, key="k", ts="ts", attr="attr", tiebreak="ok")
     with pytest.raises(ValueError, match="with_last_seen"):
         scd2_apply_batch(no_ls, batch, "k", "ts", "attr", "ok")
+
+
+def test_scd2_join_facts_point_in_time_enrichment(spark):
+    """Each fact row joins the interval valid at ITS OWN timestamp:
+    covering-interval uniqueness means no fan-out; facts before a
+    key's first observation (or with unknown keys) keep NULL dims;
+    the join plans as an equi-join on the key, never a BNLJ."""
+    from datetime import datetime
+
+    from thundercats_spark.queries.analytics7 import (
+        scd2_intervals,
+        scd2_join_facts,
+    )
+
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")  # noqa: E731
+    obs = [
+        (1, 10, d("2024-01-01"), "A"),
+        (1, 11, d("2024-03-01"), "B"),
+        (2, 20, d("2024-02-01"), "C"),
+    ]
+    iv = scd2_intervals(
+        spark.createDataFrame(obs, "k long, ok long, ts timestamp, attr string"),
+        key="k", ts="ts", attr="attr", tiebreak="ok",
+    ).localCheckpoint()
+    facts = spark.createDataFrame(
+        [
+            (100, 1, d("2024-01-15")),  # inside key 1's A run
+            (101, 1, d("2024-03-01")),  # boundary day -> B (half-open)
+            (102, 1, d("2023-12-25")),  # before first obs -> NULL dims
+            (103, 2, d("2024-06-01")),  # open tail -> C
+            (104, 9, d("2024-06-01")),  # unknown key -> NULL dims
+        ],
+        "fact_id long, k long, fts timestamp",
+    )
+    out = scd2_join_facts(facts, iv, key="k", fact_ts="fts")
+    got = {r["fact_id"]: r["dim_value"] for r in out.collect()}
+    assert got == {100: "A", 101: "B", 102: None, 103: "C", 104: None}
+    assert out.count() == 5  # exactly-one-covering-interval: no fan-out
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

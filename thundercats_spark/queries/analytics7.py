@@ -464,3 +464,40 @@ def scd2_update_parquet(
         with open(os.path.join(staging, "_scd2_state.json"), "w") as f:
             json.dump(state_doc, f)
     _swap_dir(staging, path)
+
+
+def scd2_join_facts(
+    facts,
+    intervals,
+    key: str,
+    fact_ts: str,
+    prefix: str = "dim_",
+):
+    """Point-in-time dimension enrichment: join each fact row to the
+    interval VALID AT ITS OWN timestamp — the consumption pattern SCD2
+    exists for (e.g. revenue by the priority tier the customer was in
+    WHEN each order was placed, not the tier they hold today). Facts
+    whose key has no covering interval (before first observation, or
+    unknown key) keep NULL dimension columns — visible, not dropped.
+
+    Spark-first shape: an equi-join on ``key`` with the interval
+    containment as a residual join condition — planned as a regular
+    hash/sort-merge join on the key (NEVER a broadcast-nested-loop
+    range join), with the containment filtering each key's handful of
+    interval rows post-match. Per-key interval counts are O(attribute
+    runs), so the residual fan-out is bounded; the interval side is
+    typically dim-sized and AQE-broadcastable."""
+    dim = intervals.select(
+        F.col(key).alias("__k"),
+        F.col("seg_id").alias(f"{prefix}seg_id"),
+        F.col("priority").alias(f"{prefix}value"),
+        F.col("valid_from").alias(f"{prefix}valid_from"),
+        F.col("valid_to").alias(f"{prefix}valid_to"),
+    )
+    day = F.date_format(F.col(fact_ts), "yyyy-MM-dd")
+    cond = (
+        (facts[key] == dim["__k"])
+        & (dim[f"{prefix}valid_from"] <= day)
+        & (day < dim[f"{prefix}valid_to"])
+    )
+    return facts.join(dim, cond, "left").drop("__k")
