@@ -558,3 +558,28 @@ def test_scd2_join_facts_point_in_time_enrichment(spark):
     assert out.count() == 5  # exactly-one-covering-interval: no fan-out
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_scd2_plan_one_data_exchange(spark, sf_dir):
+    """The SURVEY claim, pinned: all three windows + the segment agg of
+    customer_scd2_intervals ride ONE custkey hash exchange; the only
+    other exchange is the presentation range sort. The nested HOF query
+    likewise: one hash exchange (the collect_list) + the final sort."""
+    from thundercats_spark.queries import all_queries
+
+    reg = all_queries()
+    for name, hash_max in [
+        ("customer_scd2_intervals", 1),
+        ("orders_nested_lineitems", 2),  # partial+final collect_list
+    ]:
+        plan = (
+            reg[name]
+            .spark_fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_hash = plan.count("Exchange hashpartitioning")
+        n_range = plan.count("Exchange rangepartitioning")
+        assert n_hash <= hash_max, f"{name}: {n_hash} hash exchanges\n{plan[:2000]}"
+        assert n_range <= 1, f"{name}: {n_range} range exchanges"
