@@ -345,3 +345,18 @@ def test_dag_root_labels_cycle_and_guards(spark):
     dup = spark.createDataFrame([(2, 1), (2, 1)], "child long, parent long")
     with pytest.raises(ValueError, match="duplicate edge"):
         dag_root_labels(dup, "child", "parent")
+
+
+def test_dag_root_labels_rootless_graph_raises(spark):
+    """A fully cyclic edge set has no roots — the operator must raise
+    rather than silently return an empty frame (the quiet twin of the
+    max_iters cycle tripwire)."""
+    import pytest
+
+    from thundercats_spark.operators.hierarchy import dag_root_labels
+
+    pure_cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "child long, parent long"
+    )
+    with pytest.raises(RuntimeError, match="no roots"):
+        dag_root_labels(pure_cycle, "child", "parent")

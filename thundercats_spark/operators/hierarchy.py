@@ -443,6 +443,18 @@ def dag_root_labels(
         ),
         reliable,
     )
+    # A non-empty edge set with NO roots means every node has a parent
+    # — the graph is entirely cyclic. Without this guard the propagation
+    # loop would exit immediately and return an EMPTY frame, the silent
+    # twin of the cycle the max_iters tripwire exists to make loud
+    # (dag_reachability catches this case via its fixpoint check).
+    if g["n"] and labels.limit(1).count() == 0:
+        raise RuntimeError(
+            "dag_root_labels found no roots: every node has a parent, "
+            "so the edge set is entirely cyclic — root labels are "
+            "undefined (a DAG must have at least one node with no "
+            "parent)"
+        )
     changed = labels
     iterations = 0
     changes: list[int] = []
