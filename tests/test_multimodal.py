@@ -748,3 +748,62 @@ def test_resize_images_real_paths_png_and_jpeg(spark):
 
     assert out[4]["meta"]["width"] == w  # stub still honors the contract
     assert len(bytes(out[4]["payload"])) <= w * h
+
+
+def test_jpeg_fill_bytes_and_pil_routing():
+    """Review r09: (a) spec-legal 0xFF fill bytes before markers
+    (ITU T.81 B.1.1.2) — including before restart markers — must
+    decode, not fall through to the stub; (b) when an imaging lib IS
+    importable, JPEG routes to it (the stdlib decoder is the lib-less
+    correctness fallback, never a libjpeg shadow on the hot path),
+    while self-describing formats still short-circuit."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from thundercats_spark.multimodal.binary import _decoder, encode_bmp
+    from thundercats_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 24, 16
+    g = np.clip(
+        np.arange(w)[None, :] * 7.0 + np.arange(h)[:, None] * 3.0, 0, 255
+    )
+    data = encode_jpeg(w, h, g, channels=1)
+    i = data.find(b"\xff\xda")
+    filled = data[:i] + b"\xff" + data[i:]
+    got = decode_jpeg(filled)
+    assert got is not None and got[:2] == (w, h)
+    assert np.abs(got[3].reshape(h, w) - g).max() == 0.0
+
+    rst = encode_jpeg(w, h, g, channels=1, restart_interval=1)
+    j = rst.find(b"\xff\xd0")
+    filled = rst[:j] + b"\xff" + rst[j:]
+    got = decode_jpeg(filled)
+    assert got is not None and np.abs(got[3].reshape(h, w) - g).max() == 0.0
+
+    if "PIL" in sys.modules:
+        import pytest
+
+        pytest.skip("real Pillow present; fake-module routing untestable")
+
+    class _FakeImage:
+        width, height, mode = 4, 2, "RGB"
+
+        def __array__(self, dtype=None, copy=None):
+            return np.arange(24, dtype=np.float32).reshape(2, 4, 3)
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda bio: _FakeImage()
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    sys.modules["PIL"] = pil_mod
+    sys.modules["PIL.Image"] = image_mod
+    try:
+        dec, real = _decoder()
+        assert real is True
+        assert dec(data)[2] == "RGB"  # JPEG -> PIL, not the stdlib path
+        assert dec(encode_bmp(3, 2, np.zeros((2, 3, 3))))[2] == "BMP"
+    finally:
+        del sys.modules["PIL"]
+        del sys.modules["PIL.Image"]

@@ -583,3 +583,28 @@ def test_scd2_plan_one_data_exchange(spark, sf_dir):
         n_range = plan.count("Exchange rangepartitioning")
         assert n_hash <= hash_max, f"{name}: {n_hash} hash exchanges\n{plan[:2000]}"
         assert n_range <= 1, f"{name}: {n_range} range exchanges"
+
+
+def test_scd2_null_observation_raises_in_plan(spark):
+    """Review r09: a NULL attr/ts/key/tiebreak observation must raise
+    (in-plan, the part_affinity_lift pattern) — previously a NULL attr
+    silently folded into the previous run and split the next."""
+    from datetime import datetime
+
+    import pytest
+
+    from thundercats_spark.queries.analytics7 import scd2_intervals
+
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")  # noqa: E731
+    schema = "k long, ok long, ts timestamp, attr string"
+    for rows in [
+        [(1, 10, d("2024-01-01"), "A"), (1, 11, d("2024-02-01"), None),
+         (1, 12, d("2024-03-01"), "A")],
+        [(1, 10, None, "A")],
+        [(None, 10, d("2024-01-01"), "A")],
+    ]:
+        df = spark.createDataFrame(rows, schema)
+        with pytest.raises(Exception, match="NULL"):
+            scd2_intervals(
+                df, key="k", ts="ts", attr="attr", tiebreak="ok"
+            ).collect()

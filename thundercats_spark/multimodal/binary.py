@@ -329,12 +329,13 @@ def encode_png_palette(
 
 
 def _decoder(strict: bool = False):
-    """Decoder chain: REAL no-lib decoders first — header-parsing for
-    self-describing uncompressed formats (BMP, PPM, PGM), the
-    stdlib-zlib PNG path (8-bit non-interlaced), and the baseline-JPEG
-    path (sequential-DCT 8-bit Huffman, multimodal/jpeg.py) — then the
-    imaging lib for the remaining compressed formats if importable,
-    else the deterministic stub. The second return value reports whether a REAL
+    """Decoder chain: REAL cheap no-lib decoders first — header-parsing
+    for self-describing uncompressed formats (BMP, PPM, PGM) and the
+    stdlib-zlib PNG path (8-bit non-interlaced) — then the imaging lib
+    if importable; without it, the stdlib baseline-JPEG decoder
+    (sequential-DCT 8-bit Huffman, multimodal/jpeg.py — the
+    correctness fallback whose per-bit Python loop must never shadow
+    libjpeg) and finally the deterministic stub for the rest. The second return value reports whether a REAL
     path decodes those remaining formats too. ``strict=True`` turns
     the stub fallback into a NotImplementedError NAMING the missing
     lib — for pipelines where a pseudo-decoded feature silently mixed
@@ -343,15 +344,15 @@ def _decoder(strict: bool = False):
     with zero code diff, and this contract is pinned by tests on BOTH
     branches)."""
 
-    def decode_nolib(payload: bytes):
-        from thundercats_spark.multimodal.jpeg import decode_jpeg
-
+    def decode_selfdescribing(payload: bytes):
+        # the formats where the stdlib path is BOTH real and cheap —
+        # these short-circuit before PIL in every environment (pinned:
+        # byte-identical output with and without the imaging lib)
         return (
             decode_bmp(payload)
             or decode_ppm(payload)
             or decode_pgm(payload)
             or decode_png(payload)
-            or decode_jpeg(payload)
         )
 
     try:  # pragma: no cover - lib absent in this container
@@ -360,7 +361,11 @@ def _decoder(strict: bool = False):
         from PIL import Image
 
         def decode(payload: bytes):
-            got = decode_nolib(payload)
+            # JPEG deliberately NOT short-circuited here: the stdlib
+            # baseline-JPEG decoder is the correctness fallback for
+            # lib-less environments — its per-bit Python Huffman loop
+            # must never shadow libjpeg on the hot path (review r09)
+            got = decode_selfdescribing(payload)
             if got is not None:
                 return got
             im = Image.open(io.BytesIO(payload))
@@ -369,7 +374,9 @@ def _decoder(strict: bool = False):
         return decode, True
     except ImportError:
         def decode_stub(payload: bytes):
-            got = decode_nolib(payload)
+            from thundercats_spark.multimodal.jpeg import decode_jpeg
+
+            got = decode_selfdescribing(payload) or decode_jpeg(payload)
             if got is not None:  # REAL decode — format needs no codec lib
                 return got
             if strict:

@@ -103,9 +103,12 @@ class _BitReader:
 
     def align_and_expect_rst(self, m: int) -> None:
         """Byte-align and consume the next restart marker, which must be
-        RSTm (markers cycle 0-7)."""
+        RSTm (markers cycle 0-7); spec-legal 0xFF fill bytes before the
+        marker are skipped."""
         self.n = 0
         d, p = self.data, self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
         if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + (m & 7):
             raise _Corrupt("expected restart marker")
         self.pos = p + 2
@@ -192,6 +195,11 @@ def _decode_jpeg_inner(data: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise _Corrupt("expected marker")
+        # ITU T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+        # marker — skip them (review r09: a conforming file with one
+        # fill byte before SOS decoded as None and fell to the stub)
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2

@@ -84,12 +84,37 @@ def _scd2_segments(events, key: str, ts: str, attr: str, tiebreak: str):
     run per key — (key, seg 1.., priority, vf, ls, n_obs) with
     timestamp-typed vf/ls bounds. Used by both the full build and the
     incremental batch merge so the run-splitting semantics cannot
-    drift between them."""
+    drift between them.
+
+    NULL observation fields raise IN-PLAN (the part_affinity_lift
+    raise_error pattern — no extra driver action): a NULL attr would
+    otherwise silently fold into the previous run (prev != NULL is
+    NULL → chg 0) and then split the NEXT row spuriously — the quiet
+    wrong answer the sibling hierarchy/DAG operators' loud NULL
+    contracts exist to prevent (review r09)."""
+    any_null = (
+        F.col(key).isNull()
+        | F.col(ts).isNull()
+        | F.col(attr).isNull()
+        | F.col(tiebreak).isNull()
+    )
     w = Window.partitionBy(key).orderBy(ts, tiebreak)
     prev = F.lag(attr).over(w)
     flagged = events.select(
         key, ts, attr,
-        F.when(prev.isNull() | (prev != F.col(attr)), 1)
+        F.when(
+            any_null,
+            F.raise_error(
+                F.lit(
+                    "scd2: observation with NULL "
+                    f"{key}/{ts}/{attr}/{tiebreak} — a NULL field is a "
+                    "data bug (it would silently merge into the "
+                    "previous run and split the next); filter or "
+                    "repair the observations first"
+                )
+            ).cast("int"),
+        )
+        .when(prev.isNull() | (prev != F.col(attr)), 1)
         .otherwise(0)
         .alias("chg"),
         F.col(tiebreak).alias("_tb"),
