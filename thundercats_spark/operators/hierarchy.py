@@ -48,6 +48,50 @@ def _union_all(frames: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
+def _validated_dag_edges(edges, child_col: str, parent_col: str, reliable: bool):
+    """Shared guard scan for the two DAG operators (review r09: the
+    preamble was copy-pasted twice): project to (node, anc), cut
+    lineage, raise on NULL links and exact-duplicate rows —
+    multi-parent children are ALLOWED (they are these operators'
+    point; the forest operator keeps its own stricter guard). Returns
+    ``(e, n_edges)``."""
+    e = edges.select(
+        F.col(child_col).alias("node"), F.col(parent_col).alias("anc")
+    )
+    e = _cut_lineage(e, reliable)
+    g = e.agg(
+        F.sum(
+            (F.col("node").isNull() | F.col("anc").isNull()).cast("int")
+        ).alias("nulls"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("node"), F.col("anc")).alias("np"),
+    ).first()
+    if g["nulls"]:
+        raise ValueError(
+            f"{g['nulls']} edge(s) with NULL {child_col!r}/"
+            f"{parent_col!r}: a NULL link is a data bug — roots are "
+            "nodes with no parent-row, not NULL parents"
+        )
+    if g["n"] != g["np"]:
+        raise ValueError(
+            f"{g['n'] - g['np']} exact-duplicate edge row(s): min/max "
+            "depths would survive duplicates, but the loud contract is "
+            "shared across the hierarchy/DAG operators — .distinct() "
+            "the edges first"
+        )
+    return e, g["n"]
+
+
+def _dag_roots(e: DataFrame) -> DataFrame:
+    """Nodes with no parent-row: the root set both DAG operators
+    derive (one-column frame named ``node``)."""
+    return (
+        e.select(F.col("anc").alias("node"))
+        .distinct()
+        .join(e.select("node").distinct(), "node", "left_anti")
+    )
+
+
 def hierarchy_paths(
     edges: DataFrame,
     child_col: str = "child",
@@ -273,29 +317,7 @@ def dag_reachability(
     POINT. ``stats`` receives ``{"iterations": k, "pairs_per_iteration":
     [...]}``.
     """
-    e = edges.select(
-        F.col(child_col).alias("node"), F.col(parent_col).alias("anc")
-    )
-    e = _cut_lineage(e, reliable)
-    g = e.agg(
-        F.sum(
-            (F.col("node").isNull() | F.col("anc").isNull()).cast("int")
-        ).alias("nulls"),
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col("node"), F.col("anc")).alias("np"),
-    ).first()
-    if g["nulls"]:
-        raise ValueError(
-            f"{g['nulls']} edge(s) with NULL {child_col!r}/"
-            f"{parent_col!r}: a NULL link is a data bug — roots are "
-            "nodes with no parent-row, not NULL parents"
-        )
-    if g["n"] != g["np"]:
-        raise ValueError(
-            f"{g['n'] - g['np']} exact-duplicate edge row(s): min/max "
-            "depths would survive duplicates, but the loud contract is "
-            "shared with hierarchy_paths — .distinct() the edges first"
-        )
+    e, _ = _validated_dag_edges(edges, child_col, parent_col, reliable)
     state = _cut_lineage(
         e.select(
             "node", "anc",
@@ -353,11 +375,7 @@ def dag_reachability(
         stats["pairs_per_iteration"] = pairs_log
     out = state
     if roots_only:
-        roots = (
-            e.select(F.col("anc").alias("node"))
-            .distinct()
-            .join(e.select("node").distinct(), "node", "left_anti")
-        )
+        roots = _dag_roots(e)
         self_rows = roots.select(
             "node", F.col("node").alias("anc"),
             F.lit(0).alias("min_d"), F.lit(0).alias("max_d"),
@@ -408,34 +426,8 @@ def dag_root_labels(
     "changed_per_iteration": [...]}``. Same loud guard contract as the
     sibling operators (NULL links, exact-duplicate edges).
     """
-    e = edges.select(
-        F.col(child_col).alias("node"), F.col(parent_col).alias("anc")
-    )
-    e = _cut_lineage(e, reliable)
-    g = e.agg(
-        F.sum(
-            (F.col("node").isNull() | F.col("anc").isNull()).cast("int")
-        ).alias("nulls"),
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col("node"), F.col("anc")).alias("np"),
-    ).first()
-    if g["nulls"]:
-        raise ValueError(
-            f"{g['nulls']} edge(s) with NULL {child_col!r}/"
-            f"{parent_col!r}: a NULL link is a data bug — roots are "
-            "nodes with no parent-row, not NULL parents"
-        )
-    if g["n"] != g["np"]:
-        raise ValueError(
-            f"{g['n'] - g['np']} exact-duplicate edge row(s): "
-            ".distinct() the edges first (shared loud contract with "
-            "hierarchy_paths/dag_reachability)"
-        )
-    roots = (
-        e.select(F.col("anc").alias("node"))
-        .distinct()
-        .join(e.select("node").distinct(), "node", "left_anti")
-    )
+    e, n_edges = _validated_dag_edges(edges, child_col, parent_col, reliable)
+    roots = _dag_roots(e)
     labels = _cut_lineage(
         roots.select(
             "node", F.col("node").alias("root"),
@@ -448,7 +440,7 @@ def dag_root_labels(
     # loop would exit immediately and return an EMPTY frame, the silent
     # twin of the cycle the max_iters tripwire exists to make loud
     # (dag_reachability catches this case via its fixpoint check).
-    if g["n"] and labels.limit(1).count() == 0:
+    if n_edges and labels.limit(1).count() == 0:
         raise RuntimeError(
             "dag_root_labels found no roots: every node has a parent, "
             "so the edge set is entirely cyclic — root labels are "

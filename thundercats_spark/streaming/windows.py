@@ -567,7 +567,7 @@ def stream_scd2_parquet(
     per-key day order across batches (the SCD2 append-only contract) —
     out-of-order days raise with the rebuild remedy. Returns the
     started StreamingQuery."""
-    from thundercats_spark.queries.analytics7 import (
+    from thundercats_spark.operators.scd2 import (
         scd2_state,
         scd2_update_parquet,
     )
