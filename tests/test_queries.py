@@ -82,6 +82,55 @@ def test_oracle_sql_mentions_known_tables_only():
         assert unknown <= ctes, (name, unknown - ctes)
 
 
+def test_retirement_gate():
+    """RETIREMENT POLICY enforcement (queries/__init__.py): every name
+    in _RETIRED must (a) have GREEN driver rows in >= 3 distinct rounds,
+    recounted here from the raw CORRECTNESS_r*.json artifacts — never
+    from the claim in the comment — and (b) still be registered, so
+    verify_oracle.py and the per-query pytest gates keep covering it.
+    Retirement narrows the driver's sampling, never verification."""
+    import glob
+    import json
+    import os
+
+    from thundercats_spark.queries import _RETIRED
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green_rounds: dict[str, set[str]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        data = json.load(open(path))
+        for name, row in data.items():
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+            )
+            if ok:
+                green_rounds.setdefault(name, set()).add(
+                    os.path.basename(path)
+                )
+
+    not_registered = _RETIRED - set(QUERIES)
+    assert not not_registered, (
+        f"retired entries must STAY registered: {not_registered}"
+    )
+    under_verified = {
+        n: sorted(green_rounds.get(n, set()))
+        for n in _RETIRED
+        if len(green_rounds.get(n, set())) < 3
+    }
+    assert not under_verified, (
+        f"retirement requires >= 3 green driver rounds: {under_verified}"
+    )
+    # retired entries sort at the registry tail (never re-enter the
+    # first-50 driver window)
+    names = list(QUERIES)
+    tail = set(names[-len(_RETIRED):])
+    assert tail == _RETIRED, (
+        "retired entries must occupy the registry tail",
+        _RETIRED - tail,
+    )
+
+
 # ---------------------------------------------------------------------------
 # part_affinity_lift r08 rewire pins: single fact-table scan, broadcast
 # n_baskets (no separate driver action), and the loud max_basket guard.

@@ -256,6 +256,35 @@ _VERIFIED_R08 = {
     "q3_shipping_priority",
 }
 
+# Names whose latest driver row is round 9 (CORRECTNESS_r09.json): all
+# 50 window entries were green (39 hash-match + 11 rows-only by design,
+# each returning rows), so the whole window advances to the r09 tier.
+# Generated by tools/rotation_next.py 9; judge-confirmed in VERDICT r09.
+_VERIFIED_R09 = {
+    "customer_scd2_intervals", "orders_nested_lineitems",
+    "orders_value_percentiles", "customer_balance_rank_dist",
+    "orders_balance_correlation", "orders_latest_per_customer",
+    "orders_salted_agg", "lineitem_salted_join",
+    "orders_top_per_segment", "orders_key_skew",
+    "orders_percentiles_distributed", "orders_percentiles_disc",
+    "dedup_exact", "corpus_dedup_lineage", "ngram_jaccard_pairs",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_indexed_topk", "ann_lsh_indexed", "text_token_stats",
+    "text_quality_score", "text_lang_id", "doc_fingerprint",
+    "llm_clean_pipeline", "dedup_connected_groups",
+    "doc_bigram_logprob", "doc_repetition_score", "doc_source_mix",
+    "doc_decontaminate", "corpus_split_stratified",
+    "doc_decontaminate_fuzzy", "corpus_split_leakage_safe",
+    "doc_pii_scrub", "ann_batch_topk", "corpus_token_budget",
+    "ann_batch_indexed", "ann_batch_lsh_indexed",
+    "doc_decontamination_report", "ann_lsh_quantized",
+    "corpus_packing_efficiency", "corpus_embedding_clusters",
+    "embedding_cluster_drift", "corpus_cluster_exemplars",
+    "corpus_balanced_shards", "doc_quality_outliers",
+    "corpus_token_percentiles",
+}
+
 # Oldest-first round lists; a name's effective round is the LAST list
 # containing it. Append future rounds' sets here.
 #
@@ -274,9 +303,53 @@ _VERIFIED_R08 = {
 # codecs, [T]-only operators). Any future registration beyond 150
 # requires first retiring an entry or explicitly widening the window
 # contract in this comment AND SURVEY §7 with the re-done arithmetic.
+#
+# RETIREMENT POLICY (decided r10, see SURVEY §7): an entry may retire
+# from the driver rotation — exempting it from the 3-round staleness
+# window and freeing its slot — only when ALL of:
+#   (a) it has GREEN driver rows (hash-exact, or rows-only-by-design
+#       with rows > 0) in >= 3 distinct rounds — enforced
+#       programmatically by tests/test_queries.py's retirement gate,
+#       which recounts from the raw CORRECTNESS_r*.json files;
+#   (b) its plan is frozen: no source change to the query or the
+#       operators it exercises since its last green driver row;
+#   (c) it STAYS REGISTERED — retirement only moves it to the registry
+#       tail (latest_round = +inf), so tools/verify_oracle.py still
+#       value-checks it against DuckDB every round and every pytest
+#       plan/schema gate still covers it. Retirement narrows the
+#       DRIVER's sampling, never the verification surface.
+# Retired entries are listed with the rounds that qualified them; a
+# retirement is reversed by simply removing the name from _RETIRED
+# (it re-enters the window at its historical tier).
+# Capacity arithmetic after a retirement: non-retired registry size is
+# capped at 150; per-round slack = 50 − (never-verified count) −
+# (non-retired entries whose tier is <= round−2), printed by
+# tools/rotation_next.py.
+_RETIRED = {
+    # §2.1 relational primitive wrappers (ops.py plumbing, frozen since
+    # r01/r02 — git: queries/relational.py c912ab4, physical/ops.py
+    # d5e0daf). Each hash-exact in 3 driver rounds:
+    "join_inner",       # r02 r04 r07
+    "join_left",        # r02 r04 r07
+    "join_outer",       # r02 r04 r07
+    "join_broadcast",   # r02 r04 r07
+    "join_expr",        # r02 r04 r07
+    "group_agg_map",    # r02 r04 r07
+    "group_agg_cols",   # r02 r04 r07
+    "filter_where",     # r02 r04 r07
+    "filter_na",        # r02 r04 r07
+    "filter_range",     # r02 r04 r07
+    "order_by",         # r02 r04 r07
+    "add_column",       # r02 r04 r07
+    "agg_reduce",       # r02 r04 r07
+    "agg_by_key",       # r02 r05 r08
+    "select_rename",    # r02 r05 r08
+    "text_trim",        # r02 r05 r08
+}
 _ROUNDS = [
     _VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03, _VERIFIED_R04,
     _VERIFIED_R05, _VERIFIED_R06, _VERIFIED_R07, _VERIFIED_R08,
+    _VERIFIED_R09,
 ]
 
 
@@ -297,7 +370,13 @@ def all_queries() -> dict[str, Query]:
         tpch2,
     )
 
-    def latest_round(name: str) -> int:
+    def latest_round(name: str) -> float:
+        if name in _RETIRED:
+            # Retired from the driver rotation (see RETIREMENT POLICY
+            # above): sorts after every live tier so it never re-enters
+            # the first-50 driver window; still registered, so
+            # verify_oracle.py and pytest keep checking it each round.
+            return float("inf")
         rnd = 0  # 0 = never driver-verified → head of the rotation
         for i, s in enumerate(_ROUNDS, start=1):
             if name in s:

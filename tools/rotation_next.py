@@ -61,11 +61,13 @@ def main() -> int:
 
     # slack arithmetic for the NEXT window
     sys.path.insert(0, REPO)
-    from thundercats_spark.queries import _ROUNDS, all_queries
+    from thundercats_spark.queries import _RETIRED, _ROUNDS, all_queries
 
     rounds = list(_ROUNDS) + [set(green)]
 
-    def tier(n: str) -> int:
+    def tier(n: str) -> float:
+        if n in _RETIRED:
+            return float("inf")  # exempt from the staleness window
         t = 0
         for i, s in enumerate(rounds, start=1):
             if n in s:
@@ -74,14 +76,21 @@ def main() -> int:
 
     qs = sorted(all_queries(), key=tier)
     window = qs[:50]
-    oldest_needed = [n for n in qs if 0 < tier(n) <= rnd - 2]
+    oldest_needed = [
+        n for n in qs if 0 < tier(n) <= rnd - 2 and n not in _RETIRED
+    ]
     stranded = [n for n in oldest_needed if n not in window]
     in_tier0 = sum(1 for n in window if tier(n) == 0)
-    print(f"\n# after appending: registry {len(qs)}, window 50 = "
-          f"{in_tier0} never-verified + {50 - in_tier0} oldest-tier")
+    n_live = len(qs) - len(_RETIRED & set(qs))
+    print(f"\n# after appending: registry {len(qs)} "
+          f"({n_live} live + {len(_RETIRED & set(qs))} retired), "
+          f"window 50 = {in_tier0} never-verified + "
+          f"{50 - in_tier0} oldest-tier")
     print(f"# slack for NEW registrations before any tier<= "
           f"r{rnd - 2} entry falls out: "
           f"{50 - in_tier0 - len(oldest_needed)}")
+    print(f"# live-registry capacity headroom (150 cap): "
+          f"{150 - n_live}")
     if stranded:
         print(f"# WARNING: already stranded stale: {stranded}")
         return 1
