@@ -360,3 +360,34 @@ def test_dag_root_labels_rootless_graph_raises(spark):
     )
     with pytest.raises(RuntimeError, match="no roots"):
         dag_root_labels(pure_cycle, "child", "parent")
+
+
+def test_dag_root_labels_root_unreachable_cycle_raises(spark):
+    """ADVICE r09: a cyclic SUBGRAPH unreachable from any root never
+    enters the frontier, so the loop converges normally — the old code
+    silently OMITTED those nodes while the pinned-equal twin
+    dag_reachability raised on the same input. Both operators must now
+    raise, naming the unlabelled nodes."""
+    import pytest
+
+    from thundercats_spark.operators.hierarchy import (
+        dag_reachability,
+        dag_root_labels,
+    )
+
+    # root 0 -> 1 is a healthy tree; 10 <-> 11 is an island cycle no
+    # root can reach (both have parents, so neither is a root)
+    edges = spark.createDataFrame(
+        [(1, 0), (10, 11), (11, 10)], "child long, parent long"
+    )
+    with pytest.raises(RuntimeError, match="UNREACHABLE"):
+        dag_root_labels(edges, "child", "parent")
+    with pytest.raises(RuntimeError):  # sibling contract, same input
+        dag_reachability(edges, "child", "parent", max_iters=8)
+
+    # healthy forest with multiple roots still converges cleanly
+    ok = spark.createDataFrame(
+        [(1, 0), (2, 1), (5, 4)], "child long, parent long"
+    )
+    got = {tuple(r) for r in dag_root_labels(ok, "child", "parent").collect()}
+    assert (2, 0, 2, 2) in got and (5, 4, 1, 1) in got

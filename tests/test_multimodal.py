@@ -807,3 +807,96 @@ def test_jpeg_fill_bytes_and_pil_routing():
     finally:
         del sys.modules["PIL"]
         del sys.modules["PIL.Image"]
+
+
+def test_resize_compressed_routes_to_imaging_lib():
+    """ADVICE r09 (medium): resize_images must mirror _decoder's
+    routing — when Pillow is importable, JPEG resize goes through
+    PIL's decode + Image.resize + save in the ORIGINAL format (never
+    the per-bit Python Huffman loop, never a fixed-table re-quantize);
+    lib-less environments keep the stdlib baseline-JPEG pair."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from thundercats_spark.multimodal.binary import _compressed_resizer
+    from thundercats_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    if "PIL" in sys.modules:
+        import pytest
+
+        pytest.skip("real Pillow present; fake-module routing untestable")
+
+    sw, sh, w, h = 24, 16, 8, 4
+    g = np.clip(
+        np.arange(sw)[None, :] * 7.0 + np.arange(sh)[:, None] * 3.0, 0, 255
+    )
+    payload = encode_jpeg(sw, sh, g, channels=1)
+
+    def nn(vec, src_w, src_h, ch):
+        arr = vec.reshape(src_h, src_w, ch)
+        ys = np.minimum(np.arange(h) * src_h // h, src_h - 1)
+        xs = np.minimum(np.arange(w) * src_w // w, src_w - 1)
+        return arr[ys][:, xs]
+
+    # (a) lib-less branch: stdlib pair, output re-decodes at target dims
+    resize, via_lib = _compressed_resizer(w, h, nn)
+    assert via_lib is False
+    out = resize(payload)
+    got = decode_jpeg(out)
+    assert got is not None and got[:2] == (w, h)
+    assert resize(b"not an image") is None  # stub takes undecodables
+
+    # (b) fake Pillow: the lib is chosen, resize+save called, original
+    # format preserved, and the stdlib encoder NEVER runs
+    calls = {}
+
+    class _FakeResized:
+        def save(self, buf, format=None):
+            calls["save_format"] = format
+            buf.write(b"LIBJPEG-OUTPUT")
+
+    class _FakeImage:
+        format = "JPEG"
+
+        def resize(self, size):
+            calls["resize"] = size
+            return _FakeResized()
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda bio: _FakeImage()
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    sys.modules["PIL"] = pil_mod
+    sys.modules["PIL.Image"] = image_mod
+    try:
+        resize, via_lib = _compressed_resizer(w, h, nn)
+        assert via_lib is True
+        assert resize(payload) == b"LIBJPEG-OUTPUT"
+        assert calls == {"resize": (w, h), "save_format": "JPEG"}
+        # a payload the lib cannot open falls to the caller's stub
+        image_mod.open = lambda bio: (_ for _ in ()).throw(OSError("bad"))
+        resize, _ = _compressed_resizer(w, h, nn)
+        assert resize(b"garbage") is None
+    finally:
+        del sys.modules["PIL"]
+        del sys.modules["PIL.Image"]
+
+
+def test_encode_jpeg_validates_quant_range():
+    """ADVICE r09: quant=0 divides by zero in the block encoder and
+    quant>255 wraps in the uint8 DQT write (stored table != table used
+    to quantize) — both must raise, and the bounds themselves encode."""
+    import numpy as np
+    import pytest
+
+    from thundercats_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    g = _gradient(16, 8)
+    for bad in (0, -1, 256, 1000):
+        with pytest.raises(ValueError, match="quant"):
+            encode_jpeg(16, 8, g, channels=1, quant=bad)
+    for edge in (1, 255):
+        got = decode_jpeg(encode_jpeg(16, 8, g, channels=1, quant=edge))
+        assert got is not None and got[:2] == (16, 8)

@@ -998,3 +998,43 @@ def test_stream_scd2_parquet_maintains_interval_table(spark, tmp_path):
         ).collect()
     }
     assert snap == {1: "A", 2: "B"}  # key 3 born on day 15
+
+
+def test_run_available_now_progress_cap_raised_and_conf_restored(
+    spark, tmp_path
+):
+    """ADVICE r09: recentProgress is a ring buffer capped by
+    spark.sql.streaming.numRecentProgressUpdates (default 100), so a
+    >100-batch run would silently undercount data_batches and defeat
+    the require_single_batch tripwire. run_available_now_to_memory now
+    raises the cap to 10,000 for the query's lifetime and restores the
+    caller's setting (or unset state) afterwards — pinned both ways."""
+    from thundercats_spark.streaming.windows import (
+        run_available_now_to_memory,
+    )
+
+    cap_key = "spark.sql.streaming.numRecentProgressUpdates"
+    base = datetime(2024, 1, 1)
+    _write_events(
+        spark,
+        str(tmp_path / "ev"),
+        [(1, base, 1.0), (2, base + timedelta(minutes=1), 2.0)],
+    )
+    stream = _file_stream(spark, str(tmp_path / "ev"))
+
+    spark.conf.set(cap_key, "123")
+    try:
+        stats = {}
+        out = run_available_now_to_memory(
+            stream.select("user_id", "value"), "append", stats=stats
+        )
+        assert out.count() == 2 and stats["data_batches"] >= 1
+        assert spark.conf.get(cap_key) == "123"  # caller's value restored
+    finally:
+        spark.conf.unset(cap_key)
+
+    out = run_available_now_to_memory(
+        stream.select("user_id", "value"), "append"
+    )
+    assert out.count() == 2
+    assert spark.conf.get(cap_key, None) is None  # unset state restored

@@ -628,22 +628,68 @@ def encode_bmp(w: int, h: int, rgb: np.ndarray) -> bytes:
     return hdr + dib + body
 
 
+def _compressed_resizer(width: int, height: int, nn):
+    """Choose the compressed-format resize path, mirroring _decoder's
+    routing rule (ADVICE r09): PIL when importable (libjpeg/libpng
+    decode + Image.resize + save in the ORIGINAL format — the per-bit
+    Python JPEG loop must never shadow libjpeg on the hot path), else
+    the stdlib baseline-JPEG decode/encode pair as the lib-less
+    correctness fallback. Returns (resize_fn, uses_imaging_lib);
+    resize_fn returns None for payloads neither path can decode (the
+    caller's stub takes those). ``nn`` is the caller's
+    nearest-neighbor resampler (vec, src_w, src_h, channels) → array."""
+    from thundercats_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    try:  # pragma: no cover - lib absent in this container
+        import io as _io
+
+        from PIL import Image
+
+        def resize_via_lib(data: bytes):
+            # one corrupt payload falls to the stub, not a task kill
+            try:
+                im = Image.open(_io.BytesIO(data))
+                fmt = im.format or "PNG"
+                out = _io.BytesIO()
+                im.resize((width, height)).save(out, format=fmt)
+                return out.getvalue()
+            except Exception:
+                return None
+
+        return resize_via_lib, True
+    except ImportError:
+        def resize_stdlib_jpeg(data: bytes):
+            jpg = decode_jpeg(data)
+            if jpg is None:
+                return None
+            sw, sh, _, vec = jpg
+            ch = len(vec) // (sw * sh)
+            return encode_jpeg(
+                width, height, nn(vec, sw, sh, ch),
+                channels=ch, quant=2,
+            )
+
+        return resize_stdlib_jpeg, False
+
+
 def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) -> DataFrame:
     """payload → resized payload with updated meta dims, one mapInPandas
     pass. Formats with a no-lib decode AND encode twin resize for REAL,
     staying in their own codec — BMP→BMP, 8-bit PNG→PNG (channel count
     preserved, incl. palette images which re-encode as their expanded
-    RGB/RGBA truth), baseline JPEG→JPEG (gray/RGB, quant 2 re-encode):
-    decode → nearest-neighbor numpy resample → same-codec re-encode.
-    Remaining formats use the STUB resample (deterministic byte
-    decimation to the target pixel budget) until a codec lib is present
-    — the PIL branch swaps in real resampling with no contract change.
-    Payload size is bounded by the target dims, so downstream shuffles
-    shrink accordingly."""
+    RGB/RGBA truth): decode → nearest-neighbor numpy resample →
+    same-codec re-encode. Compressed formats follow the _decoder-chain
+    rule (ADVICE r09): when Pillow is importable they route through
+    PIL (Image.open → resize → save in the ORIGINAL format, libjpeg's
+    own quantization — never the per-bit Python Huffman loop, never a
+    fixed-table re-quantize); lib-less environments fall back to the
+    stdlib baseline-JPEG decode/encode pair (gray/RGB, quant 2
+    re-encode) as the correctness path. Anything still undecodable
+    uses the STUB resample (deterministic byte decimation to the
+    target pixel budget). Payload size is bounded by the target dims,
+    so downstream shuffles shrink accordingly."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from thundercats_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
-
         budget = max(1, width * height)
 
         def nn(vec, sw, sh, ch):
@@ -651,6 +697,8 @@ def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) 
             ys = np.minimum(np.arange(height) * sh // height, sh - 1)
             xs = np.minimum(np.arange(width) * sw // width, sw - 1)
             return arr[ys][:, xs]
+
+        resize_compressed, _ = _compressed_resizer(width, height, nn)
 
         for pdf in batches:
             rows = []
@@ -675,18 +723,11 @@ def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) 
                     )
                     rows.append((mid, out, (width, height, dur, codec)))
                     continue
-                jpg = decode_jpeg(data)
-                if jpg is not None:  # REAL path, JPEG → JPEG
-                    sw, sh, _, vec = jpg
-                    ch = len(vec) // (sw * sh)
-                    out = encode_jpeg(
-                        width, height, nn(vec, sw, sh, ch),
-                        channels=ch, quant=2,
-                    )
+                out = resize_compressed(data)
+                if out is not None:  # REAL path: PIL, or stdlib JPEG pair
                     rows.append((mid, out, (width, height, dur, codec)))
                     continue
-                # STUB: decimate/repeat bytes to the pixel budget. Real
-                # builds decode + Image.resize((width, height)) here.
+                # STUB: decimate/repeat bytes to the pixel budget.
                 step = max(1, len(data) // budget)
                 out = data[::step][:budget]
                 rows.append((mid, out, (width, height, dur, codec)))

@@ -440,6 +440,12 @@ def encode_jpeg(
     so the decoder's restart path can be exercised."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if not 1 <= int(quant) <= 255:
+        # quant=0 divides by zero in _encode_block (NaN/inf
+        # coefficients); quant>255 wraps in the uint8 DQT write, so the
+        # file's STORED table would mismatch the table used to
+        # quantize, silently corrupting every decoded pixel (ADVICE r09)
+        raise ValueError(f"quant must be in [1, 255], got {quant!r}")
     sh, sv = subsampling
     if channels == 1:
         sh = sv = 1

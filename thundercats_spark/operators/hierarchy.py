@@ -414,8 +414,11 @@ def dag_root_labels(
     category graphs: depth tens, closure huge); choose
     ``dag_reachability`` for deep, narrow graphs (depth thousands,
     closure modest). ``max_iters`` bounds the walk at the longest path
-    length — a CYCLE keeps stretching max_depth forever and hits the
-    tripwire.
+    length — a root-REACHABLE cycle keeps stretching max_depth forever
+    and hits that tripwire; a cycle UNREACHABLE from any root never
+    enters the frontier, so a post-convergence check raises naming the
+    unlabelled nodes (matching dag_reachability's loud contract on the
+    same input).
 
     Per round: changed labels flow parent→child along the edge set
     (one equi-join), merge into the label table by (node, root)
@@ -494,6 +497,25 @@ def dag_root_labels(
     if stats is not None:
         stats["iterations"] = iterations
         stats["changed_per_iteration"] = changes
+    # A cycle UNREACHABLE from any root never enters the frontier, so
+    # the loop converges normally with those nodes unlabelled — the
+    # silent twin of the max_iters tripwire above, and a contract
+    # drift from dag_reachability, which raises on the same input
+    # (ADVICE r09). Bounded driver cost: one left_anti + limit(21).
+    unlabelled = (
+        e.select("node").distinct()
+        .join(labels.select("node").distinct(), "node", "left_anti")
+    )
+    sample = [r["node"] for r in unlabelled.limit(21).collect()]
+    if sample:
+        shown = ", ".join(repr(s) for s in sample[:20])
+        raise RuntimeError(
+            "dag_root_labels converged with root-UNREACHABLE nodes (a "
+            "cyclic subgraph no root can reach): "
+            f"[{shown}{', ...' if len(sample) > 20 else ''}] — root "
+            "labels are undefined for these nodes (dag_reachability "
+            "raises on the same input)"
+        )
     return labels.select(
         "node",
         F.col("root").alias("root_key"),

@@ -223,25 +223,48 @@ def run_available_now_to_memory(
     ``total_batches`` from the query progress, so multi-batch
     equivalence tests can PROVE the delivery was actually split
     (tests/test_streaming.py) rather than trusting maxFilesPerTrigger
-    took effect."""
+    took effect. ``recentProgress`` retains only the most recent
+    ``spark.sql.streaming.numRecentProgressUpdates`` entries (default
+    100 — ADVICE r09: a >100-batch run would undercount and defeat the
+    single-batch tripwire), so the cap is raised to 10,000 for the
+    query's lifetime and the count raises loudly if the buffer still
+    saturates rather than report a floor as a fact."""
     import uuid
 
+    spark = df.sparkSession
+    cap_key = "spark.sql.streaming.numRecentProgressUpdates"
+    progress_cap = 10_000
+    old_cap = spark.conf.get(cap_key, None)
+    spark.conf.set(cap_key, str(progress_cap))
     name = f"stq_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_cap is None:
+            spark.conf.unset(cap_key)
+        else:
+            spark.conf.set(cap_key, old_cap)
+    progress = q.recentProgress
+    if len(progress) >= progress_cap:
+        raise RuntimeError(
+            f"streaming query produced >= {progress_cap} progress "
+            "updates — recentProgress is a ring buffer, so batch "
+            "counts would be an undercount floor, not a fact; raise "
+            f"{cap_key} for this run or split the drive"
+        )
     data_batches = sum(
-        1 for p in q.recentProgress if p.get("numInputRows", 0) > 0
+        1 for p in progress if p.get("numInputRows", 0) > 0
     )
     if stats is not None:
         stats["data_batches"] = data_batches
-        stats["total_batches"] = len(q.recentProgress)
-    spark = df.sparkSession
+        stats["total_batches"] = len(progress)
     try:
         if require_single_batch and data_batches > 1:
             raise RuntimeError(
