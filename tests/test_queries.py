@@ -634,6 +634,61 @@ def test_scd2_plan_one_data_exchange(spark, sf_dir):
         assert n_range <= 1, f"{name}: {n_range} range exchanges"
 
 
+def test_scd2_sort_escape_hatch_drops_range_exchange(spark, tmp_path):
+    """VERDICT r09 nit: the persisted path pays scd2_intervals' trailing
+    presentation orderBy as a full range sort the swap-published parquet
+    doesn't need. sort=False plans with ZERO range exchanges (pinned),
+    scd2_update_parquet's first build uses it (content identical to the
+    sorted build up to row order), and the registered query keeps its
+    deterministic order (default sort=True still range-sorts)."""
+    from datetime import datetime
+
+    from thundercats_spark.operators.scd2 import (
+        scd2_intervals,
+        scd2_update_parquet,
+    )
+
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")  # noqa: E731
+    obs = [
+        (1, 10, d("2024-01-01"), "A"),
+        (1, 11, d("2024-03-01"), "B"),
+        (2, 20, d("2024-02-01"), "C"),
+        (2, 21, d("2024-04-01"), "C"),
+    ]
+    df = spark.createDataFrame(
+        obs, "k long, ok long, ts timestamp, attr string"
+    )
+
+    def plan_of(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    unsorted = scd2_intervals(
+        df, key="k", ts="ts", attr="attr", tiebreak="ok",
+        with_last_seen=True, sort=False,
+    )
+    assert plan_of(unsorted).count("Exchange rangepartitioning") == 0
+    sorted_ = scd2_intervals(
+        df, key="k", ts="ts", attr="attr", tiebreak="ok",
+        with_last_seen=True,
+    )
+    assert plan_of(sorted_).count("Exchange rangepartitioning") >= 1
+
+    # content identical up to row order
+    assert {tuple(r) for r in unsorted.collect()} == {
+        tuple(r) for r in sorted_.collect()
+    }
+
+    # the persisted first build goes through the sort-free plan and
+    # round-trips the same content
+    path = str(tmp_path / "scd2_table")
+    scd2_update_parquet(
+        spark, df, path, key="k", ts="ts", attr="attr", tiebreak="ok"
+    )
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == {
+        tuple(r) for r in sorted_.collect()
+    }
+
+
 def test_scd2_null_observation_raises_in_plan(spark):
     """Review r09: a NULL attr/ts/key/tiebreak observation must raise
     (in-plan, the part_affinity_lift pattern) — previously a NULL attr

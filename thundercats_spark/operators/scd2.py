@@ -95,6 +95,7 @@ def scd2_intervals(
     tiebreak: str,
     open_end: str = "9999-12-31",
     with_last_seen: bool = False,
+    sort: bool = True,
 ):
     """Gaps-and-islands SCD2 build over an observation stream: one row
     per maximal run of constant `attr` per `key`, with
@@ -103,6 +104,14 @@ def scd2_intervals(
     ``last_seen`` column (the run's latest observation day) — required
     by ``scd2_apply_batch``'s late-data guard; the default keeps the
     registered oracle shape.
+
+    ``sort=False`` skips the trailing presentation ``orderBy(key,
+    seg_id)`` — a full range sort that deterministic consumers (the
+    registered query, reports) want but PERSISTED paths don't: the
+    atomic-swap parquet write needs no order, so
+    ``scd2_update_parquet``'s first build passes ``sort=False`` and
+    its write plan carries no range exchange (VERDICT r09 nit,
+    plan-pinned in tests).
 
     Scale posture: every window partitions on `key` — millions of small
     per-customer partitions, never a global sort partition (the
@@ -128,7 +137,8 @@ def scd2_intervals(
     ]
     if with_last_seen:
         cols.append(F.date_format("ls", "yyyy-MM-dd").alias("last_seen"))
-    return seg.select(*cols).orderBy(key, "seg_id")
+    out = seg.select(*cols)
+    return out.orderBy(key, "seg_id") if sort else out
 
 
 def scd2_as_of(intervals, at: str, key: str = "o_custkey"):
@@ -340,9 +350,11 @@ def scd2_update_parquet(
             open_end=open_end,
         )
     else:
+        # sort=False: the swap-published parquet needs no order, so the
+        # first build skips scd2_intervals' presentation range sort
         updated = scd2_intervals(
             batch, key=key, ts=ts, attr=attr, tiebreak=tiebreak,
-            open_end=open_end, with_last_seen=True,
+            open_end=open_end, with_last_seen=True, sort=False,
         )
     staging = path + ".staging"
     updated.write.mode("overwrite").parquet(staging)
