@@ -38,11 +38,22 @@ WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
 def run_consumers(d, pairs):
+    # r10 (VERDICT r09 #2): the A/B now spans all THREE pair consumers
+    # — dedup grouping, the leakage-safe split, and the cluster-size
+    # histogram QA report (examples/shared_pairs_session.py is the
+    # documented composition).
     comp = connected_components(pairs).orderBy("id")
     n_comp = comp.count()
     split = corpus_split_leakage_safe(d, pairs, WEIGHTS, "doc_id")
     n_split = split.count()
-    return n_comp, n_split, comp, split
+    hist = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+    n_hist = tuple(sorted(tuple(r) for r in hist.collect()))
+    return (n_comp, n_split, n_hist), comp, split
 
 
 def main():
@@ -59,7 +70,7 @@ def main():
     # A: independent — each consumer mines its own pairs (the registry
     # shape; lazy plans mean the mining executes inside each consumer)
     t0 = time.time()
-    na = run_consumers(d, mine())[:2]
+    na = run_consumers(d, mine())[0]
     t_sep_1 = time.time() - t0
     t0 = time.time()
     # second independent rep for a median-ish read
@@ -67,10 +78,10 @@ def main():
     t_sep_2 = time.time() - t0
     independent = round(min(t_sep_1, t_sep_2), 2)
 
-    # B: shared — mine ONCE, checkpoint, feed both consumers
+    # B: shared — mine ONCE, checkpoint, feed all three consumers
     t0 = time.time()
     pairs = mine().localCheckpoint(eager=True)
-    nb = run_consumers(d, pairs)[:2]
+    nb = run_consumers(d, pairs)[0]
     shared = round(time.time() - t0, 2)
 
     assert na == nb, (na, nb)
@@ -90,9 +101,12 @@ def main():
         "shared_pairs_secs": shared,
         "speedup": round(independent / shared, 2) if shared else None,
         "note": (
-            "mine ngram-Jaccard pairs once + localCheckpoint, feed both "
-            "CC consumers; registry queries stay self-contained by the "
-            "driver's contract — this is the session composition pattern"
+            "mine ngram-Jaccard pairs once + localCheckpoint, feed all "
+            "THREE consumers (dedup groups, leakage-safe split, "
+            "cluster-size histogram); registry queries stay "
+            "self-contained by the driver's contract — "
+            "examples/shared_pairs_session.py is the documented "
+            "session composition"
         ),
     }
     data = {}
