@@ -381,17 +381,17 @@ def _decoder(strict: bool = False):
                 return got
             if strict:
                 raise NotImplementedError(
-                    "compressed image decode (progressive/arithmetic/"
+                    "compressed image decode (arithmetic-coded/lossless/"
                     "12-bit JPEG / 16-bit or interlaced PNG / ...) "
                     "requires Pillow (the PIL package), which is not "
                     "importable in this environment — install pillow, "
                     "or call with strict=False to accept the "
                     "deterministic stub features for these formats "
-                    "(baseline JPEG and 8-bit PNG decode for REAL "
-                    "without Pillow)"
+                    "(baseline AND progressive JPEG and 8-bit PNG "
+                    "decode for REAL without Pillow)"
                 )
             # STUB for the remaining compressed formats only
-            # (progressive/arithmetic/12-bit JPEG / 16-bit or
+            # (arithmetic-coded/lossless/12-bit JPEG / 16-bit or
             # interlaced PNG / ...):
             # deterministic pseudo-decode from payload bytes. Real
             # pipelines get these via the PIL branch above; everything

@@ -1,13 +1,17 @@
-"""Pure-stdlib baseline JPEG codec (decode + encode twin for tests).
+"""Pure-stdlib JPEG codec — BOTH DCT modes (decode + encode twins).
 
-Closes the dominant real-world gap in the no-lib decoder chain
-(multimodal/binary.py): sequential-DCT, 8-bit, Huffman-coded baseline
-JPEG (SOF0/SOF1) decodes for REAL here — marker walk, DQT/DHT/DRI/SOS
-parsing, canonical-Huffman entropy decode with byte-unstuffing and
-restart markers, dequantize + IDCT, chroma upsample, JFIF YCbCr→RGB.
-Progressive (SOF2), arithmetic-coded, hierarchical, and 12-bit variants
-return None and fall through to the PIL-or-stub branch exactly like the
-PNG decoder's 16-bit/interlaced gaps.
+Closes the two dominant real-world gaps in the no-lib decoder chain
+(multimodal/binary.py): 8-bit Huffman JPEG in BOTH its sequential
+(SOF0/SOF1 baseline) and PROGRESSIVE (SOF2) forms decodes for REAL
+here — marker walk, DQT/DHT/DRI/SOS parsing, canonical-Huffman entropy
+decode with byte-unstuffing and restart markers, dequantize + IDCT,
+chroma upsample, JFIF YCbCr→RGB; progressive adds multi-scan
+coefficient accumulation per ITU T.81 annex G (spectral-selection
+bands, successive-approximation DC/AC first + refinement scans, EOBn
+run coding, refinement correction bits). Arithmetic-coded, lossless,
+hierarchical, and 12-bit variants return None and fall through to the
+PIL-or-stub branch exactly like the PNG decoder's 16-bit/interlaced
+gaps.
 
 This is the CORRECTNESS path, not the throughput path (the per-bit
 Huffman loop is Python): when Pillow is importable the `_decoder` chain
@@ -173,11 +177,14 @@ def _decode_block(br, dc_tab, ac_tab, qt, pred: int):
 
 
 def decode_jpeg(data: bytes):
-    """REAL decoder for baseline JPEG (sequential DCT, 8-bit, Huffman;
+    """REAL decoder for 8-bit Huffman JPEG — BOTH DCT modes: baseline /
+    extended sequential (SOF0/SOF1) and PROGRESSIVE (SOF2, spectral
+    selection + successive approximation, per ITU T.81 annex G) —
     grayscale or YCbCr with 1-2x sampling factors, restart markers,
-    0xFF00 stuffing). Returns (width, height, 'JPEG', float32 pixels,
-    raw 0-255 — the chain's shared scale convention) or None for
-    non-JPEG / progressive / arithmetic / 12-bit payloads."""
+    0xFF00 stuffing, fill bytes. Returns (width, height, 'JPEG',
+    float32 pixels, raw 0-255 — the chain's shared scale convention)
+    or None for non-JPEG / arithmetic-coded / lossless / hierarchical /
+    12-bit payloads."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
     try:
@@ -191,26 +198,33 @@ def _decode_jpeg_inner(data: bytes):
     htabs: dict[tuple[int, int], dict] = {}
     restart_interval = 0
     frame = None
+    progressive = False
+    coefs = None  # progressive: per-component zigzag coefficient store
+    scans_done = 0
     pos = 2
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise _Corrupt("expected marker")
         # ITU T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
         # marker — skip them (review r09: a conforming file with one
         # fill byte before SOS decoded as None and fell to the stub)
-        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
         marker = data[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before any scan
-            return None
+        if marker == 0xD9:  # EOI
+            if progressive and scans_done:
+                return _reconstruct_progressive(frame, coefs, qtabs)
+            return None  # EOI before any (baseline) scan
+        if pos + 4 > len(data):
+            raise _Corrupt("truncated marker segment")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         seg = data[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:
             raise _Corrupt("truncated segment")
-        if marker in (0xC0, 0xC1):  # baseline / extended-sequential
+        if marker in (0xC0, 0xC1, 0xC2):  # sequential or progressive
             precision, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
             if precision != 8 or nf not in (1, 3) or w == 0 or h == 0:
                 return None
@@ -221,9 +235,19 @@ def _decode_jpeg_inner(data: bytes):
             if nf == 1:  # sampling factors are moot for one component
                 comps[0][1] = comps[0][2] = 1
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coefs = [
+                    np.zeros((mcuy * vc, mcux * hc, 64), dtype=np.int64)
+                    for _, hc, vc, _ in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / lossless / arithmetic — gated
+            return None  # lossless / arithmetic / hierarchical — gated
         elif marker == 0xC4:  # DHT, possibly several tables
             off = 0
             while off < len(seg):
@@ -255,12 +279,247 @@ def _decode_jpeg_inner(data: bytes):
             for i in range(ns):
                 cs, td_ta = struct.unpack_from(">BB", seg, 1 + 2 * i)
                 scan[cs] = (td_ta >> 4, td_ta & 0x0F)
-            return _decode_scan(
-                data, pos + 2 + seglen, frame, scan, qtabs, htabs,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + 2 + seglen, frame, scan, qtabs, htabs,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                data, pos + 2 + seglen, frame, scan,
+                ss, se, ah_al >> 4, ah_al & 0x0F,
+                htabs, restart_interval, coefs,
             )
+            scans_done += 1
+            continue
         pos += 2 + seglen
+    if progressive and scans_done:
+        # tolerate a missing EOI — every scan decoded cleanly
+        return _reconstruct_progressive(frame, coefs, qtabs)
     raise _Corrupt("no SOS marker")
+
+
+# ---------------------------------------------------------------------------
+# Progressive mode (ITU T.81 annex G): each scan delivers a spectral
+# band (Ss..Se, zigzag order) of one-or-all components at a successive-
+# approximation precision (Ah → Al); coefficients accumulate in integer
+# zigzag-order stores and ONE dequantize+IDCT pass runs at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _comp_blocks(w, h, hc, vc, hmax, vmax):
+    """A component's OWN block-grid dims (non-interleaved scan raster):
+    ceil(ceil(dim * sampling / max_sampling) / 8) per axis."""
+    cw = -(-(w * hc) // hmax)
+    ch = -(-(h * vc) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_dc_prog(br, block, dc_tab, pred, ah, al):
+    """DC scan contribution for one data unit → new predictor."""
+    if ah == 0:  # first DC scan: diff-coded, scaled by 2^Al
+        t = _huff_decode(br, dc_tab)
+        if t > 11:
+            raise _Corrupt("DC category > 11")
+        pred += _extend(br.bits(t), t) if t else 0
+        block[0] = pred << al
+    else:  # refinement: one bit appends precision at position Al
+        if br.bit():
+            block[0] |= 1 << al
+    return pred
+
+
+def _decode_ac_first(br, block, ac_tab, ss, se, al, eobrun):
+    """First AC scan for one data unit (Ah == 0): run/size coding plus
+    progressive EOBn run symbols; values enter scaled by 2^Al."""
+    if eobrun > 0:
+        return eobrun - 1  # this block is inside an end-of-band run
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r + extra blocks ends here
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise _Corrupt("AC index past band end")
+        block[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(br, block, ac_tab, ss, se, al, eobrun):
+    """AC refinement scan for one data unit (Ah > 0): newly-nonzero
+    coefficients arrive as ±2^Al; already-nonzero coefficients receive
+    one correction bit each as the scan passes over them."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k):
+        # correction bit for a history-nonzero coefficient
+        if br.bit() and not (block[k] & p1):
+            block[k] += p1 if block[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s:
+                if s != 1:
+                    raise _Corrupt("refinement magnitude != 1")
+                val = p1 if br.bit() else m1
+            else:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            while k <= se:
+                if block[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # refine the nonzeros in the rest of the band
+            if block[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(data, pos, frame, scan, ss, se, ah, al, htabs,
+                      restart_interval, coefs):
+    """Decode one progressive scan into the coefficient stores; returns
+    the position of the next marker after the entropy data."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    members = [
+        (ci, c) for ci, c in enumerate(comps) if c[0] in scan
+    ]
+    if not members or len(members) != len(scan):
+        raise _Corrupt("scan references unknown component")
+    br = _BitReader(data, pos)
+    rst = 0
+
+    if ss == 0:  # DC scan (se must be 0 per spec)
+        if se != 0:
+            raise _Corrupt("DC scan with Se != 0")
+        dc_tabs = {}
+        preds = {}
+        for ci, c in members:
+            if ah == 0:
+                dc_tabs[ci] = htabs[(0, scan[c[0]][0])]
+            preds[ci] = 0
+        if len(members) > 1:  # interleaved over the MCU grid
+            units = []  # (ci, block row, block col) per MCU template
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci, (_, hc, vc, _) in members:
+                    for by in range(vc):
+                        for bx in range(hc):
+                            units.append(
+                                (ci, my * vc + by, mx * hc + bx)
+                            )
+            per_mcu = len(units) // (mcux * mcuy)
+            for m in range(mcux * mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    br.align_and_expect_rst(rst)
+                    rst = (rst + 1) & 7
+                    preds = {ci: 0 for ci, _ in members}
+                for ci, by, bx in units[m * per_mcu : (m + 1) * per_mcu]:
+                    preds[ci] = _decode_dc_prog(
+                        br, coefs[ci][by, bx],
+                        dc_tabs.get(ci), preds[ci], ah, al,
+                    )
+        else:  # single component: non-interleaved block raster
+            ci, (_, hc, vc, _) = members[0]
+            bw_c, bh_c = _comp_blocks(w, h, hc, vc, hmax, vmax)
+            n_units = bw_c * bh_c
+            for m in range(n_units):
+                if restart_interval and m and m % restart_interval == 0:
+                    br.align_and_expect_rst(rst)
+                    rst = (rst + 1) & 7
+                    preds[ci] = 0
+                by, bx = divmod(m, bw_c)
+                preds[ci] = _decode_dc_prog(
+                    br, coefs[ci][by, bx], dc_tabs.get(ci), preds[ci],
+                    ah, al,
+                )
+    else:  # AC scan: always single-component, non-interleaved
+        if len(members) != 1:
+            raise _Corrupt("interleaved AC scan")
+        if se > 63 or ss > se:
+            raise _Corrupt("bad spectral band")
+        ci, (cid, hc, vc, _) = members[0]
+        ac_tab = htabs[(1, scan[cid][1])]
+        bw_c, bh_c = _comp_blocks(w, h, hc, vc, hmax, vmax)
+        decode_unit = _decode_ac_refine if ah else _decode_ac_first
+        eobrun = 0
+        for m in range(bw_c * bh_c):
+            if restart_interval and m and m % restart_interval == 0:
+                if eobrun:
+                    raise _Corrupt("EOB run crosses a restart interval")
+                br.align_and_expect_rst(rst)
+                rst = (rst + 1) & 7
+            by, bx = divmod(m, bw_c)
+            eobrun = decode_unit(
+                br, coefs[ci][by, bx], ac_tab, ss, se, al, eobrun
+            )
+
+    # entropy data ends here; advance to the next true marker (skipping
+    # stuffed 0xFF00 pairs and any trailing partial byte)
+    p = br.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] != 0x00
+    ):
+        p += 1
+    return p
+
+
+def _reconstruct_progressive(frame, coefs, qtabs):
+    """One dequantize + IDCT pass over the accumulated coefficient
+    stores, then the shared upsample/colour tail."""
+    w, h, comps = frame
+    planes = []
+    for (cid, hc, vc, tq), zz in zip(comps, coefs):
+        qt = qtabs[tq]  # natural order
+        nat = np.zeros(zz.shape, dtype=np.float64)
+        nat[..., _ZIGZAG] = zz
+        nat *= qt
+        by, bx = zz.shape[:2]
+        # per-block 8x8 matmuls with the EXACT baseline expression
+        # `_T.T @ c @ _T`: batched matmul/einsum pick different BLAS
+        # kernels whose summation order flips rint ties at the .5
+        # boundary — pinned: a progressive file decodes BIT-identically
+        # to the baseline encoding of the same pixels. Cost is noise
+        # next to the per-bit Python Huffman loop that fed it.
+        plane = np.empty((by * 8, bx * 8), dtype=np.float64)
+        nat4 = nat.reshape(by, bx, 8, 8)
+        for iy in range(by):
+            for ix in range(bx):
+                plane[iy * 8 : iy * 8 + 8, ix * 8 : ix * 8 + 8] = (
+                    _T.T @ nat4[iy, ix] @ _T
+                )
+        planes.append(plane)
+    return _assemble(frame, planes)
 
 
 def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
@@ -302,7 +561,15 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
                     y0 = (my * vc + by) * 8
                     x0 = (mx * hc + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-    # level shift, upsample to full resolution, crop
+    return _assemble(frame, planes)
+
+
+def _assemble(frame, planes):
+    """Shared tail for both DCT modes: level shift, upsample each
+    component to full resolution, crop, JFIF YCbCr→RGB."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for (cid, hc, vc, tq), plane in zip(comps, planes):
         p = plane + 128.0
@@ -423,25 +690,14 @@ def _pad_to_blocks(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
     return np.pad(plane, ((0, bh - h), (0, bw_ - w)), mode="edge")
 
 
-def encode_jpeg(
-    w: int,
-    h: int,
-    pixels: np.ndarray,
-    channels: int = 3,
-    subsampling: tuple[int, int] = (1, 1),
-    quant: int = 1,
-    restart_interval: int = 0,
-) -> bytes:
-    """Minimal baseline JPEG writer — the encode twin of
-    ``decode_jpeg`` for round-trip tests and synthetic corpora.
-    ``subsampling=(2, 2)`` boxes chroma 4:2:0; ``quant`` fills both
-    quant tables uniformly (1 = near-lossless, only DCT float +
-    rounding loss); ``restart_interval`` > 0 emits DRI + RSTn markers
-    so the decoder's restart path can be exercised."""
+def _prep_planes(w, h, pixels, channels, subsampling, quant):
+    """Shared encoder front end (both DCT modes): validate, RGB→YCbCr,
+    chroma subsample, pad every plane to whole MCUs. Returns
+    (samps, qids, padded_planes, mcux, mcuy)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
     if not 1 <= int(quant) <= 255:
-        # quant=0 divides by zero in _encode_block (NaN/inf
+        # quant=0 divides by zero in the block quantizer (NaN/inf
         # coefficients); quant>255 wraps in the uint8 DQT write, so the
         # file's STORED table would mismatch the table used to
         # quantize, silently corrupting every decoded pixel (ADVICE r09)
@@ -469,15 +725,36 @@ def encode_jpeg(
         planes = [arr[..., 0]]
         samps = [(1, 1)]
         qids = [0]
-
-    qt = np.full(64, float(quant))
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    padded = []
-    for (hc, vc), plane in zip(samps, planes):
-        padded.append(_pad_to_blocks(plane, mcuy * vc * 8, mcux * hc * 8))
+    padded = [
+        _pad_to_blocks(plane, mcuy * vc * 8, mcux * hc * 8)
+        for (hc, vc), plane in zip(samps, planes)
+    ]
+    return samps, qids, padded, mcux, mcuy
+
+
+def encode_jpeg(
+    w: int,
+    h: int,
+    pixels: np.ndarray,
+    channels: int = 3,
+    subsampling: tuple[int, int] = (1, 1),
+    quant: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline JPEG writer — the encode twin of
+    ``decode_jpeg`` for round-trip tests and synthetic corpora.
+    ``subsampling=(2, 2)`` boxes chroma 4:2:0; ``quant`` fills both
+    quant tables uniformly (1 = near-lossless, only DCT float +
+    rounding loss); ``restart_interval`` > 0 emits DRI + RSTn markers
+    so the decoder's restart path can be exercised."""
+    samps, qids, padded, mcux, mcuy = _prep_planes(
+        w, h, pixels, channels, subsampling, quant
+    )
+    qt = np.full(64, float(quant))
 
     out = bytearray(b"\xff\xd8")
 
@@ -537,5 +814,284 @@ def encode_jpeg(
                     )
     bw.flush()
     out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encode twin (ITU T.81 annex G writer): spectral-selection
+# bands + successive approximation, EOBn run coding, refinement
+# correction-bit buffering — so the progressive DECODER is pinned by
+# round-trips against ground-truth pixels with no reference binaries,
+# exactly like the baseline twin.
+# ---------------------------------------------------------------------------
+
+# Progressive AC alphabet adds the EOBn symbols (r<<4 | 0, r = 0..14)
+# to the baseline set; all at 8 bits (176/256 Kraft) — valid canonical
+# table, zero transcription risk, read back from DHT by the decoder.
+_AC_PROG_SYMS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ACP_BITS, _ACP_VALS, _ACP_CODES = _fixed_table(_AC_PROG_SYMS, 8)
+
+
+def _quantize_plane(padded: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Padded spatial plane → integer coefficients in ZIGZAG order,
+    shape (block_rows, block_cols, 64). Per-block matmuls with the
+    EXACT baseline-encoder expression `_T @ (b - 128) @ _T.T`: batched
+    einsum picks a different summation order that flips rint ties at
+    the .5 boundary, and the round-trip pin that a progressive file
+    decodes BIT-identically to the baseline file of the same pixels
+    requires both encoders to quantize to the same integers."""
+    bh, bw_ = padded.shape[0] // 8, padded.shape[1] // 8
+    blocks = padded.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+    q = np.empty((bh, bw_, 64), dtype=np.int64)
+    for iy in range(bh):
+        for ix in range(bw_):
+            coeffs = _T @ (blocks[iy, ix] - 128.0) @ _T.T
+            q[iy, ix] = np.rint(coeffs.ravel() / qt).astype(np.int64)
+    return q[..., _ZIGZAG]
+
+
+class _ScanWriter:
+    """Entropy writer for one progressive scan: wraps _BitWriter with
+    restart-marker emission, EOB-run accumulation, and refinement
+    correction-bit buffering — T.81 G.1.2.3's classic TWO-buffer
+    construction: ``bebits`` holds correction bits of blocks already
+    swallowed by the pending EOB run (they ride with the EOBn symbol);
+    ``brbits`` holds the CURRENT block's bits (they ride after the next
+    ZRL / coefficient symbol). Conflating the two mis-orders the
+    stream the moment a run block precedes an in-block symbol."""
+
+    def __init__(self, out: bytearray, codes: dict):
+        self.out = out
+        self.codes = codes
+        self.bw = _BitWriter()
+        self.eobrun = 0
+        self.bebits: list[int] = []  # run-attached correction bits
+        self.brbits: list[int] = []  # current block's correction bits
+        self.rst = 0
+
+    def symbol(self, sym: int) -> None:
+        code, ln = self.codes[sym]
+        self.bw.write(code, ln)
+
+    def flush_brbits(self) -> None:
+        for b in self.brbits:
+            self.bw.write(b, 1)
+        self.brbits = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            nb = self.eobrun.bit_length() - 1
+            self.symbol(nb << 4)
+            if nb:
+                self.bw.write(self.eobrun & ((1 << nb) - 1), nb)
+            self.eobrun = 0
+            for b in self.bebits:
+                self.bw.write(b, 1)
+            self.bebits = []
+
+    def end_block_in_run(self) -> None:
+        """The block ended inside an EOB run: its correction bits move
+        to the run buffer, to be emitted with the EOBn symbol."""
+        self.eobrun += 1
+        self.bebits.extend(self.brbits)
+        self.brbits = []
+        if self.eobrun == 0x7FFF:  # EOBn ceiling (r = 14 → 32767)
+            self.flush_eobrun()
+
+    def restart(self) -> None:
+        self.flush_eobrun()
+        self.bw.flush()
+        self.out.extend(self.bw.out)
+        self.bw = _BitWriter()
+        self.out.extend(bytes([0xFF, 0xD0 + self.rst]))
+        self.rst = (self.rst + 1) & 7
+
+    def close(self) -> None:
+        self.flush_eobrun()
+        self.bw.flush()
+        self.out.extend(self.bw.out)
+
+
+def _emit_ac_first_block(sw: _ScanWriter, blk, ss, se, al) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al  # point transform: magnitude shift toward 0
+        if t == 0:
+            r += 1
+            continue
+        sw.flush_eobrun()
+        while r > 15:
+            sw.symbol(0xF0)
+            r -= 16
+        s = t.bit_length()
+        sw.symbol((r << 4) | s)
+        sv = -t if v < 0 else t
+        sw.bw.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        sw.end_block_in_run()
+
+
+def _emit_ac_refine_block(sw: _ScanWriter, blk, ss, se, al) -> None:
+    absv = {k: abs(int(blk[k])) >> al for k in range(ss, se + 1)}
+    eob_k = ss - 1  # position of the last NEWLY-nonzero coefficient
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eob_k = k
+    r = 0
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:
+            sw.flush_eobrun()
+            sw.symbol(0xF0)
+            r -= 16
+            sw.flush_brbits()
+        if t > 1:  # history-nonzero: buffer its correction bit
+            sw.brbits.append(t & 1)
+            continue
+        # newly nonzero at this precision
+        sw.flush_eobrun()
+        sw.symbol((r << 4) | 1)
+        r = 0
+        sw.bw.write(1 if int(blk[k]) >= 0 else 0, 1)
+        sw.flush_brbits()
+    if r > 0 or sw.brbits:
+        sw.end_block_in_run()
+
+
+def encode_jpeg_progressive(
+    w: int,
+    h: int,
+    pixels: np.ndarray,
+    channels: int = 3,
+    subsampling: tuple[int, int] = (1, 1),
+    quant: int = 1,
+    restart_interval: int = 0,
+    dc_point: int = 1,
+    ac_point: int = 1,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive (SOF2) writer — the encode twin of the progressive
+    decode path. Scan script: one interleaved DC-first scan at
+    ``Al=dc_point``, DC refinement scans down to full precision, then
+    per component × spectral band an AC-first scan at ``Al=ac_point``
+    followed by AC refinement scans down to 0 — so spectral selection,
+    successive approximation, EOBn runs, ZRL, and correction-bit
+    buffering are ALL exercised. ``restart_interval`` > 0 emits DRI +
+    per-scan RSTn. ``bands`` must tile 1..63 in order."""
+    if dc_point < 0 or ac_point < 0 or dc_point > 13 or ac_point > 13:
+        raise ValueError("point transforms must be in [0, 13]")
+    flat = [b for band in bands for b in band]
+    if flat[0] != 1 or flat[-1] != 63 or any(
+        flat[i] + 1 != flat[i + 1] for i in range(1, len(flat) - 1, 2)
+    ) or any(a > b for a, b in bands):
+        raise ValueError("bands must tile 1..63 contiguously in order")
+    samps, qids, padded, mcux, mcuy = _prep_planes(
+        w, h, pixels, channels, subsampling, quant
+    )
+    qt = np.full(64, float(quant))
+    zz = [_quantize_plane(p, qt) for p in padded]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    zz_q = np.zeros(64, dtype=np.uint8)
+    zz_q[np.arange(64)] = qt[_ZIGZAG].astype(np.uint8)
+    segment(0xDB, bytes([0x00]) + zz_q.tobytes())
+    if channels == 3:
+        segment(0xDB, bytes([0x01]) + zz_q.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, channels)
+    for i, (hc, vc) in enumerate(samps):
+        sof += struct.pack(">BBB", i + 1, (hc << 4) | vc, qids[i])
+    segment(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    for tid in range(2 if channels == 3 else 1):
+        segment(0xC4, bytes([tid]) + bytes(_DC_BITS) + _DC_VALS)
+        segment(0xC4, bytes([0x10 | tid]) + bytes(_ACP_BITS) + _ACP_VALS)
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
+
+    def sos(members, ss, se, ah, al):
+        payload = bytes([len(members)])
+        for ci in members:
+            tid = 0 if ci == 0 else 1
+            payload += struct.pack(">BB", ci + 1, (tid << 4) | tid)
+        payload += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, payload)
+
+    ncomp = len(samps)
+    all_comps = list(range(ncomp))
+
+    # --- DC first: interleaved over all components
+    sos(all_comps, 0, 0, 0, dc_point)
+    sw = _ScanWriter(out, _DC_CODES)
+    preds = [0] * ncomp
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            sw.restart()
+            preds = [0] * ncomp
+        my, mx = divmod(m, mcux)
+        for ci, (hc, vc) in enumerate(samps):
+            for by in range(vc):
+                for bx in range(hc):
+                    dc = int(zz[ci][my * vc + by, mx * hc + bx, 0])
+                    dc >>= dc_point  # arithmetic shift (point transform)
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    t = _category(diff)
+                    sw.symbol(t)
+                    if t:
+                        sw.bw.write(
+                            diff if diff >= 0 else diff + (1 << t) - 1, t
+                        )
+    sw.close()
+
+    # --- DC refinements down to full precision
+    for al in range(dc_point - 1, -1, -1):
+        sos(all_comps, 0, 0, al + 1, al)
+        sw = _ScanWriter(out, _DC_CODES)
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                sw.restart()
+            my, mx = divmod(m, mcux)
+            for ci, (hc, vc) in enumerate(samps):
+                for by in range(vc):
+                    for bx in range(hc):
+                        dc = int(zz[ci][my * vc + by, mx * hc + bx, 0])
+                        sw.bw.write((dc >> al) & 1, 1)
+        sw.close()
+
+    # --- AC scans: per component, per band; first then refinements
+    def ac_scan(ci, ss, se, ah, al, emit):
+        sos([ci], ss, se, ah, al)
+        sw = _ScanWriter(out, _ACP_CODES)
+        hc, vc = samps[ci]
+        bw_c, bh_c = _comp_blocks(w, h, hc, vc, hmax, vmax)
+        for m in range(bw_c * bh_c):
+            if restart_interval and m and m % restart_interval == 0:
+                sw.restart()
+            by, bx = divmod(m, bw_c)
+            emit(sw, zz[ci][by, bx], ss, se, al)
+        sw.close()
+
+    for ci in all_comps:
+        for ss, se in bands:
+            ac_scan(ci, ss, se, 0, ac_point, _emit_ac_first_block)
+    for al in range(ac_point - 1, -1, -1):
+        for ci in all_comps:
+            for ss, se in bands:
+                ac_scan(ci, ss, se, al + 1, al, _emit_ac_refine_block)
+
     out.extend(b"\xff\xd9")
     return bytes(out)
