@@ -107,6 +107,19 @@ BENCH_QUERIES = [
     # (one collect_list shuffle, all lambdas JVM codegen)
     "customer_scd2_intervals",
     "orders_nested_lineitems",
+    # round-10: SCD2 fact attribution (containment join vs the engines'
+    # ASOF semantics), ratio-to-report windows, time-series self-join,
+    # two one-agg profile reports, weighted median, char entropy, and
+    # the pair-score histogram (re-mines the pair graph — standalone
+    # cost; sessions share pairs per examples/shared_pairs_session.py)
+    "orders_scd2_attribution",
+    "nation_revenue_share",
+    "orders_monthly_growth",
+    "orders_price_histogram",
+    "doc_weighted_quality_median",
+    "doc_char_entropy",
+    "dedup_pair_score_histogram",
+    "orders_priority_mode",
 ]
 
 

@@ -75,7 +75,9 @@ def test_oracle_sql_mentions_known_tables_only():
     for name, q in QUERIES.items():
         if not q.oracle:
             continue
-        froms = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", q.oracle, re.I))
+        # \b: a column alias ending in "_from" (e.g. version_from) must
+        # not count its own suffix as a FROM keyword (r10)
+        froms = set(re.findall(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", q.oracle, re.I))
         unknown = {f.lower() for f in froms} - known - {"walk"}  # CTE names
         # allow CTE names defined in the same statement
         ctes = {m.lower() for m in re.findall(r"(\w+)\s+AS\s*\(", q.oracle, re.I)}

@@ -363,6 +363,7 @@ def all_queries() -> dict[str, Query]:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         llm_ops,
         llm_ops2,
         relational,
