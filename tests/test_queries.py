@@ -714,3 +714,115 @@ def test_scd2_null_observation_raises_in_plan(spark):
             scd2_intervals(
                 df, key="k", ts="ts", attr="attr", tiebreak="ok"
             ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Wave-11 semantic pins: the behaviors the oracle hash can't explain by
+# itself — tie-breaking, boundary crossings, closed forms.
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_crossing_and_ties(spark, tmp_path):
+    """The weighted median is the smallest value whose cumulative
+    weight crosses HALF the total — pinned on a hand-built corpus where
+    the crossing lands mid-tie and where one heavy doc dominates."""
+    rows = [
+        # source A: weights 1,1,1,10 over lengths 10,20,30,40 —
+        # total 13, half 6.5, cumulative crosses at the weight-10 doc
+        (1, "A", 10, "w"), (2, "A", 20, "w"), (3, "A", 30, "w"),
+        (4, "A", 40, " ".join(["w"] * 10)),
+        # source B: equal weights, even count — crossing at the 2nd of
+        # 4 (cum 2*2 >= 4), i.e. the LOWER middle length
+        (5, "B", 5, "w"), (6, "B", 6, "w"), (7, "B", 7, "w"),
+        (8, "B", 8, "w"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long, text string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from thundercats_spark.queries.analytics8 import (
+        doc_weighted_quality_median,
+    )
+
+    got = {
+        r["source"]: (r["total_tokens"], r["weighted_median_chars"])
+        for r in doc_weighted_quality_median(spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (13, 40), "B": (4, 6)}
+
+
+def test_priority_mode_deterministic_tiebreak(spark, tmp_path):
+    """Two priorities tied on count → the lexicographically smaller
+    priority wins, on both engines, every run."""
+    orders = [(i, 1, "2-HIGH" if i % 2 else "1-URGENT") for i in range(4)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderpriority string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "BUILDING")], "c_custkey long, c_mktsegment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    from thundercats_spark.queries.analytics8 import orders_priority_mode
+
+    row = orders_priority_mode(spark, str(tmp_path)).first()
+    assert row["mode_priority"] == "1-URGENT"  # tie → value ASC
+    assert row["n_orders"] == 2 and abs(row["mode_share"] - 0.5) < 1e-12
+
+
+def test_char_entropy_closed_forms(spark, tmp_path):
+    """Known distributions: a single repeated char has entropy 0; a
+    uniform 4-char doc has ln(4); counts and distinct-chars are
+    exact."""
+    import math
+
+    rows = [(1, "aaaa"), (2, "abcd")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    from thundercats_spark.queries.analytics8 import doc_char_entropy
+
+    got = {r["doc_id"]: r for r in doc_char_entropy(spark, str(tmp_path)).collect()}
+    assert got[1]["entropy"] == 0.0
+    assert got[1]["n_chars_counted"] == 4 and got[1]["distinct_chars"] == 1
+    assert abs(got[2]["entropy"] - round(math.log(4), 6)) < 1e-9
+    assert got[2]["distinct_chars"] == 4
+
+
+def test_scd2_attribution_same_day_change_and_growth_first_month(
+    spark, tmp_path
+):
+    """(a) Two orders by one customer on the SAME day with different
+    priorities: the empty same-day segment attributes nothing; both
+    orders land on the interval actually covering that day. (b) The
+    MoM query's first month has NULL prev/growth via the left join."""
+    from datetime import datetime
+
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")  # noqa: E731
+    orders = [
+        (1, 7, d("2024-01-05"), "1-URGENT", 100.0),
+        (2, 7, d("2024-02-10"), "2-HIGH", 100.0),   # change day, small key
+        (3, 7, d("2024-02-10"), "3-MEDIUM", 100.0),  # same day, larger key
+        (4, 7, d("2024-03-01"), "3-MEDIUM", 100.0),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderpriority string, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    from thundercats_spark.queries.analytics8 import (
+        orders_monthly_growth,
+        orders_scd2_attribution,
+    )
+
+    att = {
+        r["o_orderkey"]: r["attributed_priority"]
+        for r in orders_scd2_attribution(spark, str(tmp_path)).collect()
+    }
+    # 2024-02-10 is covered by the 3-MEDIUM interval (the 2-HIGH
+    # segment is same-day-empty); order 1 keeps its original version
+    assert att == {1: "1-URGENT", 2: "3-MEDIUM", 3: "3-MEDIUM",
+                   4: "3-MEDIUM"}
+
+    g = {r["month"]: r for r in orders_monthly_growth(spark, str(tmp_path)).collect()}
+    assert g["2024-01"]["prev_revenue"] is None
+    assert g["2024-01"]["mom_growth"] is None
+    assert g["2024-02"]["mom_growth"] == 1.0  # 100 -> 200
