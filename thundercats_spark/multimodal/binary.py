@@ -4,11 +4,12 @@ Media travels as an opaque ``binary`` payload + typed metadata struct;
 decode / resize / frame-sample / feature-extract run as Arrow-batched
 ``mapInPandas`` stages. The Spark-side plumbing — schema, batch shape,
 partition sizing — is real and tested. Decoders that need no codec
-library are REAL here: BMP/PPM/PGM/WAV header parsing, 8-bit
-non-interlaced PNG (DEFLATE via stdlib zlib + per-row unfiltering),
-and baseline JPEG (sequential-DCT 8-bit Huffman — see
-``multimodal/jpeg.py``). The remaining codecs (progressive/arithmetic
-JPEG and 16-bit/interlaced PNG via PIL, audio/video via ffmpeg) are
+library are REAL here: BMP/PPM/PGM/WAV header parsing, 8/16-bit PNG
+in both interlace methods (DEFLATE via stdlib zlib + per-(sub)image
+unfiltering, Adam7 pass scatter), and JPEG in both DCT modes —
+baseline AND progressive (see ``multimodal/jpeg.py``). The remaining
+codecs (arithmetic/lossless JPEG and sub-8-bit PNG via PIL,
+audio/video via ffmpeg) are
 NOT in this container, so each resolves at runtime: real library if
 importable, else a clearly-marked deterministic stub (see
 ``_decoder``). Swapping in the real codec changes no Spark code.
@@ -128,23 +129,25 @@ def decode_pgm(data: bytes):
     return w, h, "PGM", arr.astype(np.float32)
 
 
-def _png_unfilter(raw: bytes, h: int, stride: int, channels: int):
-    """Undo PNG per-row filtering (spec filters 0-4). Sub is a running
-    sum over each channel lane (vectorized as a cumsum mod 256); Up is
-    a vector add against the prior row; Average/Paeth carry a
-    per-pixel sequential dependency, so they loop — this is the
-    correctness path, not the throughput path (PIL takes over when
-    importable)."""
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int, pos: int = 0):
+    """Undo PNG per-row filtering (spec filters 0-4) over one image or
+    Adam7 pass. ``bpp`` is the filter's pixel distance in BYTES
+    (channels × bytes-per-sample — spec 4.5.2), so the same code
+    serves 8- and 16-bit depths. Sub is a running sum over each byte
+    lane (vectorized as a cumsum mod 256); Up is a vector add against
+    the prior row; Average/Paeth carry a per-pixel sequential
+    dependency, so they loop — this is the correctness path, not the
+    throughput path (PIL takes over when importable). ``pos`` is the
+    byte offset of the (sub)image's first filter byte in ``raw``."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
     for y in range(h):
         f = raw[pos]
         pos += 1
         row = np.frombuffer(raw, np.uint8, stride, pos).copy()
         pos += stride
-        if f == 1:  # Sub: recon[i] = raw[i] + recon[i-ch] → lane cumsum
-            lanes = row.reshape(-1, channels)
+        if f == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] → lane cumsum
+            lanes = row.reshape(-1, bpp)
             row = (np.cumsum(lanes, axis=0, dtype=np.int64) % 256).astype(
                 np.uint8
             ).reshape(-1)
@@ -152,13 +155,13 @@ def _png_unfilter(raw: bytes, h: int, stride: int, channels: int):
             row = row + prev
         elif f == 3:  # Average
             for i in range(stride):
-                left = int(row[i - channels]) if i >= channels else 0
+                left = int(row[i - bpp]) if i >= bpp else 0
                 row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             for i in range(stride):
-                a = int(row[i - channels]) if i >= channels else 0
+                a = int(row[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -170,15 +173,37 @@ def _png_unfilter(raw: bytes, h: int, stride: int, channels: int):
     return out
 
 
+# Adam7 interlace pass grid (PNG spec 8.2): (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int):
+    """→ [(x0, y0, dx, dy, pass_w, pass_h)] for the non-empty passes,
+    in stream order. Passes whose grid has no pixels inside (w, h)
+    contribute ZERO bytes (not even filter bytes — spec 8.2)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
 def decode_png(data: bytes):
-    """REAL decoder for non-interlaced 8-bit PNG (gray / gray+alpha /
-    RGB / RGBA / palette, incl. tRNS palette alpha) — the DEFLATE
-    stream is stdlib ``zlib``, the rest is chunk walking + per-row
-    unfiltering (+ a PLTE lookup for palette images), so no imaging
-    library is needed. 16-bit and interlaced variants return None and
-    fall through to PIL when importable (or the stub). Returns
-    (width, height, 'PNG', float32 pixels, raw 0-255 — same scale
-    convention as every other decoder here)."""
+    """REAL decoder for 8- and 16-bit PNG (gray / gray+alpha / RGB /
+    RGBA / 8-bit palette, incl. tRNS palette alpha), BOTH interlace
+    methods (none and Adam7) — the DEFLATE stream is stdlib ``zlib``,
+    the rest is chunk walking + per-(sub)image unfiltering (+ a PLTE
+    lookup for palette images), so no imaging library is needed.
+    Sub-8-bit depths return None and fall through to PIL when
+    importable (or the stub). Returns (width, height, 'PNG', float32
+    pixels, raw 0-255 — the chain's shared scale convention; 16-bit
+    samples map to it by v/257, so a 16-bit encode of 8-bit content
+    round-trips exactly)."""
     import zlib
 
     if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -210,17 +235,24 @@ def decode_png(data: bytes):
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if w is None or depth != 8 or interlace != 0 or not idat:
+    if w is None or depth not in (8, 16) or interlace not in (0, 1) \
+            or not idat:
         return None
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None or (color_type == 3 and plte is None):
         return None
-    if color_type == 3 and trns is not None and len(trns) > len(plte):
-        return None  # tRNS longer than the palette — corrupt
-    stride = w * channels
-    need = h * (stride + 1)
-    if need <= 0 or w > 1 << 24 or h > 1 << 24:
+    if color_type == 3 and (depth != 8 or (
+            trns is not None and len(trns) > len(plte))):
+        return None  # 16-bit palette doesn't exist / tRNS too long
+    bps = depth // 8
+    bpp = channels * bps
+    if w > 1 << 24 or h > 1 << 24 or w == 0 or h == 0:
         return None
+    if interlace == 0:
+        segments = [(0, 0, 1, 1, w, h)]
+    else:
+        segments = _adam7_passes(w, h)
+    need = sum(ph * (pw * bpp + 1) for *_x, pw, ph in segments)
     try:
         # bounded decompress: a few-KB crafted IDAT can deflate to GBs
         # (decompression bomb) — never materialize more than the image
@@ -230,9 +262,19 @@ def decode_png(data: bytes):
         return None
     if len(raw) < need:
         return None
-    out = _png_unfilter(raw, h, stride, channels)
-    if out is None:
-        return None
+    img = np.zeros((h, w * bpp), dtype=np.uint8).reshape(h, w, bpp)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in segments:
+        sub = _png_unfilter(raw, ph, pw * bpp, bpp, pos=off)
+        if sub is None:
+            return None
+        off += ph * (pw * bpp + 1)
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    out = img.reshape(h, w * bpp)
+    if depth == 16:  # big-endian samples → the chain's 0-255 scale
+        vals = out.reshape(-1, 2).astype(np.float32)
+        out16 = (vals[:, 0] * 256.0 + vals[:, 1]) / 257.0
+        return w, h, "PNG", out16.astype(np.float32)
     if color_type == 3:  # palette indices → RGB (or RGBA with tRNS)
         idx = out.reshape(-1)
         if int(idx.max(initial=0)) >= len(plte):
@@ -247,23 +289,20 @@ def decode_png(data: bytes):
     return w, h, "PNG", out.astype(np.float32).ravel()
 
 
-def encode_png(
-    w: int, h: int, pixels: np.ndarray, channels: int = 3, filter_type: int = 0
-) -> bytes:
-    """Minimal PNG writer (stdlib zlib) for tests/synthetic corpora —
-    the encode twin of ``decode_png``. ``filter_type`` applies that
-    PNG filter to EVERY row, so each unfilter branch of the decoder
-    can be exercised against ground-truth pixels."""
-    import zlib
-
-    arr = np.asarray(pixels, dtype=np.uint8).reshape(h, w * channels)
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+def _png_filter_rows(rows: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Filter a (sub)image's byte rows (shape (h, stride) uint8) with
+    one PNG filter applied to every row — byte-domain per spec 4.5.2,
+    so it serves any depth. Inverse of ``_png_unfilter``."""
+    h, stride = rows.shape
     lines = []
-    prev = np.zeros(w * channels, dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    zero = np.zeros(bpp, dtype=np.int64)
     for y in range(h):
-        row = arr[y].astype(np.int64)
-        left = np.concatenate([np.zeros(channels, dtype=np.int64), row[:-channels]])
-        upleft = np.concatenate([np.zeros(channels, dtype=np.int64), prev[:-channels]])
+        row = rows[y].astype(np.int64)
+        left = np.concatenate([zero, row[:-bpp]]) if stride > bpp else \
+            np.zeros(stride, dtype=np.int64)
+        upleft = np.concatenate([zero, prev[:-bpp]]) if stride > bpp else \
+            np.zeros(stride, dtype=np.int64)
         if filter_type == 0:
             filt = row
         elif filter_type == 1:
@@ -283,6 +322,55 @@ def encode_png(
             raise ValueError(f"unknown PNG filter {filter_type}")
         lines.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
         prev = row
+    return b"".join(lines)
+
+
+def encode_png(
+    w: int,
+    h: int,
+    pixels: np.ndarray,
+    channels: int = 3,
+    filter_type: int = 0,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Minimal PNG writer (stdlib zlib) for tests/synthetic corpora —
+    the encode twin of ``decode_png``. ``filter_type`` applies that
+    PNG filter to EVERY row, so each unfilter branch of the decoder
+    can be exercised against ground-truth pixels. ``depth=16`` stores
+    each 0-255 input sample as v*257 (the exact 8→16 bit replication,
+    so the decoder's /257 mapping round-trips bit-exactly);
+    ``interlace=1`` emits the Adam7 pass sequence, each pass filtered
+    independently per spec."""
+    import zlib
+
+    if depth not in (8, 16):
+        raise ValueError("depth must be 8 or 16")
+    if interlace not in (0, 1):
+        raise ValueError("interlace must be 0 (none) or 1 (Adam7)")
+    arr8 = np.asarray(pixels, dtype=np.uint8).reshape(h, w, channels)
+    if depth == 16:
+        wide = arr8.astype(np.uint16) * 257  # 8→16 bit replication
+        bytes_img = np.zeros((h, w, channels * 2), dtype=np.uint8)
+        bytes_img[..., 0::2] = (wide >> 8).astype(np.uint8)
+        bytes_img[..., 1::2] = (wide & 0xFF).astype(np.uint8)
+    else:
+        bytes_img = arr8
+    bpp = channels * (depth // 8)
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    if interlace == 0:
+        body = _png_filter_rows(
+            bytes_img.reshape(h, w * bpp), bpp, filter_type
+        )
+    else:
+        parts = []
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            sub = bytes_img[y0::dy, x0::dx]  # (ph, pw, bpp)
+            parts.append(
+                _png_filter_rows(sub.reshape(ph, pw * bpp), bpp, filter_type)
+            )
+        body = b"".join(parts)
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         return (
@@ -292,8 +380,8 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    idat = zlib.compress(body)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -331,7 +419,8 @@ def encode_png_palette(
 def _decoder(strict: bool = False):
     """Decoder chain: REAL cheap no-lib decoders first — header-parsing
     for self-describing uncompressed formats (BMP, PPM, PGM) and the
-    stdlib-zlib PNG path (8-bit non-interlaced) — then the imaging lib
+    stdlib-zlib PNG path (8/16-bit, both interlace methods) — then the
+    imaging lib
     if importable; without it, the stdlib baseline-JPEG decoder
     (sequential-DCT 8-bit Huffman, multimodal/jpeg.py — the
     correctness fallback whose per-bit Python loop must never shadow
@@ -382,17 +471,17 @@ def _decoder(strict: bool = False):
             if strict:
                 raise NotImplementedError(
                     "compressed image decode (arithmetic-coded/lossless/"
-                    "12-bit JPEG / 16-bit or interlaced PNG / ...) "
+                    "12-bit JPEG / sub-8-bit PNG / ...) "
                     "requires Pillow (the PIL package), which is not "
                     "importable in this environment — install pillow, "
                     "or call with strict=False to accept the "
                     "deterministic stub features for these formats "
-                    "(baseline AND progressive JPEG and 8-bit PNG "
-                    "decode for REAL without Pillow)"
+                    "(both JPEG DCT modes and 8/16-bit PNG in both "
+                    "interlace methods decode for REAL without Pillow)"
                 )
             # STUB for the remaining compressed formats only
-            # (arithmetic-coded/lossless/12-bit JPEG / 16-bit or
-            # interlaced PNG / ...):
+            # (arithmetic-coded/lossless/12-bit JPEG / sub-8-bit
+            # PNG / ...):
             # deterministic pseudo-decode from payload bytes. Real
             # pipelines get these via the PIL branch above; everything
             # downstream is unchanged. Feature scale is raw 0-255, the
