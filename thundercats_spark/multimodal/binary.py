@@ -299,10 +299,10 @@ def _png_filter_rows(rows: np.ndarray, bpp: int, filter_type: int) -> bytes:
     zero = np.zeros(bpp, dtype=np.int64)
     for y in range(h):
         row = rows[y].astype(np.int64)
-        left = np.concatenate([zero, row[:-bpp]]) if stride > bpp else \
-            np.zeros(stride, dtype=np.int64)
-        upleft = np.concatenate([zero, prev[:-bpp]]) if stride > bpp else \
-            np.zeros(stride, dtype=np.int64)
+        # stride == bpp (one-pixel rows): row[:-bpp] is empty, so the
+        # concatenate already yields all-zeros — no special case needed
+        left = np.concatenate([zero, row[:-bpp]])
+        upleft = np.concatenate([zero, prev[:-bpp]])
         if filter_type == 0:
             filt = row
         elif filter_type == 1:
@@ -805,9 +805,14 @@ def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) 
                 if png is not None:  # REAL path, PNG → PNG
                     sw, sh, _, vec = png
                     ch = len(vec) // (sw * sh)
+                    # rint BEFORE the uint8 cast: 16-bit decodes carry
+                    # fractional v/257 values, and a bare cast truncates
+                    # — half of all non-replicated 16-bit samples would
+                    # land one count low (review r10)
                     out = encode_png(
                         width, height,
-                        np.clip(nn(vec, sw, sh, ch), 0, 255).astype(np.uint8),
+                        np.clip(np.rint(nn(vec, sw, sh, ch)), 0, 255)
+                        .astype(np.uint8),
                         channels=ch,
                     )
                     rows.append((mid, out, (width, height, dur, codec)))

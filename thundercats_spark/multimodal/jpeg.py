@@ -690,6 +690,36 @@ def _pad_to_blocks(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
     return np.pad(plane, ((0, bh - h), (0, bw_ - w)), mode="edge")
 
 
+def _emit_frame_headers(
+    out: bytearray, w, h, channels, samps, qids, qt,
+    sof_marker: int, ac_bits, ac_vals, restart_interval: int,
+):
+    """Shared marker-side front end of BOTH encoders (review r10: the
+    baseline and progressive writers had duplicated this near-verbatim,
+    so a DQT/DHT fix would have to land twice): DQT table(s), SOFn,
+    per-destination DC+AC DHTs, optional DRI. Returns the bound
+    ``segment(marker, payload)`` writer for the caller's SOS/EOI."""
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    zz_q = qt[_ZIGZAG].astype(np.uint8).tobytes()
+    segment(0xDB, bytes([0x00]) + zz_q)
+    if channels == 3:
+        segment(0xDB, bytes([0x01]) + zz_q)
+    sof = struct.pack(">BHHB", 8, h, w, channels)
+    for i, (hc, vc) in enumerate(samps):
+        sof += struct.pack(">BBB", i + 1, (hc << 4) | vc, qids[i])
+    segment(sof_marker, sof)
+    for tid in range(2 if channels == 3 else 1):
+        segment(0xC4, bytes([tid]) + bytes(_DC_BITS) + _DC_VALS)
+        segment(0xC4, bytes([0x10 | tid]) + bytes(ac_bits) + ac_vals)
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
+    return segment
+
+
 def _prep_planes(w, h, pixels, channels, subsampling, quant):
     """Shared encoder front end (both DCT modes): validate, RGB→YCbCr,
     chroma subsample, pad every plane to whole MCUs. Returns
@@ -757,33 +787,11 @@ def encode_jpeg(
     qt = np.full(64, float(quant))
 
     out = bytearray(b"\xff\xd8")
-
-    def segment(marker: int, payload: bytes) -> None:
-        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
-        out.extend(payload)
-
-    zz_q = np.zeros(64, dtype=np.uint8)
-    zz_q[np.arange(64)] = qt[_ZIGZAG].astype(np.uint8)
-    segment(0xDB, bytes([0x00]) + zz_q.tobytes())
-    if channels == 3:
-        segment(0xDB, bytes([0x01]) + zz_q.tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, channels)
-    for i, (hc, vc) in enumerate(samps):
-        sof += struct.pack(">BBB", i + 1, (hc << 4) | vc, qids[i])
-    segment(0xC0, sof)
-    for tc_th, bits, vals in (
-        ((0 << 4) | 0, _DC_BITS, _DC_VALS),
-        ((1 << 4) | 0, _AC_BITS, _AC_VALS),
-    ):
-        segment(0xC4, bytes([tc_th]) + bytes(bits) + vals)
-    if channels == 3:
-        for tc_th, bits, vals in (
-            ((0 << 4) | 1, _DC_BITS, _DC_VALS),
-            ((1 << 4) | 1, _AC_BITS, _AC_VALS),
-        ):
-            segment(0xC4, bytes([tc_th]) + bytes(bits) + vals)
-    if restart_interval:
-        segment(0xDD, struct.pack(">H", restart_interval))
+    segment = _emit_frame_headers(
+        out, w, h, channels, samps, qids, qt, sof_marker=0xC0,
+        ac_bits=_AC_BITS, ac_vals=_AC_VALS,
+        restart_interval=restart_interval,
+    )
     sos = bytes([channels])
     for i in range(channels):
         td_ta = 0 if i == 0 else 0x11
@@ -1002,25 +1010,13 @@ def encode_jpeg_progressive(
     vmax = max(s[1] for s in samps)
 
     out = bytearray(b"\xff\xd8")
-
-    def segment(marker: int, payload: bytes) -> None:
-        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
-        out.extend(payload)
-
-    zz_q = np.zeros(64, dtype=np.uint8)
-    zz_q[np.arange(64)] = qt[_ZIGZAG].astype(np.uint8)
-    segment(0xDB, bytes([0x00]) + zz_q.tobytes())
-    if channels == 3:
-        segment(0xDB, bytes([0x01]) + zz_q.tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, channels)
-    for i, (hc, vc) in enumerate(samps):
-        sof += struct.pack(">BBB", i + 1, (hc << 4) | vc, qids[i])
-    segment(0xC2, sof)  # SOF2: progressive DCT, Huffman
-    for tid in range(2 if channels == 3 else 1):
-        segment(0xC4, bytes([tid]) + bytes(_DC_BITS) + _DC_VALS)
-        segment(0xC4, bytes([0x10 | tid]) + bytes(_ACP_BITS) + _ACP_VALS)
-    if restart_interval:
-        segment(0xDD, struct.pack(">H", restart_interval))
+    # SOF2 (progressive DCT) + the EOBn-capable AC alphabet; everything
+    # else in the marker front end is shared with the baseline writer
+    segment = _emit_frame_headers(
+        out, w, h, channels, samps, qids, qt, sof_marker=0xC2,
+        ac_bits=_ACP_BITS, ac_vals=_ACP_VALS,
+        restart_interval=restart_interval,
+    )
 
     def sos(members, ss, se, ah, al):
         payload = bytes([len(members)])

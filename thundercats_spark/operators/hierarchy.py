@@ -398,6 +398,7 @@ def dag_root_labels(
     max_iters: int = 200,
     reliable: bool = False,
     stats: dict | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Root labels over a DAG by LEVEL-BY-LEVEL propagation — the other
     cost model ``dag_reachability``'s docstring points to, implemented
@@ -418,7 +419,8 @@ def dag_root_labels(
     and hits that tripwire; a cycle UNREACHABLE from any root never
     enters the frontier, so a post-convergence check raises naming the
     unlabelled nodes (matching dag_reachability's loud contract on the
-    same input).
+    same input) — one slim anti-join job, skippable with
+    ``validate=False`` on known-good production DAGs.
 
     Per round: changed labels flow parent→child along the edge set
     (one equi-join), merge into the label table by (node, root)
@@ -501,21 +503,28 @@ def dag_root_labels(
     # the loop converges normally with those nodes unlabelled — the
     # silent twin of the max_iters tripwire above, and a contract
     # drift from dag_reachability, which raises on the same input
-    # (ADVICE r09). Bounded driver cost: one left_anti + limit(21).
-    unlabelled = (
-        e.select("node").distinct()
-        .join(labels.select("node").distinct(), "node", "left_anti")
-    )
-    sample = [r["node"] for r in unlabelled.limit(21).collect()]
-    if sample:
-        shown = ", ".join(repr(s) for s in sample[:20])
-        raise RuntimeError(
-            "dag_root_labels converged with root-UNREACHABLE nodes (a "
-            "cyclic subgraph no root can reach): "
-            f"[{shown}{', ...' if len(sample) > 20 else ''}] — root "
-            "labels are undefined for these nodes (dag_reachability "
-            "raises on the same input)"
+    # (ADVICE r09). Cost: ONE extra job — a slim left_anti over the
+    # edge nodes (anti-join semantics ignore right-side duplicates, so
+    # neither side needs a distinct; review r10) + a bounded collect.
+    # ``validate=False`` skips it on known-good production DAGs, the
+    # scd2_intervals(sort=False) escape-hatch pattern.
+    if validate:
+        unlabelled = e.select("node").join(
+            labels.select("node"), "node", "left_anti"
         )
+        sample = sorted(
+            {r["node"] for r in unlabelled.limit(50).collect()},
+            key=repr,
+        )
+        if sample:
+            shown = ", ".join(repr(s) for s in sample[:20])
+            raise RuntimeError(
+                "dag_root_labels converged with root-UNREACHABLE nodes "
+                "(a cyclic subgraph no root can reach): "
+                f"[{shown}{', ...' if len(sample) > 20 else ''}] — root "
+                "labels are undefined for these nodes "
+                "(dag_reachability raises on the same input)"
+            )
     return labels.select(
         "node",
         F.col("root").alias("root_key"),
