@@ -4,12 +4,12 @@ Media travels as an opaque ``binary`` payload + typed metadata struct;
 decode / resize / frame-sample / feature-extract run as Arrow-batched
 ``mapInPandas`` stages. The Spark-side plumbing — schema, batch shape,
 partition sizing — is real and tested. Decoders that need no codec
-library are REAL here: BMP/PPM/PGM/WAV header parsing, 8/16-bit PNG
-in both interlace methods (DEFLATE via stdlib zlib + per-(sub)image
-unfiltering, Adam7 pass scatter), and JPEG in both DCT modes —
-baseline AND progressive (see ``multimodal/jpeg.py``). The remaining
-codecs (arithmetic/lossless JPEG and sub-8-bit PNG via PIL,
-audio/video via ffmpeg) are
+library are REAL here: BMP/PPM/PGM/WAV header parsing, the COMPLETE
+PNG matrix (1/2/4/8/16-bit, both interlace methods — DEFLATE via
+stdlib zlib, per-(sub)image unfiltering, Adam7 pass scatter, bit
+unpacking), and JPEG in both DCT modes — baseline AND progressive
+(see ``multimodal/jpeg.py``). The remaining codecs
+(arithmetic/lossless JPEG via PIL, audio/video via ffmpeg) are
 NOT in this container, so each resolves at runtime: real library if
 importable, else a clearly-marked deterministic stub (see
 ``_decoder``). Swapping in the real codec changes no Spark code.
@@ -195,15 +195,16 @@ def _adam7_passes(w: int, h: int):
 
 def decode_png(data: bytes):
     """REAL decoder for 8- and 16-bit PNG (gray / gray+alpha / RGB /
-    RGBA / 8-bit palette, incl. tRNS palette alpha), BOTH interlace
-    methods (none and Adam7) — the DEFLATE stream is stdlib ``zlib``,
-    the rest is chunk walking + per-(sub)image unfiltering (+ a PLTE
-    lookup for palette images), so no imaging library is needed.
-    Sub-8-bit depths return None and fall through to PIL when
-    importable (or the stub). Returns (width, height, 'PNG', float32
-    pixels, raw 0-255 — the chain's shared scale convention; 16-bit
-    samples map to it by v/257, so a 16-bit encode of 8-bit content
-    round-trips exactly)."""
+    RGBA / palette, incl. tRNS palette alpha) at EVERY spec depth —
+    1/2/4-bit (gray + palette, MSB-first bit unpacking), 8-bit, and
+    16-bit — and BOTH interlace methods (none and Adam7). The DEFLATE
+    stream is stdlib ``zlib``; the rest is chunk walking +
+    per-(sub)image unfiltering (+ a PLTE lookup for palette images),
+    so no imaging library is needed. Returns (width, height, 'PNG',
+    float32 pixels, raw 0-255 — the chain's shared scale convention:
+    16-bit samples map to it by v/257 and sub-8-bit gray by the exact
+    integer upscale v * (255 // (2^d − 1)), so encodes of 8-bit
+    content round-trip exactly)."""
     import zlib
 
     if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -235,24 +236,31 @@ def decode_png(data: bytes):
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if w is None or depth not in (8, 16) or interlace not in (0, 1) \
-            or not idat:
+    if w is None or depth not in (1, 2, 4, 8, 16) \
+            or interlace not in (0, 1) or not idat:
         return None
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None or (color_type == 3 and plte is None):
         return None
-    if color_type == 3 and (depth != 8 or (
+    if depth < 8 and color_type not in (0, 3):
+        return None  # sub-8-bit is spec-legal only for gray/palette
+    if color_type == 3 and (depth == 16 or (
             trns is not None and len(trns) > len(plte))):
         return None  # 16-bit palette doesn't exist / tRNS too long
-    bps = depth // 8
-    bpp = channels * bps
+    sub_byte = depth < 8
+    bps = 1 if sub_byte else depth // 8
+    bpp = channels * bps  # filter distance (1 for sub-byte, spec 4.5.2)
     if w > 1 << 24 or h > 1 << 24 or w == 0 or h == 0:
         return None
     if interlace == 0:
         segments = [(0, 0, 1, 1, w, h)]
     else:
         segments = _adam7_passes(w, h)
-    need = sum(ph * (pw * bpp + 1) for *_x, pw, ph in segments)
+
+    def seg_stride(pw):  # packed row bytes (== pw * bpp at depth >= 8)
+        return (pw * channels * depth + 7) // 8
+
+    need = sum(ph * (seg_stride(pw) + 1) for *_x, pw, ph in segments)
     try:
         # bounded decompress: a few-KB crafted IDAT can deflate to GBs
         # (decompression bomb) — never materialize more than the image
@@ -262,14 +270,26 @@ def decode_png(data: bytes):
         return None
     if len(raw) < need:
         return None
-    img = np.zeros((h, w * bpp), dtype=np.uint8).reshape(h, w, bpp)
+    # sub-byte images store UNPACKED sample values (one byte per
+    # sample) in img; >= 8-bit images store raw sample bytes
+    img = np.zeros((h, w, bpp), dtype=np.uint8)
     off = 0
     for x0, y0, dx, dy, pw, ph in segments:
-        sub = _png_unfilter(raw, ph, pw * bpp, bpp, pos=off)
+        stride = seg_stride(pw)
+        sub = _png_unfilter(raw, ph, stride, bpp, pos=off)
         if sub is None:
             return None
-        off += ph * (pw * bpp + 1)
-        img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        off += ph * (stride + 1)
+        if sub_byte:  # MSB-first bit groups → sample values, crop pad
+            bits = np.unpackbits(sub, axis=1)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            samples = (
+                bits[:, : (stride * 8 // depth) * depth]
+                .reshape(ph, -1, depth) * weights
+            ).sum(axis=2)[:, :pw]
+            img[y0::dy, x0::dx] = samples[..., None].astype(np.uint8)
+        else:
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
     out = img.reshape(h, w * bpp)
     if depth == 16:  # big-endian samples → the chain's 0-255 scale
         vals = out.reshape(-1, 2).astype(np.float32)
@@ -286,6 +306,10 @@ def decode_png(data: bytes):
             out = np.concatenate([rgb, alpha[idx, None]], axis=1)
         else:
             out = rgb
+    elif sub_byte:
+        # gray upscale to the chain's 0-255 scale: the spec's exact
+        # integer replication (255 // (2^d - 1) is exact for d=1,2,4)
+        out = out.astype(np.int64) * (255 // ((1 << depth) - 1))
     return w, h, "PNG", out.astype(np.float32).ravel()
 
 
@@ -340,36 +364,48 @@ def encode_png(
     can be exercised against ground-truth pixels. ``depth=16`` stores
     each 0-255 input sample as v*257 (the exact 8→16 bit replication,
     so the decoder's /257 mapping round-trips bit-exactly);
+    ``depth=1/2/4`` (grayscale only) packs samples MSB-first — feed
+    multiples of 255 // (2^depth − 1) for exact round-trips;
     ``interlace=1`` emits the Adam7 pass sequence, each pass filtered
     independently per spec."""
     import zlib
 
-    if depth not in (8, 16):
-        raise ValueError("depth must be 8 or 16")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError("depth must be 1, 2, 4, 8 or 16")
+    if depth < 8 and channels != 1:
+        raise ValueError("sub-8-bit PNG is grayscale (channels=1) only")
     if interlace not in (0, 1):
         raise ValueError("interlace must be 0 (none) or 1 (Adam7)")
     arr8 = np.asarray(pixels, dtype=np.uint8).reshape(h, w, channels)
+    sub_byte = depth < 8
     if depth == 16:
         wide = arr8.astype(np.uint16) * 257  # 8→16 bit replication
         bytes_img = np.zeros((h, w, channels * 2), dtype=np.uint8)
         bytes_img[..., 0::2] = (wide >> 8).astype(np.uint8)
         bytes_img[..., 1::2] = (wide & 0xFF).astype(np.uint8)
+    elif sub_byte:  # sample VALUES 0..2^d-1, packed per row below
+        bytes_img = arr8 // (255 // ((1 << depth) - 1))
     else:
         bytes_img = arr8
-    bpp = channels * (depth // 8)
+    bpp = channels * (2 if depth == 16 else 1)
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
 
+    def rows_of(sub):  # (ph, pw, ·) → this (sub)image's packed byte rows
+        ph, pw = sub.shape[:2]
+        if not sub_byte:
+            return sub.reshape(ph, pw * bpp)
+        bits = (
+            (sub[..., 0, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).astype(np.uint8).reshape(ph, pw * depth)
+        return np.packbits(bits, axis=1)  # zero-pads to byte boundary
+
     if interlace == 0:
-        body = _png_filter_rows(
-            bytes_img.reshape(h, w * bpp), bpp, filter_type
-        )
+        body = _png_filter_rows(rows_of(bytes_img), bpp, filter_type)
     else:
         parts = []
         for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
-            sub = bytes_img[y0::dy, x0::dx]  # (ph, pw, bpp)
-            parts.append(
-                _png_filter_rows(sub.reshape(ph, pw * bpp), bpp, filter_type)
-            )
+            sub = bytes_img[y0::dy, x0::dx]  # (ph, pw, ·)
+            parts.append(_png_filter_rows(rows_of(sub), bpp, filter_type))
         body = b"".join(parts)
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
@@ -419,8 +455,8 @@ def encode_png_palette(
 def _decoder(strict: bool = False):
     """Decoder chain: REAL cheap no-lib decoders first — header-parsing
     for self-describing uncompressed formats (BMP, PPM, PGM) and the
-    stdlib-zlib PNG path (8/16-bit, both interlace methods) — then the
-    imaging lib
+    stdlib-zlib PNG path (all five depths, both interlace methods) —
+    then the imaging lib
     if importable; without it, the stdlib baseline-JPEG decoder
     (sequential-DCT 8-bit Huffman, multimodal/jpeg.py — the
     correctness fallback whose per-bit Python loop must never shadow
@@ -471,17 +507,16 @@ def _decoder(strict: bool = False):
             if strict:
                 raise NotImplementedError(
                     "compressed image decode (arithmetic-coded/lossless/"
-                    "12-bit JPEG / sub-8-bit PNG / ...) "
+                    "12-bit JPEG / ...) "
                     "requires Pillow (the PIL package), which is not "
                     "importable in this environment — install pillow, "
                     "or call with strict=False to accept the "
                     "deterministic stub features for these formats "
-                    "(both JPEG DCT modes and 8/16-bit PNG in both "
-                    "interlace methods decode for REAL without Pillow)"
+                    "(both JPEG DCT modes and the complete PNG matrix "
+                    "decode for REAL without Pillow)"
                 )
             # STUB for the remaining compressed formats only
-            # (arithmetic-coded/lossless/12-bit JPEG / sub-8-bit
-            # PNG / ...):
+            # (arithmetic-coded/lossless/12-bit JPEG / ...):
             # deterministic pseudo-decode from payload bytes. Real
             # pipelines get these via the PIL branch above; everything
             # downstream is unchanged. Feature scale is raw 0-255, the
