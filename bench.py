@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "doc_char_entropy",
     "dedup_pair_score_histogram",
     "orders_priority_mode",
+    # r10 late addition: global weighted percentiles on the
+    # distributed running-sum machinery (three bounded passes)
+    "doc_weighted_percentiles_global",
 ]
 
 

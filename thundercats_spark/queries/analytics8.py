@@ -494,3 +494,74 @@ def orders_priority_mode(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# 9 (late r10). GLOBAL weighted percentiles of the token-mass
+#    distribution — the corpus-wide twin of the per-source weighted
+#    median, on the distributed running-sum machinery (an unpartitioned
+#    cumulative window is the single-sort-partition trap; the operator
+#    buckets by key boundaries and offsets per-bucket windows instead).
+# --------------------------------------------------------------------------
+
+GLOBAL_WEIGHTED_PCT_SQL = r"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT)
+           AS w
+  FROM documents
+),
+c AS (
+  SELECT n_chars,
+         SUM(w) OVER (ORDER BY n_chars, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER () AS total
+  FROM d
+),
+p AS (SELECT unnest([50, 90, 99]) AS p)
+SELECT CAST(p AS BIGINT) AS p,
+       CAST(MIN(total) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_chars) AS BIGINT) AS weighted_pct_chars
+FROM c, p
+WHERE 100 * cum >= p * total
+GROUP BY p ORDER BY p
+"""
+
+
+@register("doc_weighted_percentiles_global", GLOBAL_WEIGHTED_PCT_SQL)
+def doc_weighted_percentiles_global(spark, sf_dir):
+    """Corpus-wide weighted p50/p90/p99 of document length by TOKEN
+    MASS: the smallest n_chars whose cumulative token weight crosses
+    p% of the total — 'how long are the documents where the mass
+    sits', the global curve every seq_len/packing decision starts
+    from. Pure integer arithmetic end-to-end; the cumulative sum runs
+    on operators/ranking.py global_running_sum (three bounded passes,
+    partitioned windows — never one sort partition), while the oracle
+    pays DuckDB's native unpartitioned window."""
+    from thundercats_spark.operators.ranking import global_running_sum
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    w = d.select(
+        "doc_id", "n_chars",
+        T.token_count(F.col("text")).cast("long").alias("w"),
+    )
+    c = global_running_sum(
+        w, order_cols=["n_chars", "doc_id"], weight_col="w",
+        out_col="cum", total_col="total",
+    )
+    return (
+        c.select(
+            "n_chars", "cum", "total",
+            F.explode(F.array(F.lit(50), F.lit(90), F.lit(99)))
+            .alias("p"),
+        )
+        .where(100 * F.col("cum") >= F.col("p") * F.col("total"))
+        .groupBy("p")
+        .agg(
+            F.min("total").cast("long").alias("total_tokens"),
+            F.min("n_chars").cast("long").alias("weighted_pct_chars"),
+        )
+        .select(F.col("p").cast("long").alias("p"), "total_tokens",
+                "weighted_pct_chars")
+        .orderBy("p")
+    )
