@@ -123,6 +123,15 @@ BENCH_QUERIES = [
     # r10 late addition: global weighted percentiles on the
     # distributed running-sum machinery (three bounded passes)
     "doc_weighted_percentiles_global",
+    # r10 wave 12: interval sweep-line on the running-sum machinery,
+    # distributed-NTILE Lorenz report, per-user LAG transition matrix,
+    # integer-guarded anomaly flags, and the token-joined vocabulary
+    # overlap (never doc x doc)
+    "orders_backlog_sweepline",
+    "customer_revenue_pareto",
+    "events_type_transitions",
+    "events_daily_anomaly",
+    "doc_source_vocab_overlap",
 ]
 
 

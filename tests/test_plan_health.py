@@ -25,6 +25,7 @@ SCALAR_BNLJ_OK = {
     "dedup_simhash",  # 1-row mean-bucket-size stats for the auto hot-band cap
     "ann_quantized_topk",  # broadcast 1-row quantized query vector
     "orders_key_skew",  # 1-row grand total for the share denominator
+    "customer_revenue_pareto",  # 1-row grand total for the share denominators
     "part_affinity_lift",  # 1-row n_baskets total (r08: was a separate action)
     "corpus_embedding_clusters",  # 1-row grand total for cluster share
     "embedding_cluster_drift",  # 1-row totals for both snapshot shares

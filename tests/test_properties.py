@@ -810,3 +810,99 @@ def test_dag_operators_match_brute_force_on_random_dags(spark, edges):
     assert sq == model
     lv = {tuple(r) for r in dag_root_labels(df, "child", "parent").collect()}
     assert lv == model
+
+
+@st.composite
+def order_intervals(draw):
+    n = draw(st.integers(1, 8))
+    orders, items = [], []
+    for ok in range(1, n + 1):
+        od = draw(st.integers(0, 40))
+        orders.append((ok, datetime(2024, 1, 1) + timedelta(days=od)))
+        for li in range(draw(st.integers(1, 3))):
+            sd = draw(st.integers(0, 50))
+            items.append((ok, datetime(2024, 1, 1) + timedelta(days=sd)))
+    return orders, items
+
+
+@given(order_intervals())
+@settings(**SETTINGS)
+def test_backlog_sweepline_matches_python_model(spark, tmp_path, data):
+    """The distributed sweep line (delta agg + global_running_sum +
+    month peak) equals a sequential Python sweep over the same
+    half-open [orderdate, last_ship + 1) intervals — including orders
+    whose shipments predate the order date (negative-length intervals
+    still contribute their +1/-1 boundary pair)."""
+    from collections import defaultdict
+
+    orders, items = data
+    spark.createDataFrame(orders, "o_orderkey long, o_orderdate timestamp") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(items, "l_orderkey long, l_shipdate timestamp") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    last_ship = {}
+    for ok, sd in items:
+        last_ship[ok] = max(last_ship.get(ok, sd), sd)
+    deltas = defaultdict(int)
+    for ok, od in orders:
+        deltas[od.date()] += 1
+        deltas[(last_ship[ok] + timedelta(days=1)).date()] -= 1
+    expect, open_now = {}, 0
+    for day in sorted(deltas):
+        open_now += deltas[day]
+        mo = day.strftime("%Y-%m")
+        peak, ncd = expect.get(mo, (None, 0))
+        expect[mo] = (open_now if peak is None else max(peak, open_now),
+                      ncd + 1)
+
+    from thundercats_spark.queries.analytics9 import orders_backlog_sweepline
+
+    got = {r["month"]: (r["peak_open_orders"], r["n_change_days"])
+           for r in orders_backlog_sweepline(spark, str(tmp_path)).collect()}
+    assert got == expect
+
+
+@given(st.lists(st.tuples(st.integers(1, 12), st.integers(1, 400)),
+                min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_revenue_pareto_matches_python_model(spark, tmp_path, rows):
+    """The distributed NTILE decile report equals a sequential Python
+    model of SQL NTILE (rev DESC, custkey ASC; first n%10 buckets one
+    row larger) with exact quarter-dollar revenues."""
+    orders = [(i, ck, cents * 0.25) for i, (ck, cents) in enumerate(rows)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rev = defaultdict(Decimal)
+    for ck, cents in rows:
+        rev[ck] += Decimal(cents) * Decimal("0.25")
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    n, k = len(ranked), 10
+    sizes = [(n // k) + (1 if b < n % k else 0) for b in range(k)]
+    expect, pos, total = {}, 0, sum(rev.values())
+    cum = Decimal(0)
+    for b, size in enumerate(sizes, start=1):
+        if size == 0:
+            continue
+        chunk = ranked[pos:pos + size]
+        pos += size
+        drev = sum(r for _, r in chunk)
+        cum += drev
+        expect[b] = (len(chunk), float(drev),
+                     float(drev) / float(total), float(cum) / float(total))
+
+    from thundercats_spark.queries.analytics9 import customer_revenue_pareto
+
+    got = {r["decile"]: (r["n_customers"], r["revenue"],
+                         r["revenue_share"], r["cum_share"])
+           for r in customer_revenue_pareto(spark, str(tmp_path)).collect()}
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d][0] == expect[d][0] and got[d][1] == expect[d][1]
+        assert abs(got[d][2] - expect[d][2]) < 1e-12
+        assert abs(got[d][3] - expect[d][3]) < 1e-12

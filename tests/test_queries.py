@@ -826,3 +826,138 @@ def test_scd2_attribution_same_day_change_and_growth_first_month(
     assert g["2024-01"]["prev_revenue"] is None
     assert g["2024-01"]["mom_growth"] is None
     assert g["2024-02"]["mom_growth"] == 1.0  # 100 -> 200
+
+
+# ---------------------------------------------------------------------------
+# Wave-12 semantic pins: sweep-line boundary semantics, NTILE remainder
+# distribution + Lorenz closure, sequence tie-breaking, the integer
+# anomaly membership guard, and vocab-overlap absence semantics.
+# ---------------------------------------------------------------------------
+
+
+def test_backlog_sweepline_overlap_and_halfopen_close(spark, tmp_path):
+    """Two overlapping orders peak at 2 exactly between the second
+    order date and the first close (day AFTER last shipment —
+    half-open); change days count the +1/-1 boundary events only."""
+    from datetime import datetime
+
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")  # noqa: E731
+    orders = [(1, d("2024-01-01")), (2, d("2024-01-05")),
+              (3, d("2024-02-01"))]
+    spark.createDataFrame(orders, "o_orderkey long, o_orderdate timestamp") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    # order 1 ships Jan 3 then Jan 10 (close Jan 11 — the LAST ship
+    # wins); order 2 ships Jan 7 (close Jan 8); order 3 ships Feb 2
+    items = [(1, d("2024-01-03")), (1, d("2024-01-10")),
+             (2, d("2024-01-07")), (3, d("2024-02-02"))]
+    spark.createDataFrame(items, "l_orderkey long, l_shipdate timestamp") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    from thundercats_spark.queries.analytics9 import orders_backlog_sweepline
+
+    got = {r["month"]: r for r in
+           orders_backlog_sweepline(spark, str(tmp_path)).collect()}
+    # Jan change days: 1st (+1 -> 1), 5th (+1 -> 2), 8th (-1 -> 1),
+    # 11th (-1 -> 0); Feb: 1st (+1 -> 1), 3rd (-1 -> 0)
+    assert (got["2024-01"]["peak_open_orders"],
+            got["2024-01"]["n_change_days"]) == (2, 4)
+    assert (got["2024-02"]["peak_open_orders"],
+            got["2024-02"]["n_change_days"]) == (1, 2)
+
+
+def test_revenue_pareto_ntile_remainder_and_lorenz_closure(spark, tmp_path):
+    """12 customers into 10 deciles: SQL NTILE puts the 2 remainder
+    rows in deciles 1-2 (sizes 2,2,1,...,1); decile 1 holds the TWO
+    HIGHEST revenues; shares sum to 1 and cum_share closes at 1."""
+    orders = [(i, i, float(i)) for i in range(1, 13)]  # rev = custkey
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    from thundercats_spark.queries.analytics9 import customer_revenue_pareto
+
+    rows = customer_revenue_pareto(spark, str(tmp_path)).collect()
+    sizes = [r["n_customers"] for r in rows]
+    assert sizes == [2, 2, 1, 1, 1, 1, 1, 1, 1, 1]
+    total = sum(range(1, 13))  # 78
+    assert rows[0]["revenue"] == 23.0  # customers 12 + 11
+    assert abs(rows[0]["revenue_share"] - 23.0 / total) < 1e-12
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-12
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_type_transitions_tiebreak_and_row_normalization(spark, tmp_path):
+    """Two events at the SAME microsecond order by event_id (A before
+    B), so the chain is A,B,B,A; row probabilities normalize per
+    from_type."""
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 1, 12, 0, 1)
+    t2 = datetime(2024, 1, 1, 12, 0, 2)
+    events = [  # same-ts pair: ids 1,2 decide A then B
+        (1, t0, 9, "A"), (2, t0, 9, "B"), (3, t1, 9, "B"), (4, t2, 9, "A"),
+    ]
+    spark.createDataFrame(
+        events, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from thundercats_spark.queries.analytics9 import events_type_transitions
+
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in events_type_transitions(spark, str(tmp_path)).collect()}
+    assert got == {("A", "B"): (1, 1.0), ("B", "B"): (1, 0.5),
+                   ("B", "A"): (1, 0.5)}
+
+
+def test_daily_anomaly_integer_membership_and_z(spark, tmp_path):
+    """Hand-built daily counts: nine 1-event days + one 21-event day
+    gives z = 18/sqrt(40) = 2.846.. >= 2 (spike, flagged); nine 10s +
+    one 1 flags a dip; a type whose extreme sits at z = 1.79 < 2 is
+    absent. The membership decision is the integer guard, the z value
+    one IEEE chain."""
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+
+    def day_events(etype, day_idx, count):
+        nonlocal eid
+        base = datetime(2024, 3, 1) + timedelta(days=day_idx)
+        for _ in range(count):
+            eid += 1
+            rows.append((eid, base, 1, etype))
+
+    for i, c in enumerate([1] * 9 + [21]):
+        day_events("spiky", i, c)
+    for i, c in enumerate([10] * 9 + [1]):
+        day_events("dippy", i, c)
+    for i, c in enumerate([1, 1, 1, 1, 16]):  # max z for n=5 is 1.789
+        day_events("calm", i, c)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from thundercats_spark.queries.analytics9 import events_daily_anomaly
+
+    got = {(r["event_type"], r["day"]): r
+           for r in events_daily_anomaly(spark, str(tmp_path)).collect()}
+    assert set(got) == {("spiky", "2024-03-10"), ("dippy", "2024-03-10")}
+    spike = got[("spiky", "2024-03-10")]
+    assert spike["direction"] == "spike" and spike["n_events"] == 21
+    assert abs(spike["z"] - round(18 / 40 ** 0.5, 6)) < 1e-9
+    assert got[("dippy", "2024-03-10")]["direction"] == "dip"
+
+
+def test_vocab_overlap_jaccard_and_absent_pairs(spark, tmp_path):
+    """Sources sharing no token produce NO row (both engines); a
+    shared token yields the exact Jaccard over distinct vocabularies
+    (duplicate tokens within a source count once)."""
+    docs = [(1, "A", "x y"), (2, "A", "y y"),  # A vocab {x, y}
+            (3, "B", "y z"),                   # B vocab {y, z}
+            (4, "C", "p q")]                   # C shares nothing
+    spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from thundercats_spark.queries.analytics9 import doc_source_vocab_overlap
+
+    rows = doc_source_vocab_overlap(spark, str(tmp_path)).collect()
+    assert [(r["src_a"], r["src_b"]) for r in rows] == [("A", "B")]
+    r = rows[0]
+    assert (r["vocab_a"], r["vocab_b"], r["common"]) == (2, 2, 1)
+    assert abs(r["jaccard"] - 1 / 3) < 1e-12

@@ -364,6 +364,7 @@ def all_queries() -> dict[str, Query]:
         analytics6,
         analytics7,
         analytics8,
+        analytics9,
         llm_ops,
         llm_ops2,
         relational,
