@@ -1249,3 +1249,123 @@ def test_png_sub_byte_depths_roundtrip_and_palette():
 
     with pytest.raises(ValueError, match="grayscale"):
         encode_png(4, 4, np.zeros((4, 4, 3), np.uint8), channels=3, depth=4)
+
+
+def test_lossless_jpeg_bit_exact_roundtrip_matrix():
+    """Lossless (SOF3, annex H) decodes for REAL in the stdlib codec,
+    and — unlike the DCT twins — the round trip is BIT-EXACT: random
+    images survive encode→decode unchanged across every predictor
+    (1-7), gray and RGB, and degenerate dims (1x1, 1xN, Nx1). A
+    vertical step image exercises the modulo-2^16 wraparound path for
+    large negative diffs under predictor 2."""
+    import numpy as np
+
+    from thundercats_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(11)
+    for pred in range(1, 8):
+        w = int(rng.integers(1, 40))
+        h = int(rng.integers(1, 40))
+        ch = int(rng.choice([1, 3]))
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.int64)
+        data = encode_jpeg_lossless(w, h, img, channels=ch,
+                                    predictor=pred)
+        got = decode_jpeg(data)
+        assert got is not None
+        gw, gh, kind, flat = got
+        assert (gw, gh, kind) == (w, h, "JPEG")
+        dec = flat.astype(np.int64).reshape(h, w, ch)
+        assert (dec == img).all(), f"predictor {pred} not lossless"
+    for w, h in [(1, 1), (1, 7), (7, 1)]:
+        img = rng.integers(0, 256, size=(h, w, 1), dtype=np.int64)
+        data = encode_jpeg_lossless(w, h, img, channels=1, predictor=4)
+        _, _, _, flat = decode_jpeg(data)
+        assert (flat.astype(np.int64).reshape(h, w, 1) == img).all()
+    # max-amplitude alternation: consecutive diffs of ±255 and a
+    # column where (px + diff) crosses 0 under mod-2^16 arithmetic
+    step = np.zeros((4, 6), dtype=np.int64)
+    step[:, ::2] = 255
+    data = encode_jpeg_lossless(6, 4, step, channels=1, predictor=2)
+    _, _, _, flat = decode_jpeg(data)
+    assert (flat.astype(np.int64).reshape(4, 6) == step).all()
+
+
+def test_lossless_jpeg_precision_scaling_and_point_transform():
+    """Non-8-bit precisions scale on decode by rint(v*255/(2^P-1)) —
+    exact on bit-replicated 8-bit content (the PNG 16-bit precedent) —
+    and point transform Pt codes v>>Pt, decoding to the input with the
+    low Pt bits zeroed."""
+    import numpy as np
+
+    from thundercats_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(12)
+    v8 = rng.integers(0, 256, size=(9, 5), dtype=np.int64)
+    # 12-bit by bit replication: v12 = (v8 << 4) | (v8 >> 4) → decodes
+    # back to exactly v8
+    v12 = (v8 << 4) | (v8 >> 4)
+    data = encode_jpeg_lossless(5, 9, v12, channels=1, predictor=7,
+                                precision=12)
+    _, _, _, flat = decode_jpeg(data)
+    assert (flat.astype(np.int64).reshape(9, 5) == v8).all()
+    # arbitrary 12-bit content: the documented scaling rule, exactly
+    raw = rng.integers(0, 4096, size=(6, 6), dtype=np.int64)
+    data = encode_jpeg_lossless(6, 6, raw, channels=1, precision=12)
+    _, _, _, flat = decode_jpeg(data)
+    expect = np.clip(np.rint(raw * (255.0 / 4095.0)), 0, 255)
+    assert (flat.reshape(6, 6) == expect).all()
+    # 4-bit: v4 replicated to 8 bits on decode scaling (v*255/15 = v*17)
+    v4 = rng.integers(0, 16, size=(3, 8), dtype=np.int64)
+    data = encode_jpeg_lossless(8, 3, v4, channels=1, precision=4)
+    _, _, _, flat = decode_jpeg(data)
+    assert (flat.astype(np.int64).reshape(3, 8) == v4 * 17).all()
+    # point transform: low bits zeroed, prediction in the shifted domain
+    img = rng.integers(0, 256, size=(7, 7), dtype=np.int64)
+    data = encode_jpeg_lossless(7, 7, img, channels=1, predictor=5,
+                                point_transform=2)
+    _, _, _, flat = decode_jpeg(data)
+    assert (flat.astype(np.int64).reshape(7, 7) == (img >> 2) << 2).all()
+
+
+def test_lossless_jpeg_validation_and_gates():
+    """encode_jpeg_lossless rejects out-of-contract args loudly;
+    decode_jpeg still gates the genuinely-unsupported neighbors
+    (DRI in a lossless frame, arithmetic-coded SOF) to None so the
+    decoder chain falls through instead of mis-decoding."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from thundercats_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    img = np.zeros((2, 2), dtype=np.int64)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(2, 2, img, predictor=0)
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg_lossless(2, 2, img, precision=17)
+    with pytest.raises(ValueError, match="point_transform"):
+        encode_jpeg_lossless(2, 2, img, precision=8, point_transform=8)
+    with pytest.raises(ValueError, match="range"):
+        encode_jpeg_lossless(2, 2, img + 300, precision=8)
+
+    # splice a DRI segment into a valid lossless file → gated to None
+    data = bytearray(encode_jpeg_lossless(2, 2, img + 5))
+    dri = struct.pack(">BBHH", 0xFF, 0xDD, 4, 2)
+    sos_at = data.find(b"\xff\xda")
+    data[sos_at:sos_at] = dri
+    assert decode_jpeg(bytes(data)) is None
+    # arithmetic-coded lossless (SOF11 = 0xCB) stays gated
+    data = bytearray(encode_jpeg_lossless(2, 2, img + 5))
+    sof_at = data.find(b"\xff\xc3")
+    data[sof_at + 1] = 0xCB
+    assert decode_jpeg(bytes(data)) is None

@@ -7,9 +7,9 @@ partition sizing — is real and tested. Decoders that need no codec
 library are REAL here: BMP/PPM/PGM/WAV header parsing, the COMPLETE
 PNG matrix (1/2/4/8/16-bit, both interlace methods — DEFLATE via
 stdlib zlib, per-(sub)image unfiltering, Adam7 pass scatter, bit
-unpacking), and JPEG in both DCT modes — baseline AND progressive
-(see ``multimodal/jpeg.py``). The remaining codecs
-(arithmetic/lossless JPEG via PIL, audio/video via ffmpeg) are
+unpacking), and JPEG in all three Huffman modes — baseline,
+progressive, AND lossless (see ``multimodal/jpeg.py``). The remaining
+codecs (arithmetic/12-bit-DCT JPEG via PIL, audio/video via ffmpeg) are
 NOT in this container, so each resolves at runtime: real library if
 importable, else a clearly-marked deterministic stub (see
 ``_decoder``). Swapping in the real codec changes no Spark code.
@@ -457,8 +457,8 @@ def _decoder(strict: bool = False):
     for self-describing uncompressed formats (BMP, PPM, PGM) and the
     stdlib-zlib PNG path (all five depths, both interlace methods) —
     then the imaging lib
-    if importable; without it, the stdlib baseline-JPEG decoder
-    (sequential-DCT 8-bit Huffman, multimodal/jpeg.py — the
+    if importable; without it, the stdlib Huffman-JPEG decoder
+    (baseline / progressive / lossless, multimodal/jpeg.py — the
     correctness fallback whose per-bit Python loop must never shadow
     libjpeg) and finally the deterministic stub for the rest. The second return value reports whether a REAL
     path decodes those remaining formats too. ``strict=True`` turns
@@ -506,17 +506,17 @@ def _decoder(strict: bool = False):
                 return got
             if strict:
                 raise NotImplementedError(
-                    "compressed image decode (arithmetic-coded/lossless/"
-                    "12-bit JPEG / ...) "
+                    "compressed image decode (arithmetic-coded/"
+                    "12-bit-DCT JPEG / ...) "
                     "requires Pillow (the PIL package), which is not "
                     "importable in this environment — install pillow, "
                     "or call with strict=False to accept the "
                     "deterministic stub features for these formats "
-                    "(both JPEG DCT modes and the complete PNG matrix "
-                    "decode for REAL without Pillow)"
+                    "(all three Huffman JPEG modes and the complete "
+                    "PNG matrix decode for REAL without Pillow)"
                 )
             # STUB for the remaining compressed formats only
-            # (arithmetic-coded/lossless/12-bit JPEG / ...):
+            # (arithmetic-coded/12-bit-DCT JPEG / ...):
             # deterministic pseudo-decode from payload bytes. Real
             # pipelines get these via the PIL branch above; everything
             # downstream is unchanged. Feature scale is raw 0-255, the

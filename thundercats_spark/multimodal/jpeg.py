@@ -1,17 +1,20 @@
-"""Pure-stdlib JPEG codec — BOTH DCT modes (decode + encode twins).
+"""Pure-stdlib JPEG codec — all three Huffman modes (decode + encode
+twins).
 
-Closes the two dominant real-world gaps in the no-lib decoder chain
-(multimodal/binary.py): 8-bit Huffman JPEG in BOTH its sequential
-(SOF0/SOF1 baseline) and PROGRESSIVE (SOF2) forms decodes for REAL
-here — marker walk, DQT/DHT/DRI/SOS parsing, canonical-Huffman entropy
-decode with byte-unstuffing and restart markers, dequantize + IDCT,
-chroma upsample, JFIF YCbCr→RGB; progressive adds multi-scan
-coefficient accumulation per ITU T.81 annex G (spectral-selection
-bands, successive-approximation DC/AC first + refinement scans, EOBn
-run coding, refinement correction bits). Arithmetic-coded, lossless,
-hierarchical, and 12-bit variants return None and fall through to the
-PIL-or-stub branch exactly like the PNG decoder's 16-bit/interlaced
-gaps.
+Closes the dominant real-world gaps in the no-lib decoder chain
+(multimodal/binary.py): Huffman JPEG in its sequential (SOF0/SOF1
+baseline), PROGRESSIVE (SOF2), and LOSSLESS (SOF3, annex H) forms all
+decode for REAL here — marker walk, DQT/DHT/DRI/SOS parsing,
+canonical-Huffman entropy decode with byte-unstuffing and restart
+markers, dequantize + IDCT, chroma upsample, JFIF YCbCr→RGB;
+progressive adds multi-scan coefficient accumulation per ITU T.81
+annex G (spectral-selection bands, successive-approximation DC/AC
+first + refinement scans, EOBn run coding, refinement correction
+bits); lossless adds the annex-H predictive path (7 predictors,
+modulo-2^16 differences, point transform, 2-16-bit precisions) with a
+BIT-EXACT round trip. Arithmetic-coded, hierarchical, and 12-bit DCT
+variants return None and fall through to the PIL-or-stub branch
+exactly like the PNG decoder's pre-r10 gaps did.
 
 This is the CORRECTNESS path, not the throughput path (the per-bit
 Huffman loop is Python): when Pillow is importable the `_decoder` chain
@@ -177,14 +180,16 @@ def _decode_block(br, dc_tab, ac_tab, qt, pred: int):
 
 
 def decode_jpeg(data: bytes):
-    """REAL decoder for 8-bit Huffman JPEG — BOTH DCT modes: baseline /
-    extended sequential (SOF0/SOF1) and PROGRESSIVE (SOF2, spectral
-    selection + successive approximation, per ITU T.81 annex G) —
-    grayscale or YCbCr with 1-2x sampling factors, restart markers,
-    0xFF00 stuffing, fill bytes. Returns (width, height, 'JPEG',
-    float32 pixels, raw 0-255 — the chain's shared scale convention)
-    or None for non-JPEG / arithmetic-coded / lossless / hierarchical /
-    12-bit payloads."""
+    """REAL decoder for Huffman JPEG — all three Huffman modes:
+    baseline / extended sequential (SOF0/SOF1), PROGRESSIVE (SOF2,
+    spectral selection + successive approximation, per ITU T.81
+    annex G), and LOSSLESS (SOF3, annex H predictive, 2-16-bit
+    precisions scaled to the 0-255 contract) — grayscale or 3-channel,
+    1-2x sampling factors (DCT modes), restart markers, 0xFF00
+    stuffing, fill bytes. Returns (width, height, 'JPEG', float32
+    pixels, raw 0-255 — the chain's shared scale convention) or None
+    for non-JPEG / arithmetic-coded / hierarchical / 12-bit-DCT
+    payloads."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
     try:
@@ -200,6 +205,9 @@ def _decode_jpeg_inner(data: bytes):
     frame = None
     progressive = False
     coefs = None  # progressive: per-component zigzag coefficient store
+    lossless = False
+    ll_precision = 8
+    ll_planes = None  # lossless: per-component sample store
     scans_done = 0
     pos = 2
     while pos + 2 <= len(data):
@@ -217,6 +225,8 @@ def _decode_jpeg_inner(data: bytes):
         if marker == 0xD9:  # EOI
             if progressive and scans_done:
                 return _reconstruct_progressive(frame, coefs, qtabs)
+            if lossless and scans_done:
+                return _assemble_lossless(frame, ll_planes, ll_precision)
             return None  # EOI before any (baseline) scan
         if pos + 4 > len(data):
             raise _Corrupt("truncated marker segment")
@@ -245,9 +255,26 @@ def _decode_jpeg_inner(data: bytes):
                     np.zeros((mcuy * vc, mcux * hc, 64), dtype=np.int64)
                     for _, hc, vc, _ in comps
                 ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC3:  # lossless sequential (annex H)
+            precision, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
+            if not (2 <= precision <= 16) or nf not in (1, 3) \
+                    or w == 0 or h == 0:
+                return None
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append([cid, hv >> 4, hv & 0x0F, tq])
+            if any(c[1] != 1 or c[2] != 1 for c in comps):
+                return None  # subsampled lossless — vanishingly rare
+            frame = (w, h, comps)
+            lossless = True
+            ll_precision = precision
+            ll_planes = {
+                c[0]: np.zeros((h, w), dtype=np.int64) for c in comps
+            }
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # lossless / arithmetic / hierarchical — gated
+            return None  # differential / arithmetic / hierarchical — gated
         elif marker == 0xC4:  # DHT, possibly several tables
             off = 0
             while off < len(seg):
@@ -279,6 +306,19 @@ def _decode_jpeg_inner(data: bytes):
             for i in range(ns):
                 cs, td_ta = struct.unpack_from(">BB", seg, 1 + 2 * i)
                 scan[cs] = (td_ta >> 4, td_ta & 0x0F)
+            if lossless:
+                if restart_interval:
+                    # restart resets the prediction state machine
+                    # mid-scan (T.81 H.2.1.3) — gated like the other
+                    # rare variants; our encode twin never emits DRI
+                    return None
+                pos = _decode_lossless_scan(
+                    data, pos + 2 + seglen, frame, ll_precision, scan,
+                    htabs, seg[1 + 2 * ns], seg[3 + 2 * ns] & 0x0F,
+                    ll_planes,
+                )
+                scans_done += 1
+                continue
             if not progressive:
                 return _decode_scan(
                     data, pos + 2 + seglen, frame, scan, qtabs, htabs,
@@ -297,6 +337,8 @@ def _decode_jpeg_inner(data: bytes):
     if progressive and scans_done:
         # tolerate a missing EOI — every scan decoded cleanly
         return _reconstruct_progressive(frame, coefs, qtabs)
+    if lossless and scans_done:
+        return _assemble_lossless(frame, ll_planes, ll_precision)
     raise _Corrupt("no SOS marker")
 
 
@@ -590,6 +632,103 @@ def _assemble(frame, planes):
          np.clip(np.rint(b), 0, 255)],
         axis=-1,
     )
+    return w, h, "JPEG", rgb.astype(np.float32).ravel()
+
+
+# ---------------------------------------------------------------------------
+# Lossless mode (ITU T.81 annex H): no DCT at all — each sample is a
+# Huffman-coded DIFFERENCE from a neighbor prediction (7 selectable
+# predictors), modulo-2^16 arithmetic, optional point transform Pt
+# (samples shifted right Pt bits before coding, left on output).
+# Decoding is bit-EXACT, so the encode twin round-trips losslessly —
+# the strongest pin in the codec suite.
+# ---------------------------------------------------------------------------
+
+
+def _ll_predict(pl, x, y, predictor, default):
+    """T.81 H.1.2 sample prediction: first sample of the scan uses the
+    default 1<<(P-Pt-1); the rest of the first LINE predicts from Ra
+    (left); the first COLUMN predicts from Rb (above); elsewhere the
+    SOS-selected predictor combines Ra/Rb/Rc."""
+    if y == 0:
+        return default if x == 0 else int(pl[0, x - 1])
+    if x == 0:
+        return int(pl[y - 1, 0])
+    a = int(pl[y, x - 1])
+    b = int(pl[y - 1, x])
+    c = int(pl[y - 1, x - 1])
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # predictor 7
+
+
+def _decode_lossless_scan(data, pos, frame, precision, scan, htabs,
+                          predictor, pt, planes):
+    """One lossless scan (interleaved with Hi=Vi=1, or a single
+    component) into the per-component sample stores. Returns the
+    position of the next true marker."""
+    w, h, comps = frame
+    if not 1 <= predictor <= 7:
+        raise _Corrupt("bad lossless predictor")
+    scomps = [c for c in comps if c[0] in scan]
+    if len(scomps) != len(scan):
+        raise _Corrupt("scan references unknown component")
+    # lossless uses DC-class tables only (Tc=0)
+    pairs = [(planes[c[0]], htabs[(0, scan[c[0]][0])]) for c in scomps]
+    br = _BitReader(data, pos)
+    default = 1 << (precision - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for pl, tab in pairs:
+                t = _huff_decode(br, tab)
+                if t > 16:
+                    raise _Corrupt("lossless SSSS > 16")
+                if t == 16:  # spec special case: no appended bits
+                    diff = 32768
+                elif t:
+                    diff = _extend(br.bits(t), t)
+                else:
+                    diff = 0
+                px = _ll_predict(pl, x, y, predictor, default)
+                pl[y, x] = (px + diff) & 0xFFFF
+    if pt:  # inverse point transform: low bits restored as zeros
+        for pl, _ in pairs:
+            pl <<= pt
+    p = br.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] != 0x00
+    ):
+        p += 1
+    return p
+
+
+def _assemble_lossless(frame, planes, precision):
+    """Lossless output tail. No colour transform: annex H defines no
+    YCbCr convention and real lossless producers (DNG, DICOM) store
+    component-direct values, so 3 components are returned as RGB
+    as-is. Precisions other than 8 scale to the 0-255 contract by
+    rint(v * 255 / (2^P - 1)) — exact on bit-replicated content, the
+    PNG 16-bit precedent."""
+    w, h, comps = frame
+    full = [planes[c[0]].astype(np.float64) for c in comps]
+    maxv = float((1 << precision) - 1)
+    if precision != 8:
+        full = [np.clip(np.rint(p * (255.0 / maxv)), 0, 255) for p in full]
+    else:
+        full = [np.clip(p, 0, 255) for p in full]
+    if len(full) == 1:
+        return w, h, "JPEG", full[0].astype(np.float32).ravel()
+    rgb = np.stack(full, axis=-1)
     return w, h, "JPEG", rgb.astype(np.float32).ravel()
 
 
@@ -1089,5 +1228,90 @@ def encode_jpeg_progressive(
             for ss, se in bands:
                 ac_scan(ci, ss, se, al + 1, al, _emit_ac_refine_block)
 
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Lossless encode twin.
+# ---------------------------------------------------------------------------
+
+# Lossless difference categories run 0..16 (16 = the modulo-wrap value
+# 32768, coded with no appended bits): 17 symbols at 5 bits each is a
+# valid canonical table (Kraft 17/32), same zero-transcription-risk
+# construction as the DCT twins' fixed tables.
+_DCL_SYMS = list(range(17))
+_DCL_BITS, _DCL_VALS, _DCL_CODES = _fixed_table(_DCL_SYMS, 5)
+
+
+def encode_jpeg_lossless(
+    w: int,
+    h: int,
+    pixels: np.ndarray,
+    channels: int = 1,
+    predictor: int = 1,
+    precision: int = 8,
+    point_transform: int = 0,
+) -> bytes:
+    """Lossless JPEG (SOF3) writer — the encode twin of the annex-H
+    decode path. With ``point_transform=0`` the round trip is
+    BIT-EXACT: decode_jpeg(encode_jpeg_lossless(img)) == img, for any
+    predictor 1-7 and precision 2-16 (non-8 precisions scale on decode
+    per the 0-255 output contract). ``point_transform=Pt`` codes
+    samples >> Pt and the decoder restores them << Pt — round trip
+    equals the input with the low Pt bits zeroed. 3-channel input is
+    coded component-direct (no colour transform; see
+    _assemble_lossless)."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if not 1 <= int(predictor) <= 7:
+        raise ValueError(f"predictor must be in [1, 7], got {predictor!r}")
+    if not 2 <= int(precision) <= 16:
+        raise ValueError(f"precision must be in [2, 16], got {precision!r}")
+    if not 0 <= int(point_transform) < int(precision):
+        raise ValueError("point_transform must be in [0, precision)")
+    arr = np.asarray(pixels, dtype=np.int64).reshape(h, w, channels)
+    if arr.min() < 0 or arr.max() > (1 << precision) - 1:
+        raise ValueError("samples out of range for the stated precision")
+    arr = arr >> point_transform
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    sof = struct.pack(">BHHB", precision, h, w, channels)
+    for i in range(channels):
+        sof += struct.pack(">BBB", i + 1, 0x11, 0)
+    segment(0xC3, sof)
+    segment(0xC4, bytes([0x00]) + bytes(_DCL_BITS) + _DCL_VALS)
+    sos = bytes([channels])
+    for i in range(channels):
+        sos += struct.pack(">BB", i + 1, 0x00)
+    sos += bytes([predictor, 0, point_transform])
+    segment(0xDA, sos)
+
+    bw = _BitWriter()
+    default = 1 << (precision - point_transform - 1)
+    planes = [np.ascontiguousarray(arr[..., ci]) for ci in range(channels)]
+    for y in range(h):
+        for x in range(w):
+            for pl in planes:
+                px = _ll_predict(pl, x, y, predictor, default)
+                diff = (int(pl[y, x]) - px) & 0xFFFF
+                if diff == 32768:  # category 16: no appended bits
+                    code, ln = _DCL_CODES[16]
+                    bw.write(code, ln)
+                    continue
+                if diff > 32768:
+                    diff -= 65536
+                t = _category(diff)
+                code, ln = _DCL_CODES[t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
