@@ -1369,3 +1369,98 @@ def test_lossless_jpeg_validation_and_gates():
     sof_at = data.find(b"\xff\xc3")
     data[sof_at + 1] = 0xCB
     assert decode_jpeg(bytes(data)) is None
+
+
+def test_twelve_bit_jpeg_both_dct_modes():
+    """12-bit precision decodes in BOTH DCT modes (extended sequential
+    SOF1 and progressive SOF2 — the spec's homes for 12-bit; baseline
+    SOF0 stays 8-bit-only and a 12-bit SOF0 is gated to None). Pins:
+    (a) bit-replicated 12-bit content decodes back to the EXACT 8-bit
+    source (DCT noise in the 0-4095 domain vanishes under the /16
+    rescale); (b) a progressive 12-bit file decodes BIT-identically to
+    the sequential 12-bit file of the same pixels — two entropy
+    codings, wider category tables, Pq=1-adjacent paths all
+    converging; (c) gray + RGB + 4:2:0 + restart markers."""
+    import struct
+
+    import numpy as np
+
+    from thundercats_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(21)
+    v8 = rng.integers(0, 256, size=(24, 17), dtype=np.int64)
+    v12 = (v8 << 4) | (v8 >> 4)
+    seq = decode_jpeg(encode_jpeg(17, 24, v12, channels=1, quant=1,
+                                  precision=12))
+    assert seq is not None and seq[:3] == (17, 24, "JPEG")
+    assert (seq[3].reshape(24, 17).astype(np.int64) == v8).all()
+    prog = decode_jpeg(encode_jpeg_progressive(
+        17, 24, v12, channels=1, quant=1, precision=12,
+        dc_point=2, ac_point=2))
+    assert (prog[3] == seq[3]).all()
+
+    rgb8 = rng.integers(0, 256, size=(20, 9, 3), dtype=np.int64)
+    rgb12 = (rgb8 << 4) | (rgb8 >> 4)
+    for kwargs in [dict(quant=2, restart_interval=3),
+                   dict(quant=1, subsampling=(2, 2))]:
+        s = decode_jpeg(encode_jpeg(9, 20, rgb12, channels=3,
+                                    precision=12, **kwargs))
+        p = decode_jpeg(encode_jpeg_progressive(9, 20, rgb12, channels=3,
+                                                precision=12, **kwargs))
+        assert s is not None and (s[3] == p[3]).all()
+
+    # arbitrary (non-replicated) 12-bit content: sequential decode is
+    # within one 8-bit count of the ideal rescale at quant=1
+    raw = rng.integers(0, 4096, size=(16, 16), dtype=np.int64)
+    got = decode_jpeg(encode_jpeg(16, 16, raw, channels=1, quant=1,
+                                  precision=12))
+    ideal = np.clip(np.rint(raw * (255.0 / 4095.0)), 0, 255)
+    assert np.abs(got[3].reshape(16, 16) - ideal).max() <= 1
+
+    # 12-bit in a BASELINE (SOF0) frame is spec-illegal → gated to None
+    data = bytearray(encode_jpeg(4, 4, np.zeros((4, 4), dtype=np.int64),
+                                 channels=1))
+    sof_at = data.find(b"\xff\xc0")
+    # SOF payload: len(2) precision(1)... — precision byte sits at +4
+    assert data[sof_at + 4] == 8
+    data[sof_at + 4] = 12
+    assert decode_jpeg(bytes(data)) is None
+    # out-of-range samples and bad precision raise loudly on encode
+    import pytest
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg(4, 4, np.zeros((4, 4)), channels=1, precision=10)
+    with pytest.raises(ValueError, match="range"):
+        encode_jpeg(4, 4, np.full((4, 4), 300), channels=1, precision=8)
+
+
+def test_twelve_bit_jpeg_sixteen_bit_quant_tables():
+    """Pq=1 DQT segments (16-bit quant entries — legal only in 12-bit
+    frames) parse correctly: splice a 16-bit table with entries > 255
+    into a 12-bit file and the decode must use the WIDE values, not a
+    truncated low byte (a uint8 misread would massively over-sharpen
+    every coefficient)."""
+    import struct
+
+    import numpy as np
+
+    from thundercats_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(22)
+    v12 = rng.integers(0, 4096, size=(8, 8), dtype=np.int64)
+    data = bytearray(encode_jpeg(8, 8, v12, channels=1, quant=255,
+                                 precision=12))
+    # rewrite the DQT as Pq=1 with value 255 stored as 16-bit — the
+    # pixels must decode identically to the Pq=0 original
+    dqt_at = data.find(b"\xff\xdb")
+    assert data[dqt_at + 4] == 0x00  # Pq=0, Tq=0
+    wide = struct.pack(">BBH", 0xFF, 0xDB, 2 + 1 + 128) + bytes([0x10])
+    wide += b"".join(struct.pack(">H", 255) for _ in range(64))
+    base = decode_jpeg(bytes(data))
+    data[dqt_at : dqt_at + 4 + 65] = wide
+    wide_dec = decode_jpeg(bytes(data))
+    assert wide_dec is not None
+    assert (base[3] == wide_dec[3]).all()

@@ -9,7 +9,7 @@ PNG matrix (1/2/4/8/16-bit, both interlace methods — DEFLATE via
 stdlib zlib, per-(sub)image unfiltering, Adam7 pass scatter, bit
 unpacking), and JPEG in all three Huffman modes — baseline,
 progressive, AND lossless (see ``multimodal/jpeg.py``). The remaining
-codecs (arithmetic/12-bit-DCT JPEG via PIL, audio/video via ffmpeg) are
+codecs (arithmetic-coded JPEG via PIL, audio/video via ffmpeg) are
 NOT in this container, so each resolves at runtime: real library if
 importable, else a clearly-marked deterministic stub (see
 ``_decoder``). Swapping in the real codec changes no Spark code.
@@ -506,8 +506,7 @@ def _decoder(strict: bool = False):
                 return got
             if strict:
                 raise NotImplementedError(
-                    "compressed image decode (arithmetic-coded/"
-                    "12-bit-DCT JPEG / ...) "
+                    "compressed image decode (arithmetic-coded JPEG) "
                     "requires Pillow (the PIL package), which is not "
                     "importable in this environment — install pillow, "
                     "or call with strict=False to accept the "
@@ -516,7 +515,7 @@ def _decoder(strict: bool = False):
                     "PNG matrix decode for REAL without Pillow)"
                 )
             # STUB for the remaining compressed formats only
-            # (arithmetic-coded/12-bit-DCT JPEG / ...):
+            # (arithmetic-coded JPEG):
             # deterministic pseudo-decode from payload bytes. Real
             # pipelines get these via the PIL branch above; everything
             # downstream is unchanged. Feature scale is raw 0-255, the

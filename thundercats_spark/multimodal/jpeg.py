@@ -12,9 +12,11 @@ annex G (spectral-selection bands, successive-approximation DC/AC
 first + refinement scans, EOBn run coding, refinement correction
 bits); lossless adds the annex-H predictive path (7 predictors,
 modulo-2^16 differences, point transform, 2-16-bit precisions) with a
-BIT-EXACT round trip. Arithmetic-coded, hierarchical, and 12-bit DCT
-variants return None and fall through to the PIL-or-stub branch
-exactly like the PNG decoder's pre-r10 gaps did.
+BIT-EXACT round trip; the DCT modes additionally carry 12-bit
+precision (SOF1/SOF2 frames, Pq=1 16-bit quant tables, the wider DC/AC
+category bounds, output rescaled to the 0-255 contract). Only
+arithmetic-coded and hierarchical variants return None and fall
+through to the PIL-or-stub branch.
 
 This is the CORRECTNESS path, not the throughput path (the per-bit
 Huffman loop is Python): when Pillow is importable the `_decoder` chain
@@ -150,11 +152,13 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _decode_block(br, dc_tab, ac_tab, qt, pred: int):
-    """One 8x8 data unit → (spatial block float64, new DC predictor)."""
+def _decode_block(br, dc_tab, ac_tab, qt, pred: int, max_cat: int = 11):
+    """One 8x8 data unit → (spatial block float64, new DC predictor).
+    ``max_cat`` is the spec DC-difference category bound: 11 for 8-bit
+    frames, 15 for 12-bit (F.1.2.1.1 table F.1 / its 12-bit twin)."""
     t = _huff_decode(br, dc_tab)
-    if t > 11:
-        raise _Corrupt("DC category > 11")
+    if t > max_cat:
+        raise _Corrupt("DC category out of spec range")
     diff = _extend(br.bits(t), t) if t else 0
     pred += diff
     coeffs = np.zeros(64, dtype=np.float64)
@@ -187,9 +191,9 @@ def decode_jpeg(data: bytes):
     precisions scaled to the 0-255 contract) — grayscale or 3-channel,
     1-2x sampling factors (DCT modes), restart markers, 0xFF00
     stuffing, fill bytes. Returns (width, height, 'JPEG', float32
-    pixels, raw 0-255 — the chain's shared scale convention) or None
-    for non-JPEG / arithmetic-coded / hierarchical / 12-bit-DCT
-    payloads."""
+    pixels, raw 0-255 — the chain's shared scale convention; 12-bit
+    DCT frames rescale by 255/4095) or None for non-JPEG /
+    arithmetic-coded / hierarchical payloads."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
     try:
@@ -206,7 +210,6 @@ def _decode_jpeg_inner(data: bytes):
     progressive = False
     coefs = None  # progressive: per-component zigzag coefficient store
     lossless = False
-    ll_precision = 8
     ll_planes = None  # lossless: per-component sample store
     scans_done = 0
     pos = 2
@@ -226,7 +229,7 @@ def _decode_jpeg_inner(data: bytes):
             if progressive and scans_done:
                 return _reconstruct_progressive(frame, coefs, qtabs)
             if lossless and scans_done:
-                return _assemble_lossless(frame, ll_planes, ll_precision)
+                return _assemble_lossless(frame, ll_planes)
             return None  # EOI before any (baseline) scan
         if pos + 4 > len(data):
             raise _Corrupt("truncated marker segment")
@@ -236,7 +239,13 @@ def _decode_jpeg_inner(data: bytes):
             raise _Corrupt("truncated segment")
         if marker in (0xC0, 0xC1, 0xC2):  # sequential or progressive
             precision, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
-            if precision != 8 or nf not in (1, 3) or w == 0 or h == 0:
+            if nf not in (1, 3) or w == 0 or h == 0:
+                return None
+            # B.2.2: baseline (SOF0) is 8-bit only; extended sequential
+            # (SOF1) and progressive (SOF2) may also carry 12-bit
+            if precision != 8 and not (
+                precision == 12 and marker in (0xC1, 0xC2)
+            ):
                 return None
             comps = []
             for i in range(nf):
@@ -244,7 +253,7 @@ def _decode_jpeg_inner(data: bytes):
                 comps.append([cid, hv >> 4, hv & 0x0F, tq])
             if nf == 1:  # sampling factors are moot for one component
                 comps[0][1] = comps[0][2] = 1
-            frame = (w, h, comps)
+            frame = (w, h, comps, precision)
             if marker == 0xC2:
                 progressive = True
                 hmax = max(c[1] for c in comps)
@@ -266,9 +275,8 @@ def _decode_jpeg_inner(data: bytes):
                 comps.append([cid, hv >> 4, hv & 0x0F, tq])
             if any(c[1] != 1 or c[2] != 1 for c in comps):
                 return None  # subsampled lossless — vanishingly rare
-            frame = (w, h, comps)
+            frame = (w, h, comps, precision)
             lossless = True
-            ll_precision = precision
             ll_planes = {
                 c[0]: np.zeros((h, w), dtype=np.int64) for c in comps
             }
@@ -290,12 +298,18 @@ def _decode_jpeg_inner(data: bytes):
             off = 0
             while off < len(seg):
                 pq_tq = seg[off]
-                if pq_tq >> 4 != 0:
-                    return None  # 16-bit quant table → 12-bit JPEG
+                pq = pq_tq >> 4
+                if pq not in (0, 1):
+                    raise _Corrupt("bad DQT precision")
                 q = np.zeros(64, dtype=np.float64)
-                q[_ZIGZAG] = np.frombuffer(seg, np.uint8, 64, off + 1)
+                if pq:  # Pq=1: 16-bit big-endian entries (12-bit frames)
+                    q[_ZIGZAG] = np.frombuffer(
+                        seg, ">u2", 64, off + 1
+                    ).astype(np.float64)
+                else:
+                    q[_ZIGZAG] = np.frombuffer(seg, np.uint8, 64, off + 1)
                 qtabs[pq_tq & 0x0F] = q
-                off += 65
+                off += 129 if pq else 65
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS → entropy-coded data follows
@@ -313,7 +327,7 @@ def _decode_jpeg_inner(data: bytes):
                     # rare variants; our encode twin never emits DRI
                     return None
                 pos = _decode_lossless_scan(
-                    data, pos + 2 + seglen, frame, ll_precision, scan,
+                    data, pos + 2 + seglen, frame, scan,
                     htabs, seg[1 + 2 * ns], seg[3 + 2 * ns] & 0x0F,
                     ll_planes,
                 )
@@ -338,7 +352,7 @@ def _decode_jpeg_inner(data: bytes):
         # tolerate a missing EOI — every scan decoded cleanly
         return _reconstruct_progressive(frame, coefs, qtabs)
     if lossless and scans_done:
-        return _assemble_lossless(frame, ll_planes, ll_precision)
+        return _assemble_lossless(frame, ll_planes)
     raise _Corrupt("no SOS marker")
 
 
@@ -448,7 +462,7 @@ def _decode_prog_scan(data, pos, frame, scan, ss, se, ah, al, htabs,
                       restart_interval, coefs):
     """Decode one progressive scan into the coefficient stores; returns
     the position of the next marker after the entropy data."""
-    w, h, comps = frame
+    w, h, comps = frame[:3]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -539,7 +553,7 @@ def _decode_prog_scan(data, pos, frame, scan, ss, se, ah, al, htabs,
 def _reconstruct_progressive(frame, coefs, qtabs):
     """One dequantize + IDCT pass over the accumulated coefficient
     stores, then the shared upsample/colour tail."""
-    w, h, comps = frame
+    w, h, comps = frame[:3]
     planes = []
     for (cid, hc, vc, tq), zz in zip(comps, coefs):
         qt = qtabs[tq]  # natural order
@@ -565,7 +579,7 @@ def _reconstruct_progressive(frame, coefs, qtabs):
 
 
 def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
-    w, h, comps = frame
+    w, h, comps, precision = frame
     if len(scan) != len(comps):
         return None  # non-interleaved multi-scan — not baseline-typical
     hmax = max(c[1] for c in comps)
@@ -598,7 +612,8 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
             for by in range(vc):
                 for bx in range(hc):
                     block, preds[ci] = _decode_block(
-                        br, dc_tab, ac_tab, qt, preds[ci]
+                        br, dc_tab, ac_tab, qt, preds[ci],
+                        max_cat=11 if precision == 8 else 15,
                     )
                     y0 = (my * vc + by) * 8
                     x0 = (mx * hc + bx) * 8
@@ -607,31 +622,37 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
 
 
 def _assemble(frame, planes):
-    """Shared tail for both DCT modes: level shift, upsample each
-    component to full resolution, crop, JFIF YCbCr→RGB."""
-    w, h, comps = frame
+    """Shared tail for both DCT modes: level shift (2^(P-1)),
+    upsample each component to full resolution, crop, JFIF YCbCr→RGB
+    (the colour matrix is precision-agnostic once centered on the
+    shift); 12-bit output scales to the chain's 0-255 contract by
+    rint(v * 255 / 4095) — the lossless/PNG-16-bit rule."""
+    w, h, comps, precision = frame
+    shift = float(1 << (precision - 1))
+    scale = 255.0 / float((1 << precision) - 1)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+
+    def out8(x):
+        if precision != 8:
+            x = x * scale
+        return np.clip(np.rint(x), 0, 255)
+
     full = []
     for (cid, hc, vc, tq), plane in zip(comps, planes):
-        p = plane + 128.0
+        p = plane + shift
         if hc != hmax:
             p = np.repeat(p, hmax // hc, axis=1)
         if vc != vmax:
             p = np.repeat(p, vmax // vc, axis=0)
         full.append(p[:h, :w])
     if len(full) == 1:
-        out = np.clip(np.rint(full[0]), 0, 255)
-        return w, h, "JPEG", out.astype(np.float32).ravel()
+        return w, h, "JPEG", out8(full[0]).astype(np.float32).ravel()
     y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack(
-        [np.clip(np.rint(r), 0, 255), np.clip(np.rint(g), 0, 255),
-         np.clip(np.rint(b), 0, 255)],
-        axis=-1,
-    )
+    r = y + 1.402 * (cr - shift)
+    g = y - 0.344136 * (cb - shift) - 0.714136 * (cr - shift)
+    b = y + 1.772 * (cb - shift)
+    rgb = np.stack([out8(r), out8(g), out8(b)], axis=-1)
     return w, h, "JPEG", rgb.astype(np.float32).ravel()
 
 
@@ -672,12 +693,12 @@ def _ll_predict(pl, x, y, predictor, default):
     return (a + b) >> 1  # predictor 7
 
 
-def _decode_lossless_scan(data, pos, frame, precision, scan, htabs,
+def _decode_lossless_scan(data, pos, frame, scan, htabs,
                           predictor, pt, planes):
     """One lossless scan (interleaved with Hi=Vi=1, or a single
     component) into the per-component sample stores. Returns the
     position of the next true marker."""
-    w, h, comps = frame
+    w, h, comps, precision = frame
     if not 1 <= predictor <= 7:
         raise _Corrupt("bad lossless predictor")
     scomps = [c for c in comps if c[0] in scan]
@@ -712,14 +733,14 @@ def _decode_lossless_scan(data, pos, frame, precision, scan, htabs,
     return p
 
 
-def _assemble_lossless(frame, planes, precision):
+def _assemble_lossless(frame, planes):
     """Lossless output tail. No colour transform: annex H defines no
     YCbCr convention and real lossless producers (DNG, DICOM) store
     component-direct values, so 3 components are returned as RGB
     as-is. Precisions other than 8 scale to the 0-255 contract by
     rint(v * 255 / (2^P - 1)) — exact on bit-replicated content, the
     PNG 16-bit precedent."""
-    w, h, comps = frame
+    w, h, comps, precision = frame
     full = [planes[c[0]].astype(np.float64) for c in comps]
     maxv = float((1 << precision) - 1)
     if precision != 8:
@@ -785,19 +806,36 @@ def _fixed_table(symbols: list[int], length: int):
 _DC_BITS, _DC_VALS, _DC_CODES = _fixed_table(_DC_SYMS, 4)
 _AC_BITS, _AC_VALS, _AC_CODES = _fixed_table(_AC_SYMS, 8)
 
+# 12-bit twins: DC difference categories run 0..15 (16 syms at 5 bits,
+# Kraft 16/32) and AC magnitudes 1..14 (226 syms at 8 bits, 226/256;
+# progressive variant adds the 15 EOBn symbols → 240/256) — same
+# zero-transcription-risk canonical construction.
+_DC12_SYMS = list(range(16))
+_AC12_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
+_ACP12_SYMS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
+_DC12_BITS, _DC12_VALS, _DC12_CODES = _fixed_table(_DC12_SYMS, 5)
+_AC12_BITS, _AC12_VALS, _AC12_CODES = _fixed_table(_AC12_SYMS, 8)
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
 def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray,
-                  pred: int) -> int:
-    coeffs = _T @ (block - 128.0) @ _T.T
+                  pred: int, shift: float = 128.0,
+                  dc_codes: dict = None, ac_codes: dict = None) -> int:
+    dc_codes = _DC_CODES if dc_codes is None else dc_codes
+    ac_codes = _AC_CODES if ac_codes is None else ac_codes
+    coeffs = _T @ (block - shift) @ _T.T
     q = np.rint(coeffs.ravel() / qt).astype(np.int64)
     dc = int(q[0])
     diff = dc - pred
     t = _category(diff)
-    code, ln = _DC_CODES[t]
+    code, ln = dc_codes[t]
     bw.write(code, ln)
     if t:
         bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
@@ -810,16 +848,16 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray,
             run += 1
             continue
         while run > 15:
-            code, ln = _AC_CODES[0xF0]
+            code, ln = ac_codes[0xF0]
             bw.write(code, ln)
             run -= 16
         s = _category(v)
-        code, ln = _AC_CODES[(run << 4) | s]
+        code, ln = ac_codes[(run << 4) | s]
         bw.write(code, ln)
         bw.write(v if v >= 0 else v + (1 << s) - 1, s)
         run = 0
     if last_nz < 62:
-        code, ln = _AC_CODES[0x00]
+        code, ln = ac_codes[0x00]
         bw.write(code, ln)
     return dc
 
@@ -832,6 +870,7 @@ def _pad_to_blocks(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
 def _emit_frame_headers(
     out: bytearray, w, h, channels, samps, qids, qt,
     sof_marker: int, ac_bits, ac_vals, restart_interval: int,
+    precision: int = 8, dc_bits=None, dc_vals=None,
 ):
     """Shared marker-side front end of BOTH encoders (review r10: the
     baseline and progressive writers had duplicated this near-verbatim,
@@ -843,28 +882,33 @@ def _emit_frame_headers(
         out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
         out.extend(payload)
 
+    dc_bits = _DC_BITS if dc_bits is None else dc_bits
+    dc_vals = _DC_VALS if dc_vals is None else dc_vals
     zz_q = qt[_ZIGZAG].astype(np.uint8).tobytes()
     segment(0xDB, bytes([0x00]) + zz_q)
     if channels == 3:
         segment(0xDB, bytes([0x01]) + zz_q)
-    sof = struct.pack(">BHHB", 8, h, w, channels)
+    sof = struct.pack(">BHHB", precision, h, w, channels)
     for i, (hc, vc) in enumerate(samps):
         sof += struct.pack(">BBB", i + 1, (hc << 4) | vc, qids[i])
     segment(sof_marker, sof)
     for tid in range(2 if channels == 3 else 1):
-        segment(0xC4, bytes([tid]) + bytes(_DC_BITS) + _DC_VALS)
+        segment(0xC4, bytes([tid]) + bytes(dc_bits) + dc_vals)
         segment(0xC4, bytes([0x10 | tid]) + bytes(ac_bits) + ac_vals)
     if restart_interval:
         segment(0xDD, struct.pack(">H", restart_interval))
     return segment
 
 
-def _prep_planes(w, h, pixels, channels, subsampling, quant):
-    """Shared encoder front end (both DCT modes): validate, RGB→YCbCr,
-    chroma subsample, pad every plane to whole MCUs. Returns
-    (samps, qids, padded_planes, mcux, mcuy)."""
+def _prep_planes(w, h, pixels, channels, subsampling, quant,
+                 precision: int = 8):
+    """Shared encoder front end (both DCT modes): validate, RGB→YCbCr
+    (chroma centered on 2^(P-1)), chroma subsample, pad every plane to
+    whole MCUs. Returns (samps, qids, padded_planes, mcux, mcuy)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision!r}")
     if not 1 <= int(quant) <= 255:
         # quant=0 divides by zero in the block quantizer (NaN/inf
         # coefficients); quant>255 wraps in the uint8 DQT write, so the
@@ -875,11 +919,14 @@ def _prep_planes(w, h, pixels, channels, subsampling, quant):
     if channels == 1:
         sh = sv = 1
     arr = np.asarray(pixels, dtype=np.float64).reshape(h, w, channels)
+    if arr.min() < 0 or arr.max() > (1 << precision) - 1:
+        raise ValueError("samples out of range for the stated precision")
+    center = float(1 << (precision - 1))
     if channels == 3:
         r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
         yp = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
         if (sh, sv) != (1, 1):
             ph = -(-h // sv) * sv
             pw = -(-w // sh) * sh
@@ -913,23 +960,36 @@ def encode_jpeg(
     subsampling: tuple[int, int] = (1, 1),
     quant: int = 1,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Minimal baseline JPEG writer — the encode twin of
+    """Minimal sequential-DCT JPEG writer — the encode twin of
     ``decode_jpeg`` for round-trip tests and synthetic corpora.
     ``subsampling=(2, 2)`` boxes chroma 4:2:0; ``quant`` fills both
     quant tables uniformly (1 = near-lossless, only DCT float +
     rounding loss); ``restart_interval`` > 0 emits DRI + RSTn markers
-    so the decoder's restart path can be exercised."""
+    so the decoder's restart path can be exercised. ``precision=12``
+    takes 0-4095 samples and writes EXTENDED sequential (SOF1, the
+    spec's home for 12-bit) with the wider DC/AC category tables; the
+    decoder scales back to the 0-255 contract."""
     samps, qids, padded, mcux, mcuy = _prep_planes(
-        w, h, pixels, channels, subsampling, quant
+        w, h, pixels, channels, subsampling, quant, precision
     )
     qt = np.full(64, float(quant))
+    twelve = precision == 12
+    shift = float(1 << (precision - 1))
+    dc_codes = _DC12_CODES if twelve else _DC_CODES
+    ac_codes = _AC12_CODES if twelve else _AC_CODES
 
     out = bytearray(b"\xff\xd8")
     segment = _emit_frame_headers(
-        out, w, h, channels, samps, qids, qt, sof_marker=0xC0,
-        ac_bits=_AC_BITS, ac_vals=_AC_VALS,
+        out, w, h, channels, samps, qids, qt,
+        sof_marker=0xC1 if twelve else 0xC0,
+        ac_bits=_AC12_BITS if twelve else _AC_BITS,
+        ac_vals=_AC12_VALS if twelve else _AC_VALS,
         restart_interval=restart_interval,
+        precision=precision,
+        dc_bits=_DC12_BITS if twelve else _DC_BITS,
+        dc_vals=_DC12_VALS if twelve else _DC_VALS,
     )
     sos = bytes([channels])
     for i in range(channels):
@@ -957,7 +1017,7 @@ def encode_jpeg(
                     x0 = (mx * hc + bx) * 8
                     preds[ci] = _encode_block(
                         bw, padded[ci][y0 : y0 + 8, x0 : x0 + 8], qt,
-                        preds[ci],
+                        preds[ci], shift, dc_codes, ac_codes,
                     )
     bw.flush()
     out.extend(bw.out)
@@ -980,9 +1040,11 @@ _AC_PROG_SYMS = [r << 4 for r in range(15)] + [0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
 _ACP_BITS, _ACP_VALS, _ACP_CODES = _fixed_table(_AC_PROG_SYMS, 8)
+_ACP12_BITS, _ACP12_VALS, _ACP12_CODES = _fixed_table(_ACP12_SYMS, 8)
 
 
-def _quantize_plane(padded: np.ndarray, qt: np.ndarray) -> np.ndarray:
+def _quantize_plane(padded: np.ndarray, qt: np.ndarray,
+                    shift: float = 128.0) -> np.ndarray:
     """Padded spatial plane → integer coefficients in ZIGZAG order,
     shape (block_rows, block_cols, 64). Per-block matmuls with the
     EXACT baseline-encoder expression `_T @ (b - 128) @ _T.T`: batched
@@ -995,7 +1057,7 @@ def _quantize_plane(padded: np.ndarray, qt: np.ndarray) -> np.ndarray:
     q = np.empty((bh, bw_, 64), dtype=np.int64)
     for iy in range(bh):
         for ix in range(bw_):
-            coeffs = _T @ (blocks[iy, ix] - 128.0) @ _T.T
+            coeffs = _T @ (blocks[iy, ix] - shift) @ _T.T
             q[iy, ix] = np.rint(coeffs.ravel() / qt).astype(np.int64)
     return q[..., _ZIGZAG]
 
@@ -1124,6 +1186,7 @@ def encode_jpeg_progressive(
     dc_point: int = 1,
     ac_point: int = 1,
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    precision: int = 8,
 ) -> bytes:
     """Progressive (SOF2) writer — the encode twin of the progressive
     decode path. Scan script: one interleaved DC-first scan at
@@ -1132,7 +1195,9 @@ def encode_jpeg_progressive(
     followed by AC refinement scans down to 0 — so spectral selection,
     successive approximation, EOBn runs, ZRL, and correction-bit
     buffering are ALL exercised. ``restart_interval`` > 0 emits DRI +
-    per-scan RSTn. ``bands`` must tile 1..63 in order."""
+    per-scan RSTn. ``bands`` must tile 1..63 in order. ``precision=12``
+    takes 0-4095 samples (SOF2 carries 12-bit per B.2.2) with the
+    wider category tables; the decoder scales back to 0-255."""
     if dc_point < 0 or ac_point < 0 or dc_point > 13 or ac_point > 13:
         raise ValueError("point transforms must be in [0, 13]")
     flat = [b for band in bands for b in band]
@@ -1141,10 +1206,14 @@ def encode_jpeg_progressive(
     ) or any(a > b for a, b in bands):
         raise ValueError("bands must tile 1..63 contiguously in order")
     samps, qids, padded, mcux, mcuy = _prep_planes(
-        w, h, pixels, channels, subsampling, quant
+        w, h, pixels, channels, subsampling, quant, precision
     )
     qt = np.full(64, float(quant))
-    zz = [_quantize_plane(p, qt) for p in padded]
+    twelve = precision == 12
+    zz = [_quantize_plane(p, qt, float(1 << (precision - 1)))
+          for p in padded]
+    dc_codes = _DC12_CODES if twelve else _DC_CODES
+    acp_codes = _ACP12_CODES if twelve else _ACP_CODES
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
 
@@ -1153,8 +1222,12 @@ def encode_jpeg_progressive(
     # else in the marker front end is shared with the baseline writer
     segment = _emit_frame_headers(
         out, w, h, channels, samps, qids, qt, sof_marker=0xC2,
-        ac_bits=_ACP_BITS, ac_vals=_ACP_VALS,
+        ac_bits=_ACP12_BITS if twelve else _ACP_BITS,
+        ac_vals=_ACP12_VALS if twelve else _ACP_VALS,
         restart_interval=restart_interval,
+        precision=precision,
+        dc_bits=_DC12_BITS if twelve else _DC_BITS,
+        dc_vals=_DC12_VALS if twelve else _DC_VALS,
     )
 
     def sos(members, ss, se, ah, al):
@@ -1170,7 +1243,7 @@ def encode_jpeg_progressive(
 
     # --- DC first: interleaved over all components
     sos(all_comps, 0, 0, 0, dc_point)
-    sw = _ScanWriter(out, _DC_CODES)
+    sw = _ScanWriter(out, dc_codes)
     preds = [0] * ncomp
     for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
@@ -1195,7 +1268,7 @@ def encode_jpeg_progressive(
     # --- DC refinements down to full precision
     for al in range(dc_point - 1, -1, -1):
         sos(all_comps, 0, 0, al + 1, al)
-        sw = _ScanWriter(out, _DC_CODES)
+        sw = _ScanWriter(out, dc_codes)
         for m in range(mcux * mcuy):
             if restart_interval and m and m % restart_interval == 0:
                 sw.restart()
@@ -1210,7 +1283,7 @@ def encode_jpeg_progressive(
     # --- AC scans: per component, per band; first then refinements
     def ac_scan(ci, ss, se, ah, al, emit):
         sos([ci], ss, se, ah, al)
-        sw = _ScanWriter(out, _ACP_CODES)
+        sw = _ScanWriter(out, acp_codes)
         hc, vc = samps[ci]
         bw_c, bh_c = _comp_blocks(w, h, hc, vc, hmax, vmax)
         for m in range(bw_c * bh_c):
