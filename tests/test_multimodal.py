@@ -1464,3 +1464,104 @@ def test_twelve_bit_jpeg_sixteen_bit_quant_tables():
     wide_dec = decode_jpeg(bytes(data))
     assert wide_dec is not None
     assert (base[3] == wide_dec[3]).all()
+
+
+def _g711_wav(tag: int, rate: int, nch: int, codes: bytes) -> bytes:
+    """Minimal RIFF/WAVE container around raw G.711 bytes (format tag
+    6 = A-law, 7 = mu-law) — the shape the stdlib wave module
+    rejects, exercising the manual chunk walk."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * nch, nch, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(codes)) + codes
+    if len(codes) & 1:
+        body += b"\x00"  # RIFF word alignment pad
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_g711_tables_formula_anchors_and_bijection():
+    """The mu-law/A-law tables come from the G.711 FORMULAS (no
+    transcribed constants), validated three independent ways: known
+    anchor bytes, the 256-way bijection encode(decode(b)) == b (the
+    encode twin is the analytic inverse — a convention error in either
+    direction breaks this immediately), and level counts (mu-law
+    collapses exactly the ±0 pair; A-law has 256 distinct levels)."""
+    import numpy as np
+
+    from thundercats_spark.multimodal.binary import (
+        _g711_alaw_table,
+        _g711_encode,
+        _g711_ulaw_table,
+    )
+
+    ut, at = _g711_ulaw_table(), _g711_alaw_table()
+    assert ut[0xFF] == 0 and ut[0x7F] == 0          # ±0 pair
+    assert ut[0x00] == -32124 and ut[0x80] == 32124  # codec extremes
+    assert at[0xD5] == 8 and at[0x55] == -8          # silence bytes
+    assert at.max() == 32256 and at.min() == -32256
+    ub = np.frombuffer(_g711_encode(ut, "ulaw"), dtype=np.uint8)
+    mism = set(np.nonzero(ub != np.arange(256))[0].tolist())
+    assert mism == {0x7F}  # −0 canonicalizes to +0; nothing else moves
+    ab = np.frombuffer(_g711_encode(at, "alaw"), dtype=np.uint8)
+    assert (ab == np.arange(256)).all()
+    assert len(np.unique(ut)) == 255 and len(np.unique(at)) == 256
+
+
+def test_g711_wav_decode_and_roundtrip():
+    """G.711 WAV payloads decode for REAL through decode_wav (stdlib
+    wave rejects tags 6/7 → the manual RIFF walk takes over): a sine
+    encoded to mu-law then decoded sits within the segment quant error
+    (< 4% of full scale everywhere, exact on codec lattice points);
+    stereo downmix and duration honor the PCM path's contract."""
+    import numpy as np
+
+    from thundercats_spark.multimodal.binary import (
+        _g711_encode,
+        _g711_ulaw_table,
+        decode_wav,
+    )
+
+    t = np.arange(800)
+    sine = np.rint(20000 * np.sin(2 * np.pi * t / 80)).astype(np.int64)
+    codes = _g711_encode(sine, "ulaw")
+    fr, nch, dur, samples = decode_wav(_g711_wav(7, 8000, 1, codes))
+    assert (fr, nch, dur) == (8000, 1, 100)
+    assert np.abs(samples - sine).max() < 0.04 * 32768  # segment quant
+    # codec lattice points survive exactly
+    lattice = _g711_ulaw_table()[np.arange(0, 256, 7)]
+    codes = _g711_encode(lattice, "ulaw")
+    _, _, _, got = decode_wav(_g711_wav(7, 8000, 1, codes))
+    assert (got.astype(np.int64) == lattice).all()
+    # A-law stereo: channels average, odd-length data chunk pads
+    left = np.full(11, 8, dtype=np.int64)
+    right = np.full(11, -8, dtype=np.int64)
+    inter = np.empty(22, dtype=np.int64)
+    inter[0::2], inter[1::2] = left, right
+    codes = _g711_encode(inter, "alaw")
+    fr, nch, dur, samples = decode_wav(_g711_wav(6, 8000, 2, codes))
+    assert nch == 2 and len(samples) == 11 and (samples == 0.0).all()
+    # non-G.711 unknown tag still falls through to None
+    assert decode_wav(_g711_wav(0x11, 8000, 1, b"\x00" * 8)) is None
+
+
+def test_g711_wav_through_spark_audio_features(spark):
+    """A mu-law WAV rides the REAL branch of decode_audio_features
+    (true duration from the frame count, RMS over decoded samples) —
+    not the byte-sum stub."""
+    import numpy as np
+
+    from thundercats_spark.multimodal.binary import (
+        _g711_encode,
+        decode_audio_features,
+    )
+
+    sine = np.rint(10000 * np.sin(np.linspace(0, 40 * np.pi, 16000)))
+    payload = _g711_wav(7, 8000, 1, _g711_encode(sine.astype(np.int64), "ulaw"))
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "media_id long, payload binary")
+    row = decode_audio_features(df, window_ms=1000).collect()[0]
+    assert row["duration_ms"] == 2000 and row["n_windows"] == 2
+    rms = 10000 / np.sqrt(2)
+    for v in row["feature"]:
+        assert abs(v - rms) / rms < 0.02  # real RMS, not byte sums

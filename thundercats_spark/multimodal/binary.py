@@ -866,10 +866,106 @@ def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) 
     return df.select("media_id", "payload", "meta").mapInPandas(run, RESIZED_SCHEMA)
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """256-entry mu-law byte → linear (int16-domain) table from the
+    G.711 FORMULA — no transcribed constants: complement, split into
+    sign/exponent/mantissa, magnitude = ((m<<3)+0x84)<<e − 0x84.
+    Anchors: 0xFF (silence) → 0, 0x00 → −32124 (the codec's max)."""
+    u = (~np.arange(256)) & 0xFF
+    sign = (u & 0x80) != 0
+    e = (u >> 4) & 0x07
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int64)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """256-entry A-law byte → linear table from the G.711 formula:
+    XOR 0x55 (even-bit inversion), sign bit 1 = POSITIVE, segment 0 is
+    linear ((m<<4)+8), segments 1-7 prepend the hidden 1 bit
+    (((m<<4)+0x108) << (e−1)). Anchors: 0xD5 (positive silence) → 8,
+    0x55 (negative silence) → −8, max magnitude 32256."""
+    a = np.arange(256) ^ 0x55
+    positive = (a & 0x80) != 0
+    e = (a >> 4) & 0x07
+    m = a & 0x0F
+    mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << np.maximum(e - 1, 0))
+    return np.where(positive, mag, -mag).astype(np.int64)
+
+
+def _g711_encode(samples: np.ndarray, law: str) -> bytes:
+    """Linear int16-domain → G.711 bytes (the encode twin for
+    round-trip pins): derived as the analytic inverse of the decode
+    formulas, validated by the 256-way bijection test
+    encode(decode(b)) == b."""
+    def bits_above_7(mag: np.ndarray) -> np.ndarray:
+        # vectorized max(bit_length(mag) - 8, 0): count thresholds
+        # crossed — branch-free, exact (no float log2 edge cases)
+        e = np.zeros(len(mag), dtype=np.int64)
+        for k in range(8, 16):
+            e += mag >= (1 << k)
+        return e
+
+    x = np.asarray(samples, dtype=np.int64)
+    if law == "ulaw":
+        sign = np.where(x < 0, 0x80, 0)
+        mag = np.minimum(np.abs(x), 32635) + 0x84
+        e = np.clip(bits_above_7(mag), 0, 7)
+        m = (mag >> (e + 3)) & 0x0F
+        return bytes(((~(sign | (e << 4) | m)) & 0xFF).astype(np.uint8))
+    sign = np.where(x >= 0, 0x80, 0)  # A-law: sign bit 1 = positive
+    mag = np.minimum(np.abs(x), 32767)
+    e = np.clip(bits_above_7(mag), 0, 7)
+    m = np.where(e == 0, mag >> 4, (mag >> (e + 3)) & 0x0F)
+    return bytes((((sign | (e << 4) | m)) ^ 0x55).astype(np.uint8))
+
+
+def _riff_chunks(data: bytes):
+    """Iterate (fourcc, payload) over a RIFF/WAVE body, honoring the
+    spec's word alignment (odd-sized chunks carry one pad byte)."""
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        payload = data[pos + 8 : pos + 8 + size]
+        if len(payload) < size:
+            return
+        yield fourcc, payload
+        pos += 8 + size + (size & 1)
+
+
+def _decode_g711_wav(data: bytes):
+    """RIFF/WAVE carrying G.711 audio — format tags 6 (A-law) and 7
+    (mu-law), the telephony formats the stdlib ``wave`` module
+    rejects. Manual chunk walk + the formula tables above; returns the
+    same tuple as the PCM path (samples in the int16 domain)."""
+    fmt = None
+    pcm = None
+    for fourcc, payload in _riff_chunks(data):
+        if fourcc == b"fmt " and len(payload) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", payload, 0)
+        elif fourcc == b"data":
+            pcm = payload
+    if fmt is None or pcm is None:
+        return None
+    tag, nch, fr, _brate, _align, bits = fmt
+    if tag not in (6, 7) or bits != 8 or fr <= 0 or nch <= 0:
+        return None
+    table = _g711_alaw_table() if tag == 6 else _g711_ulaw_table()
+    samples = table[np.frombuffer(pcm, dtype=np.uint8)].astype(np.float64)
+    if nch > 1:
+        samples = samples[: len(samples) // nch * nch].reshape(-1, nch).mean(axis=1)
+    nf = len(pcm) // nch
+    duration_ms = max(1, int(round(nf * 1000 / fr)))
+    return fr, nch, duration_ms, samples
+
+
 def decode_wav(data: bytes):
-    """REAL decoder for RIFF/WAVE PCM via the stdlib ``wave`` module:
-    returns (framerate, n_channels, duration_ms, mono float64 samples)
-    or None for non-WAV / non-PCM payloads."""
+    """REAL decoder for RIFF/WAVE audio: PCM via the stdlib ``wave``
+    module (8/16/24/32-bit), plus G.711 mu-law/A-law (format tags
+    7/6 — telephony corpora) via the formula tables. Returns
+    (framerate, n_channels, duration_ms, mono float64 samples)
+    or None for non-WAV / other-codec payloads."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
     import io
@@ -882,7 +978,7 @@ def decode_wav(data: bytes):
             )
             pcm = w.readframes(nf)
     except (wave.Error, EOFError):
-        return None
+        return _decode_g711_wav(data)
     if sw not in (1, 2, 3, 4) or fr <= 0 or nch <= 0:
         return None
     if sw == 3:  # 24-bit PCM: no numpy dtype — assemble from raw bytes
