@@ -132,6 +132,16 @@ BENCH_QUERIES = [
     "events_type_transitions",
     "events_daily_anomaly",
     "doc_source_vocab_overlap",
+    # r10 wave 13: cohort LTV matrix, double distributed-NTILE
+    # contingency + chi2, digit-count interarrival histogram, pair-graph
+    # degree distribution (re-mines the pair set — standalone cost),
+    # integer dow x hour heatmap, decimal-exact HHI concentration
+    "orders_cohort_ltv",
+    "doc_len_quality_contingency",
+    "events_interarrival_decades",
+    "dedup_graph_degree_dist",
+    "events_dow_hour_heatmap",
+    "customer_nation_hhi",
 ]
 
 

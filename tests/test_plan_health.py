@@ -26,6 +26,8 @@ SCALAR_BNLJ_OK = {
     "ann_quantized_topk",  # broadcast 1-row quantized query vector
     "orders_key_skew",  # 1-row grand total for the share denominator
     "customer_revenue_pareto",  # 1-row grand total for the share denominators
+    "doc_len_quality_contingency",  # 1-row grand total N for the chi2 guard
+    "events_dow_hour_heatmap",  # 1-row grand total for the share denominator
     "part_affinity_lift",  # 1-row n_baskets total (r08: was a separate action)
     "corpus_embedding_clusters",  # 1-row grand total for cluster share
     "embedding_cluster_drift",  # 1-row totals for both snapshot shares

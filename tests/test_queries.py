@@ -961,3 +961,149 @@ def test_vocab_overlap_jaccard_and_absent_pairs(spark, tmp_path):
     r = rows[0]
     assert (r["vocab_a"], r["vocab_b"], r["common"]) == (2, 2, 1)
     assert abs(r["jaccard"] - 1 / 3) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Wave-13 semantic pins: cohort matrix shape, chi-square closed forms,
+# digit-count buckets, degree histogram shapes, integer dow/hour, and
+# HHI closed forms.
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_matrix_shape(spark, tmp_path):
+    """Customer 1 orders in 2023 and 2024 (cohort 2023 appears in both
+    order years); customer 2 first orders in 2024. Revenue-per-active
+    divides exactly."""
+    from datetime import datetime
+
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")  # noqa: E731
+    orders = [(1, 1, d("2023-02-01"), 100.0), (2, 1, d("2024-05-01"), 50.0),
+              (3, 2, d("2024-03-01"), 70.0), (4, 2, d("2024-08-01"), 30.0)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+                "o_totalprice double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    from thundercats_spark.queries.analytics10 import orders_cohort_ltv
+
+    got = {(r["cohort_year"], r["order_year"]):
+           (r["n_active"], r["revenue"], r["revenue_per_active"])
+           for r in orders_cohort_ltv(spark, str(tmp_path)).collect()}
+    assert got == {("2023", "2023"): (1, 100.0, 100.0),
+                   ("2023", "2024"): (1, 50.0, 50.0),
+                   ("2024", "2024"): (1, 100.0, 100.0)}
+
+
+def test_contingency_chi2_closed_form_on_perfect_association(spark, tmp_path):
+    """12 docs where token count tracks length exactly → the grid is
+    diagonal with NTILE sizes (2,2,1,...,1) and each diagonal cell's
+    chi-square contribution has the closed form (N−s)²/N·(s/s) =
+    (12−s)²/12 for a cell of size s (O=rt=ct=s)."""
+    docs = [(i, "x" * i, " ".join(["w"] * i)) for i in range(1, 13)]
+    spark.createDataFrame(
+        [(i, len(t), t) for i, _, t in docs],
+        "doc_id long, n_chars long, text string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from thundercats_spark.queries.analytics10 import (
+        doc_len_quality_contingency,
+    )
+
+    rows = doc_len_quality_contingency(spark, str(tmp_path)).collect()
+    # n_chars and token count are both strictly increasing in doc_id,
+    # so the grid is purely diagonal
+    assert all(r["len_decile"] == r["tok_decile"] for r in rows)
+    for r in rows:
+        s = r["observed"]
+        assert r["row_total"] == s and r["col_total"] == s
+        assert abs(r["chi2_contrib"] - (12 - s) ** 2 / 12) < 1e-9
+    assert sorted(r["observed"] for r in rows) == [1] * 8 + [2] * 2
+
+
+def test_interarrival_decade_buckets(spark, tmp_path):
+    """Gaps of 5us, 99us, and 1,000,000us land in decades 1, 2, and 7
+    (decimal digit count of the microsecond gap) — and a second user's
+    sequence never mixes into the first's gaps."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    events = [
+        (1, t0, 1, "click"),
+        (2, t0 + timedelta(microseconds=5), 1, "click"),
+        (3, t0 + timedelta(microseconds=104), 1, "click"),
+        (4, t0 + timedelta(seconds=1, microseconds=104), 1, "click"),
+        (5, t0, 2, "click"),  # second user: no gap rows of its own
+    ]
+    spark.createDataFrame(
+        events, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from thundercats_spark.queries.analytics10 import (
+        events_interarrival_decades,
+    )
+
+    got = {r["gap_decade"]: (r["n_gaps"], r["min_gap_us"], r["max_gap_us"])
+           for r in events_interarrival_decades(spark, str(tmp_path)).collect()}
+    assert got == {1: (1, 5, 5), 2: (1, 99, 99), 7: (1, 1000000, 1000000)}
+
+
+def test_degree_distribution_triangle_and_pair(spark, tmp_path):
+    """Three identical docs form a triangle (each degree 2), two more
+    form an isolated pair (degree 1), one unique doc is absent →
+    histogram {1: 2, 2: 3}."""
+    tri = "alpha beta gamma delta epsilon zeta"
+    pair = "one two three four five six seven"
+    docs = [(1, tri), (2, tri), (3, tri),
+            (4, pair), (5, pair),
+            (6, "nothing shares these tokens at all wholly unique")]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from thundercats_spark.queries.analytics10 import dedup_graph_degree_dist
+
+    got = {r["degree"]: r["n_docs"]
+           for r in dedup_graph_degree_dist(spark, str(tmp_path)).collect()}
+    assert got == {1: 2, 2: 3}
+
+
+def test_dow_hour_integer_epoch_arithmetic(spark, tmp_path):
+    """1970-01-01 was a Thursday (dow 4 with Sunday=0); 2024-03-03 was
+    a Sunday (dow 0). Hours come from micros-in-day division; shares
+    sum to 1."""
+    from datetime import datetime
+
+    events = [
+        (1, datetime(1970, 1, 1, 0, 30), 1, "a"),
+        (2, datetime(2024, 3, 3, 23, 59), 1, "a"),
+        (3, datetime(2024, 3, 3, 23, 1), 2, "a"),
+    ]
+    spark.createDataFrame(
+        events, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from thundercats_spark.queries.analytics10 import events_dow_hour_heatmap
+
+    rows = events_dow_hour_heatmap(spark, str(tmp_path)).collect()
+    got = {(r["dow"], r["hour"]): (r["n_events"], r["share"]) for r in rows}
+    assert got == {(4, 0): (1, 1 / 3), (0, 23): (2, 2 / 3)}
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
+
+
+def test_hhi_closed_forms(spark, tmp_path):
+    """A single-customer nation has HHI exactly 1; two equal customers
+    give exactly 0.5; three customers at 50/25/25 give 0.375."""
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20), (4, 30), (5, 30), (6, 30)],
+        "c_custkey long, c_nationkey long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(10, "MONO"), (20, "DUO"), (30, "TRIO")],
+        "n_nationkey long, n_name string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+    orders = [(1, 1, 500.0),
+              (2, 2, 100.0), (3, 3, 100.0),
+              (4, 4, 200.0), (5, 5, 100.0), (6, 6, 100.0)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    from thundercats_spark.queries.analytics10 import customer_nation_hhi
+
+    got = {r["nation"]: (r["n_customers"], r["hhi"])
+           for r in customer_nation_hhi(spark, str(tmp_path)).collect()}
+    assert got == {"MONO": (1, 1.0), "DUO": (2, 0.5),
+                   "TRIO": (3, 0.375)}

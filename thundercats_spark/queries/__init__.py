@@ -345,6 +345,29 @@ _RETIRED = {
     "agg_by_key",       # r02 r05 r08
     "select_rename",    # r02 r05 r08
     "text_trim",        # r02 r05 r08
+    # RETIREMENT WAVE 2 (r10, second tranche): the r01-original
+    # headline queries with FOUR green driver rounds each and frozen
+    # source since their last green (queries/tpch.py and analytics.py
+    # untouched since before r07 for these; physical/ops.py frozen
+    # since r05-era). q10_returned_items is deliberately NOT retired
+    # despite the same green record: r08-s2 refactored its body into
+    # the shared q10_shape/q10_filters builders (890f11e) AFTER its
+    # r07 green — plan-identical by the bucketed parity pin, but the
+    # policy's freeze clause is source-level, so it stays in rotation
+    # until it re-greens post-refactor. Effect on the windows: 11
+    # r08-tier entries pull forward into the r10 window; r11 slack
+    # rises 3 → 14 (arithmetic in SURVEY §7, tools/rotation_next.py).
+    "q5_local_supplier",          # r01 r03 r05 r07
+    "events_daily_rollup",        # r01 r03 r05 r07
+    "events_user_topk",           # r01 r03 r05 r07
+    "events_sessionize",          # r01 r03 r05 r07
+    "asof_join_events_orders",    # r01 r03 r05 r07
+    "q6_forecast_revenue",        # r01 r03 r05 r07
+    "q4_priority_semi",           # r01 r03 r05 r07
+    "customers_no_recent_orders", # r01 r03 r05 r07
+    "q14_promo_share",            # r01 r03 r05 r07
+    "q18_large_orders",           # r01 r03 r05 r07
+    "events_rollup_hierarchy",    # r01 r03 r05 r07
 }
 _ROUNDS = [
     _VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03, _VERIFIED_R04,
@@ -365,6 +388,7 @@ def all_queries() -> dict[str, Query]:
         analytics7,
         analytics8,
         analytics9,
+        analytics10,
         llm_ops,
         llm_ops2,
         relational,
