@@ -13,6 +13,9 @@ counts scale by k, distribution shapes don't move at all.
 2. ``pareto_x10`` — x10 customers (disjoint keys, same revenues): the
    decile revenue SHARES and cumulative Lorenz curve are invariant
    (each decile holds 10x the customers of the same revenue profile).
+   The base is trimmed to a multiple-of-10 customer count first —
+   NTILE's remainder rule makes the per-decile counts non-comparable
+   otherwise (see the inline note; the sf0.1 first run caught it).
 3. ``transitions_x10`` — x10 users (disjoint ids, same sequences):
    transition counts scale 10x, row probabilities invariant.
 4. ``anomaly_x10`` — x10 users on the SAME days: daily counts scale
@@ -107,9 +110,24 @@ def main():
     }
 
     # ---- 2. pareto: shares/Lorenz invariant, counts x10
+    # The invariance is EXACT only when the base customer count C is a
+    # multiple of 10: otherwise NTILE's remainder rule sizes the base
+    # deciles unevenly while the 10x corpus (10C % 10 == 0) is even,
+    # and boundary customers migrate between deciles. Trim the base to
+    # the smallest 10*floor(C/10) custkeys first; within-tie boundary
+    # exchanges in the big corpus then swap only equal-revenue
+    # customers, leaving every decile's revenue identical. (sf0.01
+    # passes untrimmed by luck — its C is divisible by 10; sf0.1's is
+    # not, which this rehearsal's first run caught.)
+    ckeys = sorted(
+        r[0] for r in t["orders"].select("o_custkey").distinct().collect()
+    )
+    cut = ckeys[len(ckeys) // 10 * 10 - 1]
+    base_orders = t["orders"].where(F.col("o_custkey") <= cut)
+    bd = _write(base_orders, "pareto_base", "orders")
     base = {r["decile"]: r for r in
-            customer_revenue_pareto(spark, sf_dir).collect()}
-    px = _replicate(t["orders"], 10, {"o_orderkey": 1, "o_custkey": 1})
+            customer_revenue_pareto(spark, bd).collect()}
+    px = _replicate(base_orders, 10, {"o_orderkey": 1, "o_custkey": 1})
     d = _write(px, "pareto", "orders")
     t0 = time.time()
     big = {r["decile"]: r for r in
@@ -126,7 +144,11 @@ def main():
         "x10_secs": secs,
         "note": ("decile shares and the Lorenz curve INVARIANT under "
                  "10x customer replication (distribution is "
-                 "scale-free); counts and revenue exactly 10x"),
+                 "scale-free); counts and revenue exactly 10x. Base "
+                 "trimmed to a multiple-of-10 customer count first: "
+                 "NTILE's remainder rule makes per-decile counts "
+                 "non-comparable otherwise (the sf0.1 first run "
+                 "caught this)"),
     }
 
     # ---- 3. transitions: counts x10, probabilities invariant
