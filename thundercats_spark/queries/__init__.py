@@ -285,6 +285,36 @@ _VERIFIED_R09 = {
     "corpus_token_percentiles",
 }
 
+# Names whose latest driver row is round 10 (CORRECTNESS_r10.json): all
+# 50 window entries were green (48 hash-match + 2 rows-only by design,
+# each returning rows), so the whole window advances to the r10 tier.
+# Generated by tools/rotation_next.py 10.
+_VERIFIED_R10 = {
+    "orders_scd2_attribution", "nation_revenue_share",
+    "orders_monthly_growth", "orders_price_histogram",
+    "doc_weighted_quality_median", "doc_char_entropy",
+    "dedup_pair_score_histogram", "orders_priority_mode",
+    "doc_weighted_percentiles_global", "orders_backlog_sweepline",
+    "customer_revenue_pareto", "events_type_transitions",
+    "events_daily_anomaly", "doc_source_vocab_overlap",
+    "orders_cohort_ltv", "doc_len_quality_contingency",
+    "events_interarrival_decades", "dedup_graph_degree_dist",
+    "events_dow_hour_heatmap", "customer_nation_hhi",
+    "q10_returned_items", "customer_order_moving_avg",
+    "customer_rfm_scores", "doc_quality_funnel", "dedup_keep_best",
+    "corpus_pack_sequences", "dedup_semantic", "dedup_minhash_oph",
+    "doc_repeated_spans", "doc_span_dup_fraction",
+    "corpus_shuffle_order", "doc_remove_repeated_spans",
+    "corpus_sample_per_source", "corpus_token_budget_per_source",
+    "doc_chunk_windows", "corpus_repeat_epochs", "corpus_drift_report",
+    "corpus_packed_sequences", "corpus_temperature_sample",
+    "embedding_norm_stats", "doc_quality_classifier_score",
+    "dedup_cluster_sizes", "ann_quantized_topk", "corpus_manifest",
+    "corpus_snapshot_diff", "q1_pricing_summary",
+    "q3_shipping_priority", "customer_running_total",
+    "doc_word_frequencies", "customer_balance_stats",
+}
+
 # Oldest-first round lists; a name's effective round is the LAST list
 # containing it. Append future rounds' sets here.
 #
@@ -372,7 +402,7 @@ _RETIRED = {
 _ROUNDS = [
     _VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03, _VERIFIED_R04,
     _VERIFIED_R05, _VERIFIED_R06, _VERIFIED_R07, _VERIFIED_R08,
-    _VERIFIED_R09,
+    _VERIFIED_R09, _VERIFIED_R10,
 ]
 
 
