@@ -1565,3 +1565,69 @@ def test_g711_wav_through_spark_audio_features(spark):
     rms = 10000 / np.sqrt(2)
     for v in row["feature"]:
         assert abs(v - rms) / rms < 0.02  # real RMS, not byte sums
+
+
+def _lossless_multiscan_file(img, n_scans):
+    """Hand-build a NON-interleaved 3-component lossless (SOF3) file:
+    one single-component scan per plane, keeping only the first
+    ``n_scans`` scans. Each plane's entropy segment is borrowed from a
+    grayscale encode of that plane (per-component prediction makes the
+    bitstreams identical); only the SOS component id changes."""
+    import struct
+
+    import numpy as np
+
+    from thundercats_spark.multimodal.jpeg import (
+        _DCL_BITS,
+        _DCL_VALS,
+        encode_jpeg_lossless,
+    )
+
+    h, w, _ = img.shape
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker, payload):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for i in range(3):
+        sof += struct.pack(">BBB", i + 1, 0x11, 0)
+    segment(0xC3, sof)
+    segment(0xC4, bytes([0x00]) + bytes(_DCL_BITS) + _DCL_VALS)
+    for ci in range(n_scans):
+        mono = encode_jpeg_lossless(
+            w, h, np.ascontiguousarray(img[..., ci]), channels=1,
+            predictor=1,
+        )
+        i = mono.find(b"\xff\xda")
+        (seglen,) = struct.unpack_from(">H", mono, i + 2)
+        entropy = mono[i + 2 + seglen : -2]  # strip the mono EOI
+        segment(0xDA, bytes([1, ci + 1, 0x00, 1, 0, 0]))
+        out.extend(entropy)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_lossless_jpeg_truncated_multiscan_returns_none():
+    """ADVICE r10: a 3-component lossless file with only SOME component
+    scans before EOI must decode to None (like the DCT path on an
+    incomplete scan), NOT silently assemble the missing planes as
+    all-zero. The complete 3-scan build of the same image stays
+    bit-exact, proving the strictness fix didn't break the
+    non-interleaved path."""
+    import numpy as np
+
+    from thundercats_spark.multimodal.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.int64)
+
+    full = decode_jpeg(_lossless_multiscan_file(img, 3))
+    assert full is not None
+    gw, gh, kind, flat = full
+    assert (gw, gh, kind) == (9, 5, "JPEG")
+    assert (flat.astype(np.int64).reshape(5, 9, 3) == img).all()
+
+    for missing in (1, 2):  # 1 or 2 scans present, 3 expected
+        assert decode_jpeg(_lossless_multiscan_file(img, missing)) is None

@@ -3,6 +3,7 @@
 driver's t2 gate.)"""
 
 import pytest
+from pyspark.sql import functions as F
 
 from thundercats_spark.queries import all_queries
 
@@ -1107,3 +1108,56 @@ def test_hhi_closed_forms(spark, tmp_path):
            for r in customer_nation_hhi(spark, str(tmp_path)).collect()}
     assert got == {"MONO": (1, 1.0), "DUO": (2, 0.5),
                    "TRIO": (3, 0.375)}
+
+
+def test_token_count_empty_text_matches_oracle_convention(spark):
+    """ADVICE r10: DuckDB's len(regexp_split_to_array(TRIM(''), '\\s+'))
+    is 1 (the split of '' is ['']), while Spark's T.token_count is 0 —
+    so every oracle that pairs with token_count guards empty text with
+    CASE WHEN TRIM(text) = '' THEN 0. This pins BOTH conventions: the
+    guarded DuckDB expression equals Spark's token_count on the edge
+    cases (empty, whitespace-only, 1 token, n tokens), so NTILE
+    orderings keyed on (n_tokens, doc_id) cannot diverge between the
+    engines even if the corpus gains an empty-text doc."""
+    import duckdb
+
+    from thundercats_spark.functions import text_analysis as T
+
+    # NOTE the "\t\n" row: BOTH engines' TRIM strips only ASCII
+    # spaces, so tab/newline-only text survives the empty-guard and
+    # splits to two phantom '' tokens — in Spark AND DuckDB alike.
+    # A shared (ugly but parity-safe) convention, pinned here so a
+    # one-sided "fix" can't silently break the NTILE pairings.
+    cases = ["", "   ", "\t\n", "one", "  two  words ", "a b  c\td"]
+    expected = [0, 0, 2, 1, 2, 4]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got_spark = [
+        r.n for r in df.select(
+            "doc_id", T.token_count(F.col("text")).alias("n")
+        ).orderBy("doc_id").collect()
+    ]
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(cases))
+        + ") t(doc_id, text)"
+    )
+    got_duck = [
+        r[0] for r in con.execute(
+            r"""SELECT CASE WHEN TRIM(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END
+                FROM d ORDER BY doc_id"""
+        ).fetchall()
+    ]
+    assert got_duck == expected
+    # and the UNGUARDED expression really does disagree on empty text —
+    # the reason the guard exists; if DuckDB ever changes this, the
+    # guard becomes redundant but stays correct.
+    assert con.execute(
+        r"SELECT len(regexp_split_to_array(TRIM(''), '\s+'))"
+    ).fetchone()[0] == 1

@@ -211,6 +211,7 @@ def _decode_jpeg_inner(data: bytes):
     coefs = None  # progressive: per-component zigzag coefficient store
     lossless = False
     ll_planes = None  # lossless: per-component sample store
+    ll_done: set = set()  # lossless: component ids with a completed scan
     scans_done = 0
     pos = 2
     while pos + 2 <= len(data):
@@ -229,6 +230,13 @@ def _decode_jpeg_inner(data: bytes):
             if progressive and scans_done:
                 return _reconstruct_progressive(frame, coefs, qtabs)
             if lossless and scans_done:
+                # ADVICE r10: a truncated multi-scan lossless file
+                # (EOI after only SOME component scans) must not
+                # assemble all-zero planes for the missing ids — the
+                # DCT path returns None on an incomplete scan, and
+                # this path must be exactly as strict.
+                if any(c[0] not in ll_done for c in frame[2]):
+                    raise _Corrupt("lossless scan missing a component")
                 return _assemble_lossless(frame, ll_planes)
             return None  # EOI before any (baseline) scan
         if pos + 4 > len(data):
@@ -332,6 +340,7 @@ def _decode_jpeg_inner(data: bytes):
                     ll_planes,
                 )
                 scans_done += 1
+                ll_done.update(scan)
                 continue
             if not progressive:
                 return _decode_scan(
@@ -352,6 +361,8 @@ def _decode_jpeg_inner(data: bytes):
         # tolerate a missing EOI — every scan decoded cleanly
         return _reconstruct_progressive(frame, coefs, qtabs)
     if lossless and scans_done:
+        if any(c[0] not in ll_done for c in frame[2]):
+            raise _Corrupt("lossless scan missing a component")
         return _assemble_lossless(frame, ll_planes)
     raise _Corrupt("no SOS marker")
 

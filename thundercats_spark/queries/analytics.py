@@ -245,7 +245,8 @@ def customer_running_total(spark, sf_dir):
 
 WORDFREQ_SQL = r"""
 SELECT word, COUNT(*) AS n
-FROM (SELECT unnest(regexp_split_to_array(TRIM(text), '\s+')) AS word FROM documents)
+FROM (SELECT unnest(regexp_split_to_array(TRIM(text), '\s+')) AS word
+      FROM documents WHERE TRIM(text) <> '')
 GROUP BY word
 ORDER BY n DESC, word
 LIMIT 30

@@ -105,7 +105,9 @@ def orders_cohort_ltv(spark, sf_dir):
 CONTINGENCY_SQL = r"""
 WITH q AS (
   SELECT doc_id, n_chars,
-         CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT)
+         CAST(CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END
+              AS BIGINT)
            AS n_tokens
   FROM documents
 ),

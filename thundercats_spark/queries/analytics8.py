@@ -269,7 +269,9 @@ def orders_price_histogram(spark, sf_dir):
 WEIGHTED_MEDIAN_SQL = r"""
 WITH d AS (
   SELECT source, doc_id, n_chars,
-         CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT)
+         CAST(CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END
+              AS BIGINT)
            AS w
   FROM documents
 ),
@@ -507,7 +509,9 @@ def orders_priority_mode(spark, sf_dir):
 GLOBAL_WEIGHTED_PCT_SQL = r"""
 WITH d AS (
   SELECT doc_id, n_chars,
-         CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT)
+         CAST(CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END
+              AS BIGINT)
            AS w
   FROM documents
 ),

@@ -380,7 +380,7 @@ WITH st AS (
   SELECT DISTINCT source, tok FROM (
     SELECT source,
            unnest(regexp_split_to_array(TRIM(text), '\s+')) AS tok
-    FROM documents
+    FROM documents WHERE TRIM(text) <> ''
   )
 ),
 sz AS (

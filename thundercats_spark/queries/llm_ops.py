@@ -303,7 +303,9 @@ def ann_lsh_indexed_q(spark, sf_dir):
 
 TOKEN_STATS_SQL = r"""
 SELECT doc_id,
-       len(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
+       CASE WHEN TRIM(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END
+         AS n_tokens,
        length(text) AS n_chars_measured
 FROM documents
 """
