@@ -398,6 +398,29 @@ _RETIRED = {
     "q14_promo_share",            # r01 r03 r05 r07
     "q18_large_orders",           # r01 r03 r05 r07
     "events_rollup_hierarchy",    # r01 r03 r05 r07
+    # RETIREMENT WAVE 3 (r11): the tpch2.py remainder — source frozen
+    # since wave 4 (1e8f7a7, r04) with three green rounds each — plus
+    # q10_returned_items, whose wave-2 blocker (the r08-s2 890f11e
+    # body refactor postdating its r07 green) is resolved: it
+    # re-greened hash-exact in r10 over the refactored body. Window
+    # effect: r11 driver demand drops 42 -> 28 r08-tier entries;
+    # registration slack rises 8 -> 22, live-cap headroom 8 -> 23
+    # (arithmetic re-printed by tools/rotation_next.py; SURVEY §7).
+    "q2_cheapest_supplier",       # r01 r03 r05 r08
+    "q7_nation_volume",           # r01 r03 r05 r08
+    "q8_market_share",            # r02 r05 r08
+    "q9_product_profit",          # r01 r03 r05 r08
+    "q11_important_parts",        # r02 r05 r08
+    "q12_priority_classes",       # r01 r03 r05 r08
+    "q13_order_distribution",     # r02 r05 r08
+    "q15_top_supplier",           # r01 r03 r05 r08
+    "q16_supplier_variety",       # r02 r05 r08
+    "q17_small_quantity",         # r02 r05 r08
+    "q19_disjunctive_revenue",    # r02 r05 r08
+    "q20_volume_suppliers",       # r02 r05 r08
+    "q21_waiting_suppliers",      # r02 r05 r08
+    "q22_idle_customers",         # r02 r05 r08
+    "q10_returned_items",         # r01 r03 r05 r07 r10
 }
 _ROUNDS = [
     _VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03, _VERIFIED_R04,
