@@ -1161,3 +1161,262 @@ def test_token_count_empty_text_matches_oracle_convention(spark):
     assert con.execute(
         r"SELECT len(regexp_split_to_array(TRIM(''), '\s+'))"
     ).fetchone()[0] == 1
+
+
+# ---------------------------------------------------------------------------
+# Wave-14 semantic pins (hand-built inputs, closed-form expectations)
+# ---------------------------------------------------------------------------
+
+
+def test_session_attribution_hand_built(spark, tmp_path):
+    """Two users: u1 has a view→purchase session (converts, first touch
+    'view') and a later click-only session after a >30-min gap; u2 has
+    one purchase-first session (first touch 'purchase'). Rates are
+    exact integer ratios."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    m = lambda k: t0 + datetime.timedelta(minutes=k)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, m(0), 1, "view", 1.0, "{}"),
+            (2, m(5), 1, "purchase", 9.0, "{}"),
+            (3, m(90), 1, "click", 1.0, "{}"),   # new session (85' gap)
+            (4, m(0), 2, "purchase", 5.0, "{}"),
+            (5, m(10), 2, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from thundercats_spark.queries.analytics11 import (
+        events_session_attribution,
+    )
+
+    got = {
+        r.first_touch: (r.n_sessions, r.n_converted, r.conversion_rate)
+        for r in events_session_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "view": (1, 1, 1.0),
+        "click": (1, 0, 0.0),
+        "purchase": (1, 1, 1.0),
+    }
+
+
+def test_customer_order_gini_closed_forms(spark, tmp_path):
+    """Perfect equality → Gini 0; one customer holding everything →
+    (n−1)/n. Zero-order customers stay in the population via the LEFT
+    join."""
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 0.0, "EQ"), (2, "b", 0, 0.0, "EQ"),
+         (3, "c", 0, 0.0, "EQ"),
+         (4, "d", 0, 0.0, "INEQ"), (5, "e", 0, 0.0, "INEQ"),
+         (6, "f", 0, 0.0, "INEQ")],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    rows = [(k, c, "O", 1.0, None, "P") for k, c in
+            [(10, 1), (11, 1), (12, 2), (13, 2), (14, 3), (15, 3)]]
+    rows += [(20 + i, 6, "O", 1.0, None, "P") for i in range(4)]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    cust.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    orders.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    from thundercats_spark.queries.analytics11 import customer_order_gini
+
+    got = {r.segment: r for r in
+           customer_order_gini(spark, str(tmp_path)).collect()}
+    assert got["EQ"].gini == 0.0
+    assert got["EQ"].total_orders == 6
+    # counts (0, 0, 4): G = 2*(3*4)/(3*4) − 4/3 = 2/3 = (n−1)/n
+    assert abs(got["INEQ"].gini - 2 / 3) < 1e-12
+    assert got["INEQ"].n_customers == 3
+
+
+def test_zipf_slope_exact_on_power_law(spark, tmp_path):
+    """Frequencies 12/r for ranks 1..4 (words a×12 b×6 c×4 d×3) lie
+    EXACTLY on ln f = ln 12 − ln r: slope −1, intercept ln 12, r² 1."""
+    import math
+
+    words = ["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3
+    docs = spark.createDataFrame(
+        [(0, " ".join(words), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from thundercats_spark.queries.analytics11 import doc_zipf_slope
+
+    r = doc_zipf_slope(spark, str(tmp_path)).collect()[0]
+    assert r.n_ranks == 4
+    assert r.slope == -1.0
+    assert r.intercept == round(math.log(12.0), 6)
+    assert r.r2 == 1.0
+
+
+def test_vocab_growth_buckets_and_cumulative(spark, tmp_path):
+    """Docs 0..49 → bucket 0, docs 50.. → bucket 1. A word FIRST seen
+    in bucket 0 doesn't count as new in bucket 1; cumulative vocab is
+    the running total. An empty-text doc joins no bucket."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha", "en", "s", 1),
+            (49, "beta gamma", "en", "s", 1),
+            (50, "alpha delta", "en", "s", 1),   # alpha is old news
+            (51, "", "en", "s", 1),              # contributes nothing
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from thundercats_spark.queries.analytics11 import doc_vocab_growth
+
+    got = [tuple(r) for r in doc_vocab_growth(spark, str(tmp_path)).collect()]
+    # (bucket, n_docs, n_tokens, new_types, cum_vocab)
+    assert got == [(0, 2, 5, 3, 3), (1, 1, 2, 1, 4)]
+
+
+def test_diversity_closed_form(spark, tmp_path):
+    """Source with words a a b b: N=4, V=2, TTR=0.5, H=ln2,
+    Simpson=(2·1+2·1)/(4·3)=1/3. A single-word source: H=0, Simpson=1."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a b b", "en", "mix", 1), (1, "z z z", "en", "mono", 1)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from thundercats_spark.queries.analytics11 import (
+        doc_token_diversity_by_source,
+    )
+
+    got = {r.source: r for r in
+           doc_token_diversity_by_source(spark, str(tmp_path)).collect()}
+    m = got["mix"]
+    assert (m.n_tokens, m.vocab, m.ttr) == (4, 2, 0.5)
+    assert m.entropy == round(math.log(2.0), 6)
+    assert abs(m.simpson - 1 / 3) < 1e-15
+    mono = got["mono"]
+    assert (mono.entropy, mono.simpson) == (0.0, 1.0)
+
+
+def test_embedding_dim_stats_hand_built(spark, tmp_path):
+    """Vectors (0,2) and (2,4): dim 1 mean 1 var 1, dim 2 mean 3 var 1
+    (population variance)."""
+    emb = spark.createDataFrame(
+        [(1, [0.0, 2.0], 0), (2, [2.0, 4.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    from thundercats_spark.queries.analytics11 import embedding_dim_stats
+
+    got = [tuple(r) for r in
+           embedding_dim_stats(spark, str(tmp_path)).collect()]
+    assert got == [(1, 2, 1.0, 1.0), (2, 2, 3.0, 1.0)]
+
+
+def test_ship_lag_floor_on_negative_lags(spark, tmp_path):
+    """A ship date 36h BEFORE the order date must floor to −2 days
+    (floor semantics, not truncation-toward-zero — the class where
+    engine integer-division conventions diverge)."""
+    import datetime
+
+    d = datetime.datetime
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 1.0, d(2024, 1, 10), "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2024, 1, 8, 12))],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    orders.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    from thundercats_spark.queries.analytics11 import orders_ship_lag_profile
+
+    r = orders_ship_lag_profile(spark, str(tmp_path)).collect()[0]
+    assert (r.n_items, r.avg_lag_days, r.p50_lag_days) == (1, -2.0, -2)
+
+
+def test_winsorized_clip_hand_built(spark, tmp_path):
+    """Values 1..20 for one type: disc p05 = 1, disc p95 = 19, so only
+    the 20 clips (→19): winsor mean (190+19)/20 = 10.45 vs raw 10.5."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, t0, 1, "pay", float(i), "{}") for i in range(1, 21)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from thundercats_spark.queries.analytics11 import events_value_winsorized
+
+    r = events_value_winsorized(spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.p05, r.p95) == (20, 1.0, 19.0)
+    assert (r.raw_mean, r.winsor_mean) == (10.5, 10.45)
+
+
+def test_lateral_topk_tiebreak_and_limit(spark, tmp_path):
+    """Equal revenues break ties on custkey (lower key ranks first);
+    a nation with 4 customers reports exactly 3."""
+    nat = spark.createDataFrame(
+        [(0, "N0", 0, "")],
+        "n_nationkey int, n_name string, n_regionkey int, n_comment string",
+    )
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", 0, 0.0, "S") for k in (1, 2, 3, 4)],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 100.0, None, "P"), (11, 2, "O", 100.0, None, "P"),
+         (12, 3, "O", 50.0, None, "P"), (13, 4, "O", 200.0, None, "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    for name, df in [("nation", nat), ("customer", cust),
+                     ("orders", orders)]:
+        df.write.mode("overwrite").parquet(f"{tmp_path}/{name}.parquet")
+    from thundercats_spark.queries.analytics11 import (
+        nation_top_customers_lateral,
+    )
+
+    got = [(r.customer, r.revenue, r.rnk) for r in
+           nation_top_customers_lateral(spark, str(tmp_path)).collect()]
+    assert got == [("c4", 200.0, 1), ("c1", 100.0, 2), ("c2", 100.0, 3)]
+
+
+def test_segment_extremes_tiebreak(spark, tmp_path):
+    """Price ties resolve on orderkey: max side takes the HIGHER key,
+    min side the LOWER — the total struct order both engines pin."""
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 0.0, "S")],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 5.0, None, "P"), (11, 1, "O", 5.0, None, "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    cust.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    orders.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    from thundercats_spark.queries.analytics11 import segment_extreme_orders
+
+    r = segment_extreme_orders(spark, str(tmp_path)).collect()[0]
+    assert (r.top_orderkey, r.bottom_orderkey) == (11, 10)
+    assert (r.top_price, r.bottom_price) == (5.0, 5.0)

@@ -442,6 +442,7 @@ def all_queries() -> dict[str, Query]:
         analytics8,
         analytics9,
         analytics10,
+        analytics11,
         llm_ops,
         llm_ops2,
         relational,
