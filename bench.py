@@ -142,6 +142,22 @@ BENCH_QUERIES = [
     "dedup_graph_degree_dist",
     "events_dow_hour_heatmap",
     "customer_nation_hhi",
+    # r11 wave 14: LATERAL-shape top-k (rank window, dims broadcast),
+    # sessionized first-touch attribution (one user_id exchange),
+    # arg-extremum aggregates, grouped-ranking Gini, distributed-rank
+    # Zipf fit, Heaps vocabulary growth (running-sum machinery),
+    # per-source diversity, posexplode per-dim stats, grouped disc
+    # percentile lag profile, winsorized value stats
+    "nation_top_customers_lateral",
+    "events_session_attribution",
+    "segment_extreme_orders",
+    "customer_order_gini",
+    "doc_zipf_slope",
+    "doc_vocab_growth",
+    "doc_token_diversity_by_source",
+    "embedding_dim_stats",
+    "orders_ship_lag_profile",
+    "events_value_winsorized",
 ]
 
 
