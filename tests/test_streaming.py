@@ -1038,3 +1038,160 @@ def test_run_available_now_progress_cap_raised_and_conf_restored(
     )
     assert out.count() == 2
     assert spark.conf.get(cap_key, None) is None  # unset state restored
+
+
+def test_attributed_sessionizer_equals_batch_across_forced_multibatch(
+    spark, tmp_path
+):
+    """sessionize_stream_attributed's full-fidelity claim, PROVEN
+    across five forced micro-batches: closed sessions (bounds, counts,
+    decimal-free sums, FIRST-TOUCH type, converted flag) equal the
+    batch gaps-and-islands sessionizer + struct-min attribution over
+    the same events. The construction exercises every hard case:
+    a session SPANNING two batches, TWO sessions inside one batch
+    (in-batch split — the simple sessionizer folds these), a
+    cross-batch disordered row that retroactively TAKES OVER
+    first-touch (earlier (ts, event_id) within the gap), and purchase
+    conversion on either side of a split. A far-future sentinel user
+    advances the watermark to close every real session; the sentinel
+    itself is excluded from comparison."""
+    from pyspark.sql import functions as F
+
+    from thundercats_spark.operators.sessionize import sessionize
+    from thundercats_spark.streaming.windows import (
+        run_available_now_to_memory,
+        sessionize_stream_attributed,
+    )
+
+    base = datetime(2024, 5, 1, 0, 0, 0)
+    s = lambda sec: base + timedelta(seconds=sec)  # noqa: E731
+    GAP_MS = 60_000  # 60s idle gap; watermark 10s << gap
+
+    # (event_id, ts, user_id, event_type, value)
+    slices = [
+        # batch 0: u1 session A opens (view first)
+        [(1, s(0), 1, "view", 1.0), (2, s(10), 1, "click", 2.0),
+         (900, s(20), 999, "noise", 0.0)],
+        # batch 1: u1 session A continues (within gap, crossing the
+        # batch boundary) and CONVERTS; u2 opens at s(55)
+        [(4, s(40), 1, "purchase", 3.0),
+         (3, s(55), 2, "click", 5.0),
+         (901, s(60), 999, "noise", 0.0)],
+        # batch 2: DISORDERED row for u2: stamped s(52) — EARLIER than
+        # u2's current first event s(55) but INSIDE the watermark
+        # horizon (watermark is s(50) after batch 1; disorder must be
+        # bounded by the watermark DELAY to survive the late-data
+        # filter, and by the gap to fold) → takes over first-touch
+        [(5, s(52), 2, "signup", 1.0),
+         (902, s(80), 999, "noise", 0.0)],
+        # batch 3: u3 delivers TWO complete sessions in ONE batch
+        # (split at the 60s gap inside the batch): [s100,s110] purchase
+        # session, then [s300] view-only
+        [(6, s(100), 3, "purchase", 7.0), (7, s(110), 3, "view", 1.0),
+         (8, s(300), 3, "view", 2.0),
+         (903, s(320), 999, "noise", 0.0)],
+        # batch 4: far-future sentinel advances the watermark past
+        # every end+gap → closes all real sessions
+        [(904, s(100_000), 999, "noise", 0.0)],
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    src = str(tmp_path / "attr_events")
+    _write_slices(spark, src, slices, schema, str(tmp_path / "stage"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize_stream_attributed(
+        stream, gap_ms=GAP_MS, watermark="10 seconds",
+        convert_type="purchase",
+    )
+    stats = {}
+    got_df = run_available_now_to_memory(out, "append", stats=stats)
+    assert stats["data_batches"] == 5, stats
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         r.total_value, r.first_touch, r.converted)
+        for r in got_df.collect() if r.user_id != 999
+    )
+
+    # batch reference: gaps-and-islands sessionize + struct-min
+    # first-touch + max(converted), same events, sentinel excluded
+    static = spark.read.parquet(src).where(F.col("user_id") != 999)
+    sess = sessionize(
+        static, user_col="user_id", ts_col="ts",
+        gap_minutes=GAP_MS / 60_000, order_cols=["event_id"],
+    )
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         r.total_value, r.first_touch, r.converted)
+        for r in sess.groupBy("user_id", "session_id").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.min(F.struct("ts", "event_id", "event_type"))["event_type"]
+            .alias("first_touch"),
+            F.max(F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0)).alias("converted"),
+        ).collect()
+    )
+    assert got == want, f"\ngot={got}\nwant={want}"
+    # the construction's teeth: u1 spans batches and converted with
+    # first_touch view; u2's first_touch was RETROACTIVELY taken over
+    # by the disordered signup; u3 has exactly two sessions
+    by_user = {}
+    for row in got:
+        by_user.setdefault(row[0], []).append(row)
+    assert by_user[1][0][5:] == ("view", 1)
+    assert by_user[2][0][5:] == ("signup", 0)
+    assert [r[5:] for r in by_user[3]] == [("purchase", 1), ("view", 0)]
+
+
+def test_attributed_sessionizer_emits_inbatch_splits_immediately(
+    spark, tmp_path
+):
+    """A batch whose rows straddle the idle gap emits the EARLIER
+    session in that same micro-batch — before any timeout — while the
+    tail session stays open in state. (The simple sessionizer would
+    fold both into one; this pins the fidelity difference.)"""
+    from thundercats_spark.streaming.windows import (
+        sessionize_stream_attributed,
+    )
+
+    base = datetime(2024, 5, 2, 0, 0, 0)
+    rows = [
+        (1, base, 1, "view", 1.0),
+        (2, base + timedelta(seconds=5), 1, "purchase", 2.0),
+        # 10-minute gap >> 60s: second session in the SAME file
+        (3, base + timedelta(seconds=600), 1, "click", 4.0),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    path = str(tmp_path / "oneshot")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = sessionize_stream_attributed(
+        stream, gap_ms=60_000, watermark="10 seconds",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("attr_split")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM attr_split").collect()
+    finally:
+        q.stop()
+    assert len(got) == 1  # first session emitted, tail still open
+    r = got[0]
+    assert (r.n_events, r.total_value, r.first_touch, r.converted) == (
+        2, 3.0, "view", 1
+    )
+    assert r.session_end == base + timedelta(seconds=5)

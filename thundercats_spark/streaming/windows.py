@@ -149,6 +149,135 @@ def sessionize_stream_event_time(
     )
 
 
+_ATTR_SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double, first_touch string, "
+    "converted int"
+)
+# open-session tail held per user: bounds + payload attribution fields
+_ATTR_STATE_SCHEMA = (
+    "start long, end long, n long, total double, "
+    "first_ts long, first_id long, first_type string, conv int"
+)
+
+
+def _attr_fn(gap_ms: int, convert_type: str):
+    gap_us = gap_ms * 1000
+
+    def emit(sess):
+        start, end, n, total, fts, fid, ftype, conv = sess
+        return pd.DataFrame(
+            {
+                "user_id": [None],  # filled by caller key below
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(end, unit="us")],
+                "n_events": [n],
+                "total_value": [total],
+                "first_touch": [ftype],
+                "converted": [conv],
+            }
+        )
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            sess = state.get
+            state.remove()
+            out = emit(sess)
+            out["user_id"] = key[0]
+            yield out
+            return
+
+        sess = state.get if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            rows.extend(
+                zip(
+                    ts_us,
+                    pdf["event_id"].tolist(),
+                    pdf["event_type"].tolist(),
+                    pdf["value"].tolist(),
+                )
+            )
+        rows.sort(key=lambda r: (r[0], r[1]))  # batch-identical order
+        closed = []
+        for t, eid, etype, v in rows:
+            if sess is None:
+                sess = (t, t, 1, float(v), t, eid, etype,
+                        int(etype == convert_type))
+                continue
+            start, end, n, total, fts, fid, ftype, conv = sess
+            if t - end > gap_us:
+                closed.append(sess)
+                sess = (t, t, 1, float(v), t, eid, etype,
+                        int(etype == convert_type))
+                continue
+            # fold (cross-batch disorder within the gap folds too; a
+            # disordered row may even take over first-touch)
+            if (t, eid) < (fts, fid):
+                fts, fid, ftype = t, eid, etype
+            sess = (
+                min(start, t), max(end, t), n + 1, total + float(v),
+                fts, fid, ftype,
+                max(conv, int(etype == convert_type)),
+            )
+        if closed:
+            out = pd.concat([emit(s) for s in closed], ignore_index=True)
+            out["user_id"] = key[0]
+            yield out
+        if sess is not None:
+            state.update(sess)
+            # close when the WATERMARK passes gap beyond session end
+            state.setTimeoutTimestamp(sess[1] // 1000 + gap_ms)
+        elif state.exists:
+            state.remove()
+
+    return fn
+
+
+def sessionize_stream_attributed(
+    stream: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    watermark: str = "10 seconds",
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """FULL-FIDELITY event-time streaming sessionization with payload
+    attribution: unlike ``sessionize_stream_event_time`` (which folds
+    each user's accumulated state into ONE session closed by timeout),
+    this variant splits sessions INSIDE a micro-batch too — a batch
+    whose rows straddle the idle gap emits the earlier sessions
+    immediately, exactly as the batch gaps-and-islands sessionizer
+    would — and carries first-touch attribution state: each session
+    reports its first event type (by the batch sessionizer's total
+    (ts, event_id) order, so a cross-batch disordered row can
+    retroactively take over first-touch) and whether any event was a
+    ``convert_type``.
+
+    CLOSED sessions equal the batch sessionizer's output whenever
+    cross-batch event-time disorder stays within the WATERMARK delay
+    (rows later than that are dropped by the late-data filter before
+    this operator sees them — the standard streaming condition) and
+    the watermark delay stays within the idle gap (so a surviving
+    disordered row always folds rather than splits; the multi-batch
+    equality proof in tests/test_streaming.py drives five forced
+    batches through every hard case). The open tail session per user lives in
+    state — bounded by (live users x gap) — and closes via event-time
+    timeout as the watermark passes. Feed the output to a batch
+    aggregation (or a downstream streaming agg) to reproduce
+    events_session_attribution on a live stream."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _attr_fn(gap_ms, convert_type),
+            outputStructType=_ATTR_SESSION_SCHEMA,
+            stateStructType=_ATTR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(out: DataFrame, name: str, timeout_s: float = 20.0, mode: str = "append"):
     """Drive a streaming DataFrame into an in-memory table until idle
     OR ``timeout_s`` elapses (test/debug harness; mirrors reference
