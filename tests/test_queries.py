@@ -1420,3 +1420,112 @@ def test_segment_extremes_tiebreak(spark, tmp_path):
     r = segment_extreme_orders(spark, str(tmp_path)).collect()[0]
     assert (r.top_orderkey, r.bottom_orderkey) == (11, 10)
     assert (r.top_price, r.bottom_price) == (5.0, 5.0)
+
+
+# ---------------------------------------------------------------------------
+# Wave-15 semantic pins
+# ---------------------------------------------------------------------------
+
+
+def test_error_bursts_islands(spark, tmp_path):
+    """error error error click error → one run of 3 and one run of 1;
+    a second user's single error adds to run_len=1. Ordering ties
+    break on event_id."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = lambda k: t0 + datetime.timedelta(seconds=k)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, s(0), 1, "error", 0.0, "{}"), (2, s(1), 1, "error", 0.0, "{}"),
+         (3, s(2), 1, "error", 0.0, "{}"), (4, s(3), 1, "click", 0.0, "{}"),
+         (5, s(4), 1, "error", 0.0, "{}"),
+         (6, s(0), 2, "error", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from thundercats_spark.queries.analytics12 import events_error_bursts
+
+    got = [tuple(r) for r in events_error_bursts(spark, str(tmp_path)).collect()]
+    assert got == [(1, 2, 2), (3, 1, 1)]
+
+
+def test_user_trigrams_counts(spark, tmp_path):
+    """a b a b a yields trigrams (a,b,a) x2 and (b,a,b) x1; a second
+    user's a b a adds one more (a,b,a)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = lambda k: t0 + datetime.timedelta(seconds=k)  # noqa: E731
+    rows = [(i, s(i), 1, t, 0.0, "{}") for i, t in
+            enumerate("ababa")] + \
+           [(10 + i, s(i), 2, t, 0.0, "{}") for i, t in enumerate("aba")]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from thundercats_spark.queries.analytics12 import events_user_trigrams
+
+    got = [tuple(r) for r in events_user_trigrams(spark, str(tmp_path)).collect()]
+    assert got == [("a", "b", "a", 3), ("b", "a", "b", 1)]
+
+
+def test_label_compactness_closed_form(spark, tmp_path):
+    """Label 0: (0,0) and (2,0) → centroid (1,0): rms distance 1,
+    centroid norm 1. Label 1: two identical vectors → rms 0 (the
+    GREATEST guard absorbs identity noise), centroid norm 5."""
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [2.0, 0.0], 0),
+         (3, [3.0, 4.0], 1), (4, [3.0, 4.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    from thundercats_spark.queries.analytics12 import (
+        embedding_label_compactness,
+    )
+
+    got = {r.label: r for r in
+           embedding_label_compactness(spark, str(tmp_path)).collect()}
+    assert (got[0].n_vecs, got[0].rms_dist, got[0].centroid_norm) == (2, 1.0, 1.0)
+    assert (got[1].n_vecs, got[1].rms_dist, got[1].centroid_norm) == (2, 0.0, 5.0)
+
+
+def test_containment_is_asymmetric(spark, tmp_path):
+    """Doc 2's text is wholly embedded in doc 1's template: every doc-2
+    shingle appears in doc 1 → C(2→1) = 1.0 reported; C(1→2) = 2/7 is
+    under threshold and absent. The directed pair is the template
+    signal symmetric Jaccard (2/7... low) would miss."""
+    docs = spark.createDataFrame(
+        [(1, "hdr x y z w v ftr", "en", "s", 1), (2, "x y z", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from thundercats_spark.queries.analytics12 import doc_containment_pairs
+
+    got = [tuple(r) for r in
+           doc_containment_pairs(spark, str(tmp_path)).collect()]
+    # doc2 shingles: {x y, y z} both inside doc1's 6 shingles
+    assert got == [(2, 1, 2, 2, 1.0)]
+
+
+def test_supplier_degrees_histogram(spark, tmp_path):
+    """Supplier 1 ships parts {1,2} (part 1 twice — distinct counts
+    once); supplier 2 ships {1}: histogram {1: 1, 2: 1}."""
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+         (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+         (3, 2, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+         (4, 1, 2, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None)],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    from thundercats_spark.queries.analytics12 import supplier_part_degrees
+
+    got = [tuple(r) for r in
+           supplier_part_degrees(spark, str(tmp_path)).collect()]
+    assert got == [(1, 1), (2, 1)]

@@ -443,6 +443,7 @@ def all_queries() -> dict[str, Query]:
         analytics9,
         analytics10,
         analytics11,
+        analytics12,
         llm_ops,
         llm_ops2,
         relational,
