@@ -158,6 +158,14 @@ BENCH_QUERIES = [
     "embedding_dim_stats",
     "orders_ship_lag_profile",
     "events_value_winsorized",
+    # r11 wave 15: condition islands (one user exchange), trigram
+    # paths, centroid-identity compactness, capped inverted-index
+    # containment pairs, bipartite degree histogram
+    "events_error_bursts",
+    "events_user_trigrams",
+    "embedding_label_compactness",
+    "doc_containment_pairs",
+    "supplier_part_degrees",
 ]
 
 
