@@ -1195,3 +1195,107 @@ def test_attributed_sessionizer_emits_inbatch_splits_immediately(
         2, 3.0, "view", 1
     )
     assert r.session_end == base + timedelta(seconds=5)
+
+
+def test_attributed_sessionizer_property_random_streams(spark, tmp_path):
+    """Hypothesis property: for RANDOM event streams cut into random
+    time-ordered micro-batches (disorder 0 ≤ watermark delay — the
+    operator's exactness condition), barrier-flushed closed sessions
+    equal a naive in-Python gaps-and-islands model: same bounds,
+    counts, sums, first-touch types, and conversion flags."""
+    import uuid
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from thundercats_spark.streaming.windows import (
+        run_available_now_to_memory,
+        sessionize_stream_attributed,
+    )
+
+    GAP_S = 60
+    base = datetime(2024, 7, 1)
+
+    @st.composite
+    def streams(draw):
+        n = draw(st.integers(3, 14))
+        rows = []
+        for i in range(n):
+            user = draw(st.integers(1, 2))
+            sec = draw(st.integers(0, 500))
+            etype = draw(st.sampled_from(["view", "click", "purchase"]))
+            rows.append((i + 1, base + timedelta(seconds=sec), user,
+                         etype, float(i)))
+        n_cuts = draw(st.integers(0, 2))
+        cuts = sorted(draw(st.lists(
+            st.integers(1, n - 1), min_size=n_cuts, max_size=n_cuts,
+            unique=True,
+        )))
+        return rows, cuts
+
+    def model(rows):
+        """Naive batch gaps-and-islands + attribution, pure Python."""
+        out = []
+        by_user = {}
+        for eid, ts, u, et, v in rows:
+            by_user.setdefault(u, []).append((ts, eid, et, v))
+        for u, evs in by_user.items():
+            evs.sort()
+            cur = None
+            for ts, eid, et, v in evs:
+                if cur and (ts - cur["end"]).total_seconds() > GAP_S:
+                    out.append((u, cur["start"], cur["end"], cur["n"],
+                                cur["tot"], cur["ft"], cur["conv"]))
+                    cur = None
+                if cur is None:
+                    cur = {"start": ts, "end": ts, "n": 1, "tot": v,
+                           "ft": et, "conv": int(et == "purchase")}
+                else:
+                    cur["end"] = ts
+                    cur["n"] += 1
+                    cur["tot"] += v
+                    cur["conv"] = max(cur["conv"], int(et == "purchase"))
+            if cur:
+                out.append((u, cur["start"], cur["end"], cur["n"],
+                            cur["tot"], cur["ft"], cur["conv"]))
+        return sorted(out)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+    @given(streams())
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(data):
+        rows, cuts = data
+        ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+        slices, prev = [], 0
+        for c in cuts + [len(ordered)]:
+            if c > prev:
+                slices.append(ordered[prev:c])
+                prev = c
+        max_ts = max(r[1] for r in rows)
+        slices.append([(10**9, max_ts + timedelta(days=30), 999,
+                        "barrier", 0.0)])
+        tag = uuid.uuid4().hex[:8]
+        src = str(tmp_path / f"prop_{tag}")
+        _write_slices(spark, src, slices, schema,
+                      str(tmp_path / f"stage_{tag}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        out = sessionize_stream_attributed(
+            stream, gap_ms=GAP_S * 1000, watermark="10 seconds",
+        )
+        got_df = run_available_now_to_memory(out, "append")
+        got = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events,
+             r.total_value, r.first_touch, r.converted)
+            for r in got_df.collect() if r.user_id != 999
+        )
+        assert got == model(rows), f"\ngot={got}\nmodel={model(rows)}"
+
+    run()
