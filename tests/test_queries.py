@@ -77,9 +77,18 @@ def test_oracle_sql_mentions_known_tables_only():
         if not q.oracle:
             continue
         # \b: a column alias ending in "_from" (e.g. version_from) must
-        # not count its own suffix as a FROM keyword (r10)
-        froms = set(re.findall(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", q.oracle, re.I))
-        unknown = {f.lower() for f in froms} - known - {"walk"}  # CTE names
+        # not count its own suffix as a FROM keyword (r10). LATERAL is
+        # a join keyword, not a table name (r11: JOIN LATERAL (...)).
+        froms = set(
+            re.findall(
+                r"\b(?:FROM|JOIN)\s+(?:LATERAL\s+)?([a-z_][a-z0-9_]*)",
+                q.oracle,
+                re.I,
+            )
+        )
+        # "walk" = the recursive-CTE name; "lateral" = the join keyword
+        # (the optional group above can backtrack and still capture it)
+        unknown = {f.lower() for f in froms} - known - {"walk", "lateral"}
         # allow CTE names defined in the same statement
         ctes = {m.lower() for m in re.findall(r"(\w+)\s+AS\s*\(", q.oracle, re.I)}
         assert unknown <= ctes, (name, unknown - ctes)
