@@ -265,7 +265,21 @@ def doc_containment_pairs(spark, sf_dir):
     self-join's per-shingle fan-out bounded at any corpus size —
     without it one boilerplate shingle joins n² rows). Candidate
     generation is the shingle-keyed equi-join, never doc × doc.
-    Integer division only at the edge."""
+    Integer division only at the edge.
+
+    r11 shape: ONE pass over the exploded (sh, doc_id) table. The naive
+    df-filter join + self-join consumed that subtree six times (12
+    parquet scans / 22 exchanges in the before plan — each branch
+    re-parsed and re-exploded the corpus). Now the df cap is a window
+    COUNT over sh (buffers spill-safely per shingle — a raw
+    collect_list-then-filter would buffer an unbounded hot boilerplate
+    shingle), the inverted-index groupBy reuses the window's
+    hashpartitioning(sh) with lists bounded at 100 post-filter, ordered
+    pairs come from a double explode of the per-shingle doc list
+    INCLUDING the diagonal, and n_sh_a = the (a,a) diagonal count read
+    back via a window over doc_a — no join back to a recomputed sizes
+    table. Guide §2.4 (share one exchange) + §1.2 step 1 (fix the
+    distributed algorithm before anything else)."""
     from thundercats_spark.operators.dedup import word_shingles
 
     d = load(spark, sf_dir, "documents")["documents"]
@@ -277,23 +291,27 @@ def doc_containment_pairs(spark, sf_dir):
         )
     )
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    df_keep = ex.groupBy("sh").agg(
-        F.count(F.lit(1)).alias("df")
-    ).where(F.col("df") <= 100).select("sh")
-    kept = ex.join(df_keep, "sh")
-    sz = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sh")
-    )
-    a = kept.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .where(F.col("doc_a") != F.col("doc_b"))
+    w_sh = Window.partitionBy("sh")
+    kept = ex.withColumn(
+        "df", F.count(F.lit(1)).over(w_sh)
+    ).where(F.col("df") <= 100)
+    # same hashpartitioning(sh) as the window: no second exchange
+    index = kept.groupBy("sh").agg(F.collect_list("doc_id").alias("docs"))
+    pairs = (
+        index.select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("common"))
     )
+    w_a = Window.partitionBy("doc_a")
     return (
-        inter.join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        pairs.withColumn(
+            "n_sh",
+            F.max(
+                F.when(F.col("doc_a") == F.col("doc_b"), F.col("common"))
+            ).over(w_a),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
         .withColumn(
             "containment",
             F.col("common").cast("double") / F.col("n_sh"),
