@@ -589,17 +589,25 @@ FROM lag GROUP BY priority ORDER BY priority
 @register("orders_ship_lag_profile", SHIP_LAG_SQL)
 def orders_ship_lag_profile(spark, sf_dir):
     """Fulfillment lag (order date → line-item ship date, whole days)
-    per order priority: count, exact average, and disc p50/p90
-    through the grouped distributed-percentile machinery (per-group
-    boundary-bucket ranks — Spark's exact percentile aggregate would
-    buffer each priority's full lag multiset in one reducer). Lag is
+    per order priority: count, exact average, and disc p50/p90. Lag is
     floor(Δμs / day) — an EXACT double quotient (|Δμs| < 2^53) so the
     floor agrees across engines even on the synthetic negative lags.
-    The orders⋈lineitem equi-join shuffles both facts once on the
-    order key; integer sums make the average exact."""
-    from thundercats_spark.operators.ranking import (
-        exact_percentiles_grouped,
-    )
+
+    r11 shape: lag_days has a BOUNDED domain (distinct calendar-day
+    deltas), so disc percentiles come from a per-priority (lag_days →
+    cnt) HISTOGRAM + cumulative window instead of the grouped
+    row-number machinery (which cost 5 internal driver jobs, a full
+    rank window over the fact join, a persist, and — because the query
+    unpersisted before returning — a complete RECOMPUTE of the join at
+    action time). percentile_disc(p) = value at rank ceil(p·n)
+    (``disc_rank`` semantics) = the smallest histogram value whose
+    cumulative count reaches that rank; the rank is computed with
+    exact integer arithmetic in-plan (``_idiv``, no float product).
+    One fact join → one tiny-cardinality groupBy (map-side partial
+    collapse) → windows + final agg on the same priority partitioning.
+    Integer sums over (value·cnt) keep the average exact. Guide §1.2
+    step 1 + §2.3 (aggregate before you shuffle)."""
+    from thundercats_spark.operators.ranking import _idiv
 
     t = load(spark, sf_dir, "orders", "lineitem")
     lag = (
@@ -613,34 +621,39 @@ def orders_ship_lag_profile(spark, sf_dir):
             ).cast("long").alias("lag_days"),
         )
     )
-    lag = lag.persist()
-    try:
-        base = lag.groupBy("priority").agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            (F.sum("lag_days").cast("double") / F.count(F.lit(1)))
-            .alias("avg_lag_days"),
+    hist = lag.groupBy("priority", "lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("priority")
+    h = (
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .withColumn(
+            "s", F.sum(F.col("lag_days") * F.col("cnt")).over(w_all)
         )
-        pct = exact_percentiles_grouped(
-            lag, ["priority"], "lag_days", [0.5, 0.9], mode="disc"
+    )
+    # disc_rank(p, n) = max(1, ceil(p*n)), exact: ceil(a/b) = (a+b-1) div b
+    r50 = _idiv(F.col("n") + F.lit(1), F.lit(2))
+    r90 = _idiv(F.col("n") * F.lit(9) + F.lit(9), F.lit(10))
+    return (
+        h.groupBy("priority")
+        .agg(
+            F.max("n").alias("n_items"),
+            (F.max("s").cast("double") / F.max("n")).alias("avg_lag_days"),
+            F.min(
+                F.when(F.col("cum") >= r50, F.col("lag_days"))
+            ).alias("p50_lag_days"),
+            F.min(
+                F.when(F.col("cum") >= r90, F.col("lag_days"))
+            ).alias("p90_lag_days"),
         )
-        wide = (
-            pct.groupBy("priority")
-            .pivot("p", [0.5, 0.9])
-            .agg(F.first("value"))
-            .select(
-                "priority",
-                F.col("`0.5`").cast("long").alias("p50_lag_days"),
-                F.col("`0.9`").cast("long").alias("p90_lag_days"),
-            )
-        )
-        return (
-            base.join(wide, "priority")
-            .select("priority", "n_items", "avg_lag_days",
-                    "p50_lag_days", "p90_lag_days")
-            .orderBy("priority")
-        )
-    finally:
-        lag.unpersist()
+        .orderBy("priority")
+    )
 
 
 # --------------------------------------------------------------------------
