@@ -683,51 +683,75 @@ GROUP BY e.event_type ORDER BY e.event_type
 
 @register("events_value_winsorized", WINSORIZED_SQL)
 def events_value_winsorized(spark, sf_dir):
-    """Winsorized mean of event value per type: clip at the
-    per-type disc p05/p95 — ACTUAL data values from the grouped
-    distributed-percentile machinery, so the clip boundaries are
-    engine-reproducible doubles, then decimal-exact sums make both
-    means order-independent. The outlier-robust revenue statistic a
-    payments pipeline reports next to the raw mean. Boundaries
-    broadcast back (5 rows); one events exchange total."""
-    from thundercats_spark.operators.ranking import (
-        exact_percentiles_grouped,
-    )
+    """Winsorized mean of event value per type: clip at the per-type
+    disc p05/p95 — ACTUAL data values, so the clip boundaries are
+    engine-reproducible doubles; decimal-exact sums make both means
+    order-independent. The outlier-robust revenue statistic a payments
+    pipeline reports next to the raw mean.
+
+    r11 shape: value is 2-decimal money on a bounded range, so the
+    distinct (event_type, value) histogram is CARDINALITY-bounded by
+    the domain, not the row count — disc p05/p95 come from a
+    cumulative window over that tiny histogram (exact integer
+    ceil(p·n) ranks via ``_idiv``) instead of the grouped row-number
+    machinery (6 internal driver jobs + a rank-window sort of the full
+    table + a persist whose unpersist forced a second full scan at
+    action time). The winsorized sum never touches the raw rows again:
+    Σ clip(v) = Σ_mid cnt·v + n_below·p05 + n_above·p95, with
+    row-is-below ⟺ cum < r05 and row-is-above ⟺ cum−cnt ≥ r95 (the
+    p95 row is the FIRST with cum ≥ r95, so only strictly later
+    histogram rows clip down). All terms exact decimal. One scan, one
+    shrinking groupBy, windows + final agg on one event_type
+    partitioning. Guide §1.2 step 1 + §2.3 (aggregate before you
+    shuffle)."""
+    from thundercats_spark.operators.ranking import _idiv
 
     ev = load(spark, sf_dir, "events")["events"].select(
         "event_type", "value"
     )
-    ev = ev.persist()
-    try:
-        pct = exact_percentiles_grouped(
-            ev, ["event_type"], "value", [0.05, 0.95], mode="disc"
+    hist = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    h = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    r05 = _idiv(F.col("n") + F.lit(19), F.lit(20))
+    r95 = _idiv(F.col("n") * F.lit(19) + F.lit(19), F.lit(20))
+    below = F.col("cum") < r05                    # value < p05
+    above = (F.col("cum") - F.col("cnt")) >= r95  # value > p95
+    zero = F.lit(0).cast("long")
+    agg = h.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(_dec("value") * F.col("cnt")).alias("raw_sum"),
+        F.min(F.when(F.col("cum") >= r05, F.col("value"))).alias("p05"),
+        F.min(F.when(F.col("cum") >= r95, F.col("value"))).alias("p95"),
+        F.sum(F.when(below, F.col("cnt")).otherwise(zero)).alias("n_below"),
+        F.sum(F.when(above, F.col("cnt")).otherwise(zero)).alias("n_above"),
+        F.sum(
+            F.when(~below & ~above, _dec("value") * F.col("cnt"))
+        ).alias("mid_sum"),
+    )
+    return (
+        agg.select(
+            "event_type",
+            "n",
+            (F.col("raw_sum").cast("double") / F.col("n")).alias("raw_mean"),
+            "p05",
+            "p95",
+            (
+                (
+                    F.coalesce(F.col("mid_sum"), F.lit(0).cast("decimal(12,2)"))
+                    + F.col("n_below") * _dec(F.col("p05"))
+                    + F.col("n_above") * _dec(F.col("p95"))
+                ).cast("double")
+                / F.col("n")
+            ).alias("winsor_mean"),
         )
-        b = (
-            pct.groupBy("event_type")
-            .pivot("p", [0.05, 0.95])
-            .agg(F.first("value"))
-            .select(
-                "event_type",
-                F.col("`0.05`").alias("p05"), F.col("`0.95`").alias("p95"),
-            )
-        )
-        clipped = ev.join(F.broadcast(b), "event_type").select(
-            "event_type", "value", "p05", "p95",
-            F.least(F.greatest(F.col("value"), F.col("p05")),
-                    F.col("p95")).alias("wv"),
-        )
-        return (
-            clipped.groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                (F.sum(_dec("value")).cast("double") / F.count(F.lit(1)))
-                .alias("raw_mean"),
-                F.max("p05").alias("p05"),
-                F.max("p95").alias("p95"),
-                (F.sum(_dec("wv")).cast("double") / F.count(F.lit(1)))
-                .alias("winsor_mean"),
-            )
-            .orderBy("event_type")
-        )
-    finally:
-        ev.unpersist()
+        .orderBy("event_type")
+    )
