@@ -235,6 +235,22 @@ def dedup_lineage(
 # --------------------------------------------------------------------------
 
 
+def _materialize_collapse(groups: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint the collapse-group frame. Every miner
+    consumes ``groups`` from 4-6 lineage branches (posting/banding,
+    both verify sides, the member expand) and Spark recomputes the
+    scan→shingle→hash→collapse subtree per branch — measured r11:
+    14-28 parquet scans of the corpus in one mined-pairs plan.
+    Materializing the collapsed frame once truncates all of them
+    (guide §3.3). This is per-invocation work on executor
+    memory/disk — each call recomputes from the inputs, nothing
+    survives the job, so bench/oracle runs stay honest. At cluster
+    scale localCheckpoint blocks die with their executor; a
+    fault-tolerant variant would thread ``reliable=True`` through to
+    ``checkpoint()`` exactly as ``connected_components`` does."""
+    return groups.localCheckpoint(eager=True)
+
+
 def _collapse_groups(keyed: DataFrame, key_col: str) -> DataFrame:
     """(id, key, payload...) → one row per distinct key:
     (key, rep=min id, members, payload...). Payload columns are
@@ -404,9 +420,9 @@ def minhash_lsh_pairs(
         # key on the SORTED set: array_distinct preserves encounter
         # order, so permuted duplicates still collapse; 64-bit collision
         # odds are the same ~2^-64 accepted by the verify stage.
-        groups = _collapse_groups(
+        groups = _materialize_collapse(_collapse_groups(
             sh.withColumn("__gfp", F.xxhash64(F.array_sort("hs"))), "__gfp"
-        )
+        ))
         sh = groups.select(F.col("rep").alias("id"), "hs")
     sig_fn = minhash_signature_oph if method == "oph" else minhash_signature_fast
     sig = sig_fn(sh, "hs", num_hashes, seed)
@@ -505,8 +521,10 @@ def simhash_banded(
     ).select("id", "sh")
     groups = None
     if collapse_exact:
-        groups = _collapse_groups(h.withColumn("__sig", F.col("sh")), "__sig").drop(
-            "__sig"
+        groups = _materialize_collapse(
+            _collapse_groups(
+                h.withColumn("__sig", F.col("sh")), "__sig"
+            ).drop("__sig")
         )
         h = groups.select(F.col("rep").alias("id"), "sh")
     bands = h.select(
@@ -717,9 +735,9 @@ def ngram_jaccard_pairs(
     instead of re-shingling the corpus."""
     sh = _jaccard_shingle_sets(df, text_col, id_col, n)
     if collapse_exact:
-        groups = _collapse_groups(
+        groups = _materialize_collapse(_collapse_groups(
             sh.withColumn("__gfp", F.xxhash64("hs")), "__gfp"
-        )
+        ))
         rep_sh = groups.select(F.col("rep").alias("id"), "hs")
         rep_pairs = _jaccard_mine(rep_sh, _jaccard_posting(rep_sh, threshold), threshold)
         return _expand_pairs(rep_pairs, groups, "jaccard", F.lit(1.0))

@@ -310,8 +310,11 @@ def dedup_graph_degree_dist(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
     pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3,
                                       threshold=0.5)
-    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
-        pairs.select(F.col("id_b").alias("doc_id"))
+    # one pass over pairs: explode both endpoints instead of a unionAll
+    # whose two branches each re-execute the whole mining plan (r11,
+    # guide §2.4 — the before plan had 28 corpus scans)
+    ends = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
     )
     deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
     return (
