@@ -322,10 +322,21 @@ def events_stream_window_agg(spark, sf_dir):
         watermark="1 hour",
     )
     from thundercats_spark.streaming.windows import (
+        derive_state_partitions,
         run_available_now_to_memory,
     )
 
-    out = run_available_now_to_memory(agg, "complete")
+    # r11: complete mode re-emits the full state every batch, so the
+    # trailing no-data batch is output-free — skip it; state partitions
+    # follow input volume (derive_state_partitions docstring).
+    out = run_available_now_to_memory(
+        agg,
+        "complete",
+        skip_no_data_batches=True,
+        state_partitions=derive_state_partitions(
+            spark, f"{sf_dir}/events.parquet"
+        ),
+    )
     return out.select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
         "event_type",
@@ -421,9 +432,20 @@ def events_stream_stream_join(spark, sf_dir):
         ),
     )
     from thundercats_spark.streaming.windows import (
+        derive_state_partitions,
         run_available_now_to_memory,
     )
 
+    # r11: INNER stream-stream joins emit on match only — state
+    # eviction in the trailing no-data batch produces no rows, so skip
+    # it (half the run's wall time); state partitions follow input
+    # volume (derive_state_partitions docstring).
     return run_available_now_to_memory(
-        pairs, "append", require_single_batch=True
+        pairs,
+        "append",
+        require_single_batch=True,
+        skip_no_data_batches=True,
+        state_partitions=derive_state_partitions(
+            spark, f"{sf_dir}/events.parquet"
+        ),
     ).orderBy("user_id", "click_id", "view_id")

@@ -325,11 +325,53 @@ def stream_stream_join(
     return lw.join(rw, cond, how).drop(rw[key])
 
 
+def derive_state_partitions(
+    spark, *paths: str, target_bytes: int = 64 * 1024 * 1024
+) -> int | None:
+    """State-partition count derived from the INPUT volume — the
+    scale-adaptive sizing for stateful streaming queries (guide §2:
+    partitioning must follow data size, not a constant tuned for one
+    deployment). Stateful operators pay a FIXED per-partition per-batch
+    cost (open + commit of up to 4 state stores each); measured r11 at
+    sf0.1, a stream-stream join on 32 core-count partitions spent more
+    wall time on that overhead than on the join (4.4s → 2.1s at 8).
+    State partitions bind at query start and must instead track state
+    volume: ~one partition per ``target_bytes`` of source input, with
+    a floor of defaultParallelism/4 so small inputs still spread over
+    a few tasks. At 100 TB the bytes term dominates (thousands of
+    partitions); locally the floor does. Returns None (caller keeps
+    the session default) when a path cannot be sized locally (e.g. a
+    remote filesystem) — sizing via the FileSystem API would be the
+    cluster extension."""
+    import glob as _glob
+    import os
+
+    total = 0
+    for p in paths:
+        matches = _glob.glob(p) if any(c in p for c in "*?[") else [p]
+        if not matches:
+            return None
+        for m in matches:
+            if os.path.isfile(m):
+                total += os.path.getsize(m)
+            elif os.path.isdir(m):
+                for root, _dirs, files in os.walk(m):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f)) for f in files
+                    )
+            else:
+                return None
+    floor = max(1, spark.sparkContext.defaultParallelism // 4)
+    return max(floor, -(-total // target_bytes))
+
+
 def run_available_now_to_memory(
     df: DataFrame,
     output_mode: str = "append",
     require_single_batch: bool = False,
     stats: dict | None = None,
+    skip_no_data_batches: bool = False,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a finite streaming frame to completion: availableNow
     trigger → memory sink → a SELF-CONTAINED batch frame. The result
@@ -357,7 +399,23 @@ def run_available_now_to_memory(
     100 — ADVICE r09: a >100-batch run would undercount and defeat the
     single-batch tripwire), so the cap is raised to 10,000 for the
     query's lifetime and the count raises loudly if the buffer still
-    saturates rather than report a floor as a fact."""
+    saturates rather than report a floor as a fact.
+
+    ``skip_no_data_batches=True`` disables the trailing NO-DATA
+    micro-batch for this run (r11: it re-executes the full stateful
+    plan on empty input purely to advance the watermark — ~half the
+    wall time of a finite run). Only pass it when the output provably
+    does not depend on that batch: inner stream-stream joins (state
+    eviction emits nothing) and complete-mode aggregations (the last
+    data batch already emitted the full state). Append-mode
+    aggregations NEED it to flush watermark-closed tail windows —
+    leave it off there (the multi-batch append-flush proof in
+    tests/test_streaming.py runs with the default).
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    duration of the run (state partitioning binds at query start) —
+    pass ``derive_state_partitions(...)`` so the count follows input
+    volume instead of the session's batch-shuffle default."""
     import uuid
 
     spark = df.sparkSession
@@ -365,7 +423,22 @@ def run_available_now_to_memory(
     progress_cap = 10_000
     old_cap = spark.conf.get(cap_key, None)
     spark.conf.set(cap_key, str(progress_cap))
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key, None)
+    parts_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(parts_key, None)
+    if skip_no_data_batches:
+        spark.conf.set(nodata_key, "false")
+    if state_partitions is not None:
+        spark.conf.set(parts_key, str(int(state_partitions)))
     name = f"stq_{uuid.uuid4().hex[:8]}"
+
+    def _restore(key, old):
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
     try:
         q = (
             df.writeStream.format("memory")
@@ -376,10 +449,11 @@ def run_available_now_to_memory(
         )
         q.awaitTermination()
     finally:
-        if old_cap is None:
-            spark.conf.unset(cap_key)
-        else:
-            spark.conf.set(cap_key, old_cap)
+        _restore(cap_key, old_cap)
+        if skip_no_data_batches:
+            _restore(nodata_key, old_nodata)
+        if state_partitions is not None:
+            _restore(parts_key, old_parts)
     progress = q.recentProgress
     if len(progress) >= progress_cap:
         raise RuntimeError(
