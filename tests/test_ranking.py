@@ -403,3 +403,55 @@ def test_ranking_ops_reject_helper_column_collisions(spark):
     # total_col collision
     with pytest.raises(ValueError, match="already exist"):
         global_running_sum(clean, ["k"], "rn", out_col="c", total_col="k")
+
+
+def test_global_row_number_multi_equals_singles(rnd):
+    """r11 fusion: one multi invocation == three independent
+    global_row_number calls, rank for rank, on an adversarially tied
+    frame (and with an explicit n_partitions forcing real buckets)."""
+    from thundercats_spark.operators.ranking import global_row_number_multi
+
+    orders = [
+        (["v", "k"], "rn_v"),
+        (["k"], "rn_k"),
+        (["g", "k"], "rn_g"),
+    ]
+    for n_parts in (None, 7):
+        multi = {
+            r["k"]: (r["rn_v"], r["rn_k"], r["rn_g"], r["n"])
+            for r in global_row_number_multi(
+                rnd, orders, total_col="n", n_partitions=n_parts
+            ).collect()
+        }
+        for oc, out in orders:
+            single = {
+                r["k"]: r["rn"]
+                for r in global_row_number(
+                    rnd, oc, out_col="rn", n_partitions=n_parts
+                ).collect()
+            }
+            idx = [o for _, o in orders].index(out)
+            assert all(
+                multi[k][idx] == single[k] for k in single
+            ), f"order {oc} diverges at n_partitions={n_parts}"
+        assert all(v[3] == 10007 for v in multi.values())
+
+
+def test_adaptive_parts_small_frame_single_bucket(rnd):
+    """r11: bucket count follows the measured total — a 10k-row frame
+    gets the 2-bucket floor (one boundary literal instead of ~n_cpus,
+    never a constant-foldable SinglePartition window) and still ranks
+    exactly; the cap binds only at cluster-scale row counts."""
+    from thundercats_spark.operators.ranking import _adaptive_parts
+
+    assert _adaptive_parts(32, 10_007) == 2
+    assert _adaptive_parts(32, 3 * (1 << 20)) == 3
+    assert _adaptive_parts(32, 10**12) == 32  # cap: requested parallelism
+    assert _adaptive_parts(32, 1, rows_per_bucket=1 << 20) == 2
+    # exactness on the default (adaptive) path is covered by
+    # test_global_row_number_equals_window running post-change; pin the
+    # plan here: a small frame's numbering window still partitions on
+    # the bucket column (constant bucket), never SinglePartition.
+    df = global_row_number(rnd, ["v", "k"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -138,6 +138,28 @@ def _require_free_columns(df: DataFrame, names, op: str) -> None:
         )
 
 
+def _adaptive_parts(
+    n_parts: int, total: int, rows_per_bucket: int = 1 << 20
+) -> int:
+    """Bucket count derived from the MEASURED row count (known for
+    free from the counting pass): ceil(total / rows_per_bucket), capped
+    at the requested/default parallelism. The guide's scale-adaptive
+    partitioning (§2) applied to the rank machinery — at cluster scale
+    the cap binds and behavior is unchanged, while a small frame stops
+    paying for ~n_cpus boundary literals (31 struct comparisons ×
+    every row, and their codegen) plus a sample collect, to split 15k
+    rows that one sort task handles in milliseconds (measured r11:
+    the fixed overhead dominated every small-frame ranking query). A
+    2^20-row bucket is a few-hundred-MB sort partition at typical rank
+    row widths — inside the guide's 100 MB-1 GB partition target.
+    Floor of 2: one bucket would constant-fold the window's partition
+    key into an ``Exchange SinglePartition`` — the exact plan shape the
+    registry-wide plan gate (tests/test_plan_health.py) bans; two
+    buckets keep the partitioned-window invariant auditable at one
+    boundary comparison of cost."""
+    return max(2, min(n_parts, -(-total // rows_per_bucket)))
+
+
 def _persist_if_uncached(df: DataFrame) -> tuple[DataFrame, bool]:
     """Persist for the internal multi-pass phase UNLESS the caller
     already cached this frame (following the docstring advice to
@@ -179,6 +201,8 @@ def global_row_number(
             if total_col is not None:
                 out = out.withColumn(total_col, F.lit(0).cast("long"))
             return out
+        if n_partitions is None:
+            n_parts = _adaptive_parts(n_parts, total)
         bounds = _sample_boundaries(df, order_cols, total, n_parts)
         bucketed = df.withColumn("__b", _bucket_expr(df, order_cols, bounds))
         counts = {
@@ -198,6 +222,114 @@ def global_row_number(
         out = bucketed.withColumn(
             out_col, F.row_number().over(w).cast("long") + omap[F.col("__b")]
         ).drop("__b")
+        if total_col is not None:
+            out = out.withColumn(total_col, F.lit(total).cast("long"))
+        return out
+    finally:
+        if own_cache:
+            df.unpersist()
+
+
+def global_row_number_multi(
+    df: DataFrame,
+    rankings: Sequence[tuple[Sequence[str], str]],
+    total_col: str | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Several exact global row-number columns over DIFFERENT total
+    orders in ONE machinery invocation — the fused twin of calling
+    ``global_row_number`` per order (r11: the RFM triple-NTILE chain
+    paid 3× count + 3× sample + 3× bucket-count driver jobs plus a
+    re-persist of each intermediate). Fusion: one counting/null pass
+    over the union of key columns, one seeded sample collect shared by
+    every order (boundaries only steer bucket BALANCE — any boundary
+    set yields the same exact ranks), one map-side-only wide aggregate
+    counting every (order, bucket) cell (no shuffle: bucket counts per
+    order are ≤ n_parts count-if columns in a single 1-row agg), then
+    all partitioned rank windows chained in one returned plan.
+    ``rankings`` is a sequence of (order_cols, out_col). Same NULL-key
+    contract and unspecified output order as ``global_row_number``."""
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    rankings = [(list(oc), out) for oc, out in rankings]
+    all_keys: list[str] = []
+    for oc, _ in rankings:
+        for c in oc:
+            if c not in all_keys:
+                all_keys.append(c)
+    helper = [f"__b{i}" for i in range(len(rankings))]
+    _require_free_columns(
+        df,
+        [*helper, *[out for _, out in rankings], total_col],
+        "global_row_number_multi",
+    )
+    df, own_cache = _persist_if_uncached(df)
+    try:
+        total = _count_and_check_nulls(df, all_keys)
+        if total == 0:
+            out = df
+            for _, out_col in rankings:
+                out = out.withColumn(out_col, F.lit(None).cast("long"))
+            if total_col is not None:
+                out = out.withColumn(total_col, F.lit(0).cast("long"))
+            return out
+        if n_partitions is None:
+            n_parts = _adaptive_parts(n_parts, total)
+        # one shared sample: _sample_boundaries' exact selection logic,
+        # applied per order to the same collected rows
+        target = n_parts * 100
+        frac = min(1.0, target / max(total, 1))
+        samp_rows = (
+            df.select(*all_keys).sample(frac, seed=42).collect()
+            if n_parts > 1
+            else []
+        )
+        bounds_per: list[list[tuple]] = []
+        for oc, _ in rankings:
+            samp = sorted(tuple(r[c] for c in oc) for r in samp_rows)
+            bounds: list[tuple] = []
+            if samp:
+                step = max(1, len(samp) // n_parts)
+                for i in range(step, len(samp), step):
+                    if len(bounds) >= n_parts - 1:
+                        break
+                    if not bounds or samp[i] != bounds[-1]:
+                        bounds.append(samp[i])
+            bounds_per.append(bounds)
+        bucketed = df
+        for i, (oc, _) in enumerate(rankings):
+            bucketed = bucketed.withColumn(
+                helper[i], _bucket_expr(df, oc, bounds_per[i])
+            )
+        # fused bucket counts: ≤ n_parts count-ifs per order, one 1-row
+        # map-side aggregate — no per-order collect jobs
+        count_cols = [
+            F.sum(
+                F.when(F.col(helper[i]) == b, 1).otherwise(0)
+            ).alias(f"__c_{i}_{b}")
+            for i, (_, _o) in enumerate(rankings)
+            for b in range(len(bounds_per[i]) + 1)
+        ]
+        crow = bucketed.agg(*count_cols).first()
+        out = bucketed
+        for i, (oc, out_col) in enumerate(rankings):
+            offsets, acc = {}, 0
+            for b in range(len(bounds_per[i]) + 1):
+                offsets[b] = acc
+                acc += crow[f"__c_{i}_{b}"] or 0
+            omap = F.create_map(
+                *[
+                    x
+                    for b, off in sorted(offsets.items())
+                    for x in (F.lit(b), F.lit(off))
+                ]
+            )
+            w = Window.partitionBy(helper[i]).orderBy(*oc)
+            out = out.withColumn(
+                out_col,
+                F.row_number().over(w).cast("long") + omap[F.col(helper[i])],
+            )
+        out = out.drop(*helper)
         if total_col is not None:
             out = out.withColumn(total_col, F.lit(total).cast("long"))
         return out
@@ -259,6 +391,8 @@ def global_running_sum(
             if total_col is not None:
                 out = out.withColumn(total_col, F.lit(0).cast(acc_type))
             return out
+        if n_partitions is None:
+            n_parts = _adaptive_parts(n_parts, total_rows)
         bounds = _sample_boundaries(df, order_cols, total_rows, n_parts)
         bucketed = df.withColumn("__b", _bucket_expr(df, order_cols, bounds))
         sums = {
@@ -348,6 +482,8 @@ def grouped_row_number(
             if total_col is not None:
                 out = out.withColumn(total_col, F.lit(None).cast("long"))
             return out
+        if n_partitions is None:
+            n_parts = _adaptive_parts(n_parts, total)
         bounds = _sample_boundaries(df, keys, total, n_parts)
         bucketed = df.withColumn("__b", _bucket_expr(df, keys, bounds))
         rows = (

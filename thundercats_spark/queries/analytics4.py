@@ -241,7 +241,7 @@ FROM s ORDER BY c_custkey
 @register("customer_rfm_scores", RFM_SQL)
 def customer_rfm_scores(spark, sf_dir):
     from thundercats_spark.operators.ranking import (
-        global_row_number,
+        global_row_number_multi,
         ntile_from_rn,
     )
 
@@ -251,25 +251,36 @@ def customer_rfm_scores(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(_dec("o_totalprice")).cast("double").alias("spend"),
     )
-    # one distributed ranking per metric. The metric frame is one row
-    # per customer — orders-scan-sized upstream, tiny downstream — and
-    # it feeds THREE chained rankings (each with internal count/sample/
-    # offset passes plus the final consumption): localCheckpoint it so
-    # the orders aggregation runs once, not ~7 times. Blocks are
-    # executor-local, bounded by |customers|, released with the frame.
+    # r11: the three metrics ride ONE fused machinery invocation (one
+    # count, one shared sample, one map-side bucket-count agg, three
+    # rank windows in one plan) instead of three chained
+    # global_row_number calls with 3x internal driver jobs and a
+    # re-persist of each intermediate. The metric frame still feeds
+    # several internal passes: localCheckpoint keeps the orders
+    # aggregation at one execution. Blocks are executor-local, bounded
+    # by |customers|, released with the frame.
     m = m.localCheckpoint(eager=True)
-    scored = m
-    for metric, score_col in (
-        ("last_order", "r_score"),
-        ("n_orders", "f_score"),
-        ("spend", "m_score"),
-    ):
-        rn = global_row_number(
-            scored, [metric, "c_custkey"], out_col="__rn", total_col="__n"
+    rn = global_row_number_multi(
+        m,
+        [
+            (["last_order", "c_custkey"], "__rn_r"),
+            (["n_orders", "c_custkey"], "__rn_f"),
+            (["spend", "c_custkey"], "__rn_m"),
+        ],
+        total_col="__n",
+    )
+    scored = (
+        rn.withColumn(
+            "r_score", ntile_from_rn(F.col("__rn_r"), F.col("__n"), 4)
         )
-        scored = rn.withColumn(
-            score_col, ntile_from_rn(F.col("__rn"), F.col("__n"), 4)
-        ).drop("__rn", "__n")
+        .withColumn(
+            "f_score", ntile_from_rn(F.col("__rn_f"), F.col("__n"), 4)
+        )
+        .withColumn(
+            "m_score", ntile_from_rn(F.col("__rn_m"), F.col("__n"), 4)
+        )
+        .drop("__rn_r", "__rn_f", "__rn_m", "__n")
+    )
     return scored.select(
         "c_custkey",
         "n_orders",
