@@ -859,3 +859,35 @@ def test_assign_balanced_shards_rejects_column_collisions(spark):
     df = spark.createDataFrame(base, "doc_id long, w long, bucket string")
     with pytest.raises(ValueError, match="already exist"):
         assign_balanced_shards(df, 4, "w", out_col="bucket")
+
+
+def test_materialize_packed_sequences_long_docs_span_many_sequences(spark):
+    """r11 piece-based assembly: a doc longer than 2x the budget
+    contributes full middle pieces — exact equality with the
+    concat-and-chunk reference must hold when one doc spans 4+
+    sequences and when a piece starts mid-sequence."""
+    import pyspark.sql.functions as F
+
+    from thundercats_spark.functions.text_analysis import token_ids
+    from thundercats_spark.operators.curation import materialize_packed_sequences
+
+    # token counts 3, 70, 5, 40, 1: doc 1 spans >4 sequences of 16
+    sizes = [3, 70, 5, 40, 1]
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(sz)))
+         for i, sz in enumerate(sizes)],
+        "doc_id long, text string",
+    )
+    out = materialize_packed_sequences(
+        docs, budget=16, n_groups=1, vocab_size=512
+    ).collect()
+    seqs = {r["pack_seq"]: list(r["ids"]) for r in out}
+    flat = []
+    for r in docs.select(
+        "doc_id", token_ids(F.col("text"), 512).alias("ids")
+    ).orderBy("doc_id").collect():
+        flat.extend(r["ids"])
+    want = {
+        s: flat[s * 16 : (s + 1) * 16] for s in range((len(flat) + 15) // 16)
+    }
+    assert seqs == want

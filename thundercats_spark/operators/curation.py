@@ -853,24 +853,53 @@ def materialize_packed_sequences(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     base = base.withColumn("__start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    # r11: a doc's tokens occupy the contiguous global range
+    # [__start, __start + n), so instead of exploding one row PER TOKEN
+    # into the assembly shuffle (guide §2.3 — that shuffled ~corpus
+    # token count (group, gpos, tid) rows and array_sorted `budget`
+    # structs per sequence), slice the id array into one PIECE per
+    # overlapped sequence (≤ ceil(n/budget)+1 per doc) and shuffle the
+    # pieces: same token bytes, orders of magnitude fewer rows and agg
+    # states. Sequence k covers [k·budget, (k+1)·budget); the float
+    # floor(pos/budget) matches the previous per-token expression
+    # exactly (same IEEE quotient family as the original). Pieces of
+    # distinct docs cover disjoint ranges, so the in-sequence offset is
+    # a unique, deterministic sort key.
+    b = F.lit(int(budget))
+    start, n = F.col("__start"), F.col("n_tokens")
+    k_lo = F.floor(start / b).cast("long")
+    k_hi = F.floor((start + n - F.lit(1)) / b).cast("long")
+    pieces = F.transform(
+        F.sequence(k_lo, k_hi),
+        lambda k: F.struct(
+            k.alias("pack_seq"),
+            (F.greatest(k * b, start) - k * b).alias("__off"),
+            F.slice(
+                F.col("__ids"),
+                (F.greatest(k * b, start) - start + F.lit(1)).cast("int"),
+                (
+                    F.least((k + F.lit(1)) * b, start + n)
+                    - F.greatest(k * b, start)
+                ).cast("int"),
+            ).alias("__piece"),
+        ),
+    )
     stream = base.select(
-        "pack_group",
-        "__start",
-        F.posexplode("__ids").alias("__p", "__tid"),
+        "pack_group", F.explode(pieces).alias("__pc")
     ).select(
         "pack_group",
-        (F.col("__start") + F.col("__p")).alias("__gpos"),
-        "__tid",
+        F.col("__pc.pack_seq").alias("pack_seq"),
+        F.col("__pc.__off").alias("__off"),
+        F.col("__pc.__piece").alias("__piece"),
     )
     return (
-        stream.groupBy(
-            "pack_group",
-            F.floor(F.col("__gpos") / budget).cast("long").alias("pack_seq"),
-        )
+        stream.groupBy("pack_group", "pack_seq")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__gpos", "__tid"))),
-                lambda s: s["__tid"],
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__off", "__piece"))),
+                    lambda s: s["__piece"],
+                )
             ).alias("ids")
         )
         .withColumn("n_tokens", F.size("ids"))
