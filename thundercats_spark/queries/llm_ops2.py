@@ -152,9 +152,14 @@ FROM z ORDER BY doc_id
 
 @register("doc_quality_classifier_score", CLASSIFIER_SCORE_SQL)
 def doc_quality_classifier_score_q(spark, sf_dir):
+    from thundercats_spark.operators.dedup import ensure_parallelism
     from thundercats_spark.quality.classifier import linear_quality_score
 
-    d = load(spark, sf_dir, "documents")["documents"]
+    # r11: the documents table arrives as ONE parquet split while the
+    # scorer burns two md5s per token — spread the scan over the
+    # cluster before the expression work (guide §2.5 input skew /
+    # §1.2 step 1). No-op at scale when the input is already wide.
+    d = ensure_parallelism(load(spark, sf_dir, "documents")["documents"])
     return d.select(
         "doc_id",
         F.round(
