@@ -280,9 +280,14 @@ def doc_containment_pairs(spark, sf_dir):
     back via a window over doc_a — no join back to a recomputed sizes
     table. Guide §2.4 (share one exchange) + §1.2 step 1 (fix the
     distributed algorithm before anything else)."""
-    from thundercats_spark.operators.dedup import word_shingles
+    from thundercats_spark.operators.dedup import ensure_parallelism, word_shingles
 
-    d = load(spark, sf_dir, "documents")["documents"]
+    # r11 second pass: stage-isolated timing showed the shingle
+    # explode ALONE at 6.5s of the query's 7.9s — the documents table
+    # arrives as ONE parquet split, so the whole shingling expression
+    # ran in a single task (guide §2.5 input skew). Spread before the
+    # heavy expressions; no-op on already-wide inputs.
+    d = ensure_parallelism(load(spark, sf_dir, "documents")["documents"])
     sh = (
         d.where(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2)
         .select(
@@ -290,7 +295,14 @@ def doc_containment_pairs(spark, sf_dir):
             word_shingles(F.col("text"), 2).alias("shingles"),
         )
     )
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    # explode_OUTER: a plain explode lets InferFiltersFromGenerate
+    # derive size(shingles)>0 AND isnotnull(shingles) and push the
+    # FULL shingling expression (twice) below the spread exchange into
+    # the single scan task — measured 6.5s of the 7.9s query (guide
+    # §4.4's duplicated-evaluation trap in JVM-expression form). The
+    # rule skips outer generates; identical rows because word_shingles
+    # is provably non-null and non-empty for docs with >= 2 tokens.
+    ex = sh.select("doc_id", F.explode_outer("shingles").alias("sh"))
     w_sh = Window.partitionBy("sh")
     kept = ex.withColumn(
         "df", F.count(F.lit(1)).over(w_sh)
