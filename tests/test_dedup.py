@@ -537,3 +537,22 @@ def test_dedup_lineage_custom_key(docs):
     }
     assert m[5] == (5, 1)
     assert all(m[i] == (1, 4) for i in (1, 2, 3, 4))
+
+
+def test_select_exploded_matches_plain_explode(spark):
+    # select_exploded must drop empty/null arrays exactly like explode
+    # (its explode_outer + isNotNull rewrite exists only to block
+    # InferFiltersFromGenerate from re-evaluating the array upstream).
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, None), (4, "x")], "id long, t string"
+    )
+    arr = dedup.word_shingles(F.col("t"), 2)
+    got = dedup.select_exploded(df, arr, "g", "id")
+    want = df.select("id", F.explode(arr).alias("g"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the rewritten plan must not carry the generator's input expression
+    # in any Filter (that is the pushback being prevented)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Filter") or line.strip().startswith("Filter"):
+            assert "slice" not in line and "split" not in line

@@ -91,17 +91,22 @@ def decontaminate(
     The benchmark side is an eval set — tiny next to a 100 TB corpus —
     so AQE broadcasts it; the corpus side streams through the scan
     stage. One shuffle (the per-doc count)."""
-    from thundercats_spark.operators.dedup import ensure_parallelism
+    from thundercats_spark.operators.dedup import ensure_parallelism, select_exploded
 
     grams = F.array_distinct(word_ngrams(F.col(text_col), n))
     # the n-gram explode + hash is scan-stage work: a single-file input
     # would run it on one thread (measured 23s vs 2s at sf0.1) — widen
-    # BEFORE the heavy expressions. No-op on already-wide inputs.
-    doc_grams = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(grams).alias("__g")
+    # BEFORE the heavy expressions, and explode via select_exploded so
+    # InferFiltersFromGenerate cannot push the 8-gram construction back
+    # below the spread exchange (r11: that re-evaluation cost 2x the
+    # whole build, single-task).
+    doc_grams = select_exploded(
+        ensure_parallelism(df.select(id_col, text_col)), grams, "__g", id_col
     ).select(id_col, F.xxhash64("__g").alias("__gh"))
     bench_grams = (
-        benchmark.select(F.explode(grams).alias("__g"))
+        select_exploded(
+            ensure_parallelism(benchmark.select(text_col)), grams, "__g"
+        )
         .select(F.xxhash64("__g").alias("__gh"))
         .distinct()
     )

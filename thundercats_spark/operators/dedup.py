@@ -47,6 +47,25 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
         return df
     return df.repartition(target)
 
+
+def select_exploded(df: DataFrame, arr, alias: str, *keep) -> DataFrame:
+    """``df.select(*keep, explode(arr).alias(alias))`` that does NOT
+    let the optimizer re-evaluate an expensive ``arr`` expression
+    upstream: a plain ``explode`` triggers InferFiltersFromGenerate,
+    whose derived ``size(arr)>0 AND isnotnull(arr)`` predicate is
+    pushed below any spread exchange back into the (often single-task)
+    scan stage — the whole array construction then runs twice per row
+    on one core (measured 6.5s of doc_containment_pairs' 7.9s).
+    ``explode_outer`` is exempt from the rule; filtering the OUTPUT
+    attribute for null afterwards restores exact ``explode`` semantics
+    (empty/null arrays drop) and cannot be pushed below the Generate.
+
+    Only valid when ``arr``'s ELEMENTS are never null (ours are
+    concat/hash/struct results) — a legitimate null element would be
+    dropped where ``explode`` keeps it."""
+    out = df.select(*keep, F.explode_outer(arr).alias(alias))
+    return out.where(F.col(alias).isNotNull())
+
 # Deterministic permutation-hash parameters (seeded LCG over a Mersenne
 # prime) — fixed across runs so results are reproducible. 31-bit prime:
 # base hashes are first reduced mod P so a*h+b stays < 2^62 (no ANSI
