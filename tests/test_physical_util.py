@@ -47,3 +47,45 @@ def test_session_timezone_pinned_utc(spark):
     # get_spark must pin the session timezone so host JVM zones (and their
     # DST transitions) can never bend time deltas.
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_local_frame_matches_classic_createdataframe(spark):
+    from pyspark.sql import types as T
+
+    from thundercats_spark.physical.util import local_frame
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("b", T.IntegerType()),
+        ]
+    )
+    rows = [(1, "a", 0.5, 7), (2, None, float("nan"), None), (3, "c", -1.0, 0)]
+    got = local_frame(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    assert got.schema == want.schema
+
+    def norm(df):
+        out = []
+        for r in df.collect():
+            vals = []
+            for v in r:
+                if isinstance(v, float) and v != v:
+                    vals.append("nan")
+                else:
+                    vals.append(v)
+            out.append(tuple(vals))
+        return sorted(out, key=str)
+
+    assert norm(got) == norm(want)
+    # empty input keeps the exact schema
+    empty = local_frame(spark, [], schema)
+    assert empty.schema == schema and empty.count() == 0
+    # the execution plan must be a local/Arrow scan, not a pickled RDD
+    # (the whole point: no Python workers in consuming stages)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan
+    # a date+decimal-free schema lands as LocalTableScan (zero tasks)
+    assert "LocalTableScan" in plan

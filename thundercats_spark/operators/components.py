@@ -68,10 +68,17 @@ def _components_driver(sym: DataFrame) -> DataFrame:
     id_type = sym.schema["a"].dataType
     from pyspark.sql.types import StructField, StructType
 
+    from thundercats_spark.physical.util import local_frame
+
     schema = StructType(
         [StructField("id", id_type, True), StructField("component", id_type, True)]
     )
-    return sym.sparkSession.createDataFrame(out, schema)
+    # Arrow local frame, not createDataFrame(list): the labels feed an
+    # orderBy (range sampling + sort = two consuming stages) or a join,
+    # and the pickled-RDD path re-runs a Python worker per task per
+    # consuming stage (measured r11: ~19 task-sec of pure wait at
+    # sf0.1).
+    return local_frame(sym.sparkSession, out, schema)
 
 
 def connected_components(

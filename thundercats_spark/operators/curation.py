@@ -1292,8 +1292,11 @@ def select_token_budget_grouped(
         else:
             # boundary None → the whole group fits; -1 keeps every bucket
             plan.append((g, -1 if boundary is None else boundary, bud - offset))
+    from thundercats_spark.physical.util import local_frame
+
     spark = df.sparkSession
-    pmap = spark.createDataFrame(
+    pmap = local_frame(
+        spark,
         plan,
         StructType(
             [

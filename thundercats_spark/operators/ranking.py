@@ -509,10 +509,12 @@ def grouped_row_number(
             [StructField("__b", IntegerType(), False), *gfields,
              StructField("__off", LongType(), False)]
         )
-        off_df = spark.createDataFrame(off_rows, off_schema)
+        from thundercats_spark.physical.util import local_frame
+
+        off_df = local_frame(spark, off_rows, off_schema)
         tot_schema = StructType([*gfields, StructField("__tot", LongType(), False)])
-        tot_df = spark.createDataFrame(
-            [(*g, int(n)) for g, n in totals.items()], tot_schema
+        tot_df = local_frame(
+            spark, [(*g, int(n)) for g, n in totals.items()], tot_schema
         )
         w = Window.partitionBy("__b", *group_cols).orderBy(*order_cols)
         out = (
@@ -654,8 +656,19 @@ def exact_percentiles(
             (p, float(at[lo] + frac * (at[hi] - at[lo])))
             for p, lo, hi, frac in plan
         ]
-        return spark.createDataFrame(
-            sorted(rows), "p double, value double"
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        from thundercats_spark.physical.util import local_frame
+
+        return local_frame(
+            spark,
+            sorted(rows),
+            StructType(
+                [
+                    StructField("p", DoubleType()),
+                    StructField("value", DoubleType()),
+                ]
+            ),
         )
     finally:
         rn.unpersist()
@@ -734,7 +747,10 @@ def exact_percentiles_grouped(
                 plan.setdefault(g, []).append((p, lo, hi, frac))
                 need.append((*g, lo))
                 need.append((*g, hi))
-        need_df = spark.createDataFrame(
+        from thundercats_spark.physical.util import local_frame
+
+        need_df = local_frame(
+            spark,
             list(set(need)),
             StructType([*gfields, StructField("__rn", LongType(), False)]),
         )
@@ -749,7 +765,7 @@ def exact_percentiles_grouped(
             for g, items in plan.items()
             for p, lo, hi, frac in items
         ]
-        return spark.createDataFrame(sorted(rows), out_schema)
+        return local_frame(spark, sorted(rows), out_schema)
     finally:
         rn.unpersist()
 

@@ -292,7 +292,9 @@ def percentiles_grouped_quantized(
         for p, lo, hi, frac in plan:
             # identical interpolation expression to exact_percentiles
             rows.append((*g, p, float(at[lo] + frac * (at[hi] - at[lo]))))
-    return df.sparkSession.createDataFrame(sorted(rows), out_schema)
+    from thundercats_spark.physical.util import local_frame
+
+    return local_frame(df.sparkSession, sorted(rows), out_schema)
 
 
 def mad_outlier_stats_quantized(
@@ -371,7 +373,9 @@ def mad_outlier_stats_quantized(
         thresh = float(k) * mad
         n_out = sum(c for d, c in devs.items() if d > thresh)
         rows.append((*g, n, med, mad, n_out, n_out / n))
-    return df.sparkSession.createDataFrame(sorted(rows), out_schema)
+    from thundercats_spark.physical.util import local_frame
+
+    return local_frame(df.sparkSession, sorted(rows), out_schema)
 
 
 def winsorize_grouped(

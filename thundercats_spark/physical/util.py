@@ -19,6 +19,46 @@ def bind(df: DataFrame, f) -> MayFail[DataFrame]:
     return MayFail.of(lambda: f(df))
 
 
+def local_frame(spark, rows, schema) -> DataFrame:
+    """Driver-built small DataFrame WITHOUT the pickled-RDD execution
+    tax. ``createDataFrame(list)`` parallelizes pickled rows across
+    ``defaultParallelism`` tasks, and every task runs a Python worker to
+    unpickle its slice — worse, the RDD is recomputed by EVERY stage
+    that consumes it (an orderBy's range-sampling pass + sort pays it
+    twice; measured r11: two 32-task stages of ~0 CPU, pure
+    Python-worker wait, on the connected-components driver path).
+    Routing the same rows through pandas takes the Arrow path
+    (spark.sql.execution.arrow.pyspark.enabled is on in get_spark):
+    the batch converts driver-side and lands as a JVM-local scan — no
+    Python workers at execution time, one partition per 10k rows.
+
+    ``rows``: sequence of tuples/Rows matching ``schema`` (a StructType
+    whose declared types are preserved exactly — the Arrow schema is
+    derived from it, and NaN/None stay distinct because the columns are
+    built with ``pa.array`` from the raw values, not via pandas' NaN
+    conflation). Falls back to the classic path if Arrow cannot
+    represent the schema. Use for driver-computed results bounded by
+    design (boundary offsets, union-find labels, collected
+    histograms)."""
+    rows = list(rows)
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        table = pa.Table.from_arrays(
+            [
+                pa.array(list(vals), type=f.type)
+                for vals, f in zip(cols, arrow_schema)
+            ],
+            schema=arrow_schema,
+        )
+        return spark.createDataFrame(table, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def epoch_us(col) -> F.Column:
     """Microseconds since epoch, tolerant of BOTH timestamp flavours.
 
