@@ -556,3 +556,44 @@ def test_select_exploded_matches_plain_explode(spark):
     for line in plan.splitlines():
         if line.strip().startswith("+- Filter") or line.strip().startswith("Filter"):
             assert "slice" not in line and "split" not in line
+
+
+def test_spread_candidates_row_identical_and_not_coalescible(spark, docs):
+    # r11: the candidate dedupe+verify stage is repartitioned on the
+    # pair key to defaultParallelism so AQE's byte-based coalescing
+    # cannot serialize the CPU-dense exact-verify work. Must be (a)
+    # row-identical, (b) a user repartition (exempt from coalescing),
+    # and (c) free: the distinct that follows adds NO further exchange.
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    got = dedup._spread_candidates(cand)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, cand.collect()))
+    p = spark.sparkContext.defaultParallelism
+    assert got.rdd.getNumPartitions() == p
+    plan = (
+        dedup._spread_candidates(cand)
+        .distinct()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one exchange: the pinned repartition; distinct reuses it
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert f"REPARTITION_BY_NUM" in plan or f"REPARTITION_BY_COL" in plan
+
+
+def test_mined_pairs_unchanged_by_spread(docs):
+    # the spread must not change the mined pair set (same distinct, same
+    # verify) — pin the full ngram output on the known-duplicates corpus
+    out = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id").collect()
+    )
+    # exact dup pair at J=1.0 (doc 3 is uppercased — different shingles),
+    # near-dup pairs cross the 0.5 bar; nothing else
+    assert out == [
+        (1, 2, 1.0),
+        (1, 4, 0.846154),
+        (2, 4, 0.846154),
+    ]

@@ -453,8 +453,8 @@ def minhash_lsh_pairs(
         .join(buckets.alias("b"), "bucket")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    cand = _spread_candidates(cand).distinct()
     # Verify on the hashed shingle sets — int-array intersection, and
     # only 8-byte-per-shingle arrays shuffle (never the text).
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
@@ -562,13 +562,31 @@ def simhash_banded(
         ).alias("bk"),
     ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket_size is not None:
-        counts = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
+        # Bucket sizes via a COUNT window over (band, key): the window's
+        # hash exchange is the exact partitioning the pair self-join
+        # downstream requires, so the capped frame flows into the join
+        # with NO further exchange (guide §2.4 — two operations keyed
+        # the same way share one exchange). The previous groupBy-counts
+        # + broadcast-join formulation paid a separate counts shuffle
+        # and a broadcast build job on top of the join's own exchange.
+        from pyspark.sql import Window
+
+        sized = bands.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        )
         if max_bucket_size == "auto":
-            # size-aware cap, fully declarative: mean bucket size via a
-            # 1-row agg broadcast back over the counts (no driver action)
-            stats = counts.agg(F.avg("__n").alias("__mean"))
-            cool = (
-                counts.crossJoin(F.broadcast(stats))
+            # size-aware cap, fully declarative: mean bucket size as ONE
+            # 1-row agg (rows / distinct buckets — identical to avg of
+            # per-bucket counts) broadcast over the sized frame. The
+            # streamed side of the broadcast cross-join keeps the
+            # window's (band, key) partitioning.
+            stats = bands.agg(
+                (
+                    F.count(F.lit(1)) / F.count_distinct("band", "key")
+                ).alias("__mean")
+            )
+            bands = (
+                sized.crossJoin(F.broadcast(stats))
                 .where(
                     F.col("__n")
                     <= F.greatest(
@@ -576,12 +594,10 @@ def simhash_banded(
                         F.lit(float(_SIMHASH_CAP_FACTOR)) * F.col("__mean"),
                     )
                 )
-                .select("band", "key")
+                .drop("__n", "__mean")
             )
         else:
-            cool = counts.where(F.col("__n") <= max_bucket_size).select("band", "key")
-        # bucket list is tiny (≤ n_bands × 2^15 keys) → broadcast join
-        bands = bands.join(F.broadcast(cool), ["band", "key"])
+            bands = sized.where(F.col("__n") <= max_bucket_size).drop("__n")
     return bands, groups
 
 
@@ -672,6 +688,26 @@ def _jaccard_shingle_sets(df, text_col, id_col, n):
     )
 
 
+def _spread_candidates(cand: DataFrame) -> DataFrame:
+    """Hash-repartition a candidate-pair frame on its (near-unique)
+    pair key to ``defaultParallelism`` before the dedupe + exact-verify
+    stage. The dedupe's own exchange would use the same hash keys, but
+    AQE's byte-based coalescing then folds the read down to ~1 MB
+    partitions — correct for byte-bound stages, serial for this one,
+    where each row costs an O(|A|+|B|) array intersection (measured
+    r11: the whole verify ran in 2-5 tasks on a 32-core box; spreading
+    it was a 1.9x end-to-end win on ngram_jaccard_pairs). An explicit
+    repartition-by-column with a pinned partition count is exempt from
+    coalescing; pair keys are near-unique so row-count balancing IS the
+    right balance metric for a per-row-CPU-bound stage, and the
+    partition count scales with the cluster (defaultParallelism), not
+    with a local constant. The distinct that follows clusters on a
+    superset of the repartition key, so NO extra exchange is added —
+    this re-keys the exchange the dedupe already paid."""
+    p = cand.sparkSession.sparkContext.defaultParallelism
+    return cand.repartition(p, "id_a", "id_b")
+
+
 def _jaccard_posting(sh, threshold):
     """The prefix inverted index (id, sz, shingle) holding only the
     first |A| - ceil(t*|A|) + 1 elements per doc."""
@@ -703,8 +739,8 @@ def _jaccard_mine(sh, posting, threshold):
             & (F.least("a.sz", "b.sz") >= threshold * F.greatest("a.sz", "b.sz"))
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    cand = _spread_candidates(cand).distinct()
     sa = sh.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     return (
@@ -837,8 +873,8 @@ def ngram_jaccard_join(
         .join(pb.alias("b"), "shingle")
         .where(F.least("a.sz", "b.sz") >= threshold * F.greatest("a.sz", "b.sz"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    cand = _spread_candidates(cand).distinct()
     sa = sha.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     sb = shb.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     verified = (
