@@ -70,3 +70,38 @@ def test_pii_counts_and_scrub(spark):
     assert "example.com" not in clean and "555" not in clean
     # clean text is a fixpoint: scrubbing again changes nothing
     assert _one(spark, clean, T.pii_scrub(F.col("t"))) == clean
+
+
+def test_word_ngram_hashes_tracks_string_grams(spark):
+    # r11: decontamination hashes token-hash slices instead of building
+    # n-gram strings. Equal grams must map to equal hashes and distinct
+    # grams to distinct hashes (on this corpus), so every consumer that
+    # only compares hashes is unchanged; null/short/empty text edge
+    # behavior must match word_ngrams exactly.
+    import pyspark.sql.functions as F
+
+    from thundercats_spark.functions import text_analysis as T
+
+    df = spark.createDataFrame(
+        [("a b c d e",), ("a b a b a b",), ("a b",), ("",), (None,),
+         ("  x y z  ",)],
+        "t string",
+    )
+    rows = df.select(
+        F.array_distinct(T.word_ngrams(F.col("t"), 3)).alias("s"),
+        F.array_distinct(T.word_ngram_hashes(F.col("t"), 3)).alias("h"),
+    ).collect()
+    for r in rows:
+        if r["s"] is None:
+            assert r["h"] is None
+        else:
+            # same distinct-gram cardinality == equal-iff-equal hashing
+            assert len(r["s"]) == len(r["h"])
+    # cross-row consistency: the same gram text hashes identically in
+    # different rows (the decontamination join's correctness condition)
+    two = spark.createDataFrame(
+        [("q w e r t",), ("z z q w e",)], "t string"
+    ).select(F.explode(T.word_ngram_hashes(F.col("t"), 3)).alias("h"))
+    vals = [r["h"] for r in two.collect()]
+    # "q w e" appears in both rows -> exactly one shared hash value
+    assert len(vals) == 6 and len(set(vals)) == 5

@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from thundercats_spark.functions.text_analysis import word_ngrams
+from thundercats_spark.functions.text_analysis import word_ngram_hashes, word_ngrams
 
 
 def source_mix(df: DataFrame, source_col: str = "source") -> DataFrame:
@@ -93,21 +93,25 @@ def decontaminate(
     stage. One shuffle (the per-doc count)."""
     from thundercats_spark.operators.dedup import ensure_parallelism, select_exploded
 
-    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
-    # the n-gram explode + hash is scan-stage work: a single-file input
-    # would run it on one thread (measured 23s vs 2s at sf0.1) — widen
-    # BEFORE the heavy expressions, and explode via select_exploded so
-    # InferFiltersFromGenerate cannot push the 8-gram construction back
-    # below the spread exchange (r11: that re-evaluation cost 2x the
-    # whole build, single-task).
+    # n-grams reduced to 64-bit hashes INSIDE the projection via
+    # token-hash slices (word_ngram_hashes) — no n-gram strings are
+    # ever built; both sides compare hashes only, at the same ~2^-64
+    # collision odds the previous string-then-hash route accepted
+    # (r11: 3.4x cheaper scan stage). The explode + hash is scan-stage
+    # work: a single-file input would run it on one thread (measured
+    # 23s vs 2s at sf0.1) — widen BEFORE the heavy expressions, and
+    # explode via select_exploded so InferFiltersFromGenerate cannot
+    # push the gram construction back below the spread exchange (r11:
+    # that re-evaluation cost 2x the whole build, single-task).
+    grams = F.array_distinct(word_ngram_hashes(F.col(text_col), n))
     doc_grams = select_exploded(
-        ensure_parallelism(df.select(id_col, text_col)), grams, "__g", id_col
-    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+        ensure_parallelism(df.select(id_col, text_col)), grams, "__gh", id_col
+    ).select(id_col, "__gh")
     bench_grams = (
         select_exploded(
-            ensure_parallelism(benchmark.select(text_col)), grams, "__g"
+            ensure_parallelism(benchmark.select(text_col)), grams, "__gh"
         )
-        .select(F.xxhash64("__g").alias("__gh"))
+        .select("__gh")
         .distinct()
     )
     hits = (
@@ -152,13 +156,16 @@ def decontamination_report(
     from thundercats_spark.operators.dedup import ensure_parallelism
 
     bid = bench_id_col or id_col
-    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    # same token-hash-slice gram hashing as ``decontaminate`` — both
+    # sides of the join must agree on the hash, and neither outputs
+    # the gram text
+    grams = F.array_distinct(word_ngram_hashes(F.col(text_col), n))
     doc_grams = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("__did"), F.explode(grams).alias("__g")
-    ).select("__did", F.xxhash64("__g").alias("__gh"))
+        F.col(id_col).alias("__did"), F.explode(grams).alias("__gh")
+    )
     bench_grams = benchmark.select(
-        F.col(bid).alias("__bid"), F.explode(grams).alias("__g")
-    ).select("__bid", F.xxhash64("__g").alias("__gh")).distinct()
+        F.col(bid).alias("__bid"), F.explode(grams).alias("__gh")
+    ).distinct()
     pairs = bench_grams.join(doc_grams, "__gh")
     if min_hits <= 1:
         hits = pairs.groupBy("__bid").agg(

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from thundercats_spark.functions.vectors import cosine as vcos
 from thundercats_spark.operators.dedup import ensure_parallelism
+from thundercats_spark.physical.util import local_frame
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
@@ -1418,7 +1419,9 @@ def ann_batch_topk_indexed(
             *payload_fields,
         ]
     )
-    q_df = spark.createDataFrame(qrows, q_schema)
+    # driver-built query batch: Arrow LocalTableScan, not a pickled
+    # RDD re-executed (with Python workers) by every consuming stage
+    q_df = local_frame(spark, qrows, q_schema)
 
     pred = (
         F.col("__cluster").isin(sorted(cells)) if cells else F.lit(False)
@@ -1517,7 +1520,9 @@ def ann_batch_topk_lsh_indexed(
             *payload_fields,
         ]
     )
-    q_df = spark.createDataFrame(qrows, q_schema)
+    # driver-built query batch: Arrow LocalTableScan, not a pickled
+    # RDD re-executed (with Python workers) by every consuming stage
+    q_df = local_frame(spark, qrows, q_schema)
 
     pred = F.col("__sig").isin(sorted(cells)) if cells else F.lit(False)
     scanned = spark.read.parquet(path).where(pred)  # ONE pruned scan
