@@ -76,9 +76,19 @@ def repeated_spans(
     recounts the survivors keyed by the actual text, so results are
     exact — a hash collision can only add a candidate, never corrupt a
     count."""
-    hashes = span_hash_stream(df, text_col, id_col, span_words)
+    # ONE materialized occurrence stream feeds both the duplicate-hash
+    # aggregate and the survivor selection: consuming it from two
+    # lineage branches would re-run the tokenize + slice-hash explode
+    # per branch (measured r11: two ~10 cpuSec passes over identical
+    # data; exchange sharing cannot fire because column pruning gives
+    # the two branches different subtrees). Executor-local blocks,
+    # O(words) fixed-width rows, released with the frame — the same
+    # trade part_affinity_lift makes for its fact-grade distinct.
+    occ = span_occurrence_stream(
+        df, text_col, id_col, span_words
+    ).localCheckpoint(eager=True)
     dup_h = (
-        hashes.groupBy("span_h")
+        occ.groupBy("span_h")
         .agg(F.count_distinct("id").alias("nd"))
         .where(F.col("nd") >= min_docs)
         .select("span_h")
@@ -90,9 +100,7 @@ def repeated_spans(
     # is re-sliced afterwards, from only the documents that contain a
     # duplicated span. (No broadcast hints: both survivor sets are
     # data-dependent; AQE promotes to BHJ when one actually fits.)
-    surv_occ = span_occurrence_stream(df, text_col, id_col, span_words).join(
-        dup_h, "span_h", "leftsemi"
-    )
+    surv_occ = occ.join(dup_h, "span_h", "leftsemi")
     docs_w = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), _words(text_col).alias("__w"))
@@ -133,7 +141,11 @@ def span_dup_fraction(
     are 8-byte columns); exactness rests on xxhash64 over the span
     text, where a collision is ~2^-64 per span pair. Documents shorter
     than ``span_words`` words have no spans and are omitted."""
-    hashes = span_hash_stream(df, text_col, id_col, span_words)
+    # one materialized hash stream for both consumers (see
+    # repeated_spans — two lineage branches would re-run the explode)
+    hashes = span_hash_stream(
+        df, text_col, id_col, span_words
+    ).localCheckpoint(eager=True)
     dup_h = (
         hashes.groupBy("span_h")
         .agg(F.count_distinct("id").alias("nd"))
@@ -202,7 +214,11 @@ def remove_repeated_spans(
     the operator rewrites documents). Covered positions are exploded
     per removal (O(span_words) ints each); for very long spans an
     interval-merge would be cheaper, at these L values explode wins."""
-    occ = span_occurrence_stream(df, text_col, id_col, span_words)
+    # materialized once: dup and removals both consume it (see
+    # repeated_spans)
+    occ = span_occurrence_stream(
+        df, text_col, id_col, span_words
+    ).localCheckpoint(eager=True)
     dup = (
         occ.groupBy("span_h")
         .agg(
