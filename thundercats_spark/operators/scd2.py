@@ -66,14 +66,20 @@ def _scd2_segments(events, key: str, ts: str, attr: str, tiebreak: str):
         .when(prev.isNull() | (prev != F.col(attr)), 1)
         .otherwise(0)
         .alias("chg"),
-        F.col(tiebreak).alias("_tb"),
+        # keep the ORIGINAL tiebreak attribute (not an alias): the seg
+        # window below then orders by the exact same attribute ids as
+        # the lag window above, and the planner elides the second
+        # within-partition sort (an aliased copy is a different
+        # attribute to the planner and forced a full re-sort per key —
+        # r11 plan audit)
+        *([tiebreak] if tiebreak not in (key, ts, attr) else []),
     )
     return (
         flagged.withColumn(
             "seg",
             F.sum("chg").over(
                 Window.partitionBy(key)
-                .orderBy(ts, "_tb")
+                .orderBy(ts, tiebreak)
                 .rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
