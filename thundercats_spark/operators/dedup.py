@@ -677,7 +677,13 @@ def _jaccard_shingle_sets(df, text_col, id_col, n):
     """(id, hs): the hash-sorted distinct shingle set (64-bit xxhash
     values — sorted order IS the global total order for prefixes;
     intersection cardinality equals string intersection cardinality at
-    ~2^-64 collision odds)."""
+    ~2^-64 collision odds).
+
+    Measured r11: the token-hash-slice formulation that won 3.4x for
+    the 8-gram decontamination (text_analysis.word_ngram_hashes) is
+    SLOWER here (shingle-stage cpu 11.5 → 16.5 s at sf0.1) — at n=3
+    one xxhash64 over a ~20-byte joined string beats per-token hashing
+    plus a per-gram hash over an array<bigint>. Kept as strings."""
     return ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.array_sort(
