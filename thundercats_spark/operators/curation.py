@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from thundercats_spark.functions.text_analysis import word_ngram_hashes, word_ngrams
+from thundercats_spark.functions.text_analysis import word_ngram_hashes
 
 
 def source_mix(df: DataFrame, source_col: str = "source") -> DataFrame:
