@@ -168,6 +168,39 @@ BENCH_QUERIES = [
     "supplier_part_degrees",
 ]
 
+# Inline selection for the one-line summary when the full per-query map
+# no longer fits the driver's ~1900-char capture window. VERDICT r11
+# showed the old most-expensive-first selection ROTATES as queries get
+# faster, shrinking the driver's round-over-round common set (41/94 in
+# PERF_r11) and reporting phantom "dropped_from_bench" entries. The
+# selection must therefore be STABLE BY NAME: this list pins, in order,
+# (a) every query that was inline in BENCH_r11 — so the next PERF
+# comparison sees the full common set — then (b) the rest of
+# BENCH_QUERIES in registry order as space permits. Append new names at
+# the END; never reorder or remove (reordering rotates the common set
+# again). The full 3-decimal detail always lands in
+# tools/bench_detail.json.
+INLINE_PRIORITY = [
+    "ann_batch_indexed", "ann_lsh_topk", "asof_join_events_orders",
+    "corpus_packed_sequences", "corpus_split_leakage_safe", "corpus_token_budget",
+    "corpus_token_budget_per_source", "customer_balance_quartiles", "customer_hierarchy_walk",
+    "customer_order_gini", "customer_revenue_pareto", "customer_rfm_scores",
+    "customer_scd2_intervals", "dedup_connected_groups", "dedup_graph_degree_dist",
+    "dedup_minhash_lsh", "dedup_pair_score_histogram", "dedup_simhash",
+    "doc_bpe_encode_persisted", "doc_containment_pairs", "doc_decontaminate",
+    "doc_len_quality_contingency", "doc_quality_classifier_score", "doc_quality_outliers",
+    "doc_repeated_spans", "doc_vocab_growth", "doc_weighted_percentiles_global",
+    "doc_zipf_slope", "events_resample_ffill", "events_sliding_distinct_users",
+    "events_stream_stream_join", "events_stream_window_agg", "events_value_winsorized",
+    "lineitem_unpivot_metrics", "llm_clean_pipeline", "ngram_jaccard_pairs",
+    "orders_backlog_sweepline", "orders_nested_lineitems", "orders_scd2_attribution",
+    "orders_ship_lag_profile", "orders_stream_batch_join", "part_affinity_lift",
+    "part_brand_price_regression", "q10_returned_items", "q18_large_orders",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "supplier_part_degrees",
+]
+_INLINE_RANK = {n: i for i, n in enumerate(INLINE_PRIORITY)}
+
 
 def _load_fingerprint() -> dict:
     """Machine-load snapshot so round-over-round drift is attributable
@@ -356,9 +389,11 @@ def main():
     if len(line) > 1900:
         # 3. the registry outgrew the capture window (57 queries no
         # longer fit inline): persist the FULL per-query detail as a
-        # repo artifact, keep the most expensive entries inline (the
-        # ones plan audits start from), and say how many were cut —
-        # never silently truncate coverage evidence.
+        # repo artifact, keep a STABLE-BY-NAME selection inline (see
+        # INLINE_PRIORITY — most-expensive-first rotated the driver's
+        # round-over-round common set, VERDICT r11 #2), round inline
+        # values to 2dp to fit more entries, and say how many were cut
+        # — never silently truncate coverage evidence.
         detail = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "tools",
@@ -380,15 +415,20 @@ def main():
             out["bench_detail_artifact"] = "tools/bench_detail.json"
         except OSError as e:  # read-only checkout: keep the line going
             print(f"bench detail not persisted: {e}", file=sys.stderr)
-        ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+        ordered = sorted(
+            timings.items(),
+            key=lambda kv: (_INLINE_RANK.get(kv[0], 10**6), kv[0]),
+        )
         k = len(ordered)
         while k > 0:
-            out["queries"] = dict(sorted(ordered[:k]))
+            out["queries"] = dict(
+                sorted((n, round(v, 2)) for n, v in ordered[:k])
+            )
             out["queries_omitted"] = len(timings) - k
             line = json.dumps(out)
             if len(line) <= 1900:
                 break
-            k -= 5
+            k -= 1
         if len(line) > 1900:  # pathological: names alone blow the cap
             out["queries"] = {"n_queries": len(timings)}
             out.pop("queries_omitted", None)

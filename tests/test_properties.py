@@ -906,3 +906,22 @@ def test_revenue_pareto_matches_python_model(spark, tmp_path, rows):
         assert got[d][0] == expect[d][0] and got[d][1] == expect[d][1]
         assert abs(got[d][2] - expect[d][2]) < 1e-12
         assert abs(got[d][3] - expect[d][3]) < 1e-12
+
+
+def test_scd2_reserved_column_names_raise(spark):
+    """ADVICE r11: keeping the caller's tiebreak attribute through the
+    flagged frame (the r11 sort-elision) means caller columns literally
+    named 'chg' or 'seg' would collide with the internal helper columns
+    — the operator must refuse loudly, for any of the four roles."""
+    import pytest
+
+    from thundercats_spark.operators.scd2 import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, 5, datetime(2024, 1, 1), "A")],
+        "k long, chg long, ts timestamp, seg string",
+    )
+    with pytest.raises(ValueError, match="chg"):
+        scd2_intervals(df, key="k", ts="ts", attr="seg", tiebreak="chg")
+    with pytest.raises(ValueError, match="seg"):
+        scd2_intervals(df, key="k", ts="ts", attr="seg", tiebreak="k")

@@ -1299,3 +1299,35 @@ def test_attributed_sessionizer_property_random_streams(spark, tmp_path):
         assert got == model(rows), f"\ngot={got}\nmodel={model(rows)}"
 
     run()
+
+
+def test_derive_state_partitions_hadoop_fs_uri_matches_local(spark, tmp_path):
+    """VERDICT r11 #10: a path the local stat can't resolve (a file:
+    URI) must size through the Hadoop FileSystem API and agree with
+    the plain local-path answer; a bogus scheme-and-path returns None
+    (caller keeps the session default)."""
+    from thundercats_spark.streaming.windows import (
+        _hadoop_fs_bytes,
+        _local_path_bytes,
+        derive_state_partitions,
+    )
+
+    d = tmp_path / "state_src"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"x" * 1024)
+    sub = d / "sub"
+    sub.mkdir()
+    (sub / "b.bin").write_bytes(b"y" * 2048)
+
+    local = derive_state_partitions(spark, str(d), target_bytes=1024)
+    via_uri = derive_state_partitions(
+        spark, f"file:{d}", target_bytes=1024
+    )
+    assert local == via_uri
+    # byte totals agree exactly (3072 across the nested layout)
+    assert _local_path_bytes(str(d)) == 3072
+    assert _hadoop_fs_bytes(spark, f"file:{d}") == 3072
+    # glob through the FS API too
+    assert _hadoop_fs_bytes(spark, f"file:{d}/*.bin") == 1024
+    # unreachable path → None, not a throw
+    assert derive_state_partitions(spark, str(tmp_path / "nope")) is None

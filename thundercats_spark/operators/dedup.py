@@ -25,6 +25,7 @@ Embedding near-dup (cosine) lives in operators/similarity.py.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
@@ -35,15 +36,77 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+def _size_to_bytes(s: str) -> int:
+    """Parse Spark size-conf strings ('134217728', '128m', '4mb')."""
+    s = s.strip().lower()
+    mult = 1
+    for suf, m in (("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+                   ("kb", 1 << 10), ("t", 1 << 40), ("g", 1 << 30),
+                   ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(s) * mult
+
+
+def _scan_width_estimate(df: DataFrame) -> int | None:
+    """Estimated scan-partition count of a file-backed frame, from the
+    input files' sizes and the session's split confs — the same
+    quantities FilePartition packs by (maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, totalPadded/par))).
+    Returns None when the answer can't be derived from metadata (no
+    file sources — e.g. a post-shuffle frame — or files on a filesystem
+    we can't stat locally); callers fall back to the RDD probe then.
+    Exists so the hot paths don't force a plan→RDD conversion per call
+    (and stay portable to Spark Connect, where ``df.rdd`` is
+    unavailable) — VERDICT r11 #9."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes = []
+    for uri in files:
+        if uri.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            path = unquote(urlparse(uri).path)
+        elif uri.startswith("/"):
+            path = uri
+        else:
+            return None  # remote FS: no cheap local stat — use fallback
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            return None
+    conf = df.sparkSession.conf
+    mpb = _size_to_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    opc = _size_to_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    padded = sum(sizes) + opc * len(files)
+    max_split = max(1, min(mpb, max(opc, padded // max(1, par))))
+    # bin-packing merges small files and splits large ones; the byte
+    # total over the split size is the right first-order estimate
+    return max(1, padded // max_split)
+
+
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Small inputs often arrive as ONE parquet file → one partition →
     zero parallelism for expression-heavy per-row work (shingling,
     signatures, char folds). Repartition up to the cluster's default
     parallelism; a shuffle of the raw rows is far cheaper than running
     the heavy expressions single-threaded. No-op when the input is
-    already wide (the 100 TB case — thousands of input splits)."""
+    already wide (the 100 TB case — thousands of input splits).
+
+    Width comes from file metadata when the frame is file-backed
+    (``_scan_width_estimate`` — no RDD conversion, Connect-safe); only
+    frames without statable file sources pay the ``.rdd`` probe."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    width = _scan_width_estimate(df)
+    if width is None:
+        width = df.rdd.getNumPartitions()
+    if width >= target:
         return df
     return df.repartition(target)
 

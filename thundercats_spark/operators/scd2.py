@@ -41,6 +41,21 @@ def _scd2_segments(events, key: str, ts: str, attr: str, tiebreak: str):
     NULL → chg 0) and then split the NEXT row spuriously — the quiet
     wrong answer the sibling hierarchy/DAG operators' loud NULL
     contracts exist to prevent (review r09)."""
+    # "chg"/"seg" are computed INTERNALLY on the flagged frame. Keeping
+    # the caller's original tiebreak attribute in that frame (the r11
+    # sort-elision — see the select below) means a caller column
+    # literally named "chg" or "seg" would collide: two "chg" columns
+    # make the seg window's sum/orderBy references ambiguous
+    # (AnalysisException at best, silent mis-binding at worst). Loud
+    # guard instead (ADVICE r11).
+    reserved = {"chg", "seg"} & {key, ts, attr, tiebreak}
+    if reserved:
+        raise ValueError(
+            f"scd2: observation column(s) {sorted(reserved)} clash with "
+            "the operator's internal helper columns ('chg', 'seg') — "
+            "rename them upstream (e.g. .withColumnRenamed) before "
+            "building intervals"
+        )
     any_null = (
         F.col(key).isNull()
         | F.col(ts).isNull()

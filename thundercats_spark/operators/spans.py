@@ -24,6 +24,19 @@ Scale shape (the reason this is two-phase):
 A reference-free extension: the reference engine has no substring-level
 dedup; this extends its dedup family (see operators/dedup.py) with the
 span-level member a 100 TB training-data pipeline needs.
+
+Materialization caveat (ADVICE r11): the three consumers below
+``localCheckpoint(eager=True)`` the occurrence stream once per
+invocation so its tokenize+slice-hash explode runs ONE pass instead of
+2-3 (measured r11; ReuseExchange provably cannot fire — the pruned
+subtrees diverge). Two consequences to know at cluster scale:
+(a) the checkpoint runs a job AT OPERATOR-CALL TIME (the call is no
+longer fully lazy), and (b) localCheckpoint blocks are NON-RELIABLE —
+an executor loss (or dynamic-allocation reclaim) fails the job instead
+of recomputing lineage. On long-lived clusters with dynamic allocation,
+either disable reclaim for the job or swap the localCheckpoint for
+``spark.checkpoint()`` on reliable storage; the pinned stream is
+O(total words) × 20 bytes, far below the corpus the operators scan.
 """
 
 from __future__ import annotations

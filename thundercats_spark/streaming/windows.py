@@ -339,30 +339,71 @@ def derive_state_partitions(
     volume: ~one partition per ``target_bytes`` of source input, with
     a floor of defaultParallelism/4 so small inputs still spread over
     a few tasks. At 100 TB the bytes term dominates (thousands of
-    partitions); locally the floor does. Returns None (caller keeps
-    the session default) when a path cannot be sized locally (e.g. a
-    remote filesystem) — sizing via the FileSystem API would be the
-    cluster extension."""
+    partitions); locally the floor does. Paths that aren't statable
+    locally (``hdfs://``, ``s3a://``, ``file:`` URIs …) are sized
+    through the Hadoop FileSystem API (VERDICT r11 #10); only when
+    BOTH routes fail does the function return None and the caller
+    keeps the session default."""
+    total = 0
+    for p in paths:
+        n = _local_path_bytes(p)
+        if n is None:
+            n = _hadoop_fs_bytes(spark, p)
+        if n is None:
+            return None
+        total += n
+    floor = max(1, spark.sparkContext.defaultParallelism // 4)
+    return max(floor, -(-total // target_bytes))
+
+
+def _local_path_bytes(p: str) -> int | None:
+    """Bytes under a LOCAL path (file, dir, or glob); None when the
+    path doesn't resolve locally (remote scheme, missing)."""
     import glob as _glob
     import os
 
+    matches = _glob.glob(p) if any(c in p for c in "*?[") else [p]
+    if not matches:
+        return None
     total = 0
-    for p in paths:
-        matches = _glob.glob(p) if any(c in p for c in "*?[") else [p]
-        if not matches:
+    for m in matches:
+        if os.path.isfile(m):
+            total += os.path.getsize(m)
+        elif os.path.isdir(m):
+            for root, _dirs, files in os.walk(m):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        else:
             return None
-        for m in matches:
-            if os.path.isfile(m):
-                total += os.path.getsize(m)
-            elif os.path.isdir(m):
-                for root, _dirs, files in os.walk(m):
-                    total += sum(
-                        os.path.getsize(os.path.join(root, f)) for f in files
-                    )
-            else:
+    return total
+
+
+def _hadoop_fs_bytes(spark, path: str) -> int | None:
+    """Bytes under ``path`` via the Hadoop FileSystem API — answers for
+    any scheme the cluster's connectors reach (hdfs://, s3a://,
+    file:/ …), recursively for directories (getContentSummary), and
+    resolves glob patterns through globStatus. None when the JVM
+    gateway can't answer (Spark Connect, missing connector, absent
+    path) — the caller treats that as \"cannot size\"."""
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(conf)
+        if any(c in path for c in "*?["):
+            statuses = fs.globStatus(jpath)
+            if not statuses:
                 return None
-    floor = max(1, spark.sparkContext.defaultParallelism // 4)
-    return max(floor, -(-total // target_bytes))
+            return sum(
+                fs.getContentSummary(st.getPath()).getLength()
+                for st in statuses
+            )
+        if not fs.exists(jpath):
+            return None
+        return int(fs.getContentSummary(jpath).getLength())
+    except Exception:
+        return None
 
 
 def run_available_now_to_memory(
